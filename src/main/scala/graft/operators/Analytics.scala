@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Downstream analytics over the CDC-materialized tables.
+  *
+  * The reference (debezium-connector-vitess) produces change streams that
+  * get materialized into relational tables; every analytical query a user
+  * runs on those tables comes from the SQL engine downstream of the
+  * connector (SURVEY.md §2.9). This module is that layer, Spark-first:
+  * declarative DataFrame plans so Catalyst does pushdown/pruning/join
+  * selection, broadcast hints for dimension tables, exact DECIMAL
+  * arithmetic so results are engine-independent.
+  *
+  * Scale notes (100 TB): every query here filters + prunes at the scan,
+  * joins fact→dim with `broadcast()` (dims are tiny relative to facts at
+  * every SF), and aggregates with map-side partial aggregation. Nothing
+  * collects to the driver; top-k uses sort+limit which Spark executes as
+  * a per-partition TakeOrdered without a full sort.
+  */
+object Analytics {
+
+  /** Exact money arithmetic: parquet doubles carry 2-digit cents; cast to
+    * DECIMAL before aggregating so sums are order-independent and match
+    * DuckDB bit-for-bit. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def money(c: Column): Column = c.cast(DecimalType(38, 4))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  val q1PricingSummary: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3-style: top unshipped-revenue orders for one market segment.
+    * customer is broadcast (150 rows/SF-scaled dim vs 6M-row fact). */
+  val q3TopOrders: Q = (s, d) => {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast(TimestampType))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
+      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** TPC-H Q5-style: revenue by nation via a star join; all dims broadcast. */
+  val q5NationRevenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- top parts
+  /** Revenue by part brand, top 10 — broadcast-join fact→dim then agg. */
+  val qTopBrands: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount")
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand")
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(10)
+  }
+
+  val qTopBrandsSql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY revenue DESC, p_brand
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- semi join
+  /** Order-priority count with an EXISTS (left-semi join, TPC-H Q4 shape). */
+  val qOrderPriority: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qOrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- anti join
+  /** Customers with no high-value order (left-anti join / NOT EXISTS). */
+  val qCustomersNoOrders: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d).filter(col("o_totalprice") > 495000.0).select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qCustomersNoOrdersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 495000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- window
+  /** Per-supplier running revenue (window aggregation; shuffles once on
+    * the partition key, sorts within partitions only). */
+  val qRunningSupplier: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("running_qty",
+        money(sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val qRunningSupplierSql: String =
+    """SELECT l_suppkey, rn, running_qty FROM (
+      |  SELECT l_suppkey,
+      |    row_number() OVER w AS rn,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_qty
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |) WHERE rn <= 3
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- events daily
+  /** Daily event rollup (tumbling-window batch analogue; date_trunc is the
+    * batch twin of a 1-day streaming window). */
+  val qEventsDaily: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("ts").cast(DateType).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("value")))).as("total_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val qEventsDailySql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY CAST(ts AS DATE), event_type
+      |ORDER BY day, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary"   -> q1PricingSummary,
+    "q3_top_orders"        -> q3TopOrders,
+    "q5_nation_revenue"    -> q5NationRevenue,
+    "q_top_brands"         -> qTopBrands,
+    "q_order_priority"     -> qOrderPriority,
+    "q_customers_no_orders" -> qCustomersNoOrders,
+    "q_running_supplier"   -> qRunningSupplier,
+    "q_events_daily"       -> qEventsDaily)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"   -> q1Sql,
+    "q3_top_orders"        -> q3Sql,
+    "q5_nation_revenue"    -> q5Sql,
+    "q_top_brands"         -> qTopBrandsSql,
+    "q_order_priority"     -> qOrderPrioritySql,
+    "q_customers_no_orders" -> qCustomersNoOrdersSql,
+    "q_running_supplier"   -> qRunningSupplierSql,
+    "q_events_daily"       -> qEventsDailySql)
+}
