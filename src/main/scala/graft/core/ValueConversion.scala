@@ -1,0 +1,162 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.time.format.{DateTimeFormatterBuilder, DateTimeFormatter}
+import java.time.temporal.ChronoField
+import java.time.{Duration, LocalDate, LocalDateTime, ZoneOffset}
+import java.util.regex.Pattern
+
+/** Raw wire bytes → typed Scala values, with the reference's exact edge
+  * semantics (zero-date sentinels, enum index→label, set bitmask→csv,
+  * uint64 wraparound, negative/fractional TIME).
+  *
+  * Behavior mirrors src/main/java/io/debezium/connector/vitess/
+  * VitessValueConverter.java:226-543 and connection/
+  * ReplicationMessageColumnValueResolver.java:24-61. Pure functions so
+  * they back both the row decoder and the Catalyst expressions in
+  * graft.functions.
+  */
+object ValueConversion {
+
+  val Uint64Correction: BigDecimal = BigDecimal("18446744073709551616")
+
+  /** How unsigned 64-bit integers are exposed. */
+  sealed trait UInt64Mode
+  object UInt64Mode {
+    case object AsString extends UInt64Mode
+    case object AsLong extends UInt64Mode
+    /** Exact: negative wire values (two's-complement wraparound) are
+      * corrected by +2^64 into DECIMAL(20,0). */
+    case object AsPrecise extends UInt64Mode
+  }
+
+  /** Negative longs seen on the wire for UINT64 are wrapped values. */
+  def correctUnsignedBigint(v: BigDecimal): BigDecimal =
+    if (v < 0) v + Uint64Correction else v
+
+  /** 1-based enum index → label; out-of-range (including MySQL's invalid
+    * value 0) → empty string. */
+  def enumToString(options: Seq[String], index: Int): String = {
+    val i = index - 1
+    if (i >= 0 && i < options.size) options(i) else ""
+  }
+
+  /** SET bitmask → comma-joined labels in definition order; bits beyond
+    * the definition are dropped. */
+  def setToString(options: Seq[String], bitmask: Long): String = {
+    val sb = new StringBuilder
+    var indexes = bitmask
+    var index = 0
+    var first = true
+    while (indexes != 0L) {
+      if ((indexes & 1L) == 1L) {
+        if (!first) sb.append(',')
+        first = false
+        if (index < options.size) sb.append(options(index))
+      }
+      index += 1
+      indexes = indexes >>> 1
+    }
+    sb.toString()
+  }
+
+  private val DatePattern = Pattern.compile("([0-9]*)-([0-9]*)-([0-9]*)")
+  private val TimePattern = Pattern.compile("(\\-?[0-9]*):([0-9]*)(:([0-9]*))?(\\.([0-9]*))?")
+  private val ZeroMonthDay = Pattern.compile("^\\d{4}-00-00.*$")
+
+  private val TimestampFormatter: DateTimeFormatter = new DateTimeFormatterBuilder()
+    .append(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    .optionalStart()
+    .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .toFormatter()
+
+  /** DATE string → LocalDate; zero month or day (the MySQL `0000-00-00`
+    * sentinel family) → None. Year 0 alone is representable and kept. */
+  def parseDate(s: String): Option[LocalDate] = {
+    val m = DatePattern.matcher(s)
+    require(m.matches(), s"Unexpected format for DATE column: $s")
+    val (y, mo, d) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+    if (mo == 0 || d == 0) None else Some(LocalDate.of(y, mo, d))
+  }
+
+  /** TIME string → Duration; supports negative values and fractional
+    * seconds up to nanos, and hours beyond 23 (MySQL TIME is a duration,
+    * range ±838:59:59). */
+  def parseTime(s: String): Duration = {
+    val m = TimePattern.matcher(s)
+    require(m.matches(), s"Unexpected format for TIME column: $s")
+    val negative = s.nonEmpty && s.charAt(0) == '-'
+    val hours = m.group(1).toLong
+    val minutes = m.group(2).toLong
+    val seconds = Option(m.group(4)).map(_.toLong).getOrElse(0L)
+    val nanos = Option(m.group(6)).map(f => f.padTo(9, '0').toLong).getOrElse(0L)
+    val d =
+      if (hours >= 0)
+        Duration.ofHours(hours).plusMinutes(minutes).plusSeconds(seconds).plusNanos(nanos)
+      else
+        Duration.ofHours(hours).minusMinutes(minutes).minusSeconds(seconds).minusNanos(nanos)
+    if (negative && !d.isNegative) d.negated() else d
+  }
+
+  /** TIME → microseconds since midnight (Spark has no time-of-day type). */
+  def timeToMicros(s: String): Long = {
+    val d = parseTime(s)
+    d.getSeconds * 1000000L + d.getNano / 1000L
+  }
+
+  /** DATETIME string → wall-clock LocalDateTime; `yyyy-00-00…` → None. */
+  def parseDatetime(s: String): Option[LocalDateTime] =
+    if (ZeroMonthDay.matcher(s).matches()) None
+    else Some(LocalDateTime.parse(s, TimestampFormatter))
+
+  /** TIMESTAMP string (VStream emits UTC wall-clock text) → epoch micros;
+    * zero-date sentinel → None. */
+  def parseTimestampUtcMicros(s: String): Option[Long] =
+    parseDatetime(s).map { ldt =>
+      val inst = ldt.toInstant(ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    }
+
+  /** TIMESTAMP string → ISO-8601 UTC (`2020-02-13T01:02:03Z`), the
+    * reference's ZonedTimestamp representation. */
+  def timestampToIsoUtc(s: String): Option[String] =
+    parseDatetime(s).map(_.atZone(ZoneOffset.UTC).format(DateTimeFormatter.ISO_OFFSET_DATE_TIME))
+
+  /** BIT(1) → boolean; BIT(N>1) stays bytes. Wire value is a big-endian
+    * byte array. */
+  def bitToBoolean(bytes: Array[Byte]): Boolean =
+    bytes.nonEmpty && bytes(bytes.length - 1) != 0
+
+  /** Decode one raw column value per its resolved type. Returns the
+    * engine-native Scala value aligned with `GraftType.sparkType`.
+    * `None` means SQL NULL (zero-date sentinel collapse). */
+  def decode(tpe: GraftType, raw: Array[Byte], uint64Mode: UInt64Mode = UInt64Mode.AsPrecise): Option[Any] = {
+    if (raw == null) return None
+    def str = new String(raw, StandardCharsets.UTF_8)
+    tpe match {
+      case GraftType.Int16Type => Some(str.toShort)
+      case GraftType.Int32Type | GraftType.YearT => Some(str.toInt)
+      case GraftType.Int64Type => Some(str.toLong)
+      case GraftType.Float32 => Some(str.toFloat)
+      case GraftType.Float64 => Some(str.toDouble)
+      case GraftType.UInt64 =>
+        uint64Mode match {
+          case UInt64Mode.AsString => Some(str)
+          case UInt64Mode.AsLong => Some(java.lang.Long.parseUnsignedLong(str))
+          case UInt64Mode.AsPrecise => Some(correctUnsignedBigint(BigDecimal(str)))
+        }
+      case GraftType.DecimalStr | GraftType.Text | GraftType.Json => Some(str)
+      case GraftType.Bytes | GraftType.Unknown => Some(raw)
+      case GraftType.Bits(len) => if (len == 1) Some(bitToBoolean(raw)) else Some(raw)
+      case e: GraftType.Enum =>
+        if (e.stringValued) Some(str) else Some(enumToString(e.values, str.toInt))
+      case st: GraftType.SetT =>
+        if (st.stringValued) Some(str) else Some(setToString(st.values, str.toLong))
+      case GraftType.DateT => parseDate(str)
+      case _: GraftType.TimeT => Some(timeToMicros(str))
+      case _: GraftType.DatetimeT => parseDatetime(str)
+      case _: GraftType.TimestampT => parseTimestampUtcMicros(str)
+    }
+  }
+}

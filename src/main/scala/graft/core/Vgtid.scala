@@ -1,0 +1,145 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Multi-shard resumable stream position (the engine's streaming Offset).
+  *
+  * Matches the reference's VGTID value object and JSON wire format
+  * (reference: src/main/java/io/debezium/connector/vitess/Vgtid.java:26-230,
+  * TablePrimaryKeys.java:33-58) so checkpoints are interoperable:
+  *
+  * {{{
+  * [{"keyspace":"ks","shard":"-80","gtid":"MySQL56/host:1-100","table_p_ks":[
+  *    {"table_name":"t1","lastpk":{"fields":[{"name":"id","type":"INT64",
+  *     "charset":63,"flags":49667}],"rows":[{"lengths":["2"],"values":"OTk="}]}}]}]
+  * }}}
+  *
+  * The JSON string is cached at construction (the reference does the same,
+  * Vgtid.java:41-42) because every emitted record embeds it.
+  */
+final case class Vgtid(shardGtids: Seq[ShardGtid]) {
+  @transient lazy val json: String = VgtidJson.write(this)
+
+  private lazy val byShard: Map[String, ShardGtid] =
+    shardGtids.map(sg => sg.shard -> sg).toMap
+
+  def shardGtid(shard: String): Option[ShardGtid] = byShard.get(shard)
+
+  /** Copy phase is triggered by an empty gtid or in-flight per-table
+    * lastPK progress (reference: Vgtid.java:116-123). */
+  def willTriggerVStreamCopy: Boolean =
+    shardGtids.exists(sg => sg.gtid == Vgtid.EmptyGtid || sg.tablePKs.nonEmpty)
+
+  /** Single-shard projection used by the use-local-vgtid transform
+    * (reference: Vgtid.java:125-127). */
+  def localVgtid(shard: String): Vgtid =
+    Vgtid(shardGtids.filter(_.shard == shard))
+
+  def isEmpty: Boolean = shardGtids.isEmpty
+}
+
+object Vgtid {
+  val CurrentGtid = "current"
+  val EmptyGtid = ""
+
+  def of(json: String): Vgtid = VgtidJson.read(json)
+
+  def of(shardGtids: ShardGtid*): Vgtid = Vgtid(shardGtids.toVector)
+}
+
+/** Position of one shard: keyspace, shard name, GTID string, and (during
+  * the copy phase) per-table last-seen primary keys. */
+final case class ShardGtid(
+    keyspace: String,
+    shard: String,
+    gtid: String,
+    tablePKs: Seq[TableLastPk] = Nil)
+
+/** Copy-phase progress for one table: the schema of the PK columns and the
+  * last PK row streamed, so a restart resumes the table scan mid-way. */
+final case class TableLastPk(tableName: String, fields: Seq[PkField], rows: Seq[PkRow])
+
+final case class PkField(name: String, typeName: String, charset: Int, flags: Option[Int])
+
+/** Packed row: decimal-string lengths + base64 concatenated values
+  * (protobuf JSON encoding of Query.Row). */
+final case class PkRow(lengths: Seq[String], values: String)
+
+/** Hand-rolled Jackson codec: field names and ordering match the reference
+  * wire format exactly (keyspace, shard, gtid, table_p_ks). */
+object VgtidJson {
+  private val mapper = new ObjectMapper()
+
+  def write(v: Vgtid): String = {
+    val arr = mapper.createArrayNode()
+    v.shardGtids.foreach { sg =>
+      val o = arr.addObject()
+      o.put("keyspace", sg.keyspace)
+      o.put("shard", sg.shard)
+      o.put("gtid", sg.gtid)
+      val pks = o.putArray("table_p_ks")
+      sg.tablePKs.foreach { t =>
+        val to = pks.addObject()
+        to.put("table_name", t.tableName)
+        val lastpk = to.putObject("lastpk")
+        val fields = lastpk.putArray("fields")
+        t.fields.foreach { f =>
+          val fo = fields.addObject()
+          fo.put("name", f.name)
+          fo.put("type", f.typeName)
+          fo.put("charset", f.charset)
+          f.flags.foreach(fl => fo.put("flags", fl))
+        }
+        val rows = lastpk.putArray("rows")
+        t.rows.foreach { r =>
+          val ro = rows.addObject()
+          val ls = ro.putArray("lengths")
+          r.lengths.foreach(ls.add)
+          ro.put("values", r.values)
+        }
+      }
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  def read(json: String): Vgtid = {
+    val root = mapper.readTree(json)
+    require(root.isArray, s"vgtid json must be an array, got: $json")
+    Vgtid(root.elements().asScala.map(readShardGtid).toVector)
+  }
+
+  private def readShardGtid(n: JsonNode): ShardGtid = {
+    val pks = Option(n.get("table_p_ks")).filter(_.isArray)
+      .map(_.elements().asScala.map(readTablePk).toVector)
+      .getOrElse(Vector.empty)
+    ShardGtid(
+      keyspace = n.get("keyspace").asText(),
+      shard = n.get("shard").asText(),
+      gtid = Option(n.get("gtid")).map(_.asText()).getOrElse(""),
+      tablePKs = pks)
+  }
+
+  private def readTablePk(n: JsonNode): TableLastPk = {
+    val lastpk = Option(n.get("lastpk"))
+    def arr(parent: Option[JsonNode], key: String): Iterator[JsonNode] =
+      parent.flatMap(p => Option(p.get(key))).filter(_.isArray)
+        .map(_.elements().asScala).getOrElse(Iterator.empty)
+    TableLastPk(
+      tableName = n.get("table_name").asText(),
+      fields = arr(lastpk, "fields").map { f =>
+        PkField(
+          f.get("name").asText(),
+          f.get("type").asText(),
+          Option(f.get("charset")).map(_.asInt()).getOrElse(0),
+          Option(f.get("flags")).map(_.asInt()))
+      }.toVector,
+      rows = arr(lastpk, "rows").map { r =>
+        PkRow(
+          Option(r.get("lengths")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asText()).toVector).getOrElse(Vector.empty),
+          Option(r.get("values")).map(_.asText()).getOrElse(""))
+      }.toVector)
+  }
+}

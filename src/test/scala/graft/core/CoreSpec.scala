@@ -1,0 +1,279 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class VgtidSpec extends AnyFunSuite {
+  val json =
+    """[{"keyspace":"ks","shard":"-80","gtid":"MySQL56/0224:1-1513","table_p_ks":[]},""" +
+      """{"keyspace":"ks","shard":"80-","gtid":"MySQL56/0224:1-1513","table_p_ks":[]}]"""
+
+  test("json round-trip preserves shard gtids") {
+    val v = Vgtid.of(json)
+    assert(v.shardGtids.map(_.shard) == Seq("-80", "80-"))
+    assert(v.shardGtids.head.keyspace == "ks")
+    assert(Vgtid.of(v.json) == v)
+  }
+
+  test("json round-trip with lastpk copy progress") {
+    val v = Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/h:1-10", Seq(
+      TableLastPk("t1",
+        fields = Seq(PkField("id", "INT64", 63, Some(49667))),
+        rows = Seq(PkRow(Seq("2"), "OTk=")))))))
+    val back = Vgtid.of(v.json)
+    assert(back == v)
+    assert(back.shardGtids.head.tablePKs.head.rows.head.values == "OTk=")
+  }
+
+  test("copy phase trigger: empty gtid or pending lastpk") {
+    assert(Vgtid(Seq(ShardGtid("ks", "0", ""))).willTriggerVStreamCopy)
+    assert(Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/h:1", Seq(
+      TableLastPk("t1", Nil, Nil))))).willTriggerVStreamCopy)
+    assert(!Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/h:1"))).willTriggerVStreamCopy)
+  }
+
+  test("local vgtid keeps only the record's shard") {
+    val v = Vgtid.of(json)
+    assert(v.localVgtid("-80").shardGtids.map(_.shard) == Seq("-80"))
+  }
+
+  test("reads reference-shaped json without table_p_ks") {
+    val v = Vgtid.of("""[{"keyspace":"ks","shard":"0","gtid":"current"}]""")
+    assert(v.shardGtids.head.gtid == "current")
+  }
+}
+
+class TxMetadataSpec extends AnyFunSuite {
+  test("gtid parse: multi-host ranges and single positions") {
+    val g = Gtid.parse("MySQL56/host1:1-123,host2:5")
+    assert(g.version == "MySQL56")
+    assert(g.hosts == Set("host1", "host2"))
+    assert(g.sequenceValues == Seq("123", "5"))
+  }
+
+  test("gtid parse: MariaDB flavor (domain-server identity, last seg = seq)") {
+    val g = Gtid.parse("MariaDB/0-54610504-45")
+    assert(g.version == "MariaDB")
+    assert(g.hosts == Set("0-54610504"))
+    assert(g.sequenceValues == Seq("45"))
+  }
+
+  test("rank is the sum of per-host max sequences") {
+    assert(Rank.of("MySQL56/host1:1-123,host2:5") == BigDecimal(128))
+    assert(Rank.of("MySQL56/h:1-99999999999999999999") == BigDecimal("99999999999999999999"))
+  }
+
+  test("epoch: overridden → overridden keeps epoch") {
+    assert(EpochProvider.epochForGtid(3, "current", "") == 3)
+  }
+
+  test("epoch: overridden → standard increments") {
+    assert(EpochProvider.epochForGtid(3, "current", "MySQL56/h:1-5") == 4)
+  }
+
+  test("epoch: standard → overridden throws") {
+    intercept[IllegalStateException] {
+      EpochProvider.epochForGtid(0, "MySQL56/h:1-5", "current")
+    }
+  }
+
+  test("epoch: host superset keeps epoch, host loss increments") {
+    assert(EpochProvider.epochForGtid(1, "MySQL56/a:1-5", "MySQL56/a:1-9,b:2") == 1)
+    assert(EpochProvider.epochForGtid(1, "MySQL56/a:1-9,b:2", "MySQL56/b:3") == 2)
+    assert(EpochProvider.epochForGtid(1, "MySQL56/a:1-5", "MySQL56/b:1-5") == 2)
+  }
+
+  test("shard epoch map json round-trip is sorted") {
+    val m = ShardEpochMap.fromJson("""{"80-":1,"-80":0}""")
+    assert(m.json == """{"-80":0,"80-":1}""")
+    assert(m.get("80-").contains(1L))
+  }
+
+  test("shard lineage: child inherits max overlapping parent epoch + 1") {
+    val parents = ShardEpochMap.fromJson("""{"-80":2,"80-":5}""")
+    assert(ShardLineage.inheritedEpoch("-40", parents) == 3) // overlaps -80 only
+    assert(ShardLineage.inheritedEpoch("40-c0", parents) == 6) // overlaps both
+    assert(ShardLineage.inheritedEpoch("-", parents) == 6) // full range overlaps all
+  }
+
+  test("shard lineage: no overlap → epoch 0") {
+    val parents = ShardEpochMap.fromJson("""{"-40":7}""")
+    assert(ShardLineage.inheritedEpoch("40-80", parents) == 0)
+  }
+
+  test("shard lineage: invalid range rejected") {
+    intercept[IllegalArgumentException] {
+      ShardLineage.inheritedEpoch("80-40", ShardEpochMap.empty)
+    }
+  }
+
+  test("generation change bumps all epochs (upgrade and rollback)") {
+    val m = ShardEpochMap.fromJson("""{"0":4}""")
+    assert(EpochProvider.applyGeneration(m, 1, 2).get("0").contains(5L))
+    assert(EpochProvider.applyGeneration(m, 2, 1).get("0").contains(5L))
+    assert(EpochProvider.applyGeneration(m, 2, 2).get("0").contains(4L))
+  }
+
+  test("ordered tx context: begin computes epoch + rank and advances") {
+    val v1 = Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/a:1-10")))
+    val v2 = Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/a:1-12")))
+    val v3 = Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/b:3")))
+    val c0 = OrderedTxContext.initial(Seq("0"))
+    val (c1, e1, r1) = c0.begin("0", v1, "MySQL56/a:1-10")
+    assert(e1 == 0 && r1 == BigDecimal(10))
+    val (c2, e2, r2) = c1.begin("0", v2, "MySQL56/a:1-12")
+    assert(e2 == 0 && r2 == BigDecimal(12))
+    val (_, e3, r3) = c2.begin("0", v3, "MySQL56/b:3")
+    assert(e3 == 1 && r3 == BigDecimal(3)) // host set changed → new epoch
+  }
+}
+
+class VitessTypesSpec extends AnyFunSuite {
+  import GraftType._
+
+  test("integer widening matrix") {
+    assert(resolve("INT8") == Int16Type)
+    assert(resolve("UINT8") == Int16Type)
+    assert(resolve("INT16") == Int16Type)
+    assert(resolve("UINT16") == Int32Type)
+    assert(resolve("INT24") == Int32Type)
+    assert(resolve("INT32") == Int32Type)
+    assert(resolve("UINT32") == Int64Type)
+    assert(resolve("INT64") == Int64Type)
+    assert(resolve("UINT64") == UInt64)
+    assert(resolve("FLOAT32") == Float32)
+    assert(resolve("FLOAT64") == Float64)
+    assert(resolve("DECIMAL") == DecimalStr)
+    assert(resolve("YEAR") == YearT)
+  }
+
+  test("textual BLOB and binary VARCHAR disambiguation") {
+    assert(resolve("BLOB", "TEXT") == Text)
+    assert(resolve("BLOB", "longtext") == Text)
+    assert(resolve("BLOB", "blob") == Bytes)
+    assert(resolve("VARBINARY", "VARCHAR(32)") == Text)
+    assert(resolve("VARBINARY", "VARBINARY(32)") == Bytes)
+    assert(resolve("BINARY", "CHAR(2)") == Text)
+    assert(resolve("BINARY", "BINARY(2)") == Bytes)
+  }
+
+  test("enum/set resolution: index-valued streaming, string-valued in copy phase") {
+    resolve("ENUM", "enum('s','m','l')") match {
+      case Enum(vs, stringValued) => assert(vs == Seq("s", "m", "l") && !stringValued)
+      case other => fail(s"unexpected $other")
+    }
+    resolve("SET", "set('a','b')", isEnumSetStringValue = true) match {
+      case SetT(vs, stringValued) => assert(vs == Seq("a", "b") && stringValued)
+      case other => fail(s"unexpected $other")
+    }
+    // binary-charset enum arrives as wire type BINARY with enum column type
+    resolve("BINARY", "enum('x','y')") match {
+      case Enum(vs, _) => assert(vs == Seq("x", "y"))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("enum definition parser handles escaped quotes") {
+    assert(parseEnumOrSetValues("enum('m','l','xl')") == Seq("m", "l", "xl"))
+    assert(parseEnumOrSetValues("enum('a''b','c')") == Seq("a'b", "c"))
+    assert(parseEnumOrSetValues("") == Nil)
+  }
+
+  test("temporal and bit resolution carry precision/length") {
+    assert(resolve("TIME", decimals = 4) == TimeT(4))
+    assert(resolve("DATETIME", decimals = 2) == DatetimeT(2))
+    assert(resolve("TIMESTAMP", decimals = 6) == TimestampT(6))
+    assert(resolve("BIT", columnLength = 1) == Bits(1))
+    assert(resolve("BIT", columnLength = 8) == Bits(8))
+    assert(resolve("GEOMETRY") == Unknown)
+  }
+
+  test("column flags decode and anonymized-name rejection") {
+    val c = ColumnMeta.of("id", Int64Type, ColumnFlags.NotNull | ColumnFlags.PriKey)
+    assert(!c.optional && c.primaryKey)
+    intercept[IllegalArgumentException](ColumnMeta.of("@1", Int64Type, 0))
+    intercept[IllegalArgumentException](ColumnMeta.of("", Int64Type, 0))
+  }
+
+  test("key resolution: PK preferred, else first single-column unique key") {
+    val ref = TableRef("0", "ks", "t")
+    val pk = TableMeta(ref, Seq(
+      ColumnMeta("id", Int64Type, optional = false, primaryKey = true, uniqueKey = false),
+      ColumnMeta("u", Int32Type, optional = true, primaryKey = false, uniqueKey = true)))
+    assert(pk.keyColumns == Seq("id"))
+    val uq = TableMeta(ref, Seq(
+      ColumnMeta("a", Int64Type, optional = true, primaryKey = false, uniqueKey = false),
+      ColumnMeta("b", Int32Type, optional = true, primaryKey = false, uniqueKey = true),
+      ColumnMeta("c", Int32Type, optional = true, primaryKey = false, uniqueKey = true)))
+    assert(uq.keyColumns == Seq("b"))
+    assert(TableMeta(ref, Nil).keyColumns.isEmpty)
+  }
+}
+
+class ValueConversionSpec extends AnyFunSuite {
+  import ValueConversion._
+
+  test("uint64 wraparound correction") {
+    assert(correctUnsignedBigint(BigDecimal(-1)) == BigDecimal("18446744073709551615"))
+    assert(correctUnsignedBigint(BigDecimal(5)) == BigDecimal(5))
+  }
+
+  test("enum index→label; invalid index → empty string") {
+    val opts = Seq("small", "medium", "large")
+    assert(enumToString(opts, 3) == "large")
+    assert(enumToString(opts, 0) == "")
+    assert(enumToString(opts, 4) == "")
+  }
+
+  test("set bitmask→csv: 'a,c' has mask 5") {
+    val opts = Seq("a", "b", "c", "d")
+    assert(setToString(opts, 5L) == "a,c")
+    assert(setToString(opts, 0L) == "")
+    assert(setToString(opts, 15L) == "a,b,c,d")
+    assert(setToString(Seq("a"), 2L) == "") // bit beyond definition dropped
+  }
+
+  test("date: zero month/day → null, year 0 kept") {
+    assert(parseDate("2020-02-11").map(_.toString).contains("2020-02-11"))
+    assert(parseDate("0000-00-00").isEmpty)
+    assert(parseDate("2020-00-01").isEmpty)
+    assert(parseDate("0000-01-01").map(_.toString).contains("0000-01-01"))
+    intercept[IllegalArgumentException](parseDate("garbage"))
+  }
+
+  test("time: negative, fractional, >24h") {
+    assert(timeToMicros("01:02:03") == (1 * 3600 + 2 * 60 + 3) * 1000000L)
+    assert(timeToMicros("-01:00:00") == -3600000000L)
+    assert(timeToMicros("00:00:01.5") == 1500000L)
+    assert(timeToMicros("838:59:59") == (838 * 3600 + 59 * 60 + 59) * 1000000L)
+  }
+
+  test("datetime: zero sentinel → null; fractional seconds parse") {
+    assert(parseDatetime("2020-02-12 01:02:03").map(_.toString).contains("2020-02-12T01:02:03"))
+    assert(parseDatetime("0000-00-00 00:00:00").isEmpty)
+    assert(parseDatetime("2020-02-12 01:02:03.123456").exists(_.getNano == 123456000))
+  }
+
+  test("timestamp: UTC ISO string and epoch micros") {
+    assert(timestampToIsoUtc("2020-02-13 01:02:03").contains("2020-02-13T01:02:03Z"))
+    assert(parseTimestampUtcMicros("1970-01-01 00:00:01").contains(1000000L))
+    assert(parseTimestampUtcMicros("0000-00-00 00:00:00").isEmpty)
+  }
+
+  test("bit(1) → boolean") {
+    assert(bitToBoolean(Array[Byte](1)))
+    assert(!bitToBoolean(Array[Byte](0)))
+  }
+
+  test("decode dispatches by resolved type") {
+    import GraftType._
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(decode(Int16Type, b("42")).contains(42.toShort))
+    assert(decode(Int64Type, null).isEmpty)
+    assert(decode(Enum(Seq("s", "m", "l"), stringValued = false), b("2")).contains("m"))
+    assert(decode(Enum(Seq("s", "m", "l"), stringValued = true), b("m")).contains("m"))
+    assert(decode(SetT(Seq("a", "b", "c", "d"), stringValued = false), b("5")).contains("a,c"))
+    assert(decode(DateT, b("0000-00-00")).isEmpty)
+    assert(decode(UInt64, b("-1")).contains(BigDecimal("18446744073709551615")))
+    assert(decode(UInt64, b("123"), UInt64Mode.AsString).contains("123"))
+  }
+}
