@@ -59,7 +59,10 @@ object Analytics {
 
   // ---------------------------------------------------------------- q3
   /** TPC-H Q3-style: top unshipped-revenue orders for one market segment.
-    * customer is broadcast (150 rows/SF-scaled dim vs 6M-row fact). */
+    * No forced broadcasts: customer and orders both scale with SF, so a
+    * broadcast hint that works at sf0.1 OOMs at 100 TB. The filters are
+    * pushed to the scans; AQE picks broadcast automatically when a side
+    * is actually small at runtime. */
   val q3TopOrders: Q = (s, d) => {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -69,7 +72,7 @@ object Analytics {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
       .agg(money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
@@ -90,16 +93,19 @@ object Analytics {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q5
-  /** TPC-H Q5-style: revenue by nation via a star join; all dims broadcast. */
+  /** TPC-H Q5-style: revenue by nation via a star join. Only nation is
+    * force-broadcast — it is a constant 25 rows at every SF. customer
+    * and supplier scale linearly with SF, so their join strategy is left
+    * to Catalyst/AQE (broadcast at small SF, shuffle at 100 TB). */
   val q5NationRevenue: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
-    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+    li.join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
@@ -119,11 +125,12 @@ object Analytics {
       |ORDER BY revenue DESC, n_name""".stripMargin
 
   // ---------------------------------------------------------------- top parts
-  /** Revenue by part brand, top 10 — broadcast-join fact→dim then agg. */
+  /** Revenue by part brand, top 10 — fact→dim join then agg. part scales
+    * with SF (200k rows/SF-unit) so no forced broadcast; AQE decides. */
   val qTopBrands: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount")
     val pt = Tables.part(s, d).select("p_partkey", "p_brand")
-    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),

@@ -97,7 +97,7 @@ final case class RowChange(before: Option[PackedRow], after: Option[PackedRow]) 
 object DdlMetadata {
   private val Comments = "(?s)/\\*.*?\\*/|--.*?(\\r?\\n|$)|#.*?(\\r?\\n|$)".r
   private val TableOp =
-    "(?i)\\b(CREATE|ALTER|TRUNCATE|DROP|RENAME)\\s+TABLE\\s+(?:IF\\s+(?:NOT\\s+)?EXISTS\\s+)?([`\"']?[\\w.$]+[`\"']?)".r
+    "(?i)\\b(CREATE|ALTER|TRUNCATE|DROP|RENAME)\\s+TABLE\\s+(?:IF\\s+(?:NOT\\s+)?EXISTS\\s+)?([`\"']?[\\w$]+[`\"']?(?:\\.[`\"']?[\\w$]+[`\"']?)*)".r
 
   final case class Extracted(operation: String, table: String)
 
@@ -109,7 +109,11 @@ object DdlMetadata {
           case "RENAME" => "ALTER"
           case other    => other
         }
-        Extracted(op, m.group(2).replaceAll("[`\"']", ""))
+        // Qualified names keep only the table part (reference
+        // DdlMetadataExtractor.java:56-61: parts[1] after split on '.').
+        val raw = m.group(2).replaceAll("[`\"']", "")
+        val table = if (raw.contains(".")) raw.split("\\.")(1) else raw
+        Extracted(op, table)
       case None => Extracted("ALTER", "<UNKNOWN>")
     }
   }
@@ -157,7 +161,8 @@ object VEventJson {
         }
       case VgtidEvent(s, v) =>
         o.put("type", "VGTID"); o.put("shard", s)
-        { o.set[com.fasterxml.jackson.databind.JsonNode]("vgtid", mapper.readTree(v.json)); () }
+        o.set[com.fasterxml.jackson.databind.JsonNode]("vgtid", mapper.readTree(v.json))
+        ()
       case DdlEvent(s, ks, stmt) =>
         o.put("type", "DDL"); o.put("shard", s); o.put("keyspace", ks); o.put("statement", stmt)
       case HeartbeatEvent(s)     => o.put("type", "HEARTBEAT"); o.put("shard", s)

@@ -59,12 +59,14 @@ class EventsSpec extends AnyFunSuite {
 
   test("ddl metadata extraction with comments, rename→alter, unknown") {
     assert(DdlMetadata.extract("CREATE TABLE foo (id int)") == DdlMetadata.Extracted("CREATE", "foo"))
+    // qualified name keeps only the table part (reference DdlMetadataExtractor.java:56-61)
     assert(DdlMetadata.extract("/* c */ ALTER TABLE `ks`.`t1` ADD c int") ==
-      DdlMetadata.Extracted("ALTER", "ks.t1"))
+      DdlMetadata.Extracted("ALTER", "t1"))
     assert(DdlMetadata.extract("-- x\nDROP TABLE IF EXISTS t2") == DdlMetadata.Extracted("DROP", "t2"))
     assert(DdlMetadata.extract("RENAME TABLE a TO b").operation == "ALTER")
     assert(DdlMetadata.extract("TRUNCATE TABLE big") == DdlMetadata.Extracted("TRUNCATE", "big"))
-    assert(DdlMetadata.extract("OPTIMIZE TABLE x") == DdlMetadata.Extracted("ALTER", "x"))
+    // non-table-DDL statements are unknown (reference matches only the 5 ops)
+    assert(DdlMetadata.extract("OPTIMIZE TABLE x") == DdlMetadata.Extracted("ALTER", "<UNKNOWN>"))
     assert(DdlMetadata.extract("FLUSH LOGS") == DdlMetadata.Extracted("ALTER", "<UNKNOWN>"))
   }
 }

@@ -25,7 +25,8 @@ def canon(val):
             return "NaN"
         return repr(round(val, 9))
     if isinstance(val, decimal.Decimal):
-        return repr(float(val))
+        # exact canonicalization — float() would collapse >53-bit decimals
+        return str(val.normalize())
     if isinstance(val, (datetime.datetime, datetime.date)):
         return val.isoformat()
     if isinstance(val, list):
