@@ -131,7 +131,7 @@ object ValueConversion {
   /** Decode one raw column value per its resolved type. Returns the
     * engine-native Scala value aligned with `GraftType.sparkType`.
     * `None` means SQL NULL (zero-date sentinel collapse). */
-  def decode(tpe: GraftType, raw: Array[Byte], uint64Mode: UInt64Mode = UInt64Mode.AsPrecise): Option[Any] = {
+  def decode(tpe: GraftType, raw: Array[Byte], uint64Mode: UInt64Mode = UInt64Mode.AsString): Option[Any] = {
     if (raw == null) return None
     def str = new String(raw, StandardCharsets.UTF_8)
     tpe match {

@@ -27,7 +27,7 @@ final case class RowEvent(
     table: String,
     changes: Seq[RowChange]) extends VEvent
 final case class VgtidEvent(shard: String, vgtid: Vgtid) extends VEvent
-final case class DdlEvent(shard: String, keyspace: String, statement: String) extends VEvent
+final case class DdlEvent(shard: String, keyspace: String, statement: String, timestampSec: Long = 0L) extends VEvent
 final case class HeartbeatEvent(shard: String) extends VEvent
 final case class OtherEvent(shard: String) extends VEvent
 final case class CopyCompletedEvent(shard: String) extends VEvent
@@ -163,8 +163,9 @@ object VEventJson {
         o.put("type", "VGTID"); o.put("shard", s)
         o.set[com.fasterxml.jackson.databind.JsonNode]("vgtid", mapper.readTree(v.json))
         ()
-      case DdlEvent(s, ks, stmt) =>
+      case DdlEvent(s, ks, stmt, ts) =>
         o.put("type", "DDL"); o.put("shard", s); o.put("keyspace", ks); o.put("statement", stmt)
+        o.put("ts", ts)
       case HeartbeatEvent(s)     => o.put("type", "HEARTBEAT"); o.put("shard", s)
       case OtherEvent(s)         => o.put("type", "OTHER"); o.put("shard", s)
       case CopyCompletedEvent(s) => o.put("type", "COPY_COMPLETED"); o.put("shard", s)
@@ -203,7 +204,9 @@ object VEventJson {
           }.toVector)
       case "VGTID" =>
         VgtidEvent(s("shard"), VgtidJson.read(mapper.writeValueAsString(n.get("vgtid"))))
-      case "DDL"            => DdlEvent(s("shard"), s("keyspace"), s("statement"))
+      case "DDL" =>
+        DdlEvent(s("shard"), s("keyspace"), s("statement"),
+          Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
       case "HEARTBEAT"      => HeartbeatEvent(s("shard"))
       case "OTHER"          => OtherEvent(s("shard"))
       case "COPY_COMPLETED" => CopyCompletedEvent(s("shard"))

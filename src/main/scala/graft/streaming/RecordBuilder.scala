@@ -41,7 +41,18 @@ final class SchemaRegistry {
 /** One change record in the engine's stable envelope schema. The payload
   * rides as JSON keyed by column name (design (b) of SURVEY §1.3: one
   * stream, dynamic tables) and is re-typed per table with `from_json`
-  * against the registry schema. */
+  * against the registry schema.
+  *
+  * `vgtid` is the record's transaction position (the reference's
+  * `source.vgtid` = currentVgtid, VitessSourceInfoStructMaker.java:36-44);
+  * `restartVgtid` is the replay offset — the previous transaction's
+  * position, so restarting from it replays this record's transaction
+  * inclusively (SourceInfo.java:119-130, VitessOffsetContext.java:92-100).
+  *
+  * `totalOrder` counts all DML events in the transaction; `collectionOrder`
+  * counts per-table within the transaction (reference
+  * VitessOrderedTransactionStructMaker.java:39-50 + Debezium's
+  * per-collection TransactionContext counters). Both are 1-based. */
 final case class ChangeRecord(
     shard: String,
     keyspace: String,
@@ -51,28 +62,53 @@ final case class ChangeRecord(
     after: Option[String],
     key: Option[String], // JSON of PK (or first unique key) columns
     tsMs: Long,
-    vgtid: String, // full VGTID JSON at this record's transaction
+    vgtid: String, // this transaction's VGTID JSON (source.vgtid)
+    restartVgtid: String, // replay offset: previous transaction's VGTID JSON
     txId: Option[String],
     epoch: Long,
     rank: Option[String], // decimal string (sum can exceed Long)
-    orderInTx: Long) // data_collection_order analogue, 1-based
+    totalOrder: Long, // cross-table event order within tx, 1-based
+    collectionOrder: Long) // per-table event order within tx, 1-based
 
 /** Turns assembled transactions into envelope records: decodes packed
   * rows via the registry schema, computes per-transaction epoch + rank,
-  * and emits optional BEGIN/END boundary records (reference:
-  * VitessChangeRecordEmitter.java:56-132,
-  * VitessOrderedTransactionStructMaker.java:39-50). One instance per
-  * shard reader; `ctx` carries epoch state across transactions. */
+  * rotates the restart offset, and emits optional BEGIN/END boundary
+  * records (reference: VitessChangeRecordEmitter.java:56-132,
+  * VitessOrderedTransactionStructMaker.java:39-50, SourceInfo.java:105-130).
+  * One instance per shard reader; `ctx` carries epoch state across
+  * transactions. */
 final class RecordBuilder(
     registry: SchemaRegistry,
     var ctx: OrderedTxContext,
-    emitTransactionBoundaries: Boolean = false) {
+    emitTransactionBoundaries: Boolean = false,
+    initialVgtid: Option[Vgtid] = None) {
 
   private val mapper = new ObjectMapper()
 
+  // Offset rotation state (reference SourceInfo.java:90-130). Records of
+  // transaction N carry restartVgtid = position of transaction N-1; the
+  // final boundary/commit position resets both to N.
+  private var currentVgtid: Option[Vgtid] = initialVgtid
+  private var restartVgtidOpt: Option[Vgtid] = initialVgtid
+
+  /** rotateVgtid (SourceInfo.java:119-130): only when the new position
+    * differs; a null/absent new position keeps the current one. */
+  private def rotate(newVgtid: Option[Vgtid]): Unit =
+    if (newVgtid != currentVgtid) {
+      restartVgtidOpt = currentVgtid
+      if (newVgtid.isDefined) currentVgtid = newVgtid
+    }
+
+  /** resetVgtid (SourceInfo.java:105-109): after all of a transaction's
+    * events are produced, restart = current = that transaction's vgtid. */
+  private def reset(v: Option[Vgtid]): Unit =
+    if (v.isDefined) { restartVgtidOpt = v; currentVgtid = v }
+
+  private def currentJson: String = currentVgtid.map(_.json).getOrElse("[]")
+  private def restartJson: String = restartVgtidOpt.map(_.json).getOrElse("[]")
+
   def onTransaction(tx: VTransaction): Seq[ChangeRecord] = {
     val out = Vector.newBuilder[ChangeRecord]
-    val vgtidJson = tx.vgtid.map(_.json).getOrElse("[]")
     val tsMs = tx.commitTsSec * 1000L
 
     // Schema updates first — ROW events in the same transaction (copy
@@ -83,6 +119,12 @@ final class RecordBuilder(
     }
 
     val isDml = tx.events.exists(_.isInstanceOf[RowEvent])
+
+    // BEGIN (or DDL/OTHER sendNow): rotate so records carry the previous
+    // transaction's position as their restart offset (O1).
+    rotate(tx.vgtid)
+    val vgtidJson = currentJson
+
     val (epoch, rank) = (tx.vgtid, tx.txId) match {
       case (Some(v), Some(gtid)) if isDml =>
         val (next, e, r) = ctx.begin(tx.shard, v, gtid)
@@ -93,9 +135,10 @@ final class RecordBuilder(
 
     if (emitTransactionBoundaries && isDml)
       out += ChangeRecord(tx.shard, tx.keyspace, "", "begin", None, None, None,
-        tsMs, vgtidJson, tx.txId, epoch, rank, 0L)
+        tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, 0L, 0L)
 
-    var order = 0L
+    var totalOrder = 0L
+    var perTableOrder = Map.empty[String, Long]
     tx.events.foreach {
       case r: RowEvent =>
         val (keyspace, table) = registry.splitTableName(r.table, r.keyspace)
@@ -103,14 +146,16 @@ final class RecordBuilder(
         val meta = registry.get(ref).getOrElse(
           throw new IllegalStateException(s"ROW for unknown table $ref (no FIELD seen)"))
         r.changes.foreach { change =>
-          order += 1
+          totalOrder += 1
+          val collectionOrder = perTableOrder.getOrElse(ref.qualified, 0L) + 1
+          perTableOrder += ref.qualified -> collectionOrder
           val beforeJson = change.before.map(decodeToJson(meta, _))
           val afterJson = change.after.map(decodeToJson(meta, _))
           out += ChangeRecord(
             tx.shard, keyspace, table, change.op,
             beforeJson, afterJson,
             keyJson(meta, change.after.orElse(change.before).get),
-            tsMs, vgtidJson, tx.txId, epoch, rank, order)
+            tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, totalOrder, collectionOrder)
         }
       case d: DdlEvent =>
         val ex = DdlMetadata.extract(d.statement)
@@ -120,16 +165,22 @@ final class RecordBuilder(
         payload.put("table", ex.table)
         out += ChangeRecord(tx.shard, d.keyspace, ex.table, "ddl",
           None, Some(mapper.writeValueAsString(payload)), None,
-          tsMs, vgtidJson, tx.txId, epoch, None, 0L)
+          tsMs, vgtidJson, restartJson, tx.txId, epoch, None, 0L, 0L)
       case h: HeartbeatEvent =>
         out += ChangeRecord(tx.shard, "", "", "heartbeat", None, None, None,
-          tsMs, vgtidJson, None, epoch, None, 0L)
+          tsMs, vgtidJson, restartJson, None, epoch, None, 0L, 0L)
       case _ => // BEGIN/COMMIT/FIELD/VGTID/OTHER/COPY_COMPLETED carry no payload
     }
 
+    // COMMIT: all events produced — restart = current = this tx (O2). The
+    // END boundary record is emitted after the reset (reference
+    // VitessStreamingChangeEventSource.java:109-120), so its offset is
+    // this transaction's own position.
+    if (isDml) reset(tx.vgtid)
+
     if (emitTransactionBoundaries && isDml)
       out += ChangeRecord(tx.shard, tx.keyspace, "", "end", None, None, None,
-        tsMs, vgtidJson, tx.txId, epoch, rank, order)
+        tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, totalOrder, 0L)
 
     out.result()
   }

@@ -21,12 +21,18 @@ final case class VTransaction(
   * VitessReplicationConnection.java:128-300):
   *
   *  - a transaction spans BEGIN … COMMIT and may span multiple responses;
-  *  - BEGIN while a transaction is open is an error, EXCEPT the copy-phase
+  *  - BEGIN while a transaction is open is an error, EXCEPT when the
+  *    buffered event sequence is exactly one of the copy-phase restart
   *    patterns `BEGIN,FIELD[,VGTID]` / `COPY_COMPLETED,BEGIN,FIELD[,VGTID]`
-  *    where the server restarts the transaction (`:166-203`);
-  *  - COMMIT without an open transaction is an error (`:290-299`);
+  *    (`:171-189`) — then the whole buffer AND the pending vgtid are
+  *    dropped (the reference's `reset()`) and the transaction restarts;
+  *  - COMMIT without an open transaction / duplicate COMMIT is an error
+  *    (`:192-203`);
+  *  - a DML transaction whose window contained no VGTID event is dropped
+  *    with no emission (`:239-245`, "Skipping because no vgtid is found");
   *  - DDL / OTHER / HEARTBEAT outside a transaction flush immediately
-  *    (`sendNow`, `:206-218`);
+  *    (`sendNow`, `:206-218`); a DDL inside an open transaction is kept in
+  *    buffer order and emitted with the transaction;
   *  - a trailing unterminated buffer is dropped (never emitted).
   *
   * Pure: single-shard, deterministic, no Spark dependency — it runs
@@ -42,36 +48,59 @@ object TransactionAssembler {
       private var lastVgtid: Option[Vgtid] = None
       private var pending: Option[VTransaction] = None
 
-      private def copyPhaseRestart: Boolean = {
-        // events since the open BEGIN must all be FIELD / VGTID / COPY_COMPLETED
-        val sinceBegin = buffer.drop(buffer.lastIndexWhere(_.isInstanceOf[BeginEvent]) + 1)
-        sinceBegin.forall {
-          case _: FieldEvent | _: VgtidEvent | _: CopyCompletedEvent => true
-          case _ => false
+      /** The reference permits a duplicate BEGIN only when the buffer is
+        * exactly one of the four copy-phase restart shapes
+        * (VitessReplicationConnection.java:176-180). */
+      private def isCopyPhaseRestartBuffer: Boolean = {
+        val kinds = buffer.map {
+          case _: BeginEvent         => "BEGIN"
+          case _: FieldEvent         => "FIELD"
+          case _: VgtidEvent         => "VGTID"
+          case _: CopyCompletedEvent => "COPY_COMPLETED"
+          case _                     => "?"
         }
+        kinds == Seq("BEGIN", "FIELD") ||
+        kinds == Seq("BEGIN", "FIELD", "VGTID") ||
+        kinds == Seq("COPY_COMPLETED", "BEGIN", "FIELD") ||
+        kinds == Seq("COPY_COMPLETED", "BEGIN", "FIELD", "VGTID")
+      }
+
+      private def resetTx(): Unit = {
+        buffer = Vector.empty
+        inTx = false
+        txVgtid = None
       }
 
       private def step(e: VEvent): Option[VTransaction] = e match {
         case b: BeginEvent =>
-          if (inTx && !copyPhaseRestart)
-            throw new IllegalStateException(
+          if (inTx) {
+            if (isCopyPhaseRestartBuffer) resetTx() // drop partials + stale vgtid
+            else throw new IllegalStateException(
               s"BEGIN while transaction open on shard ${b.shard} (not a copy-phase restart)")
+          }
           inTx = true
           buffer :+= b
           None
         case c: CommitEvent =>
           if (!inTx)
             throw new IllegalStateException(s"COMMIT without BEGIN on shard ${c.shard}")
-          val tx = VTransaction(c.shard, c.keyspace, txVgtid.orElse(lastVgtid), buffer :+ c, c.timestampSec)
-          buffer = Vector.empty; inTx = false; txVgtid = None
-          Some(tx)
+          val result =
+            if (txVgtid.isEmpty) {
+              // reference:239-245 — no VGTID in the window, drop silently
+              None
+            } else {
+              lastVgtid = txVgtid
+              Some(VTransaction(c.shard, c.keyspace, txVgtid, buffer :+ c, c.timestampSec))
+            }
+          resetTx()
+          result
         case v: VgtidEvent =>
           lastVgtid = Some(v.vgtid)
           if (inTx) { txVgtid = Some(v.vgtid); buffer :+= v; None }
           else None // bare VGTID between transactions just advances position
         case d: DdlEvent =>
-          // DDL is transaction-terminating on the server side; flush now
-          Some(VTransaction(d.shard, d.keyspace, lastVgtid, Vector(d), 0L))
+          if (inTx) { buffer :+= d; None } // emitted in order with its tx
+          else Some(VTransaction(d.shard, d.keyspace, lastVgtid, Vector(d), d.timestampSec))
         case h: HeartbeatEvent =>
           if (inTx) { buffer :+= h; None }
           else Some(VTransaction(h.shard, "", lastVgtid, Vector(h), 0L))
@@ -89,6 +118,7 @@ object TransactionAssembler {
           None
         case cc: CopyCompletedEvent =>
           if (inTx) buffer :+= cc
+          else buffer :+= cc // may precede the restarted BEGIN (pattern 3/4)
           None
       }
 

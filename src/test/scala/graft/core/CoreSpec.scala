@@ -273,7 +273,9 @@ class ValueConversionSpec extends AnyFunSuite {
     assert(decode(Enum(Seq("s", "m", "l"), stringValued = true), b("m")).contains("m"))
     assert(decode(SetT(Seq("a", "b", "c", "d"), stringValued = false), b("5")).contains("a,c"))
     assert(decode(DateT, b("0000-00-00")).isEmpty)
-    assert(decode(UInt64, b("-1")).contains(BigDecimal("18446744073709551615")))
-    assert(decode(UInt64, b("123"), UInt64Mode.AsString).contains("123"))
+    // default mode is STRING (reference VitessConnectorConfig.java:471-473)
+    assert(decode(UInt64, b("18446744073709551615")).contains("18446744073709551615"))
+    assert(decode(UInt64, b("-1"), UInt64Mode.AsPrecise).contains(BigDecimal("18446744073709551615")))
+    assert(decode(UInt64, b("123"), UInt64Mode.AsLong).contains(123L))
   }
 }

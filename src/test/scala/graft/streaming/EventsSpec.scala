@@ -171,7 +171,8 @@ class RecordBuilderSpec extends AnyFunSuite {
     assert(recs.map(_.op) == Seq("u", "d"))
     assert(recs.head.before.contains("""{"id":1,"int_col":2}"""))
     assert(recs.head.after.contains("""{"id":1,"int_col":3}"""))
-    assert(recs.head.orderInTx == 1 && recs(1).orderInTx == 2)
+    assert(recs.head.totalOrder == 1 && recs(1).totalOrder == 2)
+    assert(recs.head.collectionOrder == 1 && recs(1).collectionOrder == 2) // same table
     assert(recs(1).after.isEmpty)
     assert(recs(1).key.contains("""{"id":9}""")) // key from before side on delete
   }
@@ -197,7 +198,7 @@ class RecordBuilderSpec extends AnyFunSuite {
   test("transaction boundary records wrap the DML when enabled") {
     val recs = build(insertTx(2, 1, Some(1)), boundaries = true)
     assert(recs.map(_.op) == Seq("begin", "c", "end"))
-    assert(recs.last.orderInTx == 1) // event count
+    assert(recs.last.totalOrder == 1) // event count
   }
 
   test("ddl record carries extracted metadata") {
@@ -206,6 +207,66 @@ class RecordBuilderSpec extends AnyFunSuite {
     val ddl = recs.last
     assert(ddl.op == "ddl" && ddl.table == "t1")
     assert(ddl.after.exists(_.contains("\"operation\":\"ALTER\"")))
+  }
+
+  test("restart vgtid rotates: records of tx N carry tx N-1's position") {
+    // mirrors VitessOffsetContextTest rotate/reset semantics
+    val recs = build(insertTx(5, 1, Some(1)) ++ insertTx(6, 2, Some(2)), boundaries = true)
+    assert(recs.map(_.op) == Seq("begin", "c", "end", "begin", "c", "end"))
+    // tx 1: no prior position → restart offset empty until COMMIT
+    assert(recs(0).restartVgtid == "[]" && recs(1).restartVgtid == "[]")
+    assert(recs(2).restartVgtid == vgtid(5).json) // end record: own position (reset)
+    // tx 2: DML records carry tx 1's position; end carries tx 2's
+    assert(recs(3).restartVgtid == vgtid(5).json)
+    assert(recs(4).restartVgtid == vgtid(5).json)
+    assert(recs(4).vgtid == vgtid(6).json) // source.vgtid = current tx
+    assert(recs(5).restartVgtid == vgtid(6).json)
+  }
+
+  test("per-table collection order is independent; total order is global") {
+    val t2Fields = Seq(
+      FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey))
+    val events = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", "ks.t1", t1Fields, enumSetStringValues = false),
+      FieldEvent("0", "ks", "ks.t2", t2Fields, enumSetStringValues = false),
+      RowEvent("0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("1"))))))),
+      RowEvent("0", "ks", "ks.t2", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("2"))))))),
+      RowEvent("0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("3"), Some("3"))))))),
+      VgtidEvent("0", vgtid(7)),
+      CommitEvent("0", "ks", 1L))
+    val recs = build(events)
+    assert(recs.map(_.totalOrder) == Seq(1L, 2L, 3L))
+    assert(recs.map(_.collectionOrder) == Seq(1L, 1L, 2L)) // t1=1, t2=1, t1=2
+  }
+
+  test("DML transaction without a VGTID event is dropped") {
+    val events = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", "ks.t1", t1Fields, enumSetStringValues = false),
+      RowEvent("0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("2"))))))),
+      CommitEvent("0", "ks", 1L))
+    assert(build(events).isEmpty)
+  }
+
+  test("DDL inside an open transaction is emitted with the transaction, in order") {
+    val events = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", "ks.t1", t1Fields, enumSetStringValues = false),
+      RowEvent("0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("2"))))))),
+      DdlEvent("0", "ks", "ALTER TABLE t1 ADD c INT", 42L),
+      VgtidEvent("0", vgtid(8)),
+      CommitEvent("0", "ks", 99L))
+    val recs = build(events)
+    assert(recs.map(_.op) == Seq("c", "ddl"))
+    assert(recs.forall(_.tsMs == 99000L)) // tx commit time, not 0
+  }
+
+  test("standalone DDL carries its own event timestamp") {
+    val events = insertTx(2, 1, Some(1)) :+ DdlEvent("0", "ks", "DROP TABLE t1", 1700000099L)
+    val recs = build(events)
+    assert(recs.last.op == "ddl")
+    assert(recs.last.tsMs == 1700000099L * 1000)
   }
 
   test("row for unknown table fails fast") {
