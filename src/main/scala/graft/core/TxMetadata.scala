@@ -165,11 +165,17 @@ final case class OrderedTxContext(
     previousVgtid: Option[Vgtid],
     inheritEpoch: Boolean) {
 
-  /** On BEGIN: compute this transaction's epoch + rank for its shard. */
+  /** On BEGIN: compute this transaction's epoch + rank for its shard. On
+    * the first transaction, every shard in the incoming vgtid is seeded
+    * at epoch 0 — the reference's defaultShardEpochMap covers the whole
+    * discovered shard set (VitessEpochProvider.initialize:98-103). */
   def begin(shard: String, vgtid: Vgtid, gtid: String): (OrderedTxContext, Long, BigDecimal) = {
     val newEpochs = previousVgtid match {
       case Some(prev) => EpochProvider.transition(epochs, prev, vgtid, inheritEpoch)
-      case None       => if (epochs.get(shard).isEmpty) epochs.put(shard, 0L) else epochs
+      case None =>
+        vgtid.shardGtids.foldLeft(epochs) { (acc, sg) =>
+          if (acc.get(sg.shard).isEmpty) acc.put(sg.shard, 0L) else acc
+        }
     }
     val epoch = newEpochs.get(shard).getOrElse(
       throw new IllegalStateException(s"no epoch for shard $shard after transition"))

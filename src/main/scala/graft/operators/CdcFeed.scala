@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.Tables
+import graft.core._
+import graft.streaming._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic simulated VStream feeds derived from the driver-provided
+  * testdata tables, in the VEventJson wire format. Each source row becomes
+  * one BEGIN/FIELD/ROW/VGTID/COMMIT transaction on shard `key % nShards`,
+  * with per-shard GTID sequence = the row's per-shard rank — so every
+  * derived quantity (op, tx id, rank, epoch, restart offset) is
+  * expressible as SQL over the original table, giving the CDC operators a
+  * DuckDB-checkable oracle.
+  *
+  * Generation is distributed: a window rank per shard (one shuffle), then
+  * a flatMap emitting event JSON on executors.
+  */
+object CdcFeed {
+
+  val DefaultShards = 4
+
+  val OrdersFields: Seq[FieldDef] = Seq(
+    FieldDef("o_orderkey", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+    FieldDef("o_custkey", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull),
+    FieldDef("o_orderstatus", "VARCHAR", "varchar(1)", 1, 0, ColumnFlags.NotNull),
+    FieldDef("o_totalprice", "FLOAT64", "double", 22, 2, ColumnFlags.NotNull),
+    FieldDef("o_orderdate", "TIMESTAMP", "timestamp", 19, 0, ColumnFlags.NotNull),
+    FieldDef("o_orderpriority", "VARCHAR", "varchar(15)", 15, 0, ColumnFlags.NotNull))
+
+  val CustomerFields: Seq[FieldDef] = Seq(
+    FieldDef("c_custkey", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+    FieldDef("c_name", "VARCHAR", "varchar(25)", 25, 0, ColumnFlags.NotNull),
+    FieldDef("c_nationkey", "INT32", "int(11)", 11, 0, ColumnFlags.NotNull),
+    FieldDef("c_acctbal", "FLOAT64", "double", 22, 2, ColumnFlags.NotNull),
+    FieldDef("c_mktsegment", "VARCHAR", "varchar(10)", 10, 0, ColumnFlags.NotNull))
+
+  /** Events for one single-row transaction. `gtids`: this shard's
+    * position per shard in the emitted VGTID (single- or multi-shard). */
+  private def txEvents(
+      shard: String,
+      table: String,
+      fields: Seq[FieldDef],
+      change: RowChange,
+      txSeq: Long,
+      vgtid: Vgtid): Seq[VEvent] = Seq(
+    BeginEvent(shard, "ks"),
+    FieldEvent(shard, "ks", table, fields, enumSetStringValues = false),
+    RowEvent(shard, "ks", table, Seq(change)),
+    VgtidEvent(shard, vgtid),
+    CommitEvent(shard, "ks", 1700000000L + txSeq))
+
+  private def feedLines(shard: String, txSeq: Long, events: Seq[VEvent]): Seq[FeedLine] =
+    events.zipWithIndex.map { case (e, i) => FeedLine(shard, txSeq * 8 + i, VEventJson.write(e)) }
+
+  /** The VGTID emitted with transaction `txSeq` of `shard`: the shard's
+    * own position advances; with `multiShard` every other shard is listed
+    * at a fixed position (as a real multi-shard VGTID would be). */
+  private def vgtidAt(shard: String, txSeq: Long, nShards: Int, multiShard: Boolean): Vgtid =
+    if (!multiShard) Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$txSeq")))
+    else Vgtid((0 until nShards).map { i =>
+      val s = i.toString
+      ShardGtid("ks", s, if (s == shard) s"MySQL56/feed:1-$txSeq" else "MySQL56/feed:1-1")
+    })
+
+  /** orders → one tx per row. opsMix: orderkey%10==0 → update (status set
+    * to "U"), %10==5 → delete, else insert. */
+  def orders(
+      s: SparkSession,
+      d: String,
+      nShards: Int = DefaultShards,
+      opsMix: Boolean = false,
+      multiShardVgtid: Boolean = false): Dataset[FeedLine] = {
+    import s.implicits._
+    val w = Window.partitionBy("shard").orderBy("o_orderkey")
+    val src = Tables.orders(s, d)
+      .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
+      .withColumn("tx", row_number().over(w).cast("long"))
+      .select(
+        col("shard"), col("tx"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        col("o_orderpriority"))
+      .as[(String, Long, Long, Long, String, Double, String, String)]
+    src.flatMap { case (shard, tx, okey, ckey, status, price, odate, prio) =>
+      val row = Seq(okey.toString, ckey.toString, status, price.toString, odate, prio)
+        .map(Option(_))
+      val change =
+        if (opsMix && okey % 10 == 0)
+          RowChange(
+            Some(PackedRow.of(row)),
+            Some(PackedRow.of(row.updated(2, Some("U")))))
+        else if (opsMix && okey % 10 == 5)
+          RowChange(Some(PackedRow.of(row)), None)
+        else
+          RowChange(None, Some(PackedRow.of(row)))
+      feedLines(shard, tx,
+        txEvents(shard, "ks.orders", OrdersFields, change, tx,
+          vgtidAt(shard, tx, nShards, multiShardVgtid)))
+    }
+  }
+
+  /** customer → insert-only feed (used by the extract-new-record-state
+    * gate, full typed round-trip). */
+  def customer(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
+    import s.implicits._
+    val w = Window.partitionBy("shard").orderBy("c_custkey")
+    val src = Tables.customer(s, d)
+      .withColumn("shard", (col("c_custkey") % nShards).cast("string"))
+      .withColumn("tx", row_number().over(w).cast("long"))
+      .select(col("shard"), col("tx"), col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .as[(String, Long, Long, String, Int, Double, String)]
+    src.flatMap { case (shard, tx, key, name, nation, bal, seg) =>
+      val row = Seq(key.toString, name, nation.toString, bal.toString, seg).map(Option(_))
+      feedLines(shard, tx,
+        txEvents(shard, "ks.customer", CustomerFields, RowChange(None, Some(PackedRow.of(row))), tx,
+          vgtidAt(shard, tx, nShards, multiShard = false)))
+    }
+  }
+
+  /** orders + customer interleaved on the same shards (table-filter gate).
+    * customer transactions are offset after the orders transactions so
+    * per-shard seq ordering stays strict; a `mysql.user` row rides along
+    * to exercise the system-schema exclusion. */
+  def twoTables(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
+    import s.implicits._
+    val base = 10_000_000L
+    val custShifted = customer(s, d, nShards)
+      .map(fl => fl.copy(seq = fl.seq + base * 8))
+    val sysFields = Seq(
+      FieldDef("user", "VARCHAR", "varchar(32)", 32, 0, ColumnFlags.NotNull | ColumnFlags.PriKey))
+    val sysTx = (0 until nShards).flatMap { i =>
+      val shard = i.toString
+      val txSeq = 2 * base
+      feedLines(shard, txSeq,
+        txEvents(shard, "mysql.user", sysFields,
+          RowChange(None, Some(PackedRow.of(Seq(Some("root"))))), txSeq,
+          Vgtid(Seq(ShardGtid("mysql", shard, s"MySQL56/feed:1-$txSeq")))))
+    }
+    orders(s, d, nShards).unionByName(custShifted)
+      .unionByName(s.createDataset(sysTx))
+  }
+
+  // ------------------------------------------------------------ literal
+  /** Fixed type-matrix fixture covering the full conversion surface
+    * (mirrors the reference's vitess_create_tables.ddl numeric/string/
+    * enum/set/time/zero-value tables — see FIXTURES.md). One insert tx on
+    * shard 0, then DDL + heartbeat events. */
+  def typeMatrix(s: SparkSession): Dataset[FeedLine] = {
+    import s.implicits._
+    val fields = Seq(
+      FieldDef("c_i16", "INT16", "smallint(6)", 6, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("c_i32", "INT32", "int(11)", 11, 0, 0L),
+      FieldDef("c_i64", "INT64", "bigint(20)", 20, 0, 0L),
+      FieldDef("c_u64", "UINT64", "bigint(20) unsigned", 20, 0, 0L),
+      FieldDef("c_f32", "FLOAT32", "float", 12, 31, 0L),
+      FieldDef("c_f64", "FLOAT64", "double", 22, 31, 0L),
+      FieldDef("c_dec", "DECIMAL", "decimal(13,4)", 13, 4, 0L),
+      FieldDef("c_txt", "VARCHAR", "varchar(64)", 64, 0, 0L),
+      FieldDef("c_json", "JSON", "json", 0, 0, 0L),
+      FieldDef("c_enum", "ENUM", "enum('s','m','l')", 0, 0, 0L),
+      FieldDef("c_set", "SET", "set('a','b','c')", 0, 0, 0L),
+      FieldDef("c_bit1", "BIT", "bit(1)", 1, 0, 0L),
+      FieldDef("c_date", "DATE", "date", 10, 0, 0L),
+      FieldDef("c_zero_date", "DATE", "date", 10, 0, 0L),
+      FieldDef("c_time", "TIME", "time(1)", 10, 1, 0L),
+      FieldDef("c_dt", "DATETIME", "datetime", 19, 0, 0L),
+      FieldDef("c_ts", "TIMESTAMP", "timestamp", 19, 0, 0L))
+    val values = Seq(
+      Some("-42"), Some("123456"), Some("9123456789"),
+      Some("18446744073709551615"), Some("1.5"), Some("3.25"),
+      Some("12345.6700"), Some("héllo wörld"), Some("""{"a":1}"""),
+      Some("2"), Some("5"), Some("\u0001"),
+      Some("2020-02-29"), Some("0000-00-00"), Some("-01:30:15.5"),
+      Some("2021-01-02 03:04:05"), Some("2021-01-02 03:04:05"))
+    val events: Seq[VEvent] =
+      txEvents("0", "ks.typetest", fields, RowChange(None, Some(PackedRow.of(values))), 1L,
+        Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/feed:1-1")))) ++ Seq(
+        DdlEvent("0", "ks", "ALTER TABLE `ks`.`typetest` ADD COLUMN c_new INT", 1700000100L),
+        DdlEvent("0", "ks", "/* comment */ CREATE TABLE t_new (id bigint primary key)", 1700000101L),
+        HeartbeatEvent("0"))
+    s.createDataset(events.zipWithIndex.map { case (e, i) => FeedLine("0", i.toLong, VEventJson.write(e)) })
+  }
+}

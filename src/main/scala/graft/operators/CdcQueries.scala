@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gate queries for the CDC operator surface (SURVEY §2.1-2.6): each runs
+  * a deterministic simulated VStream feed derived from the testdata
+  * tables through the full distributed pipeline (assemble → decode →
+  * envelope → transforms) and projects a result that DuckDB can recompute
+  * from the original parquet — so value conversion, op derivation, tx
+  * metadata, offset rotation, filters and transforms are all checked
+  * against an independent oracle.
+  */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def afterStr(field: String) = get_json_object(col("after"), s"$$.$field")
+
+  // -------------------------------------------------- insert round-trip
+  /** S2+D1-D8: every orders row through BEGIN..COMMIT assembly, packed-row
+    * slicing, typed decode, envelope — values must match the source
+    * table exactly. */
+  val qCdcInsertRoundtrip: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
+    recs.toDF()
+      .filter(col("op") === "c")
+      .select(
+        afterStr("o_orderkey").cast(LongType).as("o_orderkey"),
+        afterStr("o_custkey").cast(LongType).as("o_custkey"),
+        afterStr("o_orderstatus").as("o_orderstatus"),
+        afterStr("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        timestamp_micros(afterStr("o_orderdate").cast(LongType)).as("o_orderdate"),
+        afterStr("o_orderpriority").as("o_orderpriority"),
+        col("shard"))
+  }
+
+  val qCdcInsertRoundtripSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       |  o_orderpriority, CAST(o_orderkey % 4 AS VARCHAR) AS shard
+       |FROM orders""".stripMargin
+
+  // -------------------------------------------------- op derivation
+  /** D2: before/after sides → c/u/d; key comes from the before side on
+    * delete. */
+  val qCdcOpsMix: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d, opsMix = true))
+    recs.toDF()
+      .groupBy(col("op"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("key"), "$.o_orderkey").cast(LongType)).as("sum_key"))
+      .orderBy(col("op"))
+  }
+
+  val qCdcOpsMixSql: String =
+    """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'u'
+      |            WHEN o_orderkey % 10 = 5 THEN 'd'
+      |            ELSE 'c' END AS op,
+      |  count(*) AS n, sum(o_orderkey) AS sum_key
+      |FROM orders GROUP BY 1 ORDER BY op""".stripMargin
+
+  // -------------------------------------------------- tx metadata + offsets
+  /** A1-A3/A7-A8 + O1/O2: per-shard rank tracks the GTID sequence, epoch
+    * stays 0 on a stable host set, and every tx after the first carries
+    * the previous tx's position as its restart offset. */
+  val qCdcTxMetadata: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
+    recs.toDF()
+      .filter(col("op") === "c")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("txId")).as("n_tx"),
+        max(col("rank").cast(LongType)).as("max_rank"),
+        max(col("epoch")).as("max_epoch"),
+        sum(when(
+          get_json_object(col("restartVgtid"), "$[0].gtid") ===
+            concat(lit("MySQL56/feed:1-"), (col("rank").cast(LongType) - 1).cast(StringType)),
+          1L).otherwise(0L)).as("n_rotated"))
+      .orderBy(col("shard"))
+  }
+
+  val qCdcTxMetadataSql: String =
+    """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard,
+      |  count(*) AS n_records, count(*) AS n_tx, count(*) AS max_rank,
+      |  CAST(0 AS BIGINT) AS max_epoch, count(*) - 1 AS n_rotated
+      |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // -------------------------------------------------- type matrix
+  /** D6/D7 full conversion matrix through the distributed pipeline; the
+    * oracle pins the expected decodings as literals. */
+  val qCdcTypeMatrix: Q = (s, _) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.typeMatrix(s))
+    recs.toDF()
+      .filter(col("op") === "c")
+      .select(
+        afterStr("c_i16").as("c_i16"),
+        afterStr("c_i32").as("c_i32"),
+        afterStr("c_i64").as("c_i64"),
+        afterStr("c_u64").as("c_u64"),
+        afterStr("c_f32").as("c_f32"),
+        afterStr("c_f64").as("c_f64"),
+        afterStr("c_dec").as("c_dec"),
+        afterStr("c_txt").as("c_txt"),
+        afterStr("c_json").as("c_json"),
+        afterStr("c_enum").as("c_enum"),
+        afterStr("c_set").as("c_set"),
+        afterStr("c_bit1").as("c_bit1"),
+        afterStr("c_date").as("c_date"),
+        afterStr("c_zero_date").as("c_zero_date"),
+        afterStr("c_time").as("c_time"),
+        afterStr("c_dt").as("c_dt"),
+        afterStr("c_ts").as("c_ts"),
+        col("key"))
+  }
+
+  val qCdcTypeMatrixSql: String =
+    """SELECT '-42' AS c_i16, '123456' AS c_i32, '9123456789' AS c_i64,
+      |  '18446744073709551615' AS c_u64, '1.5' AS c_f32, '3.25' AS c_f64,
+      |  '12345.6700' AS c_dec, 'héllo wörld' AS c_txt, '{"a":1}' AS c_json,
+      |  'm' AS c_enum, 'a,c' AS c_set, 'true' AS c_bit1,
+      |  '2020-02-29' AS c_date, CAST(NULL AS VARCHAR) AS c_zero_date,
+      |  '-5415500000' AS c_time, '2021-01-02T03:04:05' AS c_dt,
+      |  '1609556645000000' AS c_ts, '{"c_i16":-42}' AS key""".stripMargin
+
+  // -------------------------------------------------- DDL metadata
+  /** D10: DDL records carry the extracted operation + table and the DDL
+    * event's own timestamp. */
+  val qCdcDdl: Q = (s, _) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.typeMatrix(s))
+    recs.toDF()
+      .filter(col("op") === "ddl")
+      .select(
+        col("table"),
+        get_json_object(col("after"), "$.operation").as("operation"),
+        col("tsMs"))
+      .orderBy(col("tsMs"))
+  }
+
+  val qCdcDdlSql: String =
+    """SELECT * FROM (VALUES
+      |  ('typetest', 'ALTER', CAST(1700000100000 AS BIGINT)),
+      |  ('t_new', 'CREATE', CAST(1700000101000 AS BIGINT))
+      |) AS t("table", operation, "tsMs") ORDER BY "tsMs"""".stripMargin
+
+  // -------------------------------------------------- table filter
+  /** F1/F2: include list keeps only ks.orders; mysql.* is always
+    * excluded; the filter short-circuits decode inside the pipeline. */
+  val qCdcFilterTables: Q = (s, d) => {
+    val filter = graft.core.TableFilter(Seq("ks\\.orders"), Nil)
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.twoTables(s, d), tableFilter = filter)
+    recs.toDF()
+      .filter(col("op") === "c")
+      .groupBy(col("keyspace"), col("table"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("keyspace"), col("table"))
+  }
+
+  val qCdcFilterTablesSql: String =
+    """SELECT 'ks' AS keyspace, 'orders' AS "table", count(*) AS n FROM orders""".stripMargin
+
+  // -------------------------------------------------- extract new state
+  /** T6 + D6: flatten the envelope back to a typed customer table — full
+    * value round-trip through JSON payloads. */
+  val qCdcExtractState: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.customer(s, d))
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    Transforms.extractNewRecordState(Envelope.toEnvelope(recs.toDF()), schema)
+  }
+
+  val qCdcExtractStateSql: String =
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+
+  // -------------------------------------------------- local vgtid
+  /** T3: after UseLocalVgtid each record's source.vgtid holds exactly its
+    * own shard's entry (feed emits full 4-shard vgtids). */
+  val qCdcLocalVgtid: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d, multiShardVgtid = true))
+    val env = Transforms.useLocalVgtid(Envelope.toEnvelope(recs.toDF()))
+    env.filter(col("op") === "c")
+      .select(
+        col("source.shard").as("shard"),
+        get_json_object(col("source.vgtid"), "$[0].shard").as("vgtid_shard"),
+        json_array_length(col("source.vgtid")).as("n_entries"))
+      .groupBy(col("shard"), col("vgtid_shard"), col("n_entries"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("shard"))
+  }
+
+  val qCdcLocalVgtidSql: String =
+    """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard,
+      |  CAST(o_orderkey % 4 AS VARCHAR) AS vgtid_shard,
+      |  CAST(1 AS INTEGER) AS n_entries, count(*) AS n
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY shard""".stripMargin
+
+  // -------------------------------------------------- remove/replace field
+  /** T1/T2: drop source.vgtid, blank transaction.id — no record retains
+    * either value. */
+  val qCdcRemoveReplace: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
+    val env = Envelope.toEnvelope(recs.toDF())
+    val t1 = Transforms.removeField(env, "source.vgtid")
+    val t2 = Transforms.replaceFieldValue(t1, "transaction.id")
+    t2.filter(col("op") === "c")
+      .select(
+        sum(when(to_json(col("source")).contains("vgtid"), 1L).otherwise(0L)).as("n_source_vgtid"),
+        sum(when(col("transaction.id") =!= "", 1L).otherwise(0L)).as("n_nonempty_txid"),
+        count(lit(1)).as("n_total"))
+  }
+
+  val qCdcRemoveReplaceSql: String =
+    """SELECT CAST(0 AS BIGINT) AS n_source_vgtid, CAST(0 AS BIGINT) AS n_nonempty_txid,
+      |  count(*) AS n_total FROM orders""".stripMargin
+
+  // -------------------------------------------------- boundaries filter
+  /** A9 + T4/F4: boundary records wrap each tx; the filter drops exactly
+    * them. */
+  val qCdcBoundaries: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d), emitBoundaries = true)
+    val df = recs.toDF()
+    val kept = Transforms.filterTransactionTopicRecords(df)
+    df.groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .unionByName(
+        kept.select(lit("kept_after_filter").as("op"), count(lit(1)).as("n")))
+      .orderBy(col("op"))
+  }
+
+  val qCdcBoundariesSql: String =
+    """SELECT op, n FROM (
+      |  SELECT 'begin' AS op, count(*) AS n FROM orders
+      |  UNION ALL SELECT 'c', count(*) FROM orders
+      |  UNION ALL SELECT 'end', count(*) FROM orders
+      |  UNION ALL SELECT 'kept_after_filter', count(*) FROM orders
+      |) ORDER BY op""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "cdc_insert_roundtrip" -> qCdcInsertRoundtrip,
+    "cdc_ops_mix"          -> qCdcOpsMix,
+    "cdc_tx_metadata"      -> qCdcTxMetadata,
+    "cdc_type_matrix"      -> qCdcTypeMatrix,
+    "cdc_ddl"              -> qCdcDdl,
+    "cdc_filter_tables"    -> qCdcFilterTables,
+    "cdc_extract_state"    -> qCdcExtractState,
+    "cdc_local_vgtid"      -> qCdcLocalVgtid,
+    "cdc_remove_replace"   -> qCdcRemoveReplace,
+    "cdc_boundaries"       -> qCdcBoundaries)
+
+  val oracleSql: Map[String, String] = Map(
+    "cdc_insert_roundtrip" -> qCdcInsertRoundtripSql,
+    "cdc_ops_mix"          -> qCdcOpsMixSql,
+    "cdc_tx_metadata"      -> qCdcTxMetadataSql,
+    "cdc_type_matrix"      -> qCdcTypeMatrixSql,
+    "cdc_ddl"              -> qCdcDdlSql,
+    "cdc_filter_tables"    -> qCdcFilterTablesSql,
+    "cdc_extract_state"    -> qCdcExtractStateSql,
+    "cdc_local_vgtid"      -> qCdcLocalVgtidSql,
+    "cdc_remove_replace"   -> qCdcRemoveReplaceSql,
+    "cdc_boundaries"       -> qCdcBoundariesSql)
+}

@@ -81,7 +81,8 @@ final class RecordBuilder(
     registry: SchemaRegistry,
     var ctx: OrderedTxContext,
     emitTransactionBoundaries: Boolean = false,
-    initialVgtid: Option[Vgtid] = None) {
+    initialVgtid: Option[Vgtid] = None,
+    tableFilter: TableFilter = TableFilter.acceptAll) {
 
   private val mapper = new ObjectMapper()
 
@@ -142,6 +143,9 @@ final class RecordBuilder(
     tx.events.foreach {
       case r: RowEvent =>
         val (keyspace, table) = registry.splitTableName(r.table, r.keyspace)
+        // F2 short-circuit: filtered tables skip column materialization
+        // entirely (reference VStreamOutputMessageDecoder.java:188-201).
+        if (tableFilter.included(keyspace, table)) {
         val ref = TableRef(tx.shard, keyspace, table)
         val meta = registry.get(ref).getOrElse(
           throw new IllegalStateException(s"ROW for unknown table $ref (no FIELD seen)"))
@@ -156,6 +160,7 @@ final class RecordBuilder(
             beforeJson, afterJson,
             keyJson(meta, change.after.orElse(change.before).get),
             tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, totalOrder, collectionOrder)
+        }
         }
       case d: DdlEvent =>
         val ex = DdlMetadata.extract(d.statement)
