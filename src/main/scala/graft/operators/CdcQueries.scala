@@ -17,6 +17,13 @@ object CdcQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private object CdcPipelineHelpers {
+    def cache[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds
+    }
+  }
+
   private def afterStr(field: String) = get_json_object(col("after"), s"$$.$field")
 
   // -------------------------------------------------- insert round-trip
@@ -241,7 +248,52 @@ object CdcQueries {
       |  UNION ALL SELECT 'kept_after_filter', count(*) FROM orders
       |) ORDER BY op""".stripMargin
 
+  // -------------------------------------------------- streaming source
+  /** S1/S4/S8/S9 end-to-end: materialize the orders feed as per-shard
+    * JSON-lines files, run the `vitess-cdc` MicroBatchStream to a parquet
+    * sink (checkpointed), and verify the delivered stream against the
+    * source table. */
+  val qCdcStreamSource: Q = (s, d) => {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val feedDir = Files.createTempDirectory("graft_feed")
+    val outDir = Files.createTempDirectory("graft_stream_out")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    val feed = CdcPipelineHelpers.cache(CdcFeed.orders(s, d))
+    (0 until CdcFeed.DefaultShards).foreach { i =>
+      val shard = i.toString
+      val tmp = feedDir.resolve(s"_tmp_$shard")
+      feed.filter(col("shard") === shard).orderBy(col("seq")).select(col("line"))
+        .coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, feedDir.resolve(s"$shard.jsonl"))
+    }
+    feed.unpersist()
+    val q = s.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir.toString)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("after"), "$.o_orderkey").cast(LongType)).as("sum_key"),
+        max(col("rank").cast(LongType)).as("max_rank"))
+      .orderBy(col("shard"))
+  }
+
+  val qCdcStreamSourceSql: String =
+    """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
+      |  sum(o_orderkey) AS sum_key, count(*) AS max_rank
+      |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cdc_stream_source"    -> qCdcStreamSource,
     "cdc_insert_roundtrip" -> qCdcInsertRoundtrip,
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
@@ -254,6 +306,7 @@ object CdcQueries {
     "cdc_boundaries"       -> qCdcBoundaries)
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_stream_source"    -> qCdcStreamSourceSql,
     "cdc_insert_roundtrip" -> qCdcInsertRoundtripSql,
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,

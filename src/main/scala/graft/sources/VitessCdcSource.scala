@@ -1,0 +1,278 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core._
+import graft.streaming._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** `vitess-cdc` Structured Streaming source (SURVEY §2.1 S1/S4/S8/S9).
+  *
+  * Reads a simulated VStream: a directory with one JSON-lines file per
+  * shard (`<shard>.jsonl`, VEventJson wire format, append-only) standing
+  * in for the per-shard gRPC streams
+  * (reference: connection/VitessReplicationConnection.java:107-343).
+  *
+  * - Offset (S8): JSON `{"vgtid": [...], "transaction_epoch": {...},
+  *   "connector_generation": N}` — the reference's offset-map keys
+  *   (VitessOffsetContext.getOffset:92-100); vgtid JSON is the
+  *   checkpoint-interoperable wire format.
+  * - Initial position (S4): the `vgtid` option, else empty GTIDs for all
+  *   discovered shards (the copy-phase trigger position)
+  *   (VitessReplicationConnection.defaultVgtid:437-480).
+  * - Partitioning (S9): one InputPartition per shard — Spark schedules
+  *   shards across executors, the elastic equivalent of the reference's
+  *   shard→task round-robin (VitessConnector.java:126-133).
+  * - Resume semantics (O1/O2): a batch covers transactions with rank in
+  *   (startRank, endRank] per shard; since records of tx N carry tx N-1's
+  *   position as restart offset, replay from a record's offset re-reads
+  *   its whole transaction — inclusive, no loss.
+  *
+  * Options: `path` (feed dir), `vgtid` (initial VGTID JSON), `keyspace`,
+  * `tables.include` / `tables.exclude` (comma-separated regexes, S3
+  * server-side filter analogue), `boundaries` (emit begin/end records),
+  * `generation` (connector generation; a change bumps all epochs, A5).
+  */
+class VitessCdcProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vitess-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = VitessCdc.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VitessCdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+object VitessCdc {
+  /** Flat envelope schema (string payloads re-typed downstream via
+    * from_json against the registry schema — SURVEY §1.3 design (b)). */
+  val Schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("keyspace", StringType),
+    StructField("table", StringType),
+    StructField("op", StringType, nullable = false),
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("key", StringType),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("vgtid", StringType),
+    StructField("restart_vgtid", StringType),
+    StructField("tx_id", StringType),
+    StructField("epoch", LongType, nullable = false),
+    StructField("rank", StringType),
+    StructField("total_order", LongType, nullable = false),
+    StructField("collection_order", LongType, nullable = false)))
+
+  def toInternalRow(r: ChangeRecord): InternalRow = {
+    def s(v: String): UTF8String = if (v == null) null else UTF8String.fromString(v)
+    def so(v: Option[String]): UTF8String = v.map(UTF8String.fromString).orNull
+    new GenericInternalRow(Array[Any](
+      s(r.shard), s(r.keyspace), s(r.table), s(r.op),
+      so(r.before), so(r.after), so(r.key),
+      r.tsMs, s(r.vgtid), s(r.restartVgtid), so(r.txId),
+      r.epoch, so(r.rank), r.totalOrder, r.collectionOrder))
+  }
+}
+
+class VitessCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"vitess-cdc:${options.get("path")}"
+  override def schema(): StructType = VitessCdc.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = VitessCdc.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new VitessCdcStream(opts)
+      }
+    }
+}
+
+/** Streaming offset: the reference's offset map as JSON. */
+final case class VgtidOffset(vgtid: Vgtid, epochs: ShardEpochMap, generation: Long)
+    extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val o = m.createObjectNode()
+    o.set[com.fasterxml.jackson.databind.JsonNode]("vgtid", m.readTree(vgtid.json))
+    o.set[com.fasterxml.jackson.databind.JsonNode]("transaction_epoch", m.readTree(epochs.json))
+    o.put("connector_generation", generation)
+    m.writeValueAsString(o)
+  }
+}
+
+object VgtidOffset {
+  def fromJson(json: String): VgtidOffset = {
+    val m = new ObjectMapper()
+    val n = m.readTree(json)
+    VgtidOffset(
+      Vgtid.of(m.writeValueAsString(n.get("vgtid"))),
+      Option(n.get("transaction_epoch"))
+        .map(e => ShardEpochMap.fromJson(m.writeValueAsString(e)))
+        .getOrElse(ShardEpochMap.empty),
+      Option(n.get("connector_generation")).map(_.asLong()).getOrElse(1L))
+  }
+}
+
+class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("vitess-cdc source requires a path"))
+  private val keyspace = Option(options.get("keyspace")).getOrElse("ks")
+  private val generation = Option(options.get("generation")).map(_.toLong).getOrElse(1L)
+  private val emitBoundaries = Option(options.get("boundaries")).exists(_.toBoolean)
+  private val tableFilter = TableFilter.fromConfig(
+    Option(options.get("tables.include")), Option(options.get("tables.exclude")))
+
+  private def shardFiles: Seq[(String, Path)] = {
+    val dir = Paths.get(path)
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .map(p => p.getFileName.toString.stripSuffix(".jsonl") -> p)
+      .toSeq.sortBy(_._1)
+  }
+
+  /** S4: explicit `vgtid` option, else empty GTIDs for every discovered
+    * shard (would trigger VStream copy on a real server). */
+  override def initialOffset(): Offset =
+    Option(options.get("vgtid")) match {
+      case Some(json) =>
+        val v = Vgtid.of(json)
+        VgtidOffset(v, ShardEpochMap.init(v.shardGtids.map(_.shard)), generation)
+      case None =>
+        val shards = shardFiles.map(_._1)
+        VgtidOffset(
+          Vgtid(shards.map(sh => ShardGtid(keyspace, sh, Vgtid.EmptyGtid))),
+          ShardEpochMap.init(shards),
+          generation)
+    }
+
+  /** Scan each shard file for its last VGTID position and fold epoch
+    * transitions along the way (driver-side; the real gRPC source would
+    * maintain this incrementally from the stream). A generation change
+    * vs the offset's stored generation bumps every epoch once (A5). */
+  override def latestOffset(): Offset = {
+    val init = initialOffset().asInstanceOf[VgtidOffset]
+    var epochs = EpochProvider.applyGeneration(init.epochs, init.generation, generation)
+    val gtids = shardFiles.map { case (shard, file) =>
+      var lastGtid = init.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
+      var epoch = epochs.get(shard).getOrElse(0L)
+      val lines = Files.lines(file)
+      try {
+        lines.iterator().asScala.foreach { line =>
+          VEventJson.read(line) match {
+            case VgtidEvent(_, v) =>
+              v.shardGtid(shard).foreach { sg =>
+                if (lastGtid != Vgtid.EmptyGtid && lastGtid != Vgtid.CurrentGtid)
+                  epoch = EpochProvider.epochForGtid(epoch, lastGtid, sg.gtid)
+                lastGtid = sg.gtid
+              }
+            case _ =>
+          }
+        }
+      } finally lines.close()
+      epochs = epochs.put(shard, epoch)
+      ShardGtid(keyspace, shard, lastGtid)
+    }
+    VgtidOffset(Vgtid(gtids), epochs, generation)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VgtidOffset]
+    val e = end.asInstanceOf[VgtidOffset]
+    shardFiles.flatMap { case (shard, file) =>
+      val startGtid = s.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
+      val endGtid = e.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
+      if (startGtid == endGtid) None // nothing new on this shard
+      else Some(VitessCdcPartition(
+        shard, keyspace, file.toString, startGtid, endGtid,
+        s.epochs.get(shard).getOrElse(0L), emitBoundaries, tableFilter): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new VitessCdcPartitionReader(partition.asInstanceOf[VitessCdcPartition])
+    }
+
+  override def deserializeOffset(json: String): Offset = VgtidOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class VitessCdcPartition(
+    shard: String,
+    keyspace: String,
+    file: String,
+    startGtid: String,
+    endGtid: String,
+    startEpoch: Long,
+    emitBoundaries: Boolean,
+    tableFilter: TableFilter) extends InputPartition
+
+/** Executor-side reader: replays the shard's feed, assembles transactions,
+  * keeps those with GTID rank in (startRank, endRank], and decodes them.
+  * Rank (A2) is monotone per shard under a stable host set, which holds
+  * for MySQL56 GTIDs from one primary — the same property the reference's
+  * ordered-transaction metadata relies on. */
+class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[InternalRow] {
+
+  private def rankOf(gtid: String): BigDecimal =
+    if (gtid == Vgtid.EmptyGtid || gtid == Vgtid.CurrentGtid) BigDecimal(0)
+    else Rank.of(gtid)
+
+  private val startRank = rankOf(p.startGtid)
+  private val endRank = rankOf(p.endGtid)
+
+  private val lineStream = Files.lines(Paths.get(p.file), StandardCharsets.UTF_8)
+
+  private val rows: Iterator[InternalRow] = {
+    val events = lineStream.iterator().asScala.map(VEventJson.read)
+    val fresh = p.startGtid == Vgtid.EmptyGtid || p.startGtid == Vgtid.CurrentGtid
+    val startVgtid =
+      if (fresh) None
+      else Some(Vgtid(Seq(ShardGtid(p.keyspace, p.shard, p.startGtid))))
+    // Seeding previousVgtid with the batch-start position makes a host-set
+    // change at a batch boundary bump the epoch exactly like the driver's
+    // latestOffset fold — record epochs and offset epochs stay consistent.
+    val ctx = OrderedTxContext(
+      ShardEpochMap.empty.put(p.shard, p.startEpoch),
+      previousVgtid = startVgtid,
+      inheritEpoch = false)
+    val rb = new RecordBuilder(
+      new SchemaRegistry, ctx, p.emitBoundaries,
+      initialVgtid = startVgtid, tableFilter = p.tableFilter)
+    TransactionAssembler.assemble(events)
+      .filter { tx =>
+        tx.txId match {
+          case Some(gtid) =>
+            val r = rankOf(gtid)
+            r > startRank && r <= endRank
+          case None => endRank > startRank // DDL/heartbeat flushes ride with the batch
+        }
+      }
+      .flatMap(rb.onTransaction)
+      .map(VitessCdc.toInternalRow)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lineStream.close()
+}

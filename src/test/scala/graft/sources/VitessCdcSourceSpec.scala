@@ -1,0 +1,186 @@
+package graft.sources
+
+import graft.core._
+import graft.streaming._
+import java.nio.file.{Files, Path, StandardOpenOption}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** End-to-end tests of the `vitess-cdc` MicroBatchStream: fixture feed →
+  * envelope DataFrame, offset round-trip, and restart-from-checkpoint
+  * with no loss / no duplicates (SURVEY §7 minimum slice). */
+class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("vitess-cdc-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val t1Fields = Seq(
+    FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+    FieldDef("v", "VARCHAR", "varchar(32)", 32, 0, 0L))
+
+  private def insertTx(shard: String, seq: Long, id: Long, v: String,
+      host: String = "feed"): Seq[VEvent] = Seq(
+    BeginEvent(shard, "ks"),
+    FieldEvent(shard, "ks", "ks.t1", t1Fields, enumSetStringValues = false),
+    RowEvent(shard, "ks", "ks.t1", Seq(
+      RowChange(None, Some(PackedRow.of(Seq(Some(id.toString), Some(v))))))),
+    VgtidEvent(shard, Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/$host:1-$seq")))),
+    CommitEvent(shard, "ks", 1700000000L + seq))
+
+  private def writeFeed(dir: Path, shard: String, events: Seq[VEvent], append: Boolean = false): Unit = {
+    val file = dir.resolve(s"$shard.jsonl")
+    val lines = events.map(VEventJson.write).mkString("", "\n", "\n")
+    if (append)
+      Files.writeString(file, lines, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    else Files.writeString(file, lines)
+  }
+
+  private def runToCompletion(feedDir: Path, checkpoint: Path, sinkTable: String): Unit = {
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .option("checkpointLocation", checkpoint.toString)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("offset json round-trips the reference offset-map shape") {
+    val off = VgtidOffset(
+      Vgtid(Seq(ShardGtid("ks", "-80", "MySQL56/h:1-5"), ShardGtid("ks", "80-", "MySQL56/h:1-9"))),
+      ShardEpochMap.empty.put("-80", 1L).put("80-", 2L),
+      3L)
+    val back = VgtidOffset.fromJson(off.json())
+    assert(back == off)
+    assert(off.json().contains("\"transaction_epoch\""))
+    assert(off.json().contains("\"connector_generation\":3"))
+  }
+
+  test("reads a two-shard feed end-to-end with per-shard metadata") {
+    val feedDir = Files.createTempDirectory("cdcfeed")
+    val ckpt = Files.createTempDirectory("cdcckpt")
+    writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"a$i")))
+    writeFeed(feedDir, "s1", (1L to 2L).flatMap(i => insertTx("s1", i, 100 + i, s"b$i")))
+    runToCompletion(feedDir, ckpt, "cdc_two_shards")
+    val rows = spark.sql(
+      "SELECT shard, op, after, tx_id, epoch, rank FROM cdc_two_shards ORDER BY shard, rank")
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).toSeq == Seq("s0", "s0", "s0", "s1", "s1"))
+    assert(rows.forall(_.getString(1) == "c"))
+    assert(rows.head.getString(2) == """{"id":1,"v":"a1"}""")
+    assert(rows.head.getString(3) == "MySQL56/feed:1-1")
+    assert(rows.forall(_.getLong(4) == 0L))
+    assert(rows.map(_.getString(5)).toSeq == Seq("1", "2", "3", "1", "2"))
+  }
+
+  private def runToParquet(feedDir: Path, checkpoint: Path, outDir: Path): Unit = {
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", checkpoint.toString)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("restart from checkpoint resumes with no loss and no duplicates") {
+    val feedDir = Files.createTempDirectory("cdcfeed2")
+    val ckpt = Files.createTempDirectory("cdcckpt2")
+    val out = Files.createTempDirectory("cdcout2")
+    writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    runToParquet(feedDir, ckpt, out)
+    assert(spark.read.parquet(out.toString).count() == 3)
+
+    // append two more transactions, restart with the same checkpoint
+    writeFeed(feedDir, "s0", (4L to 5L).flatMap(i => insertTx("s0", i, i, s"v$i")), append = true)
+    runToParquet(feedDir, ckpt, out)
+    val ids = spark.read.parquet(out.toString)
+      .selectExpr("get_json_object(after, '$.id')")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(ids == Seq("1", "2", "3", "4", "5")) // no loss, no duplicates
+  }
+
+  test("restart vgtid on records allows inclusive replay") {
+    val feedDir = Files.createTempDirectory("cdcfeed3")
+    val ckpt = Files.createTempDirectory("cdcckpt3")
+    writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    runToCompletion(feedDir, ckpt, "cdc_replay")
+    val rows = spark.sql(
+      "SELECT get_json_object(after, '$.id') AS id, restart_vgtid FROM cdc_replay ORDER BY id")
+      .collect()
+    // record of tx 2 carries tx 1's position: restarting there replays tx 2
+    assert(rows(1).getString(1).contains("MySQL56/feed:1-1"))
+    assert(rows(2).getString(1).contains("MySQL56/feed:1-2"))
+  }
+
+  test("epoch bumps when the GTID host set changes mid-stream") {
+    val feedDir = Files.createTempDirectory("cdcfeed4")
+    val ckpt = Files.createTempDirectory("cdcckpt4")
+    writeFeed(feedDir, "s0",
+      (1L to 2L).flatMap(i => insertTx("s0", i, i, s"v$i")) ++
+        insertTx("s0", 3, 3, "v3", host = "failover"))
+    runToCompletion(feedDir, ckpt, "cdc_epoch")
+    val rows = spark.sql(
+      "SELECT get_json_object(after, '$.id') AS id, epoch FROM cdc_epoch ORDER BY id")
+      .collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 0L, 1L))
+  }
+
+  test("epoch continuity across a checkpoint restart (host change in new batch)") {
+    val feedDir = Files.createTempDirectory("cdcfeed5")
+    val ckpt = Files.createTempDirectory("cdcckpt5")
+    val out = Files.createTempDirectory("cdcout5")
+    writeFeed(feedDir, "s0", (1L to 2L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    runToParquet(feedDir, ckpt, out)
+    writeFeed(feedDir, "s0", insertTx("s0", 3, 3, "v3", host = "failover"), append = true)
+    runToParquet(feedDir, ckpt, out)
+    val rows = spark.read.parquet(out.toString)
+      .selectExpr("get_json_object(after, '$.id') AS id", "epoch")
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 0L, 1L))
+  }
+
+  test("table include filter prunes other tables inside the reader") {
+    val feedDir = Files.createTempDirectory("cdcfeed6")
+    val ckpt = Files.createTempDirectory("cdcckpt6")
+    val t2 = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t2", t1Fields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t2", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("9"), Some("x"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-2")))),
+      CommitEvent("s0", "ks", 2L))
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "keep") ++ t2)
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("tables.include", "ks\\.t1")
+      .load()
+      .writeStream.format("memory").queryName("cdc_filtered")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val tables = spark.sql("SELECT DISTINCT table FROM cdc_filtered WHERE op = 'c'")
+      .collect().map(_.getString(0)).toSeq
+    assert(tables == Seq("t1"))
+  }
+}
