@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Analytics.queries, operators.Analytics.oracleSql),
-      (operators.CdcQueries.queries, operators.CdcQueries.oracleSql))
+      (operators.CdcQueries.queries, operators.CdcQueries.oracleSql),
+      (operators.LlmQueries.queries, operators.LlmQueries.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

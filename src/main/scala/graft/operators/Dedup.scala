@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all designed for
+  * the bucketed/banded shape that survives 100 TB:
+  *
+  *  - exact: hash-groupBy (map-side partial agg, one shuffle on the
+  *    content hash — never a self-join);
+  *  - MinHash+LSH near-dup: shingle → k minhashes → bands → candidate
+  *    pairs only WITHIN equal-band buckets (O(n·bands)), then exact
+  *    Jaccard verification of candidates — never an all-pairs cross join;
+  *  - SimHash near-dup: 64-bit signature, banded into 16-bit chunks, same
+  *    bucket-join shape (Hamming-distance candidates);
+  *  - n-gram Jaccard: the exact verifier, reused standalone.
+  *
+  * Everything is built-in expressions except the SimHash signature (a
+  * deterministic scalar UDF — one long per row, negligible vs the
+  * shuffle).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+  /** Exact dedup on normalized text: keep the smallest id per content
+    * hash. Returns (id, hash) of survivors. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), sha2(TextOps.normText(col(textCol)).cast("binary"), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+
+  // ----------------------------------------------------------- shingles
+  /** Word n-gram shingles of the normalized text (n consecutive tokens,
+    * space-joined); texts shorter than n tokens get their whole token
+    * string as one shingle. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextOps.tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // ------------------------------------------------------------ minhash
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the shingle set. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(h))))
+    }: _*)
+
+  /** Candidate near-dup pairs via LSH banding: signature split into
+    * `bands` bands of `rowsPerBand`, a bucket per (band index, band
+    * hash); pairs are formed only within buckets. Returns distinct
+    * (id_a < id_b) candidate pairs with their shingle arrays for
+    * verification. */
+  def lshCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    // bucket self-join: only rows sharing (band, band_hash) ever meet —
+    // the shuffle key is the bucket, never a cartesian
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Verified near-dup pairs: LSH candidates with exact Jaccard ≥
+    * `threshold`. */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.6,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    lshCandidatePairs(df, textCol, idCol, shingleN, numHashes, bands)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Near-dedup: drop every doc that has a verified near-dup with a
+    * smaller id (one pass; survivors = docs that are nobody's larger
+    * twin). */
+  def minhashDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val drop = minhashNearDupPairs(df, textCol, idCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------ simhash
+  private val simhashUdf = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) 0L
+    else {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        // splitmix64 of the token's polynomial hash — deterministic
+        var h = TextOps.rollingHash(t)
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h = h ^ (h >>> 31)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+  }
+
+  /** 64-bit SimHash of the token multiset. */
+  def simhash(c: Column): Column = simhashUdf(TextOps.tokens(c))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+    * chunks (any pair within Hamming distance ≤ maxHamming shares at
+    * least one chunk when maxHamming < 4 by pigeonhole... chunks = 4
+    * guarantees distance ≤ 3; verification filters the rest). */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the LLM-data-pipeline operators over the
+  * `documents` / `embeddings` tables. Where the operator's math is
+  * SQL-expressible the DuckDB oracle recomputes the identical formula;
+  * near-dup detection is verified against pairs we inject
+  * deterministically (dup construction is itself SQL-expressible, so the
+  * oracle knows the ground truth without re-implementing LSH).
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------- text stats
+  val qTextStats: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.wsTokenCount(t).as("n_tokens"),
+      TextOps.bpeTokenCount(t).as("n_bpe_tokens"),
+      TextOps.stopwordCount(t).as("n_stopwords"),
+      TextOps.punctCount(t).as("n_punct"),
+      TextOps.qualityScore(t).as("quality"))
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END::BIGINT AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+      |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS n_stopwords,
+      |  len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::BIGINT AS n_punct,
+      |  round(least(
+      |      CASE WHEN length(trim(text)) = 0 THEN 0
+      |           ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END::DOUBLE,
+      |      200.0) / 200.0
+      |    * (1.0 - (len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |          x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
+      |        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+      |             ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END::DOUBLE, 1.0)) * 0.5)
+      |    - (len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::DOUBLE
+      |        / greatest(length(text)::DOUBLE, 1.0)) * 0.25, 6) AS quality
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- language id
+  val qTextLangid: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred"))
+
+  private def markerHitsSql(markers: Seq[String]): String =
+    s"""len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |      x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))""".stripMargin
+
+  val qTextLangidSql: String = {
+    val hits = TextOps.LangMarkers.map { case (lang, ms) => lang -> markerHitsSql(ms) }.toMap
+    s"""SELECT lang_pred, count(*) AS n FROM (
+       |  SELECT CASE
+       |    WHEN ${hits("en")} >= greatest(${hits("de")}, ${hits("fr")}, ${hits("es")}, ${hits("zh")})
+       |         AND ${hits("en")} > 0 THEN 'en'
+       |    WHEN ${hits("de")} >= greatest(${hits("en")}, ${hits("fr")}, ${hits("es")}, ${hits("zh")})
+       |         AND ${hits("de")} > 0 THEN 'de'
+       |    WHEN ${hits("fr")} >= greatest(${hits("en")}, ${hits("de")}, ${hits("es")}, ${hits("zh")})
+       |         AND ${hits("fr")} > 0 THEN 'fr'
+       |    WHEN ${hits("es")} >= greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("zh")})
+       |         AND ${hits("es")} > 0 THEN 'es'
+       |    WHEN ${hits("zh")} >= greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")})
+       |         AND ${hits("zh")} > 0 THEN 'zh'
+       |    ELSE 'unknown' END AS lang_pred
+       |  FROM documents
+       |) GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
+  // ---------------------------------------------------------- fingerprint
+  val qTextFingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.fingerprintMd5(col("text")).as("fp"))
+
+  val qTextFingerprintSql: String =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- exact dedup
+  /** Inject exact duplicates (doc_id+100000 for doc_id%5==0), dedup, and
+    * check the survivor set: originals always win (smaller id). */
+  val qDedupExact: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val kept = Dedup.exactDedup(docs.unionByName(dups), "text", "doc_id")
+    kept.agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("doc_id")).as("sum_kept"))
+  }
+
+  val qDedupExactSql: String =
+    "SELECT count(*) AS n_kept, sum(doc_id) AS sum_kept FROM documents"
+
+  // --------------------------------------------------------- minhash lsh
+  /** Inject near-duplicates (append one token, id+200000 for doc_id%7==0)
+    * and verify the detected pair set — found via banded LSH buckets,
+    * never an all-pairs join — equals the TRUE pair set (the documents
+    * table also contains natural near-dups), which the oracle recomputes
+    * with exact all-pairs Jaccard in SQL. */
+  val qDedupMinhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val nearDups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zzzz")).as("text"))
+    val pairs = Dedup.minhashNearDupPairs(
+      docs.unionByName(nearDups), "text", "doc_id",
+      threshold = 0.8, numHashes = 64, bands = 16)
+    pairs.select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qDedupMinhashSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zzzz' FROM documents WHERE doc_id % 7 = 0
+      |), tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM all_docs
+      |), shingle_sets AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+      |  FROM tok WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |      / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash banding recall on injected EXACT duplicates: identical text
+    * → identical 64-bit signature → Hamming 0, so banding must find every
+    * pair (near-dup behavior at distance >0 is asserted in the unit
+    * spec; the oracle pins the injected ground truth). */
+  val qDedupSimhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    Dedup.simhashNearDupPairs(docs.unionByName(dups), "text", "doc_id", maxHamming = 3)
+      .filter(col("id_b") === col("id_a") + 200000)
+      .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
+  }
+
+  val qDedupSimhashSql: String =
+    """SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
+      |WHERE doc_id % 7 = 0 ORDER BY id_a""".stripMargin
+
+  // ---------------------------------------------------------- ANN top-k
+  /** Brute-force cosine top-1 for the first 10 vectors, checked against
+    * DuckDB's list_cosine_similarity. */
+  val qAnnTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.cosineTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
+  val qAnnTopkSql: String =
+    """SELECT query_id, neighbor_id, sim FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10
+      |) WHERE rk = 1 ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------------ ANN IVF
+  /** Scale-path ANN: IVF cells + probing, rescored exactly. ANN is
+    * approximate by contract, so there is no exact oracle — the driver
+    * records a rows-only check and the unit spec asserts top-1 recall
+    * ≥ 0.9 vs brute force. */
+  val qAnnIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(emb, queries, k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // -------------------------------------------------------- multimodal
+  /** Binary-column plumbing: synthetic media table → batch-shaped stub
+    * feature extraction; byte length + format are decoder-independent
+    * and oracle-checkable. */
+  val qMultimodalFeatures: Q = (s, d) => {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    Multimodal.extractFeatures(s, media)
+      .filter(size(col("features")) === 4) // plumbing check: dim is fixed
+      .select(
+        col("media_id"),
+        col("byte_len"),
+        col("format"))
+  }
+
+  val qMultimodalFeaturesSql: String =
+    """SELECT doc_id AS media_id, strlen(text)::BIGINT AS byte_len,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM documents""".stripMargin
+
+  // frame sampling: total reassembled bytes must equal the payload
+  val qMultimodalFrames: Q = (s, d) => {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    Multimodal.sampleFrames(media, frames = 4)
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes"))).as("total_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val qMultimodalFramesSql: String =
+    """SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames,
+      |  strlen(text)::BIGINT AS total_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_stats"          -> qTextStats,
+    "text_langid"         -> qTextLangid,
+    "text_fingerprint"    -> qTextFingerprint,
+    "dedup_exact"         -> qDedupExact,
+    "dedup_minhash"       -> qDedupMinhash,
+    "dedup_simhash"       -> qDedupSimhash,
+    "ann_topk"            -> qAnnTopk,
+    "ann_ivf"             -> qAnnIvf,
+    "multimodal_features" -> qMultimodalFeatures,
+    "multimodal_frames"   -> qMultimodalFrames)
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats"          -> qTextStatsSql,
+    "text_langid"         -> qTextLangidSql,
+    "text_fingerprint"    -> qTextFingerprintSql,
+    "dedup_exact"         -> qDedupExactSql,
+    "dedup_minhash"       -> qDedupMinhashSql,
+    "dedup_simhash"       -> qDedupSimhashSql,
+    "ann_topk"            -> qAnnTopkSql,
+    "multimodal_features" -> qMultimodalFeaturesSql,
+    "multimodal_frames"   -> qMultimodalFramesSql)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, token counting (whitespace + BPE-ish regex), quality
+  * scoring, language-ID (marker-token heuristic), and document
+  * fingerprinting. All are built-in-function Column expressions — fully
+  * codegen'd, no UDFs in the hot path — so they run inside
+  * WholeStageCodegen at any scale and push no data to the driver.
+  *
+  * Every formula is deliberately expressible in ANSI-ish SQL so the
+  * DuckDB oracle can recompute it verbatim (see LlmQueries).
+  */
+object TextOps {
+
+  /** Whitespace-collapsed, trimmed, lowercased text. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Tokens of the normalized text (single-space split). */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Whitespace token count; empty text → 0. */
+  def wsTokenCount(c: Column): Column =
+    when(length(normText(c)) === 0, lit(0L)).otherwise(size(tokens(c)).cast("long"))
+
+  /** BPE-ish token count: letter runs, digit runs, and single other
+    * non-space chars each count as one token (a cheap proxy for byte-pair
+    * vocabularies). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def inList(values: Seq[String]): String =
+    values.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Count of stopword tokens (array filter — exact, not substring
+    * counting). */
+  def stopwordCount(c: Column): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))).cast("long")
+  }
+
+  /** Punctuation character count over the raw text. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[.,;:!?'\"()\\-]")).cast("long")
+
+  /** Deterministic quality score in [-0.25, 1]: rewards length up to 200
+    * tokens, penalizes stopword share and punctuation density. */
+  def qualityScore(c: Column): Column = {
+    val nTok = wsTokenCount(c)
+    val stopRatio = stopwordCount(c).cast("double") / greatest(nTok.cast("double"), lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(length(c).cast("double"), lit(1.0))
+    round(
+      least(nTok.cast("double"), lit(200.0)) / lit(200.0) * (lit(1.0) - stopRatio * 0.5)
+        - punctRatio * 0.25,
+      6)
+  }
+
+  /** Language marker tokens (tiny built-in lists; the heuristic is the
+    * operator — the oracle recomputes the same formula). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def markerCount(c: Column, markers: Seq[String]): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).cast("long")
+  }
+
+  /** Predicted language: argmax of marker counts, ties resolved in
+    * LangMarkers order; all-zero → "unknown". */
+  def langId(c: Column): Column = {
+    val counts = LangMarkers.map { case (lang, markers) => lang -> markerCount(c, markers) }
+    val maxCount = greatest(counts.map(_._2): _*)
+    val pick = counts.reverse.foldLeft(lit("unknown")) { case (acc, (lang, cnt)) =>
+      when(cnt === maxCount && maxCount > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Portable document fingerprint: md5 of the normalized text (same
+    * builtin in DuckDB → oracle-checkable). */
+  def fingerprintMd5(c: Column): Column = md5(normText(c).cast("binary"))
+
+  /** 61-bit polynomial rolling hash of the normalized text (base 257,
+    * modulus 2^61-1) — the classic Rabin-Karp document fingerprint, as a
+    * pure Scala function for per-token/shingle use. */
+  def rollingHash(s: String): Long = {
+    val Mod = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // multiply mod 2^61-1 without overflow: fold the 125-bit product
+      val hi = Math.multiplyHigh(h, 257L)
+      val lo = h * 257L
+      val folded = ((hi << 3) | (lo >>> 61)) + (lo & Mod)
+      h = (folded + s.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+}

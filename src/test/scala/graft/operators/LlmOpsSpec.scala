@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level checks of the LLM-pipeline operators that the DuckDB gate
+  * cannot express: LSH-ANN recall vs brute force, simhash near-dup
+  * sensitivity, rolling-hash determinism, multimodal feature values. */
+class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("llm-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("rolling hash: deterministic, spread, empty = 0") {
+    assert(TextOps.rollingHash("") == 0L)
+    assert(TextOps.rollingHash("abc") == TextOps.rollingHash("abc"))
+    assert(TextOps.rollingHash("abc") != TextOps.rollingHash("acb"))
+    assert(TextOps.rollingHash("abc") >= 0L) // mod 2^61-1 keeps it non-negative
+  }
+
+  test("ivf ann: top-1 recall >= 0.9 vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.cosineTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("expected"))
+    val ivf = Similarity.ivfTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("got"))
+    val joined = brute.join(ivf, Seq("query_id"), "left")
+    val n = joined.count()
+    val hits = joined.filter(col("got") === col("expected")).count()
+    assert(n > 0)
+    assert(hits.toDouble / n >= 0.9, s"IVF top-1 recall $hits/$n")
+  }
+
+  test("cosine near-dup pairs finds duplicated embeddings") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(50).cache()
+    val dups = emb.select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.cosineNearDupPairs(emb.unionByName(dups), threshold = 0.9999)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = emb.select("vec_id").as[Long].collect().map(i => (i, i + 1000)).toSet
+    // identical vectors share every bucket bit → always found
+    assert(expected.subsetOf(found))
+  }
+
+  test("simhash: identical text -> distance 0; small perturbation stays close") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words entirely unrelated content about databases")
+    ).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("minhash jaccard estimates the true similarity direction") {
+    val sp = spark; import sp.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extraword"), // near dup
+      (3L, "nu xi omicron pi rho sigma tau upsilon phi chi psi omega")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("multimodal stub features: deterministic, 4-dim, mean of byte chunks") {
+    val media = Multimodal.mediaFromDocuments(graft.Tables.documents(spark, sfDir))
+    val feats = Multimodal.extractFeatures(spark, media)
+    val row = feats.orderBy("media_id").first()
+    val fs = row.getSeq[Double](row.fieldIndex("features"))
+    assert(fs.size == 4)
+    assert(row.getAs[Long]("byte_len") > 0)
+    // features are averages of byte values → within [0, 255]
+    assert(fs.forall(f => f >= 0 && f <= 255))
+  }
+
+  test("frame sampling reassembles the payload exactly") {
+    val media = Multimodal.mediaFromDocuments(graft.Tables.documents(spark, sfDir)).limit(10)
+    val frames = Multimodal.sampleFrames(media, frames = 4)
+    val check = frames.groupBy("media_id")
+      .agg(sum(length(col("frame_bytes"))).as("total"))
+      .join(media.select(col("media_id"), length(col("payload")).as("expected")), "media_id")
+      .filter(col("total") =!= col("expected"))
+    assert(check.count() == 0)
+  }
+}
