@@ -102,6 +102,43 @@ object CdcFeed {
     }
   }
 
+  /** Multi-version orders feed for the materialization gate: wave 1
+    * inserts every row; wave 2 (later tx seqs) updates status to 'X' for
+    * orderkey%3==0; wave 3 deletes orderkey%10==5. Final state per key is
+    * therefore fully SQL-expressible. */
+  def ordersVersioned(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
+    import s.implicits._
+    val w = Window.partitionBy("shard").orderBy("o_orderkey")
+    val src = Tables.orders(s, d)
+      .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
+      .withColumn("tx", row_number().over(w).cast("long"))
+      .select(
+        col("shard"), col("tx"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        col("o_orderpriority"))
+      .as[(String, Long, Long, Long, String, Double, String, String)]
+    val W2 = 10000000L // wave offsets keep per-shard tx seq monotone
+    val W3 = 20000000L
+    src.flatMap { case (shard, tx, okey, ckey, status, price, odate, prio) =>
+      val row = Seq(okey.toString, ckey.toString, status, price.toString, odate, prio)
+        .map(Option(_))
+      def mk(txSeq: Long, change: RowChange): Seq[FeedLine] =
+        feedLines(shard, txSeq,
+          txEvents(shard, "ks.orders", OrdersFields, change, txSeq,
+            vgtidAt(shard, txSeq, nShards, multiShard = false)))
+      val insert = mk(tx, RowChange(None, Some(PackedRow.of(row))))
+      val update =
+        if (okey % 3 == 0)
+          mk(tx + W2, RowChange(Some(PackedRow.of(row)), Some(PackedRow.of(row.updated(2, Some("X"))))))
+        else Nil
+      val delete =
+        if (okey % 10 == 5) mk(tx + W3, RowChange(Some(PackedRow.of(row)), None))
+        else Nil
+      insert ++ update ++ delete
+    }
+  }
+
   /** customer → insert-only feed (used by the extract-new-record-state
     * gate, full typed round-trip). */
   def customer(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {

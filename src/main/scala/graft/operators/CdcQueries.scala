@@ -292,8 +292,142 @@ object CdcQueries {
       |  sum(o_orderkey) AS sum_key, count(*) AS max_rank
       |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // -------------------------------------------------- materialization
+  /** S7 + SURVEY §2.9: CDC→table upsert — latest state per key ordered by
+    * (epoch, rank, total_order); deletes drop the key. The multi-version
+    * feed makes the final state fully SQL-expressible. */
+  val qCdcMaterialize: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.ordersVersioned(s, d))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", LongType),
+      StructField("o_orderpriority", StringType)))
+    Sink.materialize(recs.toDF(), "orders", schema)
+      .withColumn("o_orderdate", timestamp_micros(col("o_orderdate")))
+  }
+
+  val qCdcMaterializeSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 10 <> 5""".stripMargin
+
+  // -------------------------------------------------- topic routing
+  /** S7 topic naming: prefix.table with an override prefix that an
+    * exclude list vetoes per table; mysql.user is filtered out upstream. */
+  val qCdcTopicRouting: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.twoTables(s, d),
+      tableFilter = graft.core.TableFilter(Seq("ks\\..*"), Nil))
+    val cfg = Sink.TopicConfig(
+      prefix = "graft",
+      overridePrefix = Some("cdc2"),
+      overrideExcludeList = Seq("ks\\.customer"))
+    recs.toDF()
+      .filter(col("op") === "c")
+      .withColumn("topic", Sink.topicColumn(cfg))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("topic"))
+  }
+
+  val qCdcTopicRoutingSql: String =
+    """SELECT 'cdc2.orders' AS topic, count(*) AS n FROM orders
+      |UNION ALL SELECT 'graft.customer', count(*) FROM customer
+      |ORDER BY topic""".stripMargin
+
+  // -------------------------------------------------- column rules D11
+  /** Truncate/mask/exclude applied at decode: c_name truncated to 5,
+    * c_mktsegment masked with 4 stars, c_acctbal excluded entirely. */
+  val qCdcColumnRules: Q = (s, d) => {
+    val rules = graft.core.ColumnRules(
+      excludeList = Seq("ks\\.customer\\.c_acctbal"),
+      truncate = Seq("ks\\.customer\\.c_name" -> 5),
+      mask = Seq("ks\\.customer\\.c_mktsegment" -> 4))
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.customer(s, d), columnRules = rules)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_mktsegment", StringType)))
+    recs.toDF().filter(col("op") === "c")
+      .select(
+        from_json(col("after"), schema).as("r"),
+        (get_json_object(col("after"), "$.c_acctbal").isNull).as("acctbal_gone"))
+      .select(col("r.*"), col("acctbal_gone"))
+  }
+
+  val qCdcColumnRulesSql: String =
+    """SELECT c_custkey, substr(c_name, 1, 5) AS c_name, c_nationkey,
+      |  '****' AS c_mktsegment, true AS acctbal_gone
+      |FROM customer""".stripMargin
+
+  // -------------------------------------------------- convert failure E3
+  /** event.converting.failure.handling.mode: warn nulls the bad column,
+    * skip drops the record, fail (default) raises. The fixture feed has
+    * one good row, one row with a bad int. */
+  val qCdcConvertFailure: Q = (s, _) => {
+    import graft.streaming._
+    import graft.core.{Vgtid => V, ShardGtid => SG}
+    val fields = Seq(
+      FieldDef("id", "INT64", "bigint(20)", 20, 0, graft.core.ColumnFlags.NotNull | graft.core.ColumnFlags.PriKey),
+      FieldDef("n", "INT32", "int(11)", 11, 0, 0L))
+    def tx(seq: Long, id: String, n: String): Seq[VEvent] = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", "ks.t", fields, enumSetStringValues = false),
+      RowEvent("0", "ks", "ks.t", Seq(RowChange(None, Some(PackedRow.of(Seq(Some(id), Some(n))))))),
+      VgtidEvent("0", V(Seq(SG("ks", "0", s"MySQL56/feed:1-$seq")))),
+      CommitEvent("0", "ks", seq))
+    val events = tx(1, "1", "10") ++ tx(2, "2", "oops") ++ tx(3, "3", "30")
+    import s.implicits._
+    val feed = s.createDataset(
+      events.zipWithIndex.map { case (e, i) => FeedLine("0", i.toLong, VEventJson.write(e)) })
+    val warn = CdcPipeline.changeRecords(s, feed,
+      convertFailureMode = graft.core.ConvertFailureMode.Warn)
+      .toDF().filter(col("op") === "c")
+      .select(lit("warn").as("mode"),
+        get_json_object(col("after"), "$.id").as("id"),
+        get_json_object(col("after"), "$.n").as("n"))
+    val skip = CdcPipeline.changeRecords(s, feed,
+      convertFailureMode = graft.core.ConvertFailureMode.Skip)
+      .toDF().filter(col("op") === "c")
+      .select(lit("skip").as("mode"),
+        get_json_object(col("after"), "$.id").as("id"),
+        get_json_object(col("after"), "$.n").as("n"))
+    warn.unionByName(skip).orderBy(col("mode"), col("id"))
+  }
+
+  val qCdcConvertFailureSql: String =
+    """SELECT * FROM (VALUES
+      |  ('skip', '1', '10'), ('skip', '3', '30'),
+      |  ('warn', '1', '10'), ('warn', '2', CAST(NULL AS VARCHAR)), ('warn', '3', '30')
+      |) AS t(mode, id, n) ORDER BY mode, id""".stripMargin
+
+  // -------------------------------------------------- cloud events T5
+  val qCdcCloudEvents: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
+    val ce = Transforms.toCloudEvents(
+      Envelope.toEnvelope(recs.toDF().filter(col("op") === "c")))
+    ce.select(
+      sum(when(col("ce_id").rlike("^name:graft;vgtid:.*feed.*"), 1L).otherwise(0L)).as("n_id_ok"),
+      countDistinct(col("ce_type")).as("n_types"),
+      sum(when(col("iodebeziumkeyspace") === "ks", 1L).otherwise(0L)).as("n_ks"),
+      count(lit(1)).as("n_total"))
+  }
+
+  val qCdcCloudEventsSql: String =
+    """SELECT count(*) AS n_id_ok, CAST(1 AS BIGINT) AS n_types,
+      |  count(*) AS n_ks, count(*) AS n_total FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cdc_stream_source"    -> qCdcStreamSource,
+    "cdc_materialize"      -> qCdcMaterialize,
+    "cdc_topic_routing"    -> qCdcTopicRouting,
+    "cdc_column_rules"     -> qCdcColumnRules,
+    "cdc_convert_failure"  -> qCdcConvertFailure,
+    "cdc_cloudevents"      -> qCdcCloudEvents,
     "cdc_insert_roundtrip" -> qCdcInsertRoundtrip,
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
@@ -307,6 +441,11 @@ object CdcQueries {
 
   val oracleSql: Map[String, String] = Map(
     "cdc_stream_source"    -> qCdcStreamSourceSql,
+    "cdc_materialize"      -> qCdcMaterializeSql,
+    "cdc_topic_routing"    -> qCdcTopicRoutingSql,
+    "cdc_column_rules"     -> qCdcColumnRulesSql,
+    "cdc_convert_failure"  -> qCdcConvertFailureSql,
+    "cdc_cloudevents"      -> qCdcCloudEventsSql,
     "cdc_insert_roundtrip" -> qCdcInsertRoundtripSql,
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,

@@ -98,6 +98,18 @@ object Transforms {
       .select(from_json(col("after"), schema).as("r"))
       .select(col("r.*"))
 
+  /** T5 CloudEvents conversion (reference converters/VitessCloudEventsMaker
+    * .java:31-40): CE id = `name:<server>;vgtid:<vgtid>`, extension
+    * attributes = record vgtid + keyspace; data = the envelope payload. */
+  def toCloudEvents(env: DataFrame, serverName: String = "graft"): DataFrame =
+    env.select(
+      concat(lit("name:"), lit(serverName), lit(";vgtid:"), col("source.vgtid")).as("ce_id"),
+      concat(lit("/debezium/vitess/"), lit(serverName)).as("ce_source"),
+      lit("io.debezium.connector.vitess.DataChangeEvent").as("ce_type"),
+      col("source.vgtid").as("iodebeziumvgtid"),
+      col("source.keyspace").as("iodebeziumkeyspace"),
+      to_json(struct(col("before"), col("after"), col("source"), col("op"), col("ts_ms"))).as("ce_data"))
+
   /** F1 table include/exclude as a Column predicate over envelope rows
     * (the post-hoc form; CdcPipeline applies the same filter pre-decode
     * per F2). Patterns are full-match, case-insensitive, on

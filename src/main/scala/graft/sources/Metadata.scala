@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.streaming.{FieldEvent, VEventJson}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** S6 metadata scans against the simulated VStream environment — the
+  * analogues of `SHOW VITESS_SHARDS`, `SHOW VITESS_TABLETS` (non-empty
+  * shard detection), `SHOW TABLES` and `SHOW DATABASES` (reference:
+  * VitessMetadata.java:64-133, 201-216). Shard discovery reads the feed
+  * directory on the driver (cheap); table/keyspace discovery scans FIELD
+  * events distributively.
+  */
+object Metadata {
+
+  /** All shards of the feed (SHOW VITESS_SHARDS). */
+  def shards(feedDir: String): Seq[String] =
+    Files.list(Paths.get(feedDir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .map(_.getFileName.toString.stripSuffix(".jsonl"))
+      .toSeq.sorted
+
+  /** Shards with at least one event (SHOW VITESS_TABLETS → serving
+    * tablets only; F5 empty-shard exclusion). */
+  def nonEmptyShards(feedDir: String): Seq[String] =
+    Files.list(Paths.get(feedDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".jsonl") && Files.size(p) > 0)
+      .map(_.getFileName.toString.stripSuffix(".jsonl"))
+      .toSeq.sorted
+
+  /** Distinct `keyspace.table` names seen in FIELD events (SHOW TABLES). */
+  def tables(spark: SparkSession, feedDir: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.textFile(s"$feedDir/*.jsonl")
+      .filter(_.contains("\"FIELD\""))
+      .flatMap { line =>
+        VEventJson.read(line) match {
+          case f: FieldEvent => Some(f.table)
+          case _ => None
+        }
+      }
+      .distinct().collect().toSeq.sorted
+  }
+
+  /** Distinct keyspaces (SHOW DATABASES). */
+  def keyspaces(spark: SparkSession, feedDir: String): Seq[String] =
+    tables(spark, feedDir).map(_.split("\\.")(0)).distinct.sorted
+
+  /** LIKE-pattern escape for metadata queries (reference:
+    * VitessMetadata.java:43-57). */
+  def escapeLike(s: String): String =
+    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+}

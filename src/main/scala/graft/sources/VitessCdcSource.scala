@@ -136,10 +136,18 @@ class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStrea
   private val tableFilter = TableFilter.fromConfig(
     Option(options.get("tables.include")), Option(options.get("tables.exclude")))
 
+  private val excludeEmptyShards =
+    Option(options.get("exclude.empty.shards")).forall(_.toBoolean) // default true
+  private val heartbeatPerBatch =
+    Option(options.get("heartbeat.batch")).exists(_.toBoolean)
+
+  /** F5: shards with no events are excluded from planning by default
+    * (reference getNonEmptyShards, VitessMetadata.java:201-216). */
   private def shardFiles: Seq[(String, Path)] = {
     val dir = Paths.get(path)
     Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .filter(p => !excludeEmptyShards || Files.size(p) > 0)
       .map(p => p.getFileName.toString.stripSuffix(".jsonl") -> p)
       .toSeq.sortBy(_._1)
   }
@@ -198,7 +206,8 @@ class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStrea
       if (startGtid == endGtid) None // nothing new on this shard
       else Some(VitessCdcPartition(
         shard, keyspace, file.toString, startGtid, endGtid,
-        s.epochs.get(shard).getOrElse(0L), emitBoundaries, tableFilter): InputPartition)
+        s.epochs.get(shard).getOrElse(0L), emitBoundaries, tableFilter,
+        heartbeatPerBatch): InputPartition)
     }.toArray
   }
 
@@ -221,7 +230,8 @@ final case class VitessCdcPartition(
     endGtid: String,
     startEpoch: Long,
     emitBoundaries: Boolean,
-    tableFilter: TableFilter) extends InputPartition
+    tableFilter: TableFilter,
+    heartbeatPerBatch: Boolean = false) extends InputPartition
 
 /** Executor-side reader: replays the shard's feed, assembles transactions,
   * keeps those with GTID rank in (startRank, endRank], and decodes them.
@@ -255,7 +265,7 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
     val rb = new RecordBuilder(
       new SchemaRegistry, ctx, p.emitBoundaries,
       initialVgtid = startVgtid, tableFilter = p.tableFilter)
-    TransactionAssembler.assemble(events)
+    val batchRecords = TransactionAssembler.assemble(events)
       .filter { tx =>
         tx.txId match {
           case Some(gtid) =>
@@ -265,7 +275,18 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
         }
       }
       .flatMap(rb.onTransaction)
-      .map(VitessCdc.toInternalRow)
+    // H1: one liveness record per shard per batch carrying the end offset
+    // (reference VitessHeartbeatImpl.java:47-77 — emitted alongside data;
+    // skipped while no offset exists yet, i.e. a fresh empty start)
+    val heartbeat =
+      if (p.heartbeatPerBatch && p.endGtid != Vgtid.EmptyGtid)
+        Iterator.single(ChangeRecord(
+          p.shard, p.keyspace, "", "heartbeat", None, None, None,
+          0L, Vgtid(Seq(ShardGtid(p.keyspace, p.shard, p.endGtid))).json,
+          Vgtid(Seq(ShardGtid(p.keyspace, p.shard, p.endGtid))).json,
+          None, p.startEpoch, None, 0L, 0L))
+      else Iterator.empty
+    (batchRecords ++ heartbeat).map(VitessCdc.toInternalRow)
   }
 
   private var current: InternalRow = _

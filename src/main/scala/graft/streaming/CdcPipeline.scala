@@ -29,13 +29,17 @@ object CdcPipeline {
       spark: SparkSession,
       feed: Dataset[FeedLine],
       emitBoundaries: Boolean = false,
-      tableFilter: TableFilter = TableFilter.acceptAll): Dataset[ChangeRecord] = {
+      tableFilter: TableFilter = TableFilter.acceptAll,
+      columnRules: ColumnRules = ColumnRules.none,
+      convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail): Dataset[ChangeRecord] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     feed
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("seq"))
-      .mapPartitions { it => processPartition(it.buffered, emitBoundaries, tableFilter) }
+      .mapPartitions { it =>
+        processPartition(it.buffered, emitBoundaries, tableFilter, columnRules, convertFailureMode)
+      }
   }
 
   /** A partition holds one or more complete shards (hash partitioning),
@@ -44,7 +48,9 @@ object CdcPipeline {
   private[graft] def processPartition(
       buf: BufferedIterator[FeedLine],
       emitBoundaries: Boolean,
-      tableFilter: TableFilter): Iterator[ChangeRecord] =
+      tableFilter: TableFilter,
+      columnRules: ColumnRules = ColumnRules.none,
+      convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail): Iterator[ChangeRecord] =
     if (!buf.hasNext) Iterator.empty
     else {
       val shard = buf.head.shard
@@ -54,9 +60,10 @@ object CdcPipeline {
       }
       val rb = new RecordBuilder(
         new SchemaRegistry, OrderedTxContext.initial(Seq(shard)), emitBoundaries,
-        tableFilter = tableFilter)
+        tableFilter = tableFilter, columnRules = columnRules,
+        convertFailureMode = convertFailureMode)
       // ++ is lazy: the recursive call runs only after this run is drained
       TransactionAssembler.assemble(run).flatMap(rb.onTransaction) ++
-        processPartition(buf, emitBoundaries, tableFilter)
+        processPartition(buf, emitBoundaries, tableFilter, columnRules, convertFailureMode)
     }
 }

@@ -4,6 +4,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import graft.core._
 import java.util.Base64
 
+/** E3: a raw value failed type conversion (carries the cause; thrown in
+  * Fail mode, caught by the Skip-mode record drop). */
+final class ConversionFailure(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
 /** Stream-inferred schema registry: per-(shard, keyspace, table) column
   * metadata, last-writer-wins on every FIELD event (reference:
   * VitessDatabaseSchema.java:64-91). One instance per shard reader —
@@ -82,7 +87,9 @@ final class RecordBuilder(
     var ctx: OrderedTxContext,
     emitTransactionBoundaries: Boolean = false,
     initialVgtid: Option[Vgtid] = None,
-    tableFilter: TableFilter = TableFilter.acceptAll) {
+    tableFilter: TableFilter = TableFilter.acceptAll,
+    columnRules: ColumnRules = ColumnRules.none,
+    convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail) {
 
   private val mapper = new ObjectMapper()
 
@@ -150,16 +157,27 @@ final class RecordBuilder(
         val meta = registry.get(ref).getOrElse(
           throw new IllegalStateException(s"ROW for unknown table $ref (no FIELD seen)"))
         r.changes.foreach { change =>
-          totalOrder += 1
-          val collectionOrder = perTableOrder.getOrElse(ref.qualified, 0L) + 1
-          perTableOrder += ref.qualified -> collectionOrder
-          val beforeJson = change.before.map(decodeToJson(meta, _))
-          val afterJson = change.after.map(decodeToJson(meta, _))
-          out += ChangeRecord(
-            tx.shard, keyspace, table, change.op,
-            beforeJson, afterJson,
-            keyJson(meta, change.after.orElse(change.before).get),
-            tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, totalOrder, collectionOrder)
+          // E3 Skip mode drops the record on conversion failure; other
+          // modes are handled per-column inside decodeToJson
+          val decoded =
+            try {
+              val beforeJson = change.before.map(decodeToJson(meta, _))
+              val afterJson = change.after.map(decodeToJson(meta, _))
+              Some((beforeJson, afterJson))
+            } catch {
+              case e: ConversionFailure if convertFailureMode == ConvertFailureMode.Skip =>
+                None
+            }
+          decoded.foreach { case (beforeJson, afterJson) =>
+            totalOrder += 1
+            val collectionOrder = perTableOrder.getOrElse(ref.qualified, 0L) + 1
+            perTableOrder += ref.qualified -> collectionOrder
+            out += ChangeRecord(
+              tx.shard, keyspace, table, change.op,
+              beforeJson, afterJson,
+              keyJson(meta, change.after.orElse(change.before).get),
+              tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, totalOrder, collectionOrder)
+          }
         }
         }
       case d: DdlEvent =>
@@ -199,7 +217,20 @@ final class RecordBuilder(
       s"row has ${raw.size} columns, schema ${meta.ref} has ${meta.columns.size}")
     val o = mapper.createObjectNode()
     meta.columns.zip(raw).foreach { case (col, bytes) =>
-      ValueConversion.decode(col.graftType, bytes.orNull) match {
+      if (!columnRules.isExcluded(meta.ref.keyspace, meta.ref.table, col.name)) {
+      val decoded =
+        try ValueConversion.decode(col.graftType, bytes.orNull)
+        catch {
+          case scala.util.control.NonFatal(e) => convertFailureMode match {
+            case ConvertFailureMode.Fail =>
+              throw new ConversionFailure(
+                s"cannot convert column ${col.name} of ${meta.ref}: ${e.getMessage}", e)
+            case ConvertFailureMode.Warn => None // null the column, continue
+            case ConvertFailureMode.Skip =>
+              throw new ConversionFailure(s"skip record: column ${col.name}", e)
+          }
+        }
+      decoded match {
         case None => o.putNull(col.name)
         case Some(v) => v match {
           case s: Short      => o.put(col.name, s)
@@ -209,12 +240,15 @@ final class RecordBuilder(
           case d: Double     => o.put(col.name, d)
           case b: Boolean    => o.put(col.name, b)
           case bd: BigDecimal => o.put(col.name, bd.bigDecimal)
-          case s: String     => o.put(col.name, s)
+          case s: String     =>
+            o.put(col.name,
+              columnRules.transformString(meta.ref.keyspace, meta.ref.table, col.name, s))
           case b: Array[Byte] => o.put(col.name, Base64.getEncoder.encodeToString(b))
           case d: java.time.LocalDate => o.put(col.name, d.toString)
           case dt: java.time.LocalDateTime => o.put(col.name, dt.toString)
           case other => o.put(col.name, other.toString)
         }
+      }
       }
     }
     mapper.writeValueAsString(o)

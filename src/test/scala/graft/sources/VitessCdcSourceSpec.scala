@@ -161,6 +161,46 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 0L, 1L))
   }
 
+  test("empty shard files are excluded from partition planning (F5)") {
+    val feedDir = Files.createTempDirectory("cdcfeed7")
+    val ckpt = Files.createTempDirectory("cdcckpt7")
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
+    Files.writeString(feedDir.resolve("s9.jsonl"), "") // empty shard
+    runToCompletion(feedDir, ckpt, "cdc_empty_shard")
+    val shards = spark.sql("SELECT DISTINCT shard FROM cdc_empty_shard")
+      .collect().map(_.getString(0)).toSeq
+    assert(shards == Seq("s0"))
+  }
+
+  test("per-batch heartbeat records carry the end offset (H1)") {
+    val feedDir = Files.createTempDirectory("cdcfeed8")
+    val ckpt = Files.createTempDirectory("cdcckpt8")
+    writeFeed(feedDir, "s0", (1L to 2L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("heartbeat.batch", "true")
+      .load()
+      .writeStream.format("memory").queryName("cdc_hb")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val hb = spark.sql("SELECT vgtid FROM cdc_hb WHERE op = 'heartbeat'").collect()
+    assert(hb.length == 1)
+    assert(hb.head.getString(0).contains("MySQL56/feed:1-2")) // end offset
+    assert(spark.sql("SELECT count(*) FROM cdc_hb WHERE op = 'c'").first().getLong(0) == 2)
+  }
+
+  test("metadata scans: shards, non-empty shards, tables, keyspaces (S6)") {
+    val feedDir = Files.createTempDirectory("cdcfeed9")
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
+    Files.writeString(feedDir.resolve("s9.jsonl"), "")
+    assert(Metadata.shards(feedDir.toString) == Seq("s0", "s9"))
+    assert(Metadata.nonEmptyShards(feedDir.toString) == Seq("s0"))
+    assert(Metadata.tables(spark, feedDir.toString) == Seq("ks.t1"))
+    assert(Metadata.keyspaces(spark, feedDir.toString) == Seq("ks"))
+    assert(Metadata.escapeLike("a_b%c") == "a\\_b\\%c")
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
