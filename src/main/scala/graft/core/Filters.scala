@@ -12,8 +12,10 @@ import java.util.regex.Pattern
   *
   * Serializable so it ships into executor closures; patterns are
   * precompiled once per instance. */
-final case class TableFilter(includeList: Seq[String], excludeList: Seq[String])
-    extends Serializable {
+final case class TableFilter(
+    includeList: Seq[String],
+    excludeList: Seq[String],
+    excludeHeartbeatTables: Boolean = false) extends Serializable {
 
   @transient private lazy val include =
     includeList.map(r => Pattern.compile(r, Pattern.CASE_INSENSITIVE))
@@ -22,6 +24,9 @@ final case class TableFilter(includeList: Seq[String], excludeList: Seq[String])
 
   def included(keyspace: String, table: String): Boolean = {
     if (TableFilter.SystemSchemas.contains(keyspace.toLowerCase)) false
+    // H2: Vitess heartbeat tables stream only when opted in (applies
+    // before include/exclude, like the reference's server-side flag)
+    else if (excludeHeartbeatTables && table.equalsIgnoreCase("heartbeat")) false
     else {
       val fq = s"$keyspace.$table"
       if (include.nonEmpty) include.exists(_.matcher(fq).matches())

@@ -30,6 +30,30 @@ object ValueConversion {
     case object AsPrecise extends UInt64Mode
   }
 
+  /** binary.handling.mode (reference: Debezium BinaryHandlingMode wired
+    * through VitessValueConverter): raw bytes, base64 text, or hex text. */
+  sealed trait BinaryMode
+  object BinaryMode {
+    case object Bytes extends BinaryMode
+    case object Base64 extends BinaryMode
+    case object Hex extends BinaryMode
+  }
+
+  /** time.precision.mode (reference: VitessConnectorConfig.java:493-514 —
+    * adaptive_time_microseconds default, isostring passes the raw
+    * temporal string through unchanged; `adaptive` is rejected). */
+  sealed trait TemporalMode
+  object TemporalMode {
+    case object AdaptiveMicros extends TemporalMode
+    case object IsoString extends TemporalMode
+  }
+
+  def bytesToHex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString()
+  }
+
   /** Negative longs seen on the wire for UINT64 are wrapped values. */
   def correctUnsignedBigint(v: BigDecimal): BigDecimal =
     if (v < 0) v + Uint64Correction else v
@@ -131,9 +155,20 @@ object ValueConversion {
   /** Decode one raw column value per its resolved type. Returns the
     * engine-native Scala value aligned with `GraftType.sparkType`.
     * `None` means SQL NULL (zero-date sentinel collapse). */
-  def decode(tpe: GraftType, raw: Array[Byte], uint64Mode: UInt64Mode = UInt64Mode.AsString): Option[Any] = {
+  def decode(
+      tpe: GraftType,
+      raw: Array[Byte],
+      uint64Mode: UInt64Mode = UInt64Mode.AsString,
+      binaryMode: BinaryMode = BinaryMode.Bytes,
+      temporalMode: TemporalMode = TemporalMode.AdaptiveMicros): Option[Any] = {
     if (raw == null) return None
     def str = new String(raw, StandardCharsets.UTF_8)
+    def bin(b: Array[Byte]): Any = binaryMode match {
+      case BinaryMode.Bytes  => b
+      case BinaryMode.Base64 => java.util.Base64.getEncoder.encodeToString(b)
+      case BinaryMode.Hex    => bytesToHex(b)
+    }
+    val iso = temporalMode == TemporalMode.IsoString
     tpe match {
       case GraftType.Int16Type => Some(str.toShort)
       case GraftType.Int32Type | GraftType.YearT => Some(str.toInt)
@@ -147,16 +182,18 @@ object ValueConversion {
           case UInt64Mode.AsPrecise => Some(correctUnsignedBigint(BigDecimal(str)))
         }
       case GraftType.DecimalStr | GraftType.Text | GraftType.Json => Some(str)
-      case GraftType.Bytes | GraftType.Unknown => Some(raw)
-      case GraftType.Bits(len) => if (len == 1) Some(bitToBoolean(raw)) else Some(raw)
+      case GraftType.Bytes | GraftType.Unknown => Some(bin(raw))
+      case GraftType.Bits(len) => if (len == 1) Some(bitToBoolean(raw)) else Some(bin(raw))
       case e: GraftType.Enum =>
         if (e.stringValued) Some(str) else Some(enumToString(e.values, str.toInt))
       case st: GraftType.SetT =>
         if (st.stringValued) Some(str) else Some(setToString(st.values, str.toLong))
-      case GraftType.DateT => parseDate(str)
-      case _: GraftType.TimeT => Some(timeToMicros(str))
-      case _: GraftType.DatetimeT => parseDatetime(str)
-      case _: GraftType.TimestampT => parseTimestampUtcMicros(str)
+      // isostring mode passes raw temporal text through unchanged
+      // (reference ReplicationMessageColumnValueResolver.java:63-73)
+      case GraftType.DateT => if (iso) Some(str) else parseDate(str)
+      case _: GraftType.TimeT => if (iso) Some(str) else Some(timeToMicros(str))
+      case _: GraftType.DatetimeT => if (iso) Some(str) else parseDatetime(str)
+      case _: GraftType.TimestampT => if (iso) Some(str) else parseTimestampUtcMicros(str)
     }
   }
 }

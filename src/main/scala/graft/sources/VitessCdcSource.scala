@@ -133,8 +133,15 @@ class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStrea
   private val keyspace = Option(options.get("keyspace")).getOrElse("ks")
   private val generation = Option(options.get("generation")).map(_.toLong).getOrElse(1L)
   private val emitBoundaries = Option(options.get("boundaries")).exists(_.toBoolean)
-  private val tableFilter = TableFilter.fromConfig(
-    Option(options.get("tables.include")), Option(options.get("tables.exclude")))
+  private val inheritEpoch = Option(options.get("inherit.epoch")).exists(_.toBoolean)
+  // H2: Vitess's own heartbeat tables stream only when opted in
+  // (reference stream.keyspace.heartbeats, VitessConnectorConfig.java:228-235)
+  private val streamKeyspaceHeartbeats =
+    Option(options.get("stream.keyspace.heartbeats")).exists(_.toBoolean)
+  private val tableFilter =
+    TableFilter.fromConfig(
+      Option(options.get("tables.include")), Option(options.get("tables.exclude")))
+      .copy(excludeHeartbeatTables = !streamKeyspaceHeartbeats)
 
   private val excludeEmptyShards =
     Option(options.get("exclude.empty.shards")).forall(_.toBoolean) // default true
@@ -207,7 +214,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStrea
       else Some(VitessCdcPartition(
         shard, keyspace, file.toString, startGtid, endGtid,
         s.epochs.get(shard).getOrElse(0L), emitBoundaries, tableFilter,
-        heartbeatPerBatch): InputPartition)
+        heartbeatPerBatch, inheritEpoch): InputPartition)
     }.toArray
   }
 
@@ -231,7 +238,8 @@ final case class VitessCdcPartition(
     startEpoch: Long,
     emitBoundaries: Boolean,
     tableFilter: TableFilter,
-    heartbeatPerBatch: Boolean = false) extends InputPartition
+    heartbeatPerBatch: Boolean = false,
+    inheritEpoch: Boolean = false) extends InputPartition
 
 /** Executor-side reader: replays the shard's feed, assembles transactions,
   * keeps those with GTID rank in (startRank, endRank], and decodes them.
@@ -261,7 +269,7 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
     val ctx = OrderedTxContext(
       ShardEpochMap.empty.put(p.shard, p.startEpoch),
       previousVgtid = startVgtid,
-      inheritEpoch = false)
+      inheritEpoch = p.inheritEpoch)
     val rb = new RecordBuilder(
       new SchemaRegistry, ctx, p.emitBoundaries,
       initialVgtid = startVgtid, tableFilter = p.tableFilter)

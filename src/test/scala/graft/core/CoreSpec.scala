@@ -278,4 +278,26 @@ class ValueConversionSpec extends AnyFunSuite {
     assert(decode(UInt64, b("-1"), UInt64Mode.AsPrecise).contains(BigDecimal("18446744073709551615")))
     assert(decode(UInt64, b("123"), UInt64Mode.AsLong).contains(123L))
   }
+
+  test("binary handling modes: bytes, base64, hex") {
+    import GraftType._
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(decode(Bytes, b("AB")).exists(_.asInstanceOf[Array[Byte]].sameElements(b("AB"))))
+    assert(decode(Bytes, b("AB"), binaryMode = BinaryMode.Base64).contains("QUI="))
+    assert(decode(Bytes, b("AB"), binaryMode = BinaryMode.Hex).contains("4142"))
+    // BIT(1) still decodes to boolean regardless of binary mode
+    assert(decode(Bits(1), Array[Byte](1), binaryMode = BinaryMode.Hex).contains(true))
+    assert(decode(Bits(8), Array[Byte](0x0f), binaryMode = BinaryMode.Hex).contains("0f"))
+  }
+
+  test("isostring temporal mode passes raw strings through") {
+    import GraftType._
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(decode(DateT, b("2020-02-29"), temporalMode = TemporalMode.IsoString).contains("2020-02-29"))
+    assert(decode(TimeT(0), b("-01:30:15"), temporalMode = TemporalMode.IsoString).contains("-01:30:15"))
+    assert(decode(DatetimeT(0), b("2021-01-02 03:04:05"), temporalMode = TemporalMode.IsoString)
+      .contains("2021-01-02 03:04:05"))
+    assert(decode(TimestampT(0), b("0000-00-00 00:00:00"), temporalMode = TemporalMode.IsoString)
+      .contains("0000-00-00 00:00:00")) // zero-date survives in iso mode
+  }
 }

@@ -201,6 +201,69 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Metadata.escapeLike("a_b%c") == "a\\_b\\%c")
   }
 
+  test("copy phase: enum/set decode as labels, lastpk rides the offset, seamless switch (S5)") {
+    val feedDir = Files.createTempDirectory("cdcfeed10")
+    val ckpt = Files.createTempDirectory("cdcckpt10")
+    val enumFields = Seq(
+      FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("size", "ENUM", "enum('s','m','l')", 0, 0, 0L))
+    val copyVgtid = Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1", Seq(
+      TableLastPk("t1",
+        Seq(PkField("id", "INT64", 63, Some(49667))),
+        Seq(PkRow(Seq("1"), java.util.Base64.getEncoder.encodeToString("1".getBytes))))))))
+    val copy: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      // copy phase sends enum values as label strings
+      FieldEvent("s0", "ks", "ks.t1", enumFields, enumSetStringValues = true),
+      RowEvent("s0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("m"))))))),
+      VgtidEvent("s0", copyVgtid),
+      CommitEvent("s0", "ks", 1L),
+      CopyCompletedEvent("s0"))
+    val streamTx: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      // streaming phase sends enum values as 1-based indexes
+      FieldEvent("s0", "ks", "ks.t1", enumFields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("2"), Some("3"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-2")))),
+      CommitEvent("s0", "ks", 2L))
+    writeFeed(feedDir, "s0", copy ++ streamTx)
+    runToCompletion(feedDir, ckpt, "cdc_copy")
+    val rows = spark.sql(
+      "SELECT get_json_object(after, '$.id') AS id, get_json_object(after, '$.size') AS sz, vgtid " +
+        "FROM cdc_copy WHERE op = 'c' ORDER BY id")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "m") // copy-phase label passthrough
+    assert(rows(1).getString(1) == "l") // streaming index 3 → 'l'
+    assert(rows(0).getString(2).contains("table_p_ks")) // lastpk in position
+    assert(Vgtid.of(rows(0).getString(2)).willTriggerVStreamCopy)
+  }
+
+  test("heartbeat tables excluded unless stream.keyspace.heartbeats (H2)") {
+    val feedDir = Files.createTempDirectory("cdcfeed11")
+    val hbTx: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.heartbeat", t1Fields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.heartbeat", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("x"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-2")))),
+      CommitEvent("s0", "ks", 2L))
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "keep") ++ hbTx)
+    def run(name: String, opt: Boolean): Seq[String] = {
+      val ckpt = Files.createTempDirectory(s"ck$name")
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("stream.keyspace.heartbeats", opt.toString)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.sql(s"SELECT DISTINCT table FROM $name WHERE op = 'c' ORDER BY table")
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(run("cdc_hb_off", opt = false) == Seq("t1"))
+    assert(run("cdc_hb_on", opt = true) == Seq("heartbeat", "t1"))
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
