@@ -232,7 +232,8 @@ object CdcQueries {
     * them. */
   val qCdcBoundaries: Q = (s, d) => {
     val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d), emitBoundaries = true)
-    val df = recs.toDF()
+    // cached: the union below would otherwise run the pipeline twice
+    val df = CdcPipelineHelpers.cache(recs.toDF())
     val kept = Transforms.filterTransactionTopicRecords(df)
     df.groupBy(col("op")).agg(count(lit(1)).as("n"))
       .unionByName(
@@ -259,17 +260,21 @@ object CdcQueries {
     val feedDir = Files.createTempDirectory("graft_feed")
     val outDir = Files.createTempDirectory("graft_stream_out")
     val ckpt = Files.createTempDirectory("graft_stream_ckpt")
-    val feed = CdcPipelineHelpers.cache(CdcFeed.orders(s, d))
+    // one job: hash shards into tasks, sort (shard, seq) within tasks, and
+    // let partitionBy fan one ordered file out per shard directory
+    val tmp = feedDir.resolve("_tmp")
+    CdcFeed.orders(s, d)
+      .repartition(CdcFeed.DefaultShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+      .select(col("line"), col("shard")) // narrow projection keeps sort order
+      .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
     (0 until CdcFeed.DefaultShards).foreach { i =>
       val shard = i.toString
-      val tmp = feedDir.resolve(s"_tmp_$shard")
-      feed.filter(col("shard") === shard).orderBy(col("seq")).select(col("line"))
-        .coalesce(1).write.mode("overwrite").text(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-")).get
-      Files.move(part, feedDir.resolve(s"$shard.jsonl"))
+      val parts = Files.list(tmp.resolve(s"shard=$shard")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+      require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
+      Files.move(parts.head, feedDir.resolve(s"$shard.jsonl"))
     }
-    feed.unpersist()
     val q = s.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
       .load()

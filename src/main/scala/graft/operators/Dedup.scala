@@ -50,12 +50,61 @@ object Dedup {
   }
 
   // ------------------------------------------------------------ minhash
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the shingle set. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(h))))
-    }: _*)
+  /** MinHash signature: shingles are string-hashed once to 64-bit keys;
+    * each of the k hash functions is then a cheap re-hash of that 8-byte
+    * key with the function index as seed — O(|shingles|) string hashes +
+    * O(k·|shingles|) long hashes, instead of k full string-hash passes
+    * (string hashing dominates at realistic shingle lengths). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val keys = transform(shinglesCol, s => xxhash64(s))
+    // single pass: fold the shingle keys into a k-element running-min
+    // array; each shingle is string-hashed once and long-hashed k times
+    aggregate(
+      keys,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(x, i)),
+        (a, b) => least(a, b)))
+  }
+
+  @inline private def splitmix64(x0: Long): Long = {
+    var h = x0 + 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Tight scalar implementation of shingling + minhash: one string hash
+    * per shingle, k splitmix rounds per shingle, all in a single JVM
+    * loop. Interpreted Catalyst higher-order functions evaluate lambda
+    * trees per element; for the signature hot loop a deterministic
+    * scalar function is an order of magnitude faster (the same trade
+    * Spark MLlib's MinHashLSH makes). */
+  private def minhashSigUdf(shingleN: Int, numHashes: Int) =
+    udf { (toks: Seq[String]) =>
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      if (toks != null && toks.nonEmpty) {
+        val n = math.max(1, toks.length - shingleN + 1)
+        var i = 0
+        while (i < n) {
+          val shingle =
+            if (toks.length < shingleN) toks.mkString(" ")
+            else { val sb = new StringBuilder(toks(i))
+              var j = 1; while (j < shingleN) { sb.append(' ').append(toks(i + j)); j += 1 }
+              sb.toString() }
+          val base = splitmix64(TextOps.rollingHash(shingle))
+          var k = 0
+          while (k < numHashes) {
+            val h = splitmix64(base ^ (k * 0x9e3779b97f4a7c15L))
+            if (h < mins(k)) mins(k) = h
+            k += 1
+          }
+          i += 1
+        }
+      }
+      mins
+    }
 
   /** Candidate near-dup pairs via LSH banding: signature split into
     * `bands` bands of `rowsPerBand`, a bucket per (band index, band
@@ -70,26 +119,35 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(
+    val withShingles = df.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
+    // band rows carry ONLY (band, band_hash, id): the heavy shingle
+    // arrays are not replicated through the bands×N explosion or its
+    // shuffle — they are joined back per candidate pair afterwards
+    val banded = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("sig", minhashSigUdf(shingleN, numHashes)(col("toks")))
+      .select(
+        col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     // bucket self-join: only rows sharing (band, band_hash) ever meet —
     // the shuffle key is the bucket, never a cartesian
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Verified near-dup pairs: LSH candidates with exact Jaccard ≥

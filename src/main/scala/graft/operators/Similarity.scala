@@ -110,26 +110,40 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 32, nProbes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = broadcast(
+    // Centroid matrix is bounded by nCentroids (not data size): collect it
+    // once and ship it in the scoring closures — the coarse quantizer then
+    // runs as a tight per-row loop with no join or shuffle at all.
+    val centroids: Array[(Long, Array[Double])] =
       corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
-    // corpus → nearest centroid (deterministic argmax via struct max)
+        .select(col(idCol), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosTo(c: Array[Double], v: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) {
+        val x = c(i); val y = v(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var best = 0L; var bestSim = Double.MinValue
+      centroids.foreach { case (cid, c) =>
+        val s = cosTo(c, v)
+        if (s > bestSim || (s == bestSim && cid < best)) { best = cid; bestSim = s }
+      }
+      best
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      centroids.map { case (cid, c) => (cosTo(c, v), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nProbes).map(_._2)
+    }
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-      .crossJoin(cent)
-      .withColumn("csim", cosine(col("vec"), col("cvec")))
-      .groupBy(col("neighbor_id"))
-      .agg(
-        max(struct(col("csim"), col("cid"))).getField("cid").as("cid"),
-        first(col("vec")).as("vec"))
-    // queries → top-nProbes cells
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
+      .withColumn("cid", assignUdf(col("vec")))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .crossJoin(cent)
-      .withColumn("csim", cosine(col("query_vec"), col("cvec")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbes)
-      .select(col("query_id"), col("query_vec"), col("cid"))
-    val scored = assigned.join(probes, Seq("cid"))
+      .withColumn("cid", explode(probeUdf(col("query_vec"))))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("query_vec"), col("vec")))
     val w = Window.partitionBy(col("query_id"))
