@@ -37,20 +37,26 @@ object CdcFeed {
     FieldDef("c_acctbal", "FLOAT64", "double", 22, 2, ColumnFlags.NotNull),
     FieldDef("c_mktsegment", "VARCHAR", "varchar(10)", 10, 0, ColumnFlags.NotNull))
 
-  /** Events for one single-row transaction. `gtids`: this shard's
-    * position per shard in the emitted VGTID (single- or multi-shard). */
+  /** Events for one single-row transaction. Like real VStream, the FIELD
+    * (schema) event is sent only with the shard's first transaction per
+    * table — the schema registry is last-writer-wins, so later rows
+    * decode against it. */
   private def txEvents(
       shard: String,
       table: String,
       fields: Seq[FieldDef],
       change: RowChange,
       txSeq: Long,
-      vgtid: Vgtid): Seq[VEvent] = Seq(
-    BeginEvent(shard, "ks"),
-    FieldEvent(shard, "ks", table, fields, enumSetStringValues = false),
-    RowEvent(shard, "ks", table, Seq(change)),
-    VgtidEvent(shard, vgtid),
-    CommitEvent(shard, "ks", 1700000000L + txSeq))
+      vgtid: Vgtid,
+      withField: Boolean = true): Seq[VEvent] = {
+    val begin: Seq[VEvent] = Seq(BeginEvent(shard, "ks"))
+    val fld: Seq[VEvent] =
+      if (withField) Seq(FieldEvent(shard, "ks", table, fields, enumSetStringValues = false)) else Nil
+    begin ++ fld ++ Seq(
+      RowEvent(shard, "ks", table, Seq(change)),
+      VgtidEvent(shard, vgtid),
+      CommitEvent(shard, "ks", 1700000000L + txSeq))
+  }
 
   private def feedLines(shard: String, txSeq: Long, events: Seq[VEvent]): Seq[FeedLine] =
     events.zipWithIndex.map { case (e, i) => FeedLine(shard, txSeq * 8 + i, VEventJson.write(e)) }
@@ -98,7 +104,7 @@ object CdcFeed {
           RowChange(None, Some(PackedRow.of(row)))
       feedLines(shard, tx,
         txEvents(shard, "ks.orders", OrdersFields, change, tx,
-          vgtidAt(shard, tx, nShards, multiShardVgtid)))
+          vgtidAt(shard, tx, nShards, multiShardVgtid), withField = tx == 1))
     }
   }
 
@@ -126,7 +132,7 @@ object CdcFeed {
       def mk(txSeq: Long, change: RowChange): Seq[FeedLine] =
         feedLines(shard, txSeq,
           txEvents(shard, "ks.orders", OrdersFields, change, txSeq,
-            vgtidAt(shard, txSeq, nShards, multiShard = false)))
+            vgtidAt(shard, txSeq, nShards, multiShard = false), withField = txSeq == 1))
       val insert = mk(tx, RowChange(None, Some(PackedRow.of(row))))
       val update =
         if (okey % 3 == 0)
@@ -154,7 +160,7 @@ object CdcFeed {
       val row = Seq(key.toString, name, nation.toString, bal.toString, seg).map(Option(_))
       feedLines(shard, tx,
         txEvents(shard, "ks.customer", CustomerFields, RowChange(None, Some(PackedRow.of(row))), tx,
-          vgtidAt(shard, tx, nShards, multiShard = false)))
+          vgtidAt(shard, tx, nShards, multiShard = false), withField = tx == 1))
     }
   }
 
