@@ -142,6 +142,11 @@ class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStrea
     TableFilter.fromConfig(
       Option(options.get("tables.include")), Option(options.get("tables.exclude")))
       .copy(excludeHeartbeatTables = !streamKeyspaceHeartbeats)
+  // F3: snapshot.mode.tables analogue — regex list restricting which
+  // tables the copy phase materializes
+  private val snapshotTables: Option[TableFilter] =
+    Option(options.get("snapshot.tables"))
+      .map(csv => TableFilter.fromConfig(Some(csv), None))
 
   private val excludeEmptyShards =
     Option(options.get("exclude.empty.shards")).forall(_.toBoolean) // default true
@@ -214,7 +219,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStrea
       else Some(VitessCdcPartition(
         shard, keyspace, file.toString, startGtid, endGtid,
         s.epochs.get(shard).getOrElse(0L), emitBoundaries, tableFilter,
-        heartbeatPerBatch, inheritEpoch): InputPartition)
+        heartbeatPerBatch, inheritEpoch, snapshotTables): InputPartition)
     }.toArray
   }
 
@@ -239,7 +244,8 @@ final case class VitessCdcPartition(
     emitBoundaries: Boolean,
     tableFilter: TableFilter,
     heartbeatPerBatch: Boolean = false,
-    inheritEpoch: Boolean = false) extends InputPartition
+    inheritEpoch: Boolean = false,
+    snapshotTables: Option[TableFilter] = None) extends InputPartition
 
 /** Executor-side reader: replays the shard's feed, assembles transactions,
   * keeps those with GTID rank in (startRank, endRank], and decodes them.
@@ -255,7 +261,10 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
   private val startRank = rankOf(p.startGtid)
   private val endRank = rankOf(p.endGtid)
 
-  private val lineStream = Files.lines(Paths.get(p.file), StandardCharsets.UTF_8)
+  // E1: transient I/O on stream open is retried with backoff; everything
+  // else surfaces to Spark's task retry + restart-from-checkpoint
+  private val lineStream =
+    Retry.withRetries(maxAttempts = 3)(Files.lines(Paths.get(p.file), StandardCharsets.UTF_8))
 
   private val rows: Iterator[InternalRow] = {
     val events = lineStream.iterator().asScala.map(VEventJson.read)
@@ -272,7 +281,8 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
       inheritEpoch = p.inheritEpoch)
     val rb = new RecordBuilder(
       new SchemaRegistry, ctx, p.emitBoundaries,
-      initialVgtid = startVgtid, tableFilter = p.tableFilter)
+      initialVgtid = startVgtid, tableFilter = p.tableFilter,
+      snapshotTableFilter = p.snapshotTables)
     val batchRecords = TransactionAssembler.assemble(events)
       .filter { tx =>
         tx.txId match {

@@ -89,7 +89,8 @@ final class RecordBuilder(
     initialVgtid: Option[Vgtid] = None,
     tableFilter: TableFilter = TableFilter.acceptAll,
     columnRules: ColumnRules = ColumnRules.none,
-    convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail) {
+    convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail,
+    snapshotTableFilter: Option[TableFilter] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -152,7 +153,13 @@ final class RecordBuilder(
         val (keyspace, table) = registry.splitTableName(r.table, r.keyspace)
         // F2 short-circuit: filtered tables skip column materialization
         // entirely (reference VStreamOutputMessageDecoder.java:188-201).
-        if (tableFilter.included(keyspace, table)) {
+        // F3: during the copy phase (vgtid would trigger VStream copy),
+        // the snapshot-table prefix filter additionally restricts which
+        // tables are copied (reference Filters.java:39-48,
+        // VitessReplicationConnection.java:308-312).
+        val copyPhase = tx.vgtid.exists(_.willTriggerVStreamCopy)
+        val snapshotOk = !copyPhase || snapshotTableFilter.forall(_.included(keyspace, table))
+        if (tableFilter.included(keyspace, table) && snapshotOk) {
         val ref = TableRef(tx.shard, keyspace, table)
         val meta = registry.get(ref).getOrElse(
           throw new IllegalStateException(s"ROW for unknown table $ref (no FIELD seen)"))

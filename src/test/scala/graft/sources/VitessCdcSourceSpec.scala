@@ -264,6 +264,57 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("cdc_hb_on", opt = true) == Seq("heartbeat", "t1"))
   }
 
+  test("snapshot.tables restricts the copy phase but not streaming (F3)") {
+    val feedDir = Files.createTempDirectory("cdcfeed12")
+    val ckpt = Files.createTempDirectory("cdcckpt12")
+    def copyVgtid(seq: Long) = Vgtid(Seq(ShardGtid("ks", "s0", s"MySQL56/feed:1-$seq", Seq(
+      TableLastPk("t1", Seq(PkField("id", "INT64", 63, None)), Seq(PkRow(Seq("1"), "MQ==")))))))
+    def copyTx(seq: Long, table: String): Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", s"ks.$table", t1Fields, enumSetStringValues = true),
+      RowEvent("s0", "ks", s"ks.$table", Seq(RowChange(None, Some(PackedRow.of(Seq(Some(seq.toString), Some("c"))))))),
+      VgtidEvent("s0", copyVgtid(seq)),
+      CommitEvent("s0", "ks", seq))
+    // copy phase streams t1 and t2; snapshot filter keeps only t1; the
+    // post-copy streaming tx on t2 must still flow
+    val events = copyTx(1, "t1") ++ copyTx(2, "t2") ++ Seq(CopyCompletedEvent("s0")) ++ Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t2", t1Fields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t2", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("9"), Some("x"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-3")))),
+      CommitEvent("s0", "ks", 3L))
+    writeFeed(feedDir, "s0", events)
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("snapshot.tables", "ks\\.t1")
+      .load()
+      .writeStream.format("memory").queryName("cdc_snapfilter")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql(
+      "SELECT table, get_json_object(after, '$.id') FROM cdc_snapfilter WHERE op = 'c' ORDER BY 2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("t1", "1"), ("t2", "9"))) // copy of t2 skipped, stream of t2 kept
+  }
+
+  test("retriable error classification and retry (E1)") {
+    assert(Retry.isRetriable(new java.io.IOException("conn reset")))
+    assert(!Retry.isRetriable(new java.io.FileNotFoundException("gone")))
+    assert(!Retry.isRetriable(new IllegalStateException("ordering")))
+    var attempts = 0
+    val out = Retry.withRetries(maxAttempts = 3, initialBackoffMs = 1) {
+      attempts += 1
+      if (attempts < 3) throw new java.io.IOException("flaky")
+      42
+    }
+    assert(out == 42 && attempts == 3)
+    intercept[IllegalStateException] {
+      Retry.withRetries(maxAttempts = 3, initialBackoffMs = 1) {
+        throw new IllegalStateException("not retriable")
+      }
+    }
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
