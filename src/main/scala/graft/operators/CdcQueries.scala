@@ -426,8 +426,48 @@ object CdcQueries {
     """SELECT count(*) AS n_id_ok, CAST(1 AS BIGINT) AS n_types,
       |  count(*) AS n_ks, count(*) AS n_total FROM orders""".stripMargin
 
+  // -------------------------------------------------- SQL-native decode
+  /** D3 as a codegen'd Catalyst expression: the whole ROW decode —
+    * event-JSON parse, change explode, packed-row slicing
+    * (slice_packed_row), and typed casts — runs inside WholeStageCodegen
+    * with zero JVM decode objects. The scale path for hot simple tables;
+    * hash-checked against the same orders oracle as the JVM pipeline. */
+  val qCdcSqlDecode: Q = (s, d) => {
+    val rowSchema = StructType(Seq(
+      StructField("type", StringType),
+      StructField("shard", StringType),
+      StructField("table", StringType),
+      StructField("changes", ArrayType(StructType(Seq(
+        StructField("before", StructType(Seq(
+          StructField("lengths", ArrayType(LongType)),
+          StructField("values", StringType)))),
+        StructField("after", StructType(Seq(
+          StructField("lengths", ArrayType(LongType)),
+          StructField("values", StringType))))))))))
+    val feed = CdcFeed.orders(s, d)
+    def colAt(i: Int) = element_at(col("r"), i).cast("string")
+    feed
+      .filter(col("line").contains("\"ROW\""))
+      .select(from_json(col("line"), rowSchema).as("e"), col("shard"))
+      .select(col("shard"), explode(col("e.changes")).as("c"))
+      .select(col("shard"),
+        graft.functions.functions.slice_packed_row(
+          col("c.after.lengths"), unbase64(col("c.after.values"))).as("r"))
+      .select(
+        colAt(1).cast(LongType).as("o_orderkey"),
+        colAt(2).cast(LongType).as("o_custkey"),
+        colAt(3).as("o_orderstatus"),
+        colAt(4).cast(DoubleType).as("o_totalprice"),
+        to_timestamp(colAt(5), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        colAt(6).as("o_orderpriority"),
+        col("shard"))
+  }
+
+  val qCdcSqlDecodeSql: String = qCdcInsertRoundtripSql
+
   val queries: Map[String, Q] = Map(
     "cdc_stream_source"    -> qCdcStreamSource,
+    "cdc_sql_decode"       -> qCdcSqlDecode,
     "cdc_materialize"      -> qCdcMaterialize,
     "cdc_topic_routing"    -> qCdcTopicRouting,
     "cdc_column_rules"     -> qCdcColumnRules,
@@ -446,6 +486,7 @@ object CdcQueries {
 
   val oracleSql: Map[String, String] = Map(
     "cdc_stream_source"    -> qCdcStreamSourceSql,
+    "cdc_sql_decode"       -> qCdcSqlDecodeSql,
     "cdc_materialize"      -> qCdcMaterializeSql,
     "cdc_topic_routing"    -> qCdcTopicRoutingSql,
     "cdc_column_rules"     -> qCdcColumnRulesSql,

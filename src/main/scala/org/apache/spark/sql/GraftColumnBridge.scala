@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between Catalyst `Expression`s and the public `Column` API.
+  * Spark 4 made the converters `private[sql]`; libraries that ship custom
+  * expressions (Delta, frameless, …) expose them through a shim in the
+  * `org.apache.spark.sql` package — this is that shim for graft. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.streaming.PackedRow
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SlicePackedRowSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("slice-packed-row-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("slices bytes by lengths; -1 is NULL; matches PackedRow.slice") {
+    val sp = spark; import sp.implicits._
+    val packed = PackedRow.of(Seq(Some("142"), None, Some("x"), Some("")))
+    val df = Seq((packed.lengths, packed.values)).toDF("lengths", "values")
+      .select(functions.slice_packed_row(col("lengths"), col("values")).as("r"))
+    val row = df.first().getSeq[Array[Byte]](0)
+    assert(row.size == 4)
+    assert(new String(row(0)) == "142")
+    assert(row(1) == null)
+    assert(new String(row(2)) == "x")
+    assert(row(3).length == 0)
+  }
+
+  test("generates real code (no CodegenFallback) and evaluates through it") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val packed = PackedRow.of(Seq(Some("7"), Some("ok")))
+    val expr = SlicePackedRow(
+      Literal(new GenericArrayData(packed.lengths.toArray), ArrayType(LongType)),
+      Literal(packed.values, BinaryType))
+    assert(!expr.isInstanceOf[CodegenFallback])
+    val code = expr.genCode(new CodegenContext).code.toString
+    assert(code.contains("copyOfRange")) // our generated loop, not reflection
+    // and the DataFrame path evaluates it end-to-end
+    val sp = spark; import sp.implicits._
+    val df = Seq((packed.lengths, packed.values)).toDF("lengths", "values")
+      .repartition(1)
+      .select(functions.slice_packed_row(col("lengths"), col("values")).as("r"))
+      .select(element_at(col("r"), 2).cast("string").as("v"))
+    assert(df.first().getString(0) == "ok")
+  }
+
+  test("null input yields null output") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((null.asInstanceOf[Seq[Long]], null.asInstanceOf[Array[Byte]]))
+      .toDF("lengths", "values")
+      .select(functions.slice_packed_row(col("lengths"), col("values")).as("r"))
+    assert(df.first().isNullAt(0))
+  }
+}
