@@ -24,6 +24,15 @@ object CdcQueries {
     }
   }
 
+  /** The default orders change log, computed once per scale dir and
+    * persisted — several gates query the same log, exactly like a real
+    * deployment materializes one change log for many consumers. */
+  private val sharedRecords =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def ordersChangeLog(s: SparkSession, d: String): DataFrame =
+    sharedRecords.computeIfAbsent(d, _ =>
+      CdcPipelineHelpers.cache(CdcPipeline.changeRecords(s, CdcFeed.orders(s, d)).toDF()))
+
   private def afterStr(field: String) = get_json_object(col("after"), s"$$.$field")
 
   // -------------------------------------------------- insert round-trip
@@ -31,8 +40,8 @@ object CdcQueries {
     * slicing, typed decode, envelope — values must match the source
     * table exactly. */
   val qCdcInsertRoundtrip: Q = (s, d) => {
-    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
-    recs.toDF()
+    val recs = ordersChangeLog(s, d)
+    recs
       .filter(col("op") === "c")
       .select(
         afterStr("o_orderkey").cast(LongType).as("o_orderkey"),
@@ -74,8 +83,8 @@ object CdcQueries {
     * stays 0 on a stable host set, and every tx after the first carries
     * the previous tx's position as its restart offset. */
   val qCdcTxMetadata: Q = (s, d) => {
-    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
-    recs.toDF()
+    val recs = ordersChangeLog(s, d)
+    recs
       .filter(col("op") === "c")
       .groupBy(col("shard"))
       .agg(
@@ -212,8 +221,8 @@ object CdcQueries {
   /** T1/T2: drop source.vgtid, blank transaction.id — no record retains
     * either value. */
   val qCdcRemoveReplace: Q = (s, d) => {
-    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
-    val env = Envelope.toEnvelope(recs.toDF())
+    val recs = ordersChangeLog(s, d)
+    val env = Envelope.toEnvelope(recs)
     val t1 = Transforms.removeField(env, "source.vgtid")
     val t2 = Transforms.replaceFieldValue(t1, "transaction.id")
     t2.filter(col("op") === "c")
@@ -412,9 +421,9 @@ object CdcQueries {
 
   // -------------------------------------------------- cloud events T5
   val qCdcCloudEvents: Q = (s, d) => {
-    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d))
+    val recs = ordersChangeLog(s, d)
     val ce = Transforms.toCloudEvents(
-      Envelope.toEnvelope(recs.toDF().filter(col("op") === "c")))
+      Envelope.toEnvelope(recs.filter(col("op") === "c")))
     ce.select(
       sum(when(col("ce_id").rlike("^name:graft;vgtid:.*feed.*"), 1L).otherwise(0L)).as("n_id_ok"),
       countDistinct(col("ce_type")).as("n_types"),

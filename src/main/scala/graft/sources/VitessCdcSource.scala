@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -127,7 +127,8 @@ object VgtidOffset {
   }
 }
 
-class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
+class VitessCdcStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val path = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("vitess-cdc source requires a path"))
   private val keyspace = Option(options.get("keyspace")).getOrElse("ks")
@@ -179,35 +180,65 @@ class VitessCdcStream(options: CaseInsensitiveStringMap) extends MicroBatchStrea
           generation)
     }
 
+  // Backpressure analogue of the reference's bounded queue
+  // (VitessConnectorTask.java:118-125): cap how many new transactions a
+  // micro-batch admits per shard.
+  private val maxTxsPerTrigger: Long =
+    Option(options.get("max.txs.per.trigger")).map(_.toLong).getOrElse(Long.MaxValue)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
   /** Scan each shard file for its last VGTID position and fold epoch
     * transitions along the way (driver-side; the real gRPC source would
     * maintain this incrementally from the stream). A generation change
-    * vs the offset's stored generation bumps every epoch once (A5). */
-  override def latestOffset(): Offset = {
+    * vs the offset's stored generation bumps every epoch once (A5). With
+    * `max.txs.per.trigger`, the scan stops advancing a shard once the cap
+    * of new positions beyond `start` is reached — bounded batches. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VgtidOffset]
     val init = initialOffset().asInstanceOf[VgtidOffset]
-    var epochs = EpochProvider.applyGeneration(init.epochs, init.generation, generation)
+    // epoch fold always replays the whole file from the initial baseline —
+    // idempotent, so restarts/bounded batches can't double-count a host
+    // change; `from` only gates how many NEW transactions are admitted
+    var epochs = EpochProvider.applyGeneration(init.epochs, from.generation, generation)
     val gtids = shardFiles.map { case (shard, file) =>
+      val startGtid = from.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
+      val startRank =
+        if (startGtid == Vgtid.EmptyGtid || startGtid == Vgtid.CurrentGtid) BigDecimal(0)
+        else Rank.of(startGtid)
       var lastGtid = init.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
       var epoch = epochs.get(shard).getOrElse(0L)
+      var admitted = 0L
       val lines = Files.lines(file)
       try {
-        lines.iterator().asScala.foreach { line =>
-          VEventJson.read(line) match {
+        val it = lines.iterator().asScala
+        while (it.hasNext && admitted < maxTxsPerTrigger) {
+          VEventJson.read(it.next()) match {
             case VgtidEvent(_, v) =>
               v.shardGtid(shard).foreach { sg =>
-                if (lastGtid != Vgtid.EmptyGtid && lastGtid != Vgtid.CurrentGtid)
-                  epoch = EpochProvider.epochForGtid(epoch, lastGtid, sg.gtid)
-                lastGtid = sg.gtid
+                if (sg.gtid != lastGtid) {
+                  if (Rank.of(sg.gtid) > startRank) admitted += 1
+                  if (lastGtid != Vgtid.EmptyGtid && lastGtid != Vgtid.CurrentGtid)
+                    epoch = EpochProvider.epochForGtid(epoch, lastGtid, sg.gtid)
+                  lastGtid = sg.gtid
+                }
               }
             case _ =>
           }
         }
       } finally lines.close()
       epochs = epochs.put(shard, epoch)
-      ShardGtid(keyspace, shard, lastGtid)
+      // never regress behind the committed start position
+      val lastRank =
+        if (lastGtid == Vgtid.EmptyGtid || lastGtid == Vgtid.CurrentGtid) BigDecimal(0)
+        else Rank.of(lastGtid)
+      ShardGtid(keyspace, shard, if (lastRank < startRank) startGtid else lastGtid)
     }
     VgtidOffset(Vgtid(gtids), epochs, generation)
   }
+
+  override def latestOffset(): Offset =
+    latestOffset(initialOffset(), ReadLimit.allAvailable())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VgtidOffset]

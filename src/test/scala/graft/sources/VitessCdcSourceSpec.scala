@@ -315,6 +315,25 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("max.txs.per.trigger bounds each micro-batch (admission control)") {
+    val feedDir = Files.createTempDirectory("cdcfeed13")
+    val ckpt = Files.createTempDirectory("cdcckpt13")
+    writeFeed(feedDir, "s0", (1L to 5L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("max.txs.per.trigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdc_bounded")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    // all 5 transactions delivered exactly once, across >= 3 batches
+    val ids = spark.sql("SELECT get_json_object(after, '$.id') FROM cdc_bounded ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("1", "2", "3", "4", "5"))
+    val batches = spark.sql("SELECT count(DISTINCT vgtid) FROM cdc_bounded").first().getLong(0)
+    assert(batches == 5) // one position per tx, regardless of batching
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
