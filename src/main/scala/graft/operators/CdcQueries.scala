@@ -279,8 +279,11 @@ object CdcQueries {
       .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
     (0 until CdcFeed.DefaultShards).foreach { i =>
       val shard = i.toString
-      val parts = Files.list(tmp.resolve(s"shard=$shard")).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+      val listing = Files.list(tmp.resolve(s"shard=$shard"))
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+        finally listing.close()
       require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
       Files.move(parts.head, feedDir.resolve(s"$shard.jsonl"))
     }

@@ -14,20 +14,24 @@ import scala.jdk.CollectionConverters._
   */
 object Metadata {
 
+  private def listDir[T](dir: String)(f: Iterator[java.nio.file.Path] => T): T = {
+    val listing = Files.list(Paths.get(dir))
+    try f(listing.iterator().asScala)
+    finally listing.close()
+  }
+
   /** All shards of the feed (SHOW VITESS_SHARDS). */
   def shards(feedDir: String): Seq[String] =
-    Files.list(Paths.get(feedDir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".jsonl"))
+    listDir(feedDir)(_.filter(_.getFileName.toString.endsWith(".jsonl"))
       .map(_.getFileName.toString.stripSuffix(".jsonl"))
-      .toSeq.sorted
+      .toSeq.sorted)
 
   /** Shards with at least one event (SHOW VITESS_TABLETS → serving
     * tablets only; F5 empty-shard exclusion). */
   def nonEmptyShards(feedDir: String): Seq[String] =
-    Files.list(Paths.get(feedDir)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".jsonl") && Files.size(p) > 0)
+    listDir(feedDir)(_.filter(p => p.getFileName.toString.endsWith(".jsonl") && Files.size(p) > 0)
       .map(_.getFileName.toString.stripSuffix(".jsonl"))
-      .toSeq.sorted
+      .toSeq.sorted)
 
   /** Distinct `keyspace.table` names seen in FIELD events (SHOW TABLES). */
   def tables(spark: SparkSession, feedDir: String): Seq[String] = {

@@ -157,12 +157,14 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   /** F5: shards with no events are excluded from planning by default
     * (reference getNonEmptyShards, VitessMetadata.java:201-216). */
   private def shardFiles: Seq[(String, Path)] = {
-    val dir = Paths.get(path)
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".jsonl"))
-      .filter(p => !excludeEmptyShards || Files.size(p) > 0)
-      .map(p => p.getFileName.toString.stripSuffix(".jsonl") -> p)
-      .toSeq.sortBy(_._1)
+    val listing = Files.list(Paths.get(path))
+    try {
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".jsonl"))
+        .filter(p => !excludeEmptyShards || Files.size(p) > 0)
+        .map(p => p.getFileName.toString.stripSuffix(".jsonl") -> p)
+        .toSeq.sortBy(_._1)
+    } finally listing.close()
   }
 
   /** S4: explicit `vgtid` option, else empty GTIDs for every discovered
@@ -188,6 +190,13 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Epoch seed for a shard not yet in the map: with inherit.epoch a
+    * reshard child starts at max(overlapping parents) + 1 (A4,
+    * ShardLineage); otherwise 0. */
+  private def seedEpoch(shard: String, epochs: ShardEpochMap): Long =
+    epochs.get(shard).getOrElse(
+      if (inheritEpoch) ShardLineage.inheritedEpoch(shard, epochs) else 0L)
+
   /** Scan each shard file for its last VGTID position and fold epoch
     * transitions along the way (driver-side; the real gRPC source would
     * maintain this incrementally from the stream). A generation change
@@ -207,7 +216,14 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         if (startGtid == Vgtid.EmptyGtid || startGtid == Vgtid.CurrentGtid) BigDecimal(0)
         else Rank.of(startGtid)
       var lastGtid = init.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
-      var epoch = epochs.get(shard).getOrElse(0L)
+      // Existing shards fold from the BASELINE (the whole-file replay is
+      // what makes the fold idempotent — folding from the current epoch
+      // would re-count every host change each trigger and the offset
+      // would never converge). Only a shard absent from the start offset
+      // (a reshard child appearing now) seeds from lineage (A4).
+      var epoch =
+        if (from.epochs.get(shard).isDefined) epochs.get(shard).getOrElse(0L)
+        else seedEpoch(shard, from.epochs)
       var admitted = 0L
       val lines = Files.lines(file)
       try {
@@ -249,7 +265,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       if (startGtid == endGtid) None // nothing new on this shard
       else Some(VitessCdcPartition(
         shard, keyspace, file.toString, startGtid, endGtid,
-        s.epochs.get(shard).getOrElse(0L), emitBoundaries, tableFilter,
+        seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
         heartbeatPerBatch, inheritEpoch, snapshotTables): InputPartition)
     }.toArray
   }

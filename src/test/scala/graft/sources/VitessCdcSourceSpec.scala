@@ -334,6 +334,33 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches == 5) // one position per tx, regardless of batching
   }
 
+  test("reshard: a new shard appearing mid-stream inherits max(parent)+1 epoch (A4)") {
+    val feedDir = Files.createTempDirectory("cdcfeed14")
+    val ckpt = Files.createTempDirectory("cdcckpt14")
+    val out = Files.createTempDirectory("cdcreshardout")
+    // parent shard "-80": two txs, host change bumps its epoch to 1
+    writeFeed(feedDir, "-80",
+      insertTx("-80", 1, 1, "a") ++ insertTx("-80", 2, 2, "b", host = "failover"))
+    def run(): Unit = {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("inherit.epoch", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // reshard: child "40-60" (overlaps [-inf,80)) appears
+    writeFeed(feedDir, "40-60", insertTx("40-60", 1, 10, "c"))
+    run()
+    val rows = spark.read.parquet(out.toString)
+      .where("op = 'c' AND shard = '40-60'")
+      .selectExpr("shard", "epoch").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("40-60", 2L)))
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
