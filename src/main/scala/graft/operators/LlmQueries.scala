@@ -224,7 +224,32 @@ object LlmQueries {
       |  strlen(text)::BIGINT AS total_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------- sessions
+  /** Sessionization (30-min gap) over events — the batch twin of the
+    * flatMapGroupsWithState streaming operator; the oracle recomputes the
+    * identical lag/cumsum construction. */
+  val qEventsSessions: Q = (s, d) =>
+    Sessions.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+
+  val qEventsSessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_sessions"     -> qEventsSessions,
     "text_stats"          -> qTextStats,
     "text_langid"         -> qTextLangid,
     "text_fingerprint"    -> qTextFingerprint,
@@ -237,6 +262,7 @@ object LlmQueries {
     "multimodal_frames"   -> qMultimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
+    "events_sessions"     -> qEventsSessionsSql,
     "text_stats"          -> qTextStatsSql,
     "text_langid"         -> qTextLangidSql,
     "text_fingerprint"    -> qTextFingerprintSql,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType}
+
+/** Sessionization over the events stream: consecutive events of a user
+  * belong to one session until a gap larger than `gapMinutes`.
+  *
+  * Two implementations with identical semantics:
+  *  - `sessionizeBatch`: window lag → break marker → running sum (two
+  *    passes over one shuffle on user_id) — SQL-expressible, so the
+  *    DuckDB oracle can recompute it;
+  *  - `SessionizeStream`: `flatMapGroupsWithState` keyed by user — the
+  *    custom-state streaming operator (closed sessions emit as soon as a
+  *    later event proves the gap; open sessions wait in state).
+  */
+object Sessions {
+
+  /** Per-session aggregates; deterministic tie-break on (ts, event_id). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("total_value"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  // ------------------------------------------------------- streaming
+  final case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  final case class SessionState(startMicros: Long, lastMicros: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, startMicros: Long, n_events: Long, total_value: Double)
+
+  /** flatMapGroupsWithState session assembly: events for a user extend
+    * the open session or close it (emitting) when the gap exceeds the
+    * threshold. Events within a batch are sorted by (ts, event_id) —
+    * cross-batch order is the stream's responsibility (CDC feeds are
+    * per-key ordered). The final open session stays in state until a
+    * later event closes it (a stream with a liveness/heartbeat event per
+    * key gets completion for free; timeouts would force continuous
+    * no-data batches under the default trigger). */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: Dataset[Ev],
+      gapMinutes: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => Session(user, s.startMicros, s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.tsMicros, e.event_id))
+            val closed = Vector.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
+                  cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(user, s.startMicros, s.n, s.total)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            closed.result().iterator
+          }
+      }
+  }
+}

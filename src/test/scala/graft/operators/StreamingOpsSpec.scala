@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming-native operator specs: flatMapGroupsWithState
+  * sessionization (custom state) and watermarked windowed aggregation
+  * (late-data handling). */
+class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("streaming-ops-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val Minute = 60L * 1000000L
+
+  test("flatMapGroupsWithState sessionization: gap closes sessions, state spans batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Sessions.Ev]
+    val sessions = Sessions.sessionizeStream(sp, input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one open session)
+      input.addData(
+        Sessions.Ev(1L, 1L, 0L, 1.0),
+        Sessions.Ev(1L, 2L, 10 * Minute, 2.0))
+      q.processAllAvailable()
+      assert(sp.table("sess_out").count() == 0) // still open, nothing closed
+
+      // batch 2: a 60-min gap closes the first session and opens another;
+      // user 2 starts fresh
+      input.addData(
+        Sessions.Ev(1L, 3L, 70 * Minute, 4.0),
+        Sessions.Ev(2L, 4L, 0L, 8.0))
+      q.processAllAvailable()
+      val closed = sp.table("sess_out").as[Sessions.Session].collect()
+      assert(closed.toSeq == Seq(Sessions.Session(1L, 0L, 2L, 3.0)))
+
+      // batch 3: another gap for user 1 closes the second session
+      input.addData(Sessions.Ev(1L, 5L, 200 * Minute, 16.0))
+      q.processAllAvailable()
+      val after = sp.table("sess_out").as[Sessions.Session].collect().toSeq
+      assert(after.contains(Sessions.Session(1L, 70 * Minute, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessions match the batch operator on the same data") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // deterministic event set with several sessions per user
+    val evs = for {
+      u <- 1L to 3L
+      i <- 0L until 9L
+    } yield Sessions.Ev(u, u * 100 + i, (i / 3) * 120 * Minute + (i % 3) * Minute, i.toDouble)
+    val input = MemoryStream[Sessions.Ev]
+    val q = Sessions.sessionizeStream(sp, input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_cmp")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // close the final sessions with a sentinel far in the future
+      input.addData((1L to 3L).map(u => Sessions.Ev(u, 9999 + u, 100000L * Minute, 0.0)): _*)
+      q.processAllAvailable()
+      val streamed = sp.table("sess_cmp")
+        .select("user_id", "startMicros", "n_events", "total_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = Sessions.sessionizeBatch(
+        evs.toDF("user_id", "event_id", "tsMicros", "value")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("tsMicros")).as("ts"), col("value")),
+        gapMinutes = 30)
+        .select(col("user_id"), unix_micros(col("session_start")),
+          col("n_events"), col("total_value").cast("double"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation drops late data in append mode") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, String)] // (tsMicros, event_type)
+    val agg = input.toDS()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val Hour = 60 * Minute
+      input.addData((1 * Minute, "a"), (2 * Minute, "a"), (5 * Minute, "b"))
+      q.processAllAvailable()
+      // advance event time far enough to close the first hour window
+      input.addData((2 * Hour, "a"))
+      q.processAllAvailable()
+      // late event for the closed window — dropped by the watermark
+      input.addData((3 * Minute, "a"))
+      q.processAllAvailable()
+      input.addData((4 * Hour, "a")) // close remaining windows
+      q.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT event_type, n FROM win_out WHERE window.start = timestamp'1970-01-01 00:00:00' ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // first-hour window: 2 'a' (late third dropped), 1 'b'
+      assert(rows == Seq(("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+}
