@@ -248,8 +248,79 @@ object LlmQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  // --------------------------------------------- n-gram jaccard (exact)
+  /** Exact 3-gram Jaccard similarity for the injected near-dup pairs —
+    * the verifier the LSH candidates run through, checked standalone
+    * against the identical DuckDB list-algebra. */
+  val qDedupNgramJaccard: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("id_a"), Dedup.shingles(col("text"), 3).as("sh_a"))
+    val b = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id_b"),
+        Dedup.shingles(concat(col("text"), lit(" zzzz")), 3).as("sh_b"))
+    a.join(b, col("id_a") === col("id_b"))
+      .select(col("id_a").as("doc_id"),
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupNgramJaccardSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t1,
+      |    string_split(lower(trim(regexp_replace(text || ' zzzz', '\s+', ' ', 'g'))), ' ') AS t2
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([t1[i] || ' ' || t1[i+1] || ' ' || t1[i+2]
+      |      FOR i IN generate_series(1, len(t1) - 2)]) AS sh_a,
+      |    list_distinct([t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2]
+      |      FOR i IN generate_series(1, len(t2) - 2)]) AS sh_b
+      |  FROM tok
+      |)
+      |SELECT doc_id,
+      |  round(len(list_intersect(sh_a, sh_b))::DOUBLE
+      |        / len(list_distinct(sh_a || sh_b))::DOUBLE, 6) AS jaccard
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------- embedding-cosine near-dup
+  /** Embedding near-dup via hyperplane buckets: duplicated vectors share
+    * every signature bit, so recall on injected exact duplicates is
+    * guaranteed; the data has no natural pairs at ≥0.9999. */
+  val qDedupEmbedding: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dups = emb.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    Similarity.cosineNearDupPairs(emb.unionByName(dups), threshold = 0.9999)
+      .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
+  }
+
+  val qDedupEmbeddingSql: String =
+    """SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
+      |WHERE vec_id % 9 = 0 ORDER BY id_a""".stripMargin
+
+  // ------------------------------------------------- props extraction
+  /** Semi-structured analytics over the events props JSON column. */
+  val qEventsProps: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val qEventsPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_sessions"     -> qEventsSessions,
+    "events_props"        -> qEventsProps,
+    "dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "dedup_embedding"     -> qDedupEmbedding,
     "text_stats"          -> qTextStats,
     "text_langid"         -> qTextLangid,
     "text_fingerprint"    -> qTextFingerprint,
@@ -263,6 +334,9 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "events_sessions"     -> qEventsSessionsSql,
+    "events_props"        -> qEventsPropsSql,
+    "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "dedup_embedding"     -> qDedupEmbeddingSql,
     "text_stats"          -> qTextStatsSql,
     "text_langid"         -> qTextLangidSql,
     "text_fingerprint"    -> qTextFingerprintSql,
