@@ -172,8 +172,11 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double = 0.6): DataFrame = {
-    val drop = minhashNearDupPairs(df, textCol, idCol, threshold)
+      threshold: Double = 0.6,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val drop = minhashNearDupPairs(df, textCol, idCol, threshold, shingleN, numHashes, bands)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }

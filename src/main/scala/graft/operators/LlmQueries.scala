@@ -139,6 +139,38 @@ object LlmQueries {
       |      / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The drop policy itself: near-dedup keeps every doc that is nobody's
+    * larger twin. The oracle derives survivors from the exact all-pairs
+    * Jaccard ground truth computed in SQL. */
+  val qDedupMinhashSurvivors: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val nearDups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zzzz")).as("text"))
+    Dedup.minhashDedup(docs.unionByName(nearDups), "text", "doc_id", threshold = 0.8)
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+  }
+
+  val qDedupMinhashSurvivorsSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zzzz' FROM documents WHERE doc_id % 7 = 0
+      |), tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM all_docs
+      |), shingle_sets AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+      |  FROM tok WHERE len(toks) >= 3
+      |), dropped AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.8
+      |)
+      |SELECT count(*) AS n_kept, sum(doc_id) AS sum_kept
+      |FROM all_docs WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+
   /** SimHash banding recall on injected EXACT duplicates: identical text
     * → identical 64-bit signature → Hamming 0, so banding must find every
     * pair (near-dup behavior at distance >0 is asserted in the unit
@@ -326,6 +358,7 @@ object LlmQueries {
     "text_fingerprint"    -> qTextFingerprint,
     "dedup_exact"         -> qDedupExact,
     "dedup_minhash"       -> qDedupMinhash,
+    "dedup_minhash_kept"  -> qDedupMinhashSurvivors,
     "dedup_simhash"       -> qDedupSimhash,
     "ann_topk"            -> qAnnTopk,
     "ann_ivf"             -> qAnnIvf,
@@ -342,6 +375,7 @@ object LlmQueries {
     "text_fingerprint"    -> qTextFingerprintSql,
     "dedup_exact"         -> qDedupExactSql,
     "dedup_minhash"       -> qDedupMinhashSql,
+    "dedup_minhash_kept"  -> qDedupMinhashSurvivorsSql,
     "dedup_simhash"       -> qDedupSimhashSql,
     "ann_topk"            -> qAnnTopkSql,
     "multimodal_features" -> qMultimodalFeaturesSql,

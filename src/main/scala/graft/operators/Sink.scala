@@ -63,12 +63,26 @@ object Sink {
       }
       .start()
 
+  /** The streaming source emits snake_case column names (ts_ms, tx_id,
+    * total_order…); the batch pipeline's Dataset[ChangeRecord] uses the
+    * case-class names. Normalize either shape to the pipeline names so
+    * every operator below accepts both. */
+  def normalize(records: DataFrame): DataFrame = {
+    val renames = Seq(
+      "ts_ms" -> "tsMs", "restart_vgtid" -> "restartVgtid", "tx_id" -> "txId",
+      "total_order" -> "totalOrder", "collection_order" -> "collectionOrder")
+    renames.foldLeft(records) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    }
+  }
+
   /** CDC→table materialization: latest state per key. Version order is
     * (epoch, rank, total_order) — the ordered-transaction metadata built
     * exactly for this (A2/A3: rank is monotone per shard+epoch). Deletes
     * drop the key. One shuffle on the key; at scale the window is the
     * same cost as the groupBy a merge would need. */
-  def materialize(records: DataFrame, table: String, schema: StructType): DataFrame = {
+  def materialize(records0: DataFrame, table: String, schema: StructType): DataFrame = {
+    val records = normalize(records0)
     val w = Window.partitionBy(col("key"))
       .orderBy(
         col("epoch").desc,

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.{CdcFeed, Sink}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed-pipeline invariants: results are independent of the shard
+  * count (the parallelism knob), and source output materializes the same
+  * table as pipeline output. */
+class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("cdc-pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("decoded content is invariant to the shard count") {
+    def digest(nShards: Int): (Long, Long) = {
+      val recs = CdcPipeline.changeRecords(spark, CdcFeed.orders(spark, sfDir, nShards = nShards))
+      val row = recs.toDF().filter(col("op") === "c")
+        .agg(count(lit(1)),
+          sum(get_json_object(col("after"), "$.o_orderkey").cast("long")))
+        .first()
+      (row.getLong(0), row.getLong(1))
+    }
+    assert(digest(2) == digest(16)) // 16 shards = more parallelism, same data
+  }
+
+  test("source output materializes identically to pipeline output (schema shapes)") {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("matfeed")
+    val ckpt = Files.createTempDirectory("matckpt")
+    val out = Files.createTempDirectory("matout")
+    // write a small feed and run it through the streaming source
+    val tmp = feedDir.resolve("_tmp")
+    CdcFeed.orders(spark, sfDir, nShards = 2)
+      .repartition(2, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+      .select(col("line"), col("shard"))
+      .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    (0 until 2).foreach { i =>
+      val listing = Files.list(tmp.resolve(s"shard=$i"))
+      val part =
+        try listing.iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
+        finally listing.close()
+      Files.move(part, feedDir.resolve(s"$i.jsonl"))
+    }
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    // snake_case source output goes through the same materializer
+    val fromSource = Sink.materialize(spark.read.parquet(out.toString), "orders", schema)
+    val fromPipeline = Sink.materialize(
+      CdcPipeline.changeRecords(spark, CdcFeed.orders(spark, sfDir, nShards = 2)).toDF(),
+      "orders", schema)
+    val a = fromSource.agg(count(lit(1)), sum(col("o_orderkey"))).first()
+    val b = fromPipeline.agg(count(lit(1)), sum(col("o_orderkey"))).first()
+    assert(a == b)
+    assert(a.getLong(0) > 0)
+  }
+}
