@@ -230,7 +230,38 @@ object Analytics {
       |GROUP BY CAST(ts AS DATE), event_type
       |ORDER BY day, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- rollup
+  /** Revenue rollup over (nation, market segment) — Catalyst's Expand
+    * operator computes all grouping levels in one pass over the join
+    * output; only the 25-row nation dim is force-broadcast. */
+  val qRollupRevenue: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  val qRollupRevenueSql: String =
+    """SELECT n_name, c_mktsegment,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rollup_revenue"     -> qRollupRevenue,
     "q1_pricing_summary"   -> q1PricingSummary,
     "q3_top_orders"        -> q3TopOrders,
     "q5_nation_revenue"    -> q5NationRevenue,
@@ -241,6 +272,7 @@ object Analytics {
     "q_events_daily"       -> qEventsDaily)
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup_revenue"     -> qRollupRevenueSql,
     "q1_pricing_summary"   -> q1Sql,
     "q3_top_orders"        -> q3Sql,
     "q5_nation_revenue"    -> q5Sql,

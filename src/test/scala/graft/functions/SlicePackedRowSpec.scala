@@ -56,6 +56,14 @@ class SlicePackedRowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.first().getString(0) == "ok")
   }
 
+  test("registered as a SQL function (extensions or runtime registration)") {
+    graft.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT cast(element_at(slice_packed_row(array(1L, 2L), cast('abc' as binary)), 2) as string)")
+      .first().getString(0)
+    assert(out == "bc")
+  }
+
   test("null input yields null output") {
     val sp = spark; import sp.implicits._
     val df = Seq((null.asInstanceOf[Seq[Long]], null.asInstanceOf[Array[Byte]]))
