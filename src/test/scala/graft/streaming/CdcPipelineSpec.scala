@@ -40,6 +40,31 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(digest(2) == digest(16)) // 16 shards = more parallelism, same data
   }
 
+  test("streaming topic fan-out writes one directory per topic (S7)") {
+    import java.nio.file.Files
+    import graft.core.{ShardGtid, Vgtid}
+    val feedDir = Files.createTempDirectory("topicfeed")
+    val ckpt = Files.createTempDirectory("topicckpt")
+    val out = Files.createTempDirectory("topicout")
+    val fields = Seq(FieldDef("id", "INT64", "bigint(20)", 20, 0, graft.core.ColumnFlags.PriKey))
+    def tx(seq: Long, table: String): Seq[VEvent] = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", s"ks.$table", fields, enumSetStringValues = false),
+      RowEvent("0", "ks", s"ks.$table", Seq(RowChange(None, Some(PackedRow.of(Seq(Some(seq.toString))))))),
+      VgtidEvent("0", Vgtid(Seq(ShardGtid("ks", "0", s"MySQL56/feed:1-$seq")))),
+      CommitEvent("0", "ks", seq))
+    Files.writeString(feedDir.resolve("0.jsonl"),
+      (tx(1, "t1") ++ tx(2, "t2")).map(VEventJson.write).mkString("", "\n", "\n"))
+    val records = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString).load()
+      .filter(org.apache.spark.sql.functions.col("op") === "c")
+    val q = Sink.streamByTopic(records, Sink.TopicConfig("graft"), out.toString, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+    val topics = spark.read.parquet(out.toString)
+      .select("topic").distinct().collect().map(_.getString(0)).toSeq.sorted
+    assert(topics == Seq("graft.t1", "graft.t2"))
+  }
+
   test("source output materializes identically to pipeline output (schema shapes)") {
     import java.nio.file.Files
     val feedDir = Files.createTempDirectory("matfeed")
