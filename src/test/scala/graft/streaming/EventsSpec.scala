@@ -269,6 +269,53 @@ class RecordBuilderSpec extends AnyFunSuite {
     assert(recs.last.tsMs == 1700000099L * 1000)
   }
 
+  test("composite primary key: key json carries all pk columns in order") {
+    val fields = Seq(
+      FieldDef("k1", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("k2", "VARCHAR", "varchar(8)", 8, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("v", "INT32", "int(11)", 11, 0, 0L))
+    val events = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", "ks.ck", fields, enumSetStringValues = false),
+      RowEvent("0", "ks", "ks.ck", Seq(
+        RowChange(None, Some(PackedRow.of(Seq(Some("7"), Some("ab"), Some("1"))))))),
+      VgtidEvent("0", vgtid(1)),
+      CommitEvent("0", "ks", 1L))
+    val recs = build(events)
+    assert(recs.head.key.contains("""{"k1":7,"k2":"ab"}"""))
+  }
+
+  test("no primary key: unique key fallback, else key is absent") {
+    val uniqueFields = Seq(
+      FieldDef("u", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.UniqueKey),
+      FieldDef("v", "INT32", "int(11)", 11, 0, 0L))
+    val noKeyFields = Seq(
+      FieldDef("a", "INT32", "int(11)", 11, 0, 0L),
+      FieldDef("b", "INT32", "int(11)", 11, 0, 0L))
+    val events = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", "ks.uq", uniqueFields, enumSetStringValues = false),
+      FieldEvent("0", "ks", "ks.nk", noKeyFields, enumSetStringValues = false),
+      RowEvent("0", "ks", "ks.uq", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("5"), Some("1"))))))),
+      RowEvent("0", "ks", "ks.nk", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("2"), Some("3"))))))),
+      VgtidEvent("0", vgtid(1)),
+      CommitEvent("0", "ks", 1L))
+    val recs = build(events)
+    assert(recs(0).key.contains("""{"u":5}""")) // unique-key fallback
+    assert(recs(1).key.isEmpty) // keyless table: no key struct
+  }
+
+  test("anonymized @N column names fail fast (Vitess schema-reload bug)") {
+    val bad = Seq(FieldDef("@1", "INT64", "bigint(20)", 20, 0, 0L))
+    intercept[IllegalArgumentException] {
+      build(Seq(
+        BeginEvent("0", "ks"),
+        FieldEvent("0", "ks", "ks.t1", bad, enumSetStringValues = false),
+        VgtidEvent("0", vgtid(1)),
+        CommitEvent("0", "ks", 1L)))
+    }
+  }
+
   test("row for unknown table fails fast") {
     val events = Seq(
       BeginEvent("0", "ks"),
