@@ -229,17 +229,23 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       try {
         val it = lines.iterator().asScala
         while (it.hasNext && admitted < maxTxsPerTrigger) {
-          VEventJson.read(it.next()) match {
-            case VgtidEvent(_, v) =>
-              v.shardGtid(shard).foreach { sg =>
-                if (sg.gtid != lastGtid) {
-                  if (Rank.of(sg.gtid) > startRank) admitted += 1
-                  if (lastGtid != Vgtid.EmptyGtid && lastGtid != Vgtid.CurrentGtid)
-                    epoch = EpochProvider.epochForGtid(epoch, lastGtid, sg.gtid)
-                  lastGtid = sg.gtid
+          val line = it.next()
+          // cheap prefilter: only VGTID lines need JSON parsing (the scan
+          // is driver-side and single-threaded — parsing every event line
+          // would dominate trigger latency on large feeds)
+          if (line.contains("\"VGTID\"")) {
+            VEventJson.read(line) match {
+              case VgtidEvent(_, v) =>
+                v.shardGtid(shard).foreach { sg =>
+                  if (sg.gtid != lastGtid) {
+                    if (Rank.of(sg.gtid) > startRank) admitted += 1
+                    if (lastGtid != Vgtid.EmptyGtid && lastGtid != Vgtid.CurrentGtid)
+                      epoch = EpochProvider.epochForGtid(epoch, lastGtid, sg.gtid)
+                    lastGtid = sg.gtid
+                  }
                 }
-              }
-            case _ =>
+              case _ =>
+            }
           }
         }
       } finally lines.close()
