@@ -152,6 +152,17 @@ object ValueConversion {
   def bitToBoolean(bytes: Array[Byte]): Boolean =
     bytes.nonEmpty && bytes(bytes.length - 1) != 0
 
+  /** Zero-date sentinel on a NOT NULL column: the reference delivers the
+    * epoch fallback instead of null (VitessValueConverter.java:505-543 —
+    * Debezium convertValue's fallback for non-optional columns). Only
+    * temporal types collapse non-null raw values to None. */
+  def epochFallback(tpe: GraftType): Option[Any] = tpe match {
+    case GraftType.DateT        => Some(LocalDate.ofEpochDay(0))
+    case _: GraftType.DatetimeT => Some(LocalDateTime.ofEpochSecond(0, 0, ZoneOffset.UTC))
+    case _: GraftType.TimestampT => Some(0L)
+    case _ => None
+  }
+
   /** Decode one raw column value per its resolved type. Returns the
     * engine-native Scala value aligned with `GraftType.sparkType`.
     * `None` means SQL NULL (zero-date sentinel collapse). */

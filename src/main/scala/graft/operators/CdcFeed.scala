@@ -209,6 +209,7 @@ object CdcFeed {
       FieldDef("c_bit1", "BIT", "bit(1)", 1, 0, 0L),
       FieldDef("c_date", "DATE", "date", 10, 0, 0L),
       FieldDef("c_zero_date", "DATE", "date", 10, 0, 0L),
+      FieldDef("c_zero_dt_nn", "DATETIME", "datetime", 19, 0, ColumnFlags.NotNull),
       FieldDef("c_time", "TIME", "time(1)", 10, 1, 0L),
       FieldDef("c_dt", "DATETIME", "datetime", 19, 0, 0L),
       FieldDef("c_ts", "TIMESTAMP", "timestamp", 19, 0, 0L))
@@ -217,7 +218,7 @@ object CdcFeed {
       Some("18446744073709551615"), Some("1.5"), Some("3.25"),
       Some("12345.6700"), Some("héllo wörld"), Some("""{"a":1}"""),
       Some("2"), Some("5"), Some("\u0001"),
-      Some("2020-02-29"), Some("0000-00-00"), Some("-01:30:15.5"),
+      Some("2020-02-29"), Some("0000-00-00"), Some("2024-00-00 00:00:00"), Some("-01:30:15.5"),
       Some("2021-01-02 03:04:05"), Some("2021-01-02 03:04:05"))
     val events: Seq[VEvent] =
       txEvents("0", "ks.typetest", fields, RowChange(None, Some(PackedRow.of(values))), 1L,

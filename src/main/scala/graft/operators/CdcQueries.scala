@@ -127,6 +127,7 @@ object CdcQueries {
         afterStr("c_bit1").as("c_bit1"),
         afterStr("c_date").as("c_date"),
         afterStr("c_zero_date").as("c_zero_date"),
+        afterStr("c_zero_dt_nn").as("c_zero_dt_nn"),
         afterStr("c_time").as("c_time"),
         afterStr("c_dt").as("c_dt"),
         afterStr("c_ts").as("c_ts"),
@@ -139,6 +140,7 @@ object CdcQueries {
       |  '12345.6700' AS c_dec, 'héllo wörld' AS c_txt, '{"a":1}' AS c_json,
       |  'm' AS c_enum, 'a,c' AS c_set, 'true' AS c_bit1,
       |  '2020-02-29' AS c_date, CAST(NULL AS VARCHAR) AS c_zero_date,
+      |  '1970-01-01T00:00' AS c_zero_dt_nn,
       |  '-5415500000' AS c_time, '2021-01-02T03:04:05' AS c_dt,
       |  '1609556645000000' AS c_ts, '{"c_i16":-42}' AS key""".stripMargin
 

@@ -237,7 +237,13 @@ final class RecordBuilder(
               throw new ConversionFailure(s"skip record: column ${col.name}", e)
           }
         }
-      decoded match {
+      // zero-date sentinel collapsed on a NOT NULL column → epoch fallback
+      // (reference: null only for optional columns)
+      val withFallback =
+        if (decoded.isEmpty && bytes.isDefined && !col.optional)
+          ValueConversion.epochFallback(col.graftType)
+        else decoded
+      withFallback match {
         case None => o.putNull(col.name)
         case Some(v) => v match {
           case s: Short      => o.put(col.name, s)

@@ -279,6 +279,15 @@ class ValueConversionSpec extends AnyFunSuite {
     assert(decode(UInt64, b("123"), UInt64Mode.AsLong).contains(123L))
   }
 
+  test("zero-date epoch fallback types") {
+    import GraftType._
+    assert(ValueConversion.epochFallback(DateT).contains(java.time.LocalDate.ofEpochDay(0)))
+    assert(ValueConversion.epochFallback(DatetimeT(0))
+      .contains(java.time.LocalDateTime.ofEpochSecond(0, 0, java.time.ZoneOffset.UTC)))
+    assert(ValueConversion.epochFallback(TimestampT(0)).contains(0L))
+    assert(ValueConversion.epochFallback(Text).isEmpty) // non-temporal: no fallback
+  }
+
   test("binary handling modes: bytes, base64, hex") {
     import GraftType._
     def b(s: String) = s.getBytes("UTF-8")
