@@ -40,11 +40,13 @@ object ValueConversion {
   }
 
   /** time.precision.mode (reference: VitessConnectorConfig.java:493-514 —
-    * adaptive_time_microseconds default, isostring passes the raw
-    * temporal string through unchanged; `adaptive` is rejected). */
+    * adaptive_time_microseconds default, connect = millisecond epoch
+    * values, isostring passes the raw temporal string through unchanged;
+    * `adaptive` is rejected). */
   sealed trait TemporalMode
   object TemporalMode {
     case object AdaptiveMicros extends TemporalMode
+    case object ConnectMillis extends TemporalMode
     case object IsoString extends TemporalMode
   }
 
@@ -200,11 +202,28 @@ object ValueConversion {
       case st: GraftType.SetT =>
         if (st.stringValued) Some(str) else Some(setToString(st.values, str.toLong))
       // isostring mode passes raw temporal text through unchanged
-      // (reference ReplicationMessageColumnValueResolver.java:63-73)
+      // (reference ReplicationMessageColumnValueResolver.java:63-73);
+      // connect mode truncates to millisecond epoch values
       case GraftType.DateT => if (iso) Some(str) else parseDate(str)
-      case _: GraftType.TimeT => if (iso) Some(str) else Some(timeToMicros(str))
-      case _: GraftType.DatetimeT => if (iso) Some(str) else parseDatetime(str)
-      case _: GraftType.TimestampT => if (iso) Some(str) else parseTimestampUtcMicros(str)
+      case _: GraftType.TimeT =>
+        if (iso) Some(str)
+        else temporalMode match {
+          case TemporalMode.ConnectMillis => Some(timeToMicros(str) / 1000L)
+          case _ => Some(timeToMicros(str))
+        }
+      case _: GraftType.DatetimeT =>
+        if (iso) Some(str)
+        else temporalMode match {
+          case TemporalMode.ConnectMillis =>
+            parseDatetime(str).map(_.toInstant(ZoneOffset.UTC).toEpochMilli)
+          case _ => parseDatetime(str)
+        }
+      case _: GraftType.TimestampT =>
+        if (iso) Some(str)
+        else temporalMode match {
+          case TemporalMode.ConnectMillis => parseTimestampUtcMicros(str).map(_ / 1000L)
+          case _ => parseTimestampUtcMicros(str)
+        }
     }
   }
 }

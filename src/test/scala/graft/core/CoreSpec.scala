@@ -299,6 +299,19 @@ class ValueConversionSpec extends AnyFunSuite {
     assert(decode(Bits(8), Array[Byte](0x0f), binaryMode = BinaryMode.Hex).contains("0f"))
   }
 
+  test("connect temporal mode truncates to millisecond epoch values") {
+    import GraftType._
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(decode(TimeT(3), b("01:00:00.5"), temporalMode = TemporalMode.ConnectMillis)
+      .contains(3600500L))
+    assert(decode(DatetimeT(0), b("2021-01-02 03:04:05"), temporalMode = TemporalMode.ConnectMillis)
+      .contains(1609556645000L))
+    assert(decode(TimestampT(0), b("2021-01-02 03:04:05"), temporalMode = TemporalMode.ConnectMillis)
+      .contains(1609556645000L))
+    // zero-date still collapses to None before the mode applies
+    assert(decode(DatetimeT(0), b("2024-00-00 00:00:00"), temporalMode = TemporalMode.ConnectMillis).isEmpty)
+  }
+
   test("isostring temporal mode passes raw strings through") {
     import GraftType._
     def b(s: String) = s.getBytes("UTF-8")
