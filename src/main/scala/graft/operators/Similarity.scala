@@ -31,7 +31,9 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd fused loop (graft.functions.CosineSim) — same left-to-right
+    * double arithmetic as dot/norm, one pass, no lambda interpretation. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** Exact top-k neighbors for each query id (self excluded).
     * `queries` must be broadcast-small (it is sent to every executor). */

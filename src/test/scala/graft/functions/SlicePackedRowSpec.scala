@@ -64,6 +64,26 @@ class SlicePackedRowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == "bc")
   }
 
+  test("cosine_sim matches the HOF formulation and generates real code") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback}
+    val sp = spark; import sp.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 2.0f), Seq(0.5f, 1.0f, 2.0f))).toDF("a", "b")
+    val viaExpr = df.select(CosineSim(col("a"), col("b"))).first().getDouble(0)
+    val viaHof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(zip_with(col("a"), col("a"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)) *
+          sqrt(aggregate(zip_with(col("b"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x))))
+      .first().getDouble(0)
+    assert(viaExpr == viaHof)
+    val expr = CosineSim(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("a")),
+      org.apache.spark.sql.GraftColumnBridge.expression(col("b")))
+    assert(!expr.isInstanceOf[CodegenFallback])
+  }
+
   test("null input yields null output") {
     val sp = spark; import sp.implicits._
     val df = Seq((null.asInstanceOf[Seq[Long]], null.asInstanceOf[Array[Byte]]))
