@@ -67,6 +67,39 @@ final case class PkField(name: String, typeName: String, charset: Int, flags: Op
   * (protobuf JSON encoding of Query.Row). */
 final case class PkRow(lengths: Seq[String], values: String)
 
+/** Ordering of same-shard stream positions INCLUDING copy-phase progress
+  * (SURVEY hard part (d)): primary order is GTID rank; at equal rank a
+  * position still carrying per-table lastPK progress sorts before one
+  * that has none (copy finished), and two in-flight positions compare by
+  * (table name, lastpk length, lastpk bytes) — correct for the
+  * non-negative numeric-text PKs VStream emits, since decimal strings
+  * order by (length, lexicographic). */
+object CopyProgress {
+
+  private def rankOf(gtid: String): BigDecimal =
+    if (gtid == Vgtid.EmptyGtid || gtid == Vgtid.CurrentGtid) BigDecimal(0)
+    else Rank.of(gtid)
+
+  private def pkKey(t: TableLastPk): (String, Int, String) = {
+    val v = t.rows.headOption.map(_.values).getOrElse("")
+    val decoded = new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+    (t.tableName, decoded.length, decoded)
+  }
+
+  /** < 0 when `a` is earlier than `b`, 0 when equal, > 0 when later. */
+  def compare(a: ShardGtid, b: ShardGtid): Int = {
+    val byRank = rankOf(a.gtid).compare(rankOf(b.gtid))
+    if (byRank != 0) byRank
+    else (a.tablePKs.headOption.map(pkKey), b.tablePKs.headOption.map(pkKey)) match {
+      case (None, None)       => 0
+      case (None, Some(_))    => 1 // a finished copying, b still in flight
+      case (Some(_), None)    => -1
+      case (Some(ka), Some(kb)) =>
+        implicitly[Ordering[(String, Int, String)]].compare(ka, kb)
+    }
+  }
+}
+
 /** Hand-rolled Jackson codec: field names and ordering match the reference
   * wire format exactly (keyspace, shard, gtid, table_p_ks). */
 object VgtidJson {

@@ -211,11 +211,12 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     // change; `from` only gates how many NEW transactions are admitted
     var epochs = EpochProvider.applyGeneration(init.epochs, from.generation, generation)
     val gtids = shardFiles.map { case (shard, file) =>
-      val startGtid = from.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
-      val startRank =
-        if (startGtid == Vgtid.EmptyGtid || startGtid == Vgtid.CurrentGtid) BigDecimal(0)
-        else Rank.of(startGtid)
-      var lastGtid = init.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
+      val startSg = from.vgtid.shardGtid(shard)
+        .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
+      // positions compare by (rank, copy-phase lastpk progress) so copy
+      // batches advance the offset even while the GTID stays fixed
+      var lastSg = init.vgtid.shardGtid(shard)
+        .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
       // Existing shards fold from the BASELINE (the whole-file replay is
       // what makes the fold idempotent — folding from the current epoch
       // would re-count every host change each trigger and the offset
@@ -237,11 +238,13 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
             VEventJson.read(line) match {
               case VgtidEvent(_, v) =>
                 v.shardGtid(shard).foreach { sg =>
-                  if (sg.gtid != lastGtid) {
-                    if (Rank.of(sg.gtid) > startRank) admitted += 1
-                    if (lastGtid != Vgtid.EmptyGtid && lastGtid != Vgtid.CurrentGtid)
-                      epoch = EpochProvider.epochForGtid(epoch, lastGtid, sg.gtid)
-                    lastGtid = sg.gtid
+                  if (sg != lastSg) {
+                    if (CopyProgress.compare(sg, startSg) > 0) admitted += 1
+                    if (sg.gtid != lastSg.gtid) {
+                      if (lastSg.gtid != Vgtid.EmptyGtid && lastSg.gtid != Vgtid.CurrentGtid)
+                        epoch = EpochProvider.epochForGtid(epoch, lastSg.gtid, sg.gtid)
+                    }
+                    lastSg = sg.copy(keyspace = keyspace, shard = shard)
                   }
                 }
               case _ =>
@@ -251,10 +254,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       } finally lines.close()
       epochs = epochs.put(shard, epoch)
       // never regress behind the committed start position
-      val lastRank =
-        if (lastGtid == Vgtid.EmptyGtid || lastGtid == Vgtid.CurrentGtid) BigDecimal(0)
-        else Rank.of(lastGtid)
-      ShardGtid(keyspace, shard, if (lastRank < startRank) startGtid else lastGtid)
+      if (CopyProgress.compare(lastSg, startSg) < 0) startSg else lastSg
     }
     VgtidOffset(Vgtid(gtids), epochs, generation)
   }
@@ -266,11 +266,14 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     val s = start.asInstanceOf[VgtidOffset]
     val e = end.asInstanceOf[VgtidOffset]
     shardFiles.flatMap { case (shard, file) =>
-      val startGtid = s.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
-      val endGtid = e.vgtid.shardGtid(shard).map(_.gtid).getOrElse(Vgtid.EmptyGtid)
-      if (startGtid == endGtid) None // nothing new on this shard
+      val startSg = s.vgtid.shardGtid(shard)
+        .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
+      val endSg = e.vgtid.shardGtid(shard)
+        .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
+      if (startSg == endSg) None // nothing new on this shard (incl. copy progress)
       else Some(VitessCdcPartition(
-        shard, keyspace, file.toString, startGtid, endGtid,
+        shard, keyspace, file.toString,
+        Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
         seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
         heartbeatPerBatch, inheritEpoch, snapshotTables): InputPartition)
     }.toArray
@@ -291,8 +294,8 @@ final case class VitessCdcPartition(
     shard: String,
     keyspace: String,
     file: String,
-    startGtid: String,
-    endGtid: String,
+    startPosJson: String, // single-shard vgtid JSON incl. copy lastpk
+    endPosJson: String,
     startEpoch: Long,
     emitBoundaries: Boolean,
     tableFilter: TableFilter,
@@ -307,12 +310,10 @@ final case class VitessCdcPartition(
   * ordered-transaction metadata relies on. */
 class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[InternalRow] {
 
-  private def rankOf(gtid: String): BigDecimal =
-    if (gtid == Vgtid.EmptyGtid || gtid == Vgtid.CurrentGtid) BigDecimal(0)
-    else Rank.of(gtid)
-
-  private val startRank = rankOf(p.startGtid)
-  private val endRank = rankOf(p.endGtid)
+  private val startSg = Vgtid.of(p.startPosJson).shardGtid(p.shard)
+    .getOrElse(ShardGtid(p.keyspace, p.shard, Vgtid.EmptyGtid))
+  private val endSg = Vgtid.of(p.endPosJson).shardGtid(p.shard)
+    .getOrElse(ShardGtid(p.keyspace, p.shard, Vgtid.EmptyGtid))
 
   // E1: transient I/O on stream open is retried with backoff; everything
   // else surfaces to Spark's task retry + restart-from-checkpoint
@@ -321,10 +322,9 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
 
   private val rows: Iterator[InternalRow] = {
     val events = lineStream.iterator().asScala.map(VEventJson.read)
-    val fresh = p.startGtid == Vgtid.EmptyGtid || p.startGtid == Vgtid.CurrentGtid
-    val startVgtid =
-      if (fresh) None
-      else Some(Vgtid(Seq(ShardGtid(p.keyspace, p.shard, p.startGtid))))
+    val fresh = (startSg.gtid == Vgtid.EmptyGtid || startSg.gtid == Vgtid.CurrentGtid) &&
+      startSg.tablePKs.isEmpty
+    val startVgtid = if (fresh) None else Some(Vgtid(Seq(startSg)))
     // Seeding previousVgtid with the batch-start position makes a host-set
     // change at a batch boundary bump the epoch exactly like the driver's
     // latestOffset fold — record epochs and offset epochs stay consistent.
@@ -338,11 +338,14 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
       snapshotTableFilter = p.snapshotTables)
     val batchRecords = TransactionAssembler.assemble(events)
       .filter { tx =>
-        tx.txId match {
-          case Some(gtid) =>
-            val r = rankOf(gtid)
-            r > startRank && r <= endRank
-          case None => endRank > startRank // DDL/heartbeat flushes ride with the batch
+        tx.vgtid.flatMap(_.shardGtid(p.shard)) match {
+          case Some(pos) =>
+            // inclusive-resume at transaction granularity: each copy tx
+            // carries its lastpk watermark, so mid-copy restarts skip
+            // exactly the transactions already delivered
+            CopyProgress.compare(pos, startSg) > 0 && CopyProgress.compare(pos, endSg) <= 0
+          case None => // DDL/heartbeat flushes with no position ride with the batch
+            CopyProgress.compare(endSg, startSg) > 0
         }
       }
       .flatMap(rb.onTransaction)
@@ -350,11 +353,10 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
     // (reference VitessHeartbeatImpl.java:47-77 — emitted alongside data;
     // skipped while no offset exists yet, i.e. a fresh empty start)
     val heartbeat =
-      if (p.heartbeatPerBatch && p.endGtid != Vgtid.EmptyGtid)
+      if (p.heartbeatPerBatch && endSg.gtid != Vgtid.EmptyGtid)
         Iterator.single(ChangeRecord(
           p.shard, p.keyspace, "", "heartbeat", None, None, None,
-          0L, Vgtid(Seq(ShardGtid(p.keyspace, p.shard, p.endGtid))).json,
-          Vgtid(Seq(ShardGtid(p.keyspace, p.shard, p.endGtid))).json,
+          0L, Vgtid(Seq(endSg)).json, Vgtid(Seq(endSg)).json,
           None, p.startEpoch, None, 0L, 0L))
       else Iterator.empty
     (batchRecords ++ heartbeat).map(VitessCdc.toInternalRow)

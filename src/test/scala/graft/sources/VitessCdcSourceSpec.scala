@@ -361,6 +361,47 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("40-60", 2L)))
   }
 
+  test("mid-copy restart resumes from lastpk with no loss and no duplicates (S5 hard part d)") {
+    val feedDir = Files.createTempDirectory("cdcfeed15")
+    val ckpt = Files.createTempDirectory("cdcckpt15")
+    val out = Files.createTempDirectory("cdcout15")
+    // copy-phase txs: the GTID stays fixed at the snapshot position while
+    // lastpk advances — exactly like a real VStream copy
+    def copyTx(pk: Long): Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", t1Fields, enumSetStringValues = true),
+      RowEvent("s0", "ks", "ks.t1", Seq(
+        RowChange(None, Some(PackedRow.of(Seq(Some(pk.toString), Some(s"c$pk"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1", Seq(
+        TableLastPk("t1",
+          Seq(PkField("id", "INT64", 63, None)),
+          Seq(PkRow(Seq(pk.toString.length.toString),
+            java.util.Base64.getEncoder.encodeToString(pk.toString.getBytes))))))))),
+      CommitEvent("s0", "ks", pk))
+    def run(): Unit = {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // first run sees only half the copy
+    writeFeed(feedDir, "s0", (1L to 2L).flatMap(copyTx))
+    run()
+    assert(spark.read.parquet(out.toString).count() == 2)
+    // copy continues after the restart: two more rows, then completion +
+    // a streaming transaction
+    writeFeed(feedDir, "s0",
+      (3L to 4L).flatMap(copyTx) ++ Seq(CopyCompletedEvent("s0"): VEvent) ++
+        insertTx("s0", 2, 99, "streamed"), append = true)
+    run()
+    val ids = spark.read.parquet(out.toString)
+      .selectExpr("get_json_object(after, '$.id')")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(ids == Seq("1", "2", "3", "4", "99")) // every copy row exactly once
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
