@@ -110,13 +110,24 @@ object LlmQueries {
     * never an all-pairs join — equals the TRUE pair set (the documents
     * table also contains natural near-dups), which the oracle recomputes
     * with exact all-pairs Jaccard in SQL. */
+  /** The injected-union corpus and its verified near-dup pairs, shared by
+    * the pair and survivor gates (one LSH run, two consumers). */
+  private val sharedPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private def unionWithPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    sharedPairs.computeIfAbsent(d, _ => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zzzz")).as("text"))
+      val union = docs.unionByName(nearDups)
+      val pairs = Dedup.minhashNearDupPairs(
+        union, "text", "doc_id", threshold = 0.8, numHashes = 64, bands = 16)
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (union, pairs)
+    })
+
   val qDedupMinhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val nearDups = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zzzz")).as("text"))
-    val pairs = Dedup.minhashNearDupPairs(
-      docs.unionByName(nearDups), "text", "doc_id",
-      threshold = 0.8, numHashes = 64, bands = 16)
+    val (_, pairs) = unionWithPairs(s, d)
     pairs.select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
   }
 
@@ -143,10 +154,9 @@ object LlmQueries {
     * larger twin. The oracle derives survivors from the exact all-pairs
     * Jaccard ground truth computed in SQL. */
   val qDedupMinhashSurvivors: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val nearDups = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zzzz")).as("text"))
-    Dedup.minhashDedup(docs.unionByName(nearDups), "text", "doc_id", threshold = 0.8)
+    val (union, pairs) = unionWithPairs(s, d)
+    val drop = pairs.select(col("id_b").as("doc_id")).distinct()
+    union.join(drop, Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
   }
 
