@@ -65,6 +65,33 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topics == Seq("graft.t1", "graft.t2"))
   }
 
+  test("single-threaded decode throughput meets the BASELINE.md floor") {
+    import graft.core._
+    val fields = Seq(
+      FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("int_col", "INT32", "int(11)", 11, 0, 0L))
+    val n = 60000
+    val events: Iterator[VEvent] = (1 to n).iterator.flatMap { i =>
+      Seq(
+        BeginEvent("0", "ks"),
+        FieldEvent("0", "ks", "ks.t1", fields, enumSetStringValues = false),
+        RowEvent("0", "ks", "ks.t1", Seq(
+          RowChange(None, Some(PackedRow.of(Seq(Some(i.toString), Some((i * 2).toString))))))),
+        VgtidEvent("0", Vgtid(Seq(ShardGtid("ks", "0", s"MySQL56/feed:1-$i")))),
+        CommitEvent("0", "ks", i.toLong))
+    }
+    val rb = new RecordBuilder(new SchemaRegistry, OrderedTxContext.initial(Seq("0")))
+    val t0 = System.nanoTime()
+    val count = TransactionAssembler.assemble(events).flatMap(rb.onTransaction).size
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = count / secs
+    info(f"decode throughput: $rate%.0f rows/s ($count rows in $secs%.2f s, single thread)")
+    assert(count == n)
+    // BASELINE.md target is >= 50k rows/s for the 2-column fixture; assert
+    // a conservative floor so machine noise can't flake the suite
+    assert(rate > 20000, f"decode throughput $rate%.0f rows/s below floor")
+  }
+
   test("source output materializes identically to pipeline output (schema shapes)") {
     import java.nio.file.Files
     val feedDir = Files.createTempDirectory("matfeed")
