@@ -279,6 +279,26 @@ class ValueConversionSpec extends AnyFunSuite {
     assert(decode(UInt64, b("123"), UInt64Mode.AsLong).contains(123L))
   }
 
+  test("temporal precision matrix: fractional seconds across modes") {
+    import GraftType._
+    def b(s: String) = s.getBytes("UTF-8")
+    // TIME fractional digits 0..6 (reference temporal-types test matrix)
+    assert(decode(TimeT(0), b("10:00:00")).contains(36000000000L))
+    assert(decode(TimeT(1), b("10:00:00.1")).contains(36000100000L))
+    assert(decode(TimeT(3), b("10:00:00.123")).contains(36000123000L))
+    assert(decode(TimeT(6), b("10:00:00.123456")).contains(36000123456L))
+    // negative fractional TIME keeps the sign on the fraction
+    assert(decode(TimeT(3), b("-00:00:00.5")).contains(-500000L))
+    // DATETIME with fraction round-trips through LocalDateTime
+    assert(decode(DatetimeT(6), b("2021-06-07 08:09:10.123456"))
+      .contains(java.time.LocalDateTime.parse("2021-06-07T08:09:10.123456")))
+    // TIMESTAMP fraction lands in the micros
+    assert(decode(TimestampT(3), b("1970-01-01 00:00:00.001")).contains(1000L))
+    // connect mode truncates micros to millis
+    assert(decode(TimestampT(6), b("1970-01-01 00:00:00.000999"),
+      temporalMode = TemporalMode.ConnectMillis).contains(0L))
+  }
+
   test("zero-date epoch fallback types") {
     import GraftType._
     assert(ValueConversion.epochFallback(DateT).contains(java.time.LocalDate.ofEpochDay(0)))

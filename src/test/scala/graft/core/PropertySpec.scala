@@ -48,6 +48,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Vgtid JSON round-trips copy-phase lastpk payloads") {
+    val pkRow = for {
+      v <- Gen.nonEmptyListOf(Gen.numChar).map(_.mkString)
+    } yield PkRow(Seq(v.length.toString),
+      java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8")))
+    val tablePk = for {
+      t <- ident; f <- ident; charset <- Gen.choose(0, 255)
+      flags <- Gen.option(Gen.choose(0, 1 << 16)); row <- pkRow
+    } yield TableLastPk(t, Seq(PkField(f, "INT64", charset, flags)), Seq(row))
+    val shardGtid = for {
+      sh <- ident; pks <- Gen.listOf(tablePk)
+    } yield ShardGtid("ks", sh, "MySQL56/h:1-5", pks.toVector)
+    forAll(Gen.nonEmptyListOf(shardGtid)) { sgs =>
+      val v = Vgtid(sgs.toVector)
+      assert(Vgtid.of(v.json) == v)
+      assert(v.willTriggerVStreamCopy == sgs.exists(_.tablePKs.nonEmpty))
+    }
+  }
+
+  test("copy-progress order: rank dominates, then lastpk, finished copy sorts last") {
+    forAll(Gen.choose(1L, 100000L), Gen.choose(1L, 100000L)) { (a, b) =>
+      def pos(seq: Long, pk: Option[Long]): ShardGtid =
+        ShardGtid("ks", "0", s"MySQL56/h:1-$seq",
+          pk.toSeq.map(v => TableLastPk("t",
+            Seq(PkField("id", "INT64", 63, None)),
+            Seq(PkRow(Seq(v.toString.length.toString),
+              java.util.Base64.getEncoder.encodeToString(v.toString.getBytes))))))
+      // rank dominates regardless of copy progress
+      if (a != b) {
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        assert(CopyProgress.compare(pos(lo, Some(999999L)), pos(hi, None)) < 0)
+      }
+      // at equal rank, larger numeric lastpk is later; finished copy is latest
+      if (a != b) {
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        assert(CopyProgress.compare(pos(1, Some(lo)), pos(1, Some(hi))) < 0)
+      }
+      assert(CopyProgress.compare(pos(1, None), pos(1, Some(a))) > 0)
+      assert(CopyProgress.compare(pos(1, Some(a)), pos(1, Some(a))) == 0)
+    }
+  }
+
   test("rank is strictly monotone in the GTID sequence") {
     forAll(ident, Gen.choose(1L, 1000000L)) { (host, n) =>
       assert(Rank.of(s"MySQL56/$host:1-${n + 1}") > Rank.of(s"MySQL56/$host:1-$n"))
