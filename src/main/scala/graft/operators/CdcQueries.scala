@@ -243,8 +243,10 @@ object CdcQueries {
     * them. */
   val qCdcBoundaries: Q = (s, d) => {
     val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d), emitBoundaries = true)
-    // cached: the union below would otherwise run the pipeline twice
+    // eagerly cached: the two union branches below would otherwise race
+    // and each recompute the pipeline
     val df = CdcPipelineHelpers.cache(recs.toDF())
+    df.count()
     val kept = Transforms.filterTransactionTopicRecords(df)
     df.groupBy(col("op")).agg(count(lit(1)).as("n"))
       .unionByName(
