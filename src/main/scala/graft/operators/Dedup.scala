@@ -137,13 +137,27 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     // bucket self-join: only rows sharing (band, band_hash) ever meet —
-    // the shuffle key is the bucket, never a cartesian
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
+    // the shuffle key is the bucket, never a cartesian. Hot buckets (at
+    // 100 TB a near-dup cluster can put millions of docs in one bucket,
+    // making the self-join quadratic) switch to star pairing against the
+    // bucket minimum: O(K) pairs instead of O(K²). Buckets that large are
+    // overwhelmingly same-content clusters, where the star is enough for
+    // the drop policy (everything pairs with the min and is dropped).
+    val hotBucketThreshold = 64
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .withColumn("bucket_min", min(col("id")).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
+    val a = small.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = small.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val smallPairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
+    val hotPairs = sized.filter(col("bucket_n") > hotBucketThreshold && col("id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("id_a"), col("id").as("id_b"))
+    val pairs = smallPairs.unionByName(hotPairs).distinct()
     pairs
       .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

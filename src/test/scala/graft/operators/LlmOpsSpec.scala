@@ -85,6 +85,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("hot buckets pair linearly: identical-doc cluster dedups to one survivor") {
+    val sp = spark; import sp.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cluster = (1L to 200L).map(i => (i, text))
+    val distinct = Seq((1000L, "totally different words about other things entirely here now"))
+    val df = (cluster ++ distinct).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "text", "doc_id", threshold = 0.9)
+    // star pairing: the 200-doc cluster produces ~199 pairs, not ~19900
+    val n = pairs.count()
+    assert(n >= 199 && n < 1000, s"pair count $n should be linear in cluster size")
+    val kept = Dedup.minhashDedup(df, "text", "doc_id", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 1000L)) // min of the cluster + the distinct doc
+  }
+
   test("multimodal stub features: deterministic, 4-dim, mean of byte chunks") {
     val media = Multimodal.mediaFromDocuments(graft.Tables.documents(spark, sfDir))
     val feats = Multimodal.extractFeatures(spark, media)
