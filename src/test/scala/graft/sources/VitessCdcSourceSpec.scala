@@ -402,6 +402,36 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq("1", "2", "3", "4", "99")) // every copy row exactly once
   }
 
+  test("DDL between batches delivers exactly once (offset-after-DDL)") {
+    val feedDir = Files.createTempDirectory("cdcfeed16")
+    val ckpt = Files.createTempDirectory("cdcckpt16")
+    val out = Files.createTempDirectory("cdcout16")
+    def run(): Unit = {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "a"))
+    run()
+    // the server sends [VGTID, DDL] with an advanced position (the DDL
+    // rotates the offset), then a further transaction
+    writeFeed(feedDir, "s0", Seq(
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-2")))),
+      DdlEvent("s0", "ks", "ALTER TABLE t1 ADD c INT", 42L)) ++
+      insertTx("s0", 3, 3, "b"), append = true)
+    run()
+    run() // third run: nothing new, nothing duplicated
+    val ops = spark.read.parquet(out.toString)
+      .selectExpr("op").collect().map(_.getString(0)).toSeq.sorted
+    assert(ops == Seq("c", "c", "ddl"))
+    val ddlPos = spark.read.parquet(out.toString)
+      .where("op = 'ddl'").selectExpr("vgtid").first().getString(0)
+    assert(ddlPos.contains("MySQL56/feed:1-2"))
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
