@@ -109,33 +109,68 @@ object Similarity {
     * scans ~12% of the corpus, and the fraction shrinks as C grows with
     * corpus size — the 100 TB scale path for low-similarity embedding
     * spaces where hyperplane LSH has no gap to exploit. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 32, nProbes: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Centroid matrix is bounded by nCentroids (not data size): collect it
-    // once and ship it in the scoring closures — the coarse quantizer then
-    // runs as a tight per-row loop with no join or shuffle at all.
-    val centroids: Array[(Long, Array[Double])] =
+  private def cosTo(c: Array[Double], v: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < c.length) {
+      val x = c(i); val y = v(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def nearestCentroid(cent: Array[(Long, Array[Double])], v: Seq[Float]): Long = {
+    var best = 0L; var bestSim = Double.MinValue
+    cent.foreach { case (cid, c) =>
+      val s = cosTo(c, v)
+      if (s > bestSim || (s == bestSim && cid < best)) { best = cid; bestSim = s }
+    }
+    best
+  }
+
+  /** Lloyd's iterations for the IVF coarse quantizer: deterministic
+    * sample init, then `iters` rounds of assign (per-row closure, no
+    * shuffle beyond the per-dimension mean agg) → recompute means. The
+    * centroid matrix (C×dim) is collected per round — bounded by C, not
+    * data. Empty clusters keep their previous centroid. */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    var cent: Array[(Long, Array[Double])] =
       corpus.orderBy(col(idCol)).limit(nCentroids)
         .select(col(idCol), col(vecCol))
         .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray) }
+    (1 to iters).foreach { _ =>
+      val frozen = cent
+      val assignU = udf { (v: Seq[Float]) => nearestCentroid(frozen, v) }
+      val means = corpus
+        .select(assignU(col(vecCol)).as("cid"), posexplode(col(vecCol)))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cent = cent.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cent
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 32, nProbes: Int = 4, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Centroid matrix is bounded by nCentroids (not data size): collect it
+    // once (optionally k-means-refined) and ship it in the scoring
+    // closures — the coarse quantizer then runs as a tight per-row loop
+    // with no join or shuffle at all.
+    val centroids: Array[(Long, Array[Double])] =
+      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+      else corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol), col(vecCol))
+        .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    def cosTo(c: Array[Double], v: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < c.length) {
-        val x = c(i); val y = v(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val assignUdf = udf { (v: Seq[Float]) =>
-      var best = 0L; var bestSim = Double.MinValue
-      centroids.foreach { case (cid, c) =>
-        val s = cosTo(c, v)
-        if (s > bestSim || (s == bestSim && cid < best)) { best = cid; bestSim = s }
-      }
-      best
-    }
+    val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(centroids, v) }
     val probeUdf = udf { (v: Seq[Float]) =>
       centroids.map { case (cid, c) => (cosTo(c, v), cid) }
         .sortBy { case (s, cid) => (-s, cid) }

@@ -47,6 +47,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toDouble / n >= 0.9, s"IVF top-1 recall $hits/$n")
   }
 
+  test("k-means-trained IVF keeps top-1 recall >= 0.9") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.cosineTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("expected"))
+    val ivf = Similarity.ivfTopK(emb, queries, k = 1, trainIters = 3)
+      .select(col("query_id"), col("neighbor_id").as("got"))
+    val joined = brute.join(ivf, Seq("query_id"), "left")
+    val hits = joined.filter(col("got") === col("expected")).count()
+    val n = joined.count()
+    assert(hits.toDouble / n >= 0.9, s"trained IVF top-1 recall $hits/$n")
+  }
+
   test("cosine near-dup pairs finds duplicated embeddings") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir).limit(50).cache()
