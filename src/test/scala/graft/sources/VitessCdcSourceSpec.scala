@@ -432,6 +432,34 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ddlPos.contains("MySQL56/feed:1-2"))
   }
 
+  test("bounded batches also cap copy-phase progress (admission + lastpk)") {
+    val feedDir = Files.createTempDirectory("cdcfeed17")
+    val ckpt = Files.createTempDirectory("cdcckpt17")
+    def copyTx(pk: Long): Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", t1Fields, enumSetStringValues = true),
+      RowEvent("s0", "ks", "ks.t1", Seq(
+        RowChange(None, Some(PackedRow.of(Seq(Some(pk.toString), Some(s"c$pk"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1", Seq(
+        TableLastPk("t1",
+          Seq(PkField("id", "INT64", 63, None)),
+          Seq(PkRow(Seq(pk.toString.length.toString),
+            java.util.Base64.getEncoder.encodeToString(pk.toString.getBytes))))))))),
+      CommitEvent("s0", "ks", pk))
+    writeFeed(feedDir, "s0", (1L to 5L).flatMap(copyTx))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("max.txs.per.trigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdc_copy_bounded")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.sql(
+      "SELECT get_json_object(after, '$.id') FROM cdc_copy_bounded WHERE op = 'c' ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("1", "2", "3", "4", "5")) // all copy rows, exactly once, across batches
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
