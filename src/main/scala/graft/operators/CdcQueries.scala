@@ -481,9 +481,31 @@ object CdcQueries {
 
   val qCdcSqlDecodeSql: String = qCdcInsertRoundtripSql
 
+  // -------------------------------------------------- decimal extraction
+  /** MySQL DECIMAL stays precise-by-string in the payload (reference
+    * default); typed extraction parses it into DecimalType exactly via
+    * from_json — no double round-trip. */
+  val qCdcDecimalExtract: Q = (s, d) => {
+    val recs = ordersChangeLog(s, d)
+    val schema = StructType(Seq(StructField("o_totalprice", DecimalType(12, 2))))
+    recs.filter(col("op") === "c")
+      .select(from_json(col("after"), schema).getField("o_totalprice").as("p"))
+      .agg(
+        sum(col("p")).cast(DecimalType(38, 2)).as("total"),
+        max(col("p")).cast(DecimalType(12, 2)).as("max_price"),
+        count(lit(1)).as("n"))
+  }
+
+  val qCdcDecimalExtractSql: String =
+    """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price,
+      |  count(*) AS n
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cdc_stream_source"    -> qCdcStreamSource,
     "cdc_sql_decode"       -> qCdcSqlDecode,
+    "cdc_decimal_extract"  -> qCdcDecimalExtract,
     "cdc_materialize"      -> qCdcMaterialize,
     "cdc_topic_routing"    -> qCdcTopicRouting,
     "cdc_column_rules"     -> qCdcColumnRules,
@@ -503,6 +525,7 @@ object CdcQueries {
   val oracleSql: Map[String, String] = Map(
     "cdc_stream_source"    -> qCdcStreamSourceSql,
     "cdc_sql_decode"       -> qCdcSqlDecodeSql,
+    "cdc_decimal_extract"  -> qCdcDecimalExtractSql,
     "cdc_materialize"      -> qCdcMaterializeSql,
     "cdc_topic_routing"    -> qCdcTopicRoutingSql,
     "cdc_column_rules"     -> qCdcColumnRulesSql,
