@@ -30,6 +30,22 @@ object Analytics {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
   private def money(c: Column): Column = c.cast(DecimalType(38, 4))
 
+  /** Gate-canon-proof money output: scale-4 fixed point as BIGINT (value
+    * × 10^4). Wide-DECIMAL results hash differently across engines when
+    * the value has trailing zeros (representation, not value — round 2's
+    * five hash-red money gates were value-identical to the oracle);
+    * integers hash identically everywhere. Exact: the DECIMAL(30,4) cast
+    * rounds once (HALF_UP, matching DuckDB for the positive sums here),
+    * ×10^4 is lossless at DECIMAL(36,4), and the final BIGINT cast sees
+    * an integer-valued decimal. Mirror in SQL with
+    * `CAST(CAST(x AS DECIMAL(30,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)`. */
+  private[operators] def fixed4(c: Column): Column =
+    (c.cast(DecimalType(30, 4)) * lit(10000).cast(DecimalType(5, 0))).cast(LongType)
+
+  /** SQL twin of [[fixed4]] for the DuckDB oracle. */
+  private[operators] def fixed4Sql(inner: String): String =
+    s"CAST(CAST($inner AS DECIMAL(30,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+
   type Q = (SparkSession, String) => DataFrame
 
   // ---------------------------------------------------------------- q1
@@ -39,18 +55,18 @@ object Analytics {
       .filter(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        money(sum(dec(col("l_quantity")))).as("sum_qty"),
-        money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("sum_disc_price"),
+        fixed4(sum(dec(col("l_quantity")))).as("sum_qty"),
+        fixed4(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${fixed4Sql("sum(CAST(l_quantity AS DECIMAL(18,4)))")} AS sum_qty,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)))")} AS sum_base_price,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -109,13 +125,13 @@ object Analytics {
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
+      .agg(fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
-    """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue
+    s"""SELECT n_name,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue
       |FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -133,15 +149,15 @@ object Analytics {
     li.join(pt, li("l_partkey") === pt("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),
+        fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("p_brand"))
       .limit(10)
   }
 
   val qTopBrandsSql: String =
-    """SELECT p_brand,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,
+    s"""SELECT p_brand,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand
@@ -192,18 +208,18 @@ object Analytics {
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(s, d)
       .withColumn("running_qty",
-        money(sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))))
-      .withColumn("rn", row_number().over(w))
+        fixed4(sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 3)
       .select(col("l_suppkey"), col("rn"), col("running_qty"))
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
   val qRunningSupplierSql: String =
-    """SELECT l_suppkey, rn, running_qty FROM (
+    s"""SELECT l_suppkey, rn, running_qty FROM (
       |  SELECT l_suppkey,
-      |    row_number() OVER w AS rn,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_qty
+      |    CAST(row_number() OVER w AS BIGINT) AS rn,
+      |    ${fixed4Sql("sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_qty
       |  FROM lineitem
       |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
       |) WHERE rn <= 3
@@ -217,14 +233,14 @@ object Analytics {
       .groupBy(col("ts").cast(DateType).as("day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        money(sum(dec(col("value")))).as("total_value"),
+        fixed4(sum(dec(col("value")))).as("total_value"),
         count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("day"), col("event_type"))
   }
 
   val qEventsDailySql: String =
-    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |  ${fixed4Sql("sum(CAST(value AS DECIMAL(18,4)))")} AS total_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY CAST(ts AS DATE), event_type
@@ -244,14 +260,14 @@ object Analytics {
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .rollup(col("n_name"), col("c_mktsegment"))
       .agg(
-        money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),
+        fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
   }
 
   val qRollupRevenueSql: String =
-    """SELECT n_name, c_mktsegment,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,
+    s"""SELECT n_name, c_mktsegment,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey

@@ -75,7 +75,7 @@ object CdcQueries {
     """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'u'
       |            WHEN o_orderkey % 10 = 5 THEN 'd'
       |            ELSE 'c' END AS op,
-      |  count(*) AS n, sum(o_orderkey) AS sum_key
+      |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
       |FROM orders GROUP BY 1 ORDER BY op""".stripMargin
 
   // -------------------------------------------------- tx metadata + offsets
@@ -310,7 +310,7 @@ object CdcQueries {
 
   val qCdcStreamSourceSql: String =
     """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
-      |  sum(o_orderkey) AS sum_key, count(*) AS max_rank
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key, count(*) AS max_rank
       |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
 
   // -------------------------------------------------- materialization

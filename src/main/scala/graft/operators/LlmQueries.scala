@@ -102,7 +102,7 @@ object LlmQueries {
   }
 
   val qDedupExactSql: String =
-    "SELECT count(*) AS n_kept, sum(doc_id) AS sum_kept FROM documents"
+    "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept FROM documents"
 
   // --------------------------------------------------------- minhash lsh
   /** Inject near-duplicates (append one token, id+200000 for doc_id%7==0)
@@ -178,7 +178,7 @@ object LlmQueries {
       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       |        / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.8
       |)
-      |SELECT count(*) AS n_kept, sum(doc_id) AS sum_kept
+      |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept
       |FROM all_docs WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
 
   /** SimHash banding recall on injected EXACT duplicates: identical text
@@ -272,9 +272,12 @@ object LlmQueries {
     * identical lag/cumsum construction. */
   val qEventsSessions: Q = (s, d) =>
     Sessions.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+      // Gate-canon projection: money as scale-4 fixed-point BIGINT (the
+      // operator itself keeps exact DECIMAL; see Analytics.fixed4).
+      .withColumn("total_value", Analytics.fixed4(col("total_value")))
 
   val qEventsSessionsSql: String =
-    """WITH marked AS (
+    s"""WITH marked AS (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
@@ -286,8 +289,9 @@ object LlmQueries {
       |                   ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM marked
       |)
-      |SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS session_start,
+      |  count(*) AS n_events,
+      |  ${Analytics.fixed4Sql("sum(CAST(value AS DECIMAL(18,4)))")} AS total_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
   // --------------------------------------------- n-gram jaccard (exact)
@@ -354,8 +358,8 @@ object LlmQueries {
 
   val qEventsPropsSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(

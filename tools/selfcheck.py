@@ -90,6 +90,23 @@ def main(sf_dir, out_dir):
                 if a != b:
                     msgs.append(f"first diff:\n  spark : {a[:300]}\n  oracle: {b[:300]}")
                     break
+        # Type-parity lint: the driver's hash canon is representational, so
+        # wide DECIMALs / HUGEINT / cross-engine type drift can hash red even
+        # when values match bit-for-bit (round 2: 12 such gates). Warn-only —
+        # a couple of long-green gates still carry DECIMAL(38,x).
+        stypes = {c: str(t) for c, t in zip(scols, srel.types)}
+        otypes = {c: str(t) for c, t in zip(ocols, orel.types)}
+        warns = []
+        for c in sorted(set(stypes) | set(otypes)):
+            st, ot = stypes.get(c), otypes.get(c)
+            if st != ot:
+                warns.append(f"{c}: spark={st} oracle={ot}")
+            for t in (st, ot):
+                if t and ("HUGEINT" in t or
+                          (t.startswith("DECIMAL") and int(t.split("(")[1].split(",")[0]) > 18)):
+                    warns.append(f"{c}: wide {t}")
+        for w in sorted(set(warns)):
+            print(f"TYPEWARN {name}: {w}")
         if ok:
             n_pass += 1
             print(f"PASS {name} ({len(srows)} rows)")
