@@ -101,8 +101,27 @@ class VitessCdcTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     }
 }
 
-/** Streaming offset: the reference's offset map as JSON. */
-final case class VgtidOffset(vgtid: Vgtid, epochs: ShardEpochMap, generation: Long)
+/** Streaming offset: the reference's offset map as JSON, extended with
+  * two scale-critical fields the reference keeps server-side:
+  *
+  *  - `feed_positions` — per-shard safe byte position (always a line
+  *    boundary between transactions). The next trigger's scan and the
+  *    batch readers SEEK here instead of replaying the feed from byte 0,
+  *    making per-trigger work O(new bytes) instead of O(total feed).
+  *  - `schemas` — latest FIELD (schema) wire line per (shard, table). A
+  *    real VStream re-sends FIELD events on reconnect at a VGTID; a file
+  *    feed has no server to re-send them, so the offset checkpoints the
+  *    schema registry (the analogue of Debezium's schema history).
+  *
+  * Both are optional: an offset without them falls back to the
+  * whole-file scan with the rank-window filter (which remains the
+  * correctness backstop in all modes). */
+final case class VgtidOffset(
+    vgtid: Vgtid,
+    epochs: ShardEpochMap,
+    generation: Long,
+    positions: Map[String, Long] = Map.empty,
+    schemas: Map[String, Map[String, String]] = Map.empty)
     extends Offset {
   override def json(): String = {
     val m = new ObjectMapper()
@@ -110,6 +129,19 @@ final case class VgtidOffset(vgtid: Vgtid, epochs: ShardEpochMap, generation: Lo
     o.set[com.fasterxml.jackson.databind.JsonNode]("vgtid", m.readTree(vgtid.json))
     o.set[com.fasterxml.jackson.databind.JsonNode]("transaction_epoch", m.readTree(epochs.json))
     o.put("connector_generation", generation)
+    // sorted keys: Spark compares offset JSON strings to detect "no new
+    // data" — serialization must be deterministic
+    if (positions.nonEmpty) {
+      val p = o.putObject("feed_positions")
+      positions.toSeq.sortBy(_._1).foreach { case (sh, b) => p.put(sh, b) }
+    }
+    if (schemas.nonEmpty) {
+      val s = o.putObject("schemas")
+      schemas.toSeq.sortBy(_._1).foreach { case (sh, tables) =>
+        val t = s.putObject(sh)
+        tables.toSeq.sortBy(_._1).foreach { case (tbl, line) => t.put(tbl, line) }
+      }
+    }
     m.writeValueAsString(o)
   }
 }
@@ -118,13 +150,78 @@ object VgtidOffset {
   def fromJson(json: String): VgtidOffset = {
     val m = new ObjectMapper()
     val n = m.readTree(json)
+    val positions = Option(n.get("feed_positions")).map { p =>
+      p.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    val schemas = Option(n.get("schemas")).map { s =>
+      s.fields().asScala.map { e =>
+        e.getKey -> e.getValue.fields().asScala
+          .map(t => t.getKey -> t.getValue.asText()).toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, String]])
     VgtidOffset(
       Vgtid.of(m.writeValueAsString(n.get("vgtid"))),
       Option(n.get("transaction_epoch"))
         .map(e => ShardEpochMap.fromJson(m.writeValueAsString(e)))
         .getOrElse(ShardEpochMap.empty),
-      Option(n.get("connector_generation")).map(_.asLong()).getOrElse(1L))
+      Option(n.get("connector_generation")).map(_.asLong()).getOrElse(1L),
+      positions,
+      schemas)
   }
+}
+
+/** Byte-addressed line reader over an append-only feed file: starts at
+  * byte `from` (a line boundary recorded by a previous scan), stops
+  * before byte `to`, and reports the exact byte position after each
+  * returned line. Feed writers always terminate lines with `\n`, so
+  * position advances by (UTF-8 length + 1) per line. This is what makes
+  * per-trigger work O(new bytes) instead of O(feed) — the scale
+  * equivalent of resuming a VStream at the checkpointed VGTID instead of
+  * replaying history (reference VitessOffsetContext.java:92-100). */
+private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long.MaxValue)
+    extends AutoCloseable {
+  private val ch =
+    java.nio.channels.FileChannel.open(Paths.get(file), java.nio.file.StandardOpenOption.READ)
+  private var consumed: Long = math.min(from, ch.size())
+  ch.position(consumed)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(
+      java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8),
+    1 << 16)
+
+  /** Byte position immediately after the last line returned. */
+  def position: Long = consumed
+
+  /** Next line, or null at EOF / the `to` bound. */
+  def readLine(): String =
+    if (consumed >= to) null
+    else {
+      val l = reader.readLine()
+      if (l == null) null
+      else {
+        consumed += l.getBytes(StandardCharsets.UTF_8).length + 1L
+        FeedSlice.linesRead.incrementAndGet()
+        l
+      }
+    }
+
+  def lines: Iterator[String] =
+    Iterator.continually(readLine()).takeWhile(_ != null)
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object FeedSlice {
+  /** Test instrumentation: total lines read by any FeedSlice in this JVM
+    * (specs assert trigger work is bounded by new bytes, not feed size). */
+  val linesRead = new java.util.concurrent.atomic.AtomicLong()
+
+  // cheap line-kind prefilters — Jackson writes "type" first, so a
+  // startsWith check avoids parsing every line on the driver scan
+  val BeginPrefix = "{\"type\":\"BEGIN\""
+  val CommitPrefix = "{\"type\":\"COMMIT\""
+  val VgtidPrefix = "{\"type\":\"VGTID\""
+  val FieldPrefix = "{\"type\":\"FIELD\""
 }
 
 class VitessCdcStream(options: CaseInsensitiveStringMap)
@@ -197,44 +294,68 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     epochs.get(shard).getOrElse(
       if (inheritEpoch) ShardLineage.inheritedEpoch(shard, epochs) else 0L)
 
-  /** Scan each shard file for its last VGTID position and fold epoch
-    * transitions along the way (driver-side; the real gRPC source would
-    * maintain this incrementally from the stream). A generation change
-    * vs the offset's stored generation bumps every epoch once (A5). With
-    * `max.txs.per.trigger`, the scan stops advancing a shard once the cap
-    * of new positions beyond `start` is reached — bounded batches. */
+  /** Advance each shard's position by scanning ONLY the bytes appended
+    * since the previous trigger (the byte position rides the offset), and
+    * fold epoch transitions incrementally along the way. Exactly-once for
+    * the fold holds because the byte position and the folded epochs live
+    * in the same atomic offset JSON: bytes before `feed_positions[shard]`
+    * are already reflected in `transaction_epoch`. A shard with no
+    * recorded position (first trigger, an offset from an explicit `vgtid`
+    * option, or a reshard child appearing now) falls back to the original
+    * whole-file fold from the initial baseline — idempotent, so legacy
+    * restarts can't double-count a host change. A generation change vs
+    * the offset's stored generation bumps every epoch once (A5). With
+    * `max.txs.per.trigger`, the scan stops at the first transaction
+    * boundary after the cap of new positions beyond `start` is reached —
+    * bounded batches; the byte position only ever advances at
+    * out-of-transaction line boundaries so a batch window never splits a
+    * transaction. FIELD (schema) lines encountered by the scan are
+    * checkpointed per (shard, table) so seeked readers can decode without
+    * replaying history. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VgtidOffset]
-    val init = initialOffset().asInstanceOf[VgtidOffset]
-    // epoch fold always replays the whole file from the initial baseline —
-    // idempotent, so restarts/bounded batches can't double-count a host
-    // change; `from` only gates how many NEW transactions are admitted
-    var epochs = EpochProvider.applyGeneration(init.epochs, from.generation, generation)
+    lazy val init = initialOffset().asInstanceOf[VgtidOffset]
+    lazy val bumpedInit = EpochProvider.applyGeneration(init.epochs, from.generation, generation)
+    var epochs = EpochProvider.applyGeneration(from.epochs, from.generation, generation)
+    val positionsOut = Map.newBuilder[String, Long]
+    val schemasOut = Map.newBuilder[String, Map[String, String]]
     val gtids = shardFiles.map { case (shard, file) =>
       val startSg = from.vgtid.shardGtid(shard)
         .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
+      val seekFrom = from.positions.get(shard)
+      val fromByte = seekFrom.getOrElse(0L)
       // positions compare by (rank, copy-phase lastpk progress) so copy
       // batches advance the offset even while the GTID stays fixed
-      var lastSg = init.vgtid.shardGtid(shard)
-        .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
-      // Existing shards fold from the BASELINE (the whole-file replay is
-      // what makes the fold idempotent — folding from the current epoch
-      // would re-count every host change each trigger and the offset
-      // would never converge). Only a shard absent from the start offset
-      // (a reshard child appearing now) seeds from lineage (A4).
-      var epoch =
-        if (from.epochs.get(shard).isDefined) epochs.get(shard).getOrElse(0L)
-        else seedEpoch(shard, from.epochs)
+      var lastSg = seekFrom match {
+        case Some(_) => startSg // incremental: fold continues from the offset
+        case None => init.vgtid.shardGtid(shard)
+          .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
+      }
+      var epoch = seekFrom match {
+        case Some(_) => epochs.get(shard).getOrElse(seedEpoch(shard, from.epochs))
+        case None if from.epochs.get(shard).isDefined => bumpedInit.get(shard).getOrElse(0L)
+        case None => seedEpoch(shard, from.epochs) // reshard child (A4)
+      }
+      var tableSchemas = from.schemas.getOrElse(shard, Map.empty[String, String])
       var admitted = 0L
-      val lines = Files.lines(file)
+      var inTx = false
+      var safePos = fromByte
+      val slice = new FeedSlice(file.toString, fromByte)
       try {
-        val it = lines.iterator().asScala
-        while (it.hasNext && admitted < maxTxsPerTrigger) {
-          val line = it.next()
-          // cheap prefilter: only VGTID lines need JSON parsing (the scan
-          // is driver-side and single-threaded — parsing every event line
-          // would dominate trigger latency on large feeds)
-          if (line.contains("\"VGTID\"")) {
+        var line = slice.readLine()
+        var stop = false
+        while (line != null && !stop) {
+          // prefix dispatch: only VGTID/FIELD lines need JSON parsing (the
+          // scan is driver-side and single-threaded — parsing every event
+          // line would dominate trigger latency on large feeds)
+          if (line.startsWith(FeedSlice.BeginPrefix)) inTx = true
+          else if (line.startsWith(FeedSlice.CommitPrefix)) inTx = false
+          else if (line.startsWith(FeedSlice.FieldPrefix)) {
+            VEventJson.read(line) match {
+              case f: FieldEvent => tableSchemas += (f.table -> line)
+              case _ =>
+            }
+          } else if (line.startsWith(FeedSlice.VgtidPrefix)) {
             VEventJson.read(line) match {
               case VgtidEvent(_, v) =>
                 v.shardGtid(shard).foreach { sg =>
@@ -250,13 +371,20 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
               case _ =>
             }
           }
+          if (!inTx) {
+            safePos = slice.position
+            if (admitted >= maxTxsPerTrigger) stop = true
+          }
+          if (!stop) line = slice.readLine()
         }
-      } finally lines.close()
+      } finally slice.close()
       epochs = epochs.put(shard, epoch)
+      positionsOut += shard -> safePos
+      if (tableSchemas.nonEmpty) schemasOut += shard -> tableSchemas
       // never regress behind the committed start position
       if (CopyProgress.compare(lastSg, startSg) < 0) startSg else lastSg
     }
-    VgtidOffset(Vgtid(gtids), epochs, generation)
+    VgtidOffset(Vgtid(gtids), epochs, generation, positionsOut.result(), schemasOut.result())
   }
 
   override def latestOffset(): Offset =
@@ -270,12 +398,21 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
       val endSg = e.vgtid.shardGtid(shard)
         .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
-      if (startSg == endSg) None // nothing new on this shard (incl. copy progress)
+      val startByte = s.positions.getOrElse(shard, 0L)
+      val endByte = e.positions.getOrElse(shard, Long.MaxValue)
+      // nothing new on this shard: no position progress (incl. copy
+      // progress) AND no new bytes (standalone DDL/schema lines advance
+      // bytes without advancing the VGTID)
+      if (startSg == endSg && (endByte == Long.MaxValue || startByte >= endByte)) None
       else Some(VitessCdcPartition(
         shard, keyspace, file.toString,
         Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
         seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
-        heartbeatPerBatch, inheritEpoch, snapshotTables): InputPartition)
+        heartbeatPerBatch, inheritEpoch, snapshotTables,
+        startByte, endByte,
+        // schema checkpoint as of batch start (in-window FIELD lines are
+        // read by the reader itself); sorted for determinism
+        s.schemas.getOrElse(shard, Map.empty).toSeq.sortBy(_._1).map(_._2)): InputPartition)
     }.toArray
   }
 
@@ -301,13 +438,23 @@ final case class VitessCdcPartition(
     tableFilter: TableFilter,
     heartbeatPerBatch: Boolean = false,
     inheritEpoch: Boolean = false,
-    snapshotTables: Option[TableFilter] = None) extends InputPartition
+    snapshotTables: Option[TableFilter] = None,
+    startByte: Long = 0L, // batch byte window [startByte, endByte)
+    endByte: Long = Long.MaxValue,
+    schemaLines: Seq[String] = Nil) // FIELD wire lines seen before startByte
+    extends InputPartition
 
-/** Executor-side reader: replays the shard's feed, assembles transactions,
-  * keeps those with GTID rank in (startRank, endRank], and decodes them.
-  * Rank (A2) is monotone per shard under a stable host set, which holds
-  * for MySQL56 GTIDs from one primary — the same property the reference's
-  * ordered-transaction metadata relies on. */
+/** Executor-side reader: seeks to the batch's byte window
+  * [startByte, endByte) of the shard feed, assembles transactions, keeps
+  * those with GTID rank in (startRank, endRank] — the rank-window filter
+  * stays on as the correctness backstop even though the byte window
+  * already bounds the slice — and decodes them against the schema
+  * checkpoint carried by the partition (FIELD lines seen before the
+  * window). Rank (A2) is monotone per shard under a stable host set,
+  * which holds for MySQL56 GTIDs from one primary — the same property
+  * the reference's ordered-transaction metadata relies on. A legacy
+  * partition without byte positions (endByte == Long.MaxValue with
+  * startByte == 0) degrades to the original whole-file replay. */
 class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[InternalRow] {
 
   private val startSg = Vgtid.of(p.startPosJson).shardGtid(p.shard)
@@ -317,11 +464,20 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
 
   // E1: transient I/O on stream open is retried with backoff; everything
   // else surfaces to Spark's task retry + restart-from-checkpoint
-  private val lineStream =
-    Retry.withRetries(maxAttempts = 3)(Files.lines(Paths.get(p.file), StandardCharsets.UTF_8))
+  private val slice =
+    Retry.withRetries(maxAttempts = 3)(new FeedSlice(p.file, p.startByte, p.endByte))
 
   private val rows: Iterator[InternalRow] = {
-    val events = lineStream.iterator().asScala.map(VEventJson.read)
+    val registry = new SchemaRegistry
+    // replay the checkpointed schema lines (a real VStream re-sends FIELD
+    // events on reconnect; the file feed can't, so the offset carries them)
+    p.schemaLines.foreach { line =>
+      VEventJson.read(line) match {
+        case f: FieldEvent => registry.update(p.shard, f)
+        case _ =>
+      }
+    }
+    val events = slice.lines.map(VEventJson.read)
     val fresh = (startSg.gtid == Vgtid.EmptyGtid || startSg.gtid == Vgtid.CurrentGtid) &&
       startSg.tablePKs.isEmpty
     val startVgtid = if (fresh) None else Some(Vgtid(Seq(startSg)))
@@ -333,7 +489,7 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
       previousVgtid = startVgtid,
       inheritEpoch = p.inheritEpoch)
     val rb = new RecordBuilder(
-      new SchemaRegistry, ctx, p.emitBoundaries,
+      registry, ctx, p.emitBoundaries,
       initialVgtid = startVgtid, tableFilter = p.tableFilter,
       snapshotTableFilter = p.snapshotTables)
     val batchRecords = TransactionAssembler.assemble(events)
@@ -344,8 +500,13 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
             // carries its lastpk watermark, so mid-copy restarts skip
             // exactly the transactions already delivered
             CopyProgress.compare(pos, startSg) > 0 && CopyProgress.compare(pos, endSg) <= 0
-          case None => // DDL/heartbeat flushes with no position ride with the batch
-            CopyProgress.compare(endSg, startSg) > 0
+          case None =>
+            // DDL/heartbeat flushes with no position: a bounded byte
+            // window contains each such line exactly once across the
+            // stream's lifetime, so deliver unconditionally; the legacy
+            // whole-file mode keeps the progress guard to avoid
+            // re-delivery on every batch
+            p.endByte != Long.MaxValue || CopyProgress.compare(endSg, startSg) > 0
         }
       }
       .flatMap(rb.onTransaction)
@@ -368,5 +529,5 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
     if (rows.hasNext) { current = rows.next(); true } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = lineStream.close()
+  override def close(): Unit = slice.close()
 }

@@ -460,6 +460,87 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq("1", "2", "3", "4", "5")) // all copy rows, exactly once, across batches
   }
 
+  test("offset json round-trips feed positions and schema checkpoint") {
+    val off = VgtidOffset(
+      Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/h:1-5"))),
+      ShardEpochMap.empty.put("s0", 1L),
+      1L,
+      positions = Map("s0" -> 12345L),
+      schemas = Map("s0" -> Map("ks.t1" -> VEventJson.write(
+        FieldEvent("s0", "ks", "ks.t1", t1Fields, enumSetStringValues = false)))))
+    val back = VgtidOffset.fromJson(off.json())
+    assert(back == off)
+    assert(off.json().contains("\"feed_positions\""))
+    // serialization is deterministic (Spark compares offset JSON strings)
+    assert(off.json() == back.json())
+  }
+
+  test("trigger work is bounded by new bytes, not total feed size") {
+    val feedDir = Files.createTempDirectory("cdcfeed18")
+    val ckpt = Files.createTempDirectory("cdcckpt18")
+    val out = Files.createTempDirectory("cdcout18")
+    def run(): Unit = {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // 50 transactions of history (5 lines each = 250 lines)
+    writeFeed(feedDir, "s0", (1L to 50L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    run()
+    // append 2 transactions (10 lines); the restarted stream must NOT
+    // replay the 250-line history — driver scan and reader both seek
+    writeFeed(feedDir, "s0", (51L to 52L).flatMap(i => insertTx("s0", i, i, s"v$i")), append = true)
+    val before = FeedSlice.linesRead.get()
+    run()
+    val delta = FeedSlice.linesRead.get() - before
+    // one driver scan + one reader pass over the 10 new lines, plus the
+    // final no-data scan (0 lines); anything near 250 means a full replay
+    assert(delta <= 40L, s"expected O(new lines) work, read $delta lines")
+    val ids = spark.read.parquet(out.toString)
+      .selectExpr("CAST(get_json_object(after, '$.id') AS LONG)")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == (1L to 52L)) // and still exactly-once
+  }
+
+  test("schema checkpoint lets a seeked reader decode without FIELD replay") {
+    val feedDir = Files.createTempDirectory("cdcfeed19")
+    val ckpt = Files.createTempDirectory("cdcckpt19")
+    val out = Files.createTempDirectory("cdcout19")
+    // like a real VStream feed: FIELD is sent only with the FIRST tx
+    def tx(seq: Long, withField: Boolean): Seq[VEvent] =
+      Seq(BeginEvent("s0", "ks")) ++
+        (if (withField)
+          Seq(FieldEvent("s0", "ks", "ks.t1", t1Fields, enumSetStringValues = false))
+        else Nil) ++ Seq(
+        RowEvent("s0", "ks", "ks.t1", Seq(
+          RowChange(None, Some(PackedRow.of(Seq(Some(seq.toString), Some(s"v$seq"))))))),
+        VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", s"MySQL56/feed:1-$seq")))),
+        CommitEvent("s0", "ks", seq))
+    def run(): Unit = {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFeed(feedDir, "s0", tx(1, withField = true) ++ tx(2, withField = false))
+    run()
+    // the appended tx has no FIELD event; the restarted reader seeks past
+    // the only FIELD line in the file and must decode via the offset's
+    // schema checkpoint
+    writeFeed(feedDir, "s0", tx(3, withField = false), append = true)
+    run()
+    val rows = spark.read.parquet(out.toString)
+      .selectExpr("get_json_object(after, '$.id') AS id", "get_json_object(after, '$.v') AS v")
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "v1"), ("2", "v2"), ("3", "v3")))
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
