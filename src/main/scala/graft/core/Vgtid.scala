@@ -70,32 +70,69 @@ final case class PkRow(lengths: Seq[String], values: String)
 /** Ordering of same-shard stream positions INCLUDING copy-phase progress
   * (SURVEY hard part (d)): primary order is GTID rank; at equal rank a
   * position still carrying per-table lastPK progress sorts before one
-  * that has none (copy finished), and two in-flight positions compare by
-  * (table name, lastpk length, lastpk bytes) — correct for the
-  * non-negative numeric-text PKs VStream emits, since decimal strings
-  * order by (length, lexicographic). */
+  * that has none (copy finished).
+  *
+  * Multi-table rule (reference Vgtid.java:44-83,
+  * TablePrimaryKeys.java:33-58 — the VGTID carries one `table_p_ks`
+  * entry per table whose copy is still in flight, and a completed
+  * table's entry is removed): walk the union of table names in order.
+  * A table absent on exactly one side finished copying there, so that
+  * side is later; a table present on both compares by lastpk progress.
+  *
+  * Per-table lastpk ordering honours the PK field type carried in the
+  * position: numeric-text PKs (VStream sends numbers as decimal text)
+  * order by (length, lexicographic); any other type (e.g. VARCHAR PKs,
+  * reference TablePrimaryKeys.java:127-437) orders by plain bytes —
+  * length-first would put "b" before "ab". */
 object CopyProgress {
 
   private def rankOf(gtid: String): BigDecimal =
     if (gtid == Vgtid.EmptyGtid || gtid == Vgtid.CurrentGtid) BigDecimal(0)
     else Rank.of(gtid)
 
-  private def pkKey(t: TableLastPk): (String, Int, String) = {
+  private val NumericPkTypes = Set(
+    "INT8", "UINT8", "INT16", "UINT16", "INT24", "UINT24",
+    "INT32", "UINT32", "INT64", "UINT64", "DECIMAL")
+
+  private def decodedPk(t: TableLastPk): String = {
     val v = t.rows.headOption.map(_.values).getOrElse("")
-    val decoded = new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
-    (t.tableName, decoded.length, decoded)
+    new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+  }
+
+  private def compareLastPk(ta: TableLastPk, tb: TableLastPk): Int = {
+    val (va, vb) = (decodedPk(ta), decodedPk(tb))
+    val numeric = ta.fields.headOption.forall(f => NumericPkTypes(f.typeName)) &&
+      tb.fields.headOption.forall(f => NumericPkTypes(f.typeName))
+    if (numeric) {
+      val byLen = Integer.compare(va.length, vb.length)
+      if (byLen != 0) byLen else va.compareTo(vb)
+    } else va.compareTo(vb)
   }
 
   /** < 0 when `a` is earlier than `b`, 0 when equal, > 0 when later. */
   def compare(a: ShardGtid, b: ShardGtid): Int = {
     val byRank = rankOf(a.gtid).compare(rankOf(b.gtid))
     if (byRank != 0) byRank
-    else (a.tablePKs.headOption.map(pkKey), b.tablePKs.headOption.map(pkKey)) match {
-      case (None, None)       => 0
-      case (None, Some(_))    => 1 // a finished copying, b still in flight
-      case (Some(_), None)    => -1
-      case (Some(ka), Some(kb)) =>
-        implicitly[Ordering[(String, Int, String)]].compare(ka, kb)
+    else (a.tablePKs.isEmpty, b.tablePKs.isEmpty) match {
+      case (true, true)   => 0
+      case (true, false)  => 1 // a finished copying, b still in flight
+      case (false, true)  => -1
+      case (false, false) =>
+        val am = a.tablePKs.map(t => t.tableName -> t).toMap
+        val bm = b.tablePKs.map(t => t.tableName -> t).toMap
+        val names = (am.keySet ++ bm.keySet).toSeq.sorted
+        var res = 0
+        val it = names.iterator
+        while (res == 0 && it.hasNext) {
+          val n = it.next()
+          (am.get(n), bm.get(n)) match {
+            case (Some(ta), Some(tb)) => res = compareLastPk(ta, tb)
+            case (Some(_), None)      => res = -1 // b already finished table n
+            case (None, Some(_))      => res = 1 // a already finished table n
+            case (None, None)         => ()
+          }
+        }
+        res
     }
   }
 }

@@ -36,6 +36,32 @@ class VgtidSpec extends AnyFunSuite {
     assert(v.localVgtid("-80").shardGtids.map(_.shard) == Seq("-80"))
   }
 
+  test("copy-progress ordering: multi-table in-flight and text PKs") {
+    def lp(t: String, v: String, tpe: String = "INT64"): TableLastPk =
+      TableLastPk(t, Seq(PkField("id", tpe, 63, None)),
+        if (v.isEmpty) Nil
+        else Seq(PkRow(Seq(v.length.toString),
+          java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8")))))
+    def pos(pks: TableLastPk*): ShardGtid =
+      ShardGtid("ks", "0", "MySQL56/h:1-1", pks.toVector)
+    // a table absent on exactly one side finished copying there → later
+    assert(CopyProgress.compare(pos(lp("t1", "2"), lp("t2", "")), pos(lp("t2", "1"))) < 0)
+    assert(CopyProgress.compare(pos(lp("t2", "9")), pos(lp("t1", "1"), lp("t2", ""))) > 0)
+    // same table set → the in-flight table's lastpk decides
+    assert(CopyProgress.compare(
+      pos(lp("t1", "2"), lp("t2", "")), pos(lp("t1", "10"), lp("t2", ""))) < 0)
+    // not-yet-started (no lastpk row) sorts before any progress
+    assert(CopyProgress.compare(
+      pos(lp("t1", ""), lp("t2", "")), pos(lp("t1", "1"), lp("t2", ""))) < 0)
+    // numeric-text PKs order by (length, lexicographic): 9 < 10
+    assert(CopyProgress.compare(pos(lp("t", "9")), pos(lp("t", "10"))) < 0)
+    // VARCHAR PKs order lexicographically: "ab" < "b" despite being longer
+    assert(CopyProgress.compare(
+      pos(lp("t", "ab", "VARCHAR")), pos(lp("t", "b", "VARCHAR"))) < 0)
+    assert(CopyProgress.compare(
+      pos(lp("t", "b", "VARCHAR")), pos(lp("t", "ab", "VARCHAR"))) > 0)
+  }
+
   test("reads reference-shaped json without table_p_ks") {
     val v = Vgtid.of("""[{"keyspace":"ks","shard":"0","gtid":"current"}]""")
     assert(v.shardGtids.head.gtid == "current")
