@@ -50,6 +50,49 @@ object ValueConversion {
     case object IsoString extends TemporalMode
   }
 
+  /** User-facing handling-mode bundle, the engine's analogue of the
+    * reference's type-handling configs
+    * (VitessConnectorConfig.java:123-186 `bigint.unsigned.handling.mode`,
+    * Debezium `binary.handling.mode`, :482-514 `time.precision.mode`).
+    * Parsed from the same option names on the `vitess-cdc` source and the
+    * batch pipeline. */
+  final case class TypeModes(
+      uint64: UInt64Mode = UInt64Mode.AsString,
+      binary: BinaryMode = BinaryMode.Bytes,
+      temporal: TemporalMode = TemporalMode.AdaptiveMicros)
+
+  object TypeModes {
+    val default: TypeModes = TypeModes()
+
+    def parse(
+        uint64: Option[String],
+        binary: Option[String],
+        temporal: Option[String]): TypeModes = TypeModes(
+      uint64.map {
+        case "string"  => UInt64Mode.AsString
+        case "long"    => UInt64Mode.AsLong
+        case "precise" => UInt64Mode.AsPrecise
+        case other => throw new IllegalArgumentException(
+          s"bigint.unsigned.handling.mode must be string|long|precise, got $other")
+      }.getOrElse(UInt64Mode.AsString),
+      binary.map {
+        case "bytes"  => BinaryMode.Bytes
+        case "base64" => BinaryMode.Base64
+        case "hex"    => BinaryMode.Hex
+        case other => throw new IllegalArgumentException(
+          s"binary.handling.mode must be bytes|base64|hex, got $other")
+      }.getOrElse(BinaryMode.Bytes),
+      temporal.map {
+        case "adaptive_time_microseconds" => TemporalMode.AdaptiveMicros
+        case "connect"                    => TemporalMode.ConnectMillis
+        case "isostring"                  => TemporalMode.IsoString
+        case other => throw new IllegalArgumentException(
+          // the reference rejects plain `adaptive` the same way
+          // (VitessConnectorConfig.java:482-514)
+          s"time.precision.mode must be adaptive_time_microseconds|connect|isostring, got $other")
+      }.getOrElse(TemporalMode.AdaptiveMicros))
+  }
+
   def bytesToHex(b: Array[Byte]): String = {
     val sb = new StringBuilder(b.length * 2)
     b.foreach(x => sb.append(f"${x & 0xff}%02x"))

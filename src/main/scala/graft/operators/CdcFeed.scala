@@ -188,6 +188,32 @@ object CdcFeed {
   }
 
   // ------------------------------------------------------------ literal
+  /** D7 modes fixture: values whose decoding depends on the handling
+    * modes — a negative-wire UINT64 (two's-complement wraparound), raw
+    * BLOB bytes, and the temporal family. One insert tx on shard 0. */
+  def typeModesMatrix(s: SparkSession): Dataset[FeedLine] = {
+    import s.implicits._
+    val fields = Seq(
+      FieldDef("c_pk", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("c_u64_neg", "UINT64", "bigint(20) unsigned", 20, 0, 0L),
+      FieldDef("c_u64", "UINT64", "bigint(20) unsigned", 20, 0, 0L),
+      FieldDef("c_bin", "BLOB", "blob", 0, 0, 0L),
+      FieldDef("c_date", "DATE", "date", 10, 0, 0L),
+      FieldDef("c_time", "TIME", "time(1)", 10, 1, 0L),
+      FieldDef("c_dt", "DATETIME", "datetime", 19, 0, 0L),
+      FieldDef("c_ts", "TIMESTAMP", "timestamp", 19, 0, 0L))
+    val values = Seq(
+      Some("1"), Some("-1"), Some("123"), Some("AB"),
+      Some("2020-02-29"), Some("-01:30:15.5"),
+      Some("2021-01-02 03:04:05"), Some("2021-01-02 03:04:05"))
+    val events = txEvents("0", "ks.modes", fields,
+      RowChange(None, Some(PackedRow.of(values))), 1L,
+      Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/feed:1-1"))))
+    s.createDataset(events.zipWithIndex.map { case (e, i) =>
+      FeedLine("0", i.toLong, VEventJson.write(e))
+    })
+  }
+
   /** Fixed type-matrix fixture covering the full conversion surface
     * (mirrors the reference's vitess_create_tables.ddl numeric/string/
     * enum/set/time/zero-value tables — see FIXTURES.md). One insert tx on

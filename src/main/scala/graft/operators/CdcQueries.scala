@@ -144,6 +144,35 @@ object CdcQueries {
       |  '-5415500000' AS c_time, '2021-01-02T03:04:05' AS c_dt,
       |  '1609556645000000' AS c_ts, '{"c_i16":-42}' AS key""".stripMargin
 
+  // -------------------------------------------------- type modes (D7)
+  /** D7 end-to-end: non-default handling modes flow from pipeline options
+    * through decode — uint64 `precise` (incl. the +2^64 wraparound of a
+    * negative wire value), binary `hex`, temporal `isostring` (raw
+    * temporal text passes through unchanged). Oracle pins literals. */
+  val qCdcTypeModes: Q = (s, _) => {
+    import graft.core.ValueConversion
+    val modes = ValueConversion.TypeModes(
+      uint64 = ValueConversion.UInt64Mode.AsPrecise,
+      binary = ValueConversion.BinaryMode.Hex,
+      temporal = ValueConversion.TemporalMode.IsoString)
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.typeModesMatrix(s), typeModes = modes)
+    recs.toDF()
+      .filter(col("op") === "c")
+      .select(
+        afterStr("c_u64_neg").as("u64_wrapped"),
+        afterStr("c_u64").as("u64_small"),
+        afterStr("c_bin").as("bin_hex"),
+        afterStr("c_date").as("date_iso"),
+        afterStr("c_time").as("time_iso"),
+        afterStr("c_dt").as("dt_iso"),
+        afterStr("c_ts").as("ts_iso"))
+  }
+
+  val qCdcTypeModesSql: String =
+    """SELECT '18446744073709551615' AS u64_wrapped, '123' AS u64_small,
+      |  '4142' AS bin_hex, '2020-02-29' AS date_iso, '-01:30:15.5' AS time_iso,
+      |  '2021-01-02 03:04:05' AS dt_iso, '2021-01-02 03:04:05' AS ts_iso""".stripMargin
+
   // -------------------------------------------------- DDL metadata
   /** D10: DDL records carry the extracted operation + table and the DDL
     * event's own timestamp. */
@@ -515,6 +544,7 @@ object CdcQueries {
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
     "cdc_type_matrix"      -> qCdcTypeMatrix,
+    "cdc_type_modes"       -> qCdcTypeModes,
     "cdc_ddl"              -> qCdcDdl,
     "cdc_filter_tables"    -> qCdcFilterTables,
     "cdc_extract_state"    -> qCdcExtractState,
@@ -535,6 +565,7 @@ object CdcQueries {
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,
     "cdc_type_matrix"      -> qCdcTypeMatrixSql,
+    "cdc_type_modes"       -> qCdcTypeModesSql,
     "cdc_ddl"              -> qCdcDdlSql,
     "cdc_filter_tables"    -> qCdcFilterTablesSql,
     "cdc_extract_state"    -> qCdcExtractStateSql,

@@ -250,6 +250,13 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     Option(options.get("exclude.empty.shards")).forall(_.toBoolean) // default true
   private val heartbeatPerBatch =
     Option(options.get("heartbeat.batch")).exists(_.toBoolean)
+  // D7: user-facing type-handling modes (reference
+  // VitessConnectorConfig.java:123-186, 482-514); validated at stream
+  // construction so a bad option fails the query start, not a task
+  private val typeModes = ValueConversion.TypeModes.parse(
+    Option(options.get("bigint.unsigned.handling.mode")),
+    Option(options.get("binary.handling.mode")),
+    Option(options.get("time.precision.mode")))
 
   /** F5: shards with no events are excluded from planning by default
     * (reference getNonEmptyShards, VitessMetadata.java:201-216). */
@@ -409,6 +416,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
         seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
         heartbeatPerBatch, inheritEpoch, snapshotTables,
+        typeModes,
         startByte, endByte,
         // schema checkpoint as of batch start (in-window FIELD lines are
         // read by the reader itself); sorted for determinism
@@ -439,6 +447,7 @@ final case class VitessCdcPartition(
     heartbeatPerBatch: Boolean = false,
     inheritEpoch: Boolean = false,
     snapshotTables: Option[TableFilter] = None,
+    typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default,
     startByte: Long = 0L, // batch byte window [startByte, endByte)
     endByte: Long = Long.MaxValue,
     schemaLines: Seq[String] = Nil) // FIELD wire lines seen before startByte
@@ -491,7 +500,7 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
     val rb = new RecordBuilder(
       registry, ctx, p.emitBoundaries,
       initialVgtid = startVgtid, tableFilter = p.tableFilter,
-      snapshotTableFilter = p.snapshotTables)
+      snapshotTableFilter = p.snapshotTables, typeModes = p.typeModes)
     val batchRecords = TransactionAssembler.assemble(events)
       .filter { tx =>
         tx.vgtid.flatMap(_.shardGtid(p.shard)) match {

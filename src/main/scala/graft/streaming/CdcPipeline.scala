@@ -31,14 +31,16 @@ object CdcPipeline {
       emitBoundaries: Boolean = false,
       tableFilter: TableFilter = TableFilter.acceptAll,
       columnRules: ColumnRules = ColumnRules.none,
-      convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail): Dataset[ChangeRecord] = {
+      convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail,
+      typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default): Dataset[ChangeRecord] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     feed
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("seq"))
       .mapPartitions { it =>
-        processPartition(it.buffered, emitBoundaries, tableFilter, columnRules, convertFailureMode)
+        processPartition(
+          it.buffered, emitBoundaries, tableFilter, columnRules, convertFailureMode, typeModes)
       }
   }
 
@@ -50,7 +52,8 @@ object CdcPipeline {
       emitBoundaries: Boolean,
       tableFilter: TableFilter,
       columnRules: ColumnRules = ColumnRules.none,
-      convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail): Iterator[ChangeRecord] =
+      convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail,
+      typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default): Iterator[ChangeRecord] =
     if (!buf.hasNext) Iterator.empty
     else {
       val shard = buf.head.shard
@@ -61,9 +64,9 @@ object CdcPipeline {
       val rb = new RecordBuilder(
         new SchemaRegistry, OrderedTxContext.initial(Seq(shard)), emitBoundaries,
         tableFilter = tableFilter, columnRules = columnRules,
-        convertFailureMode = convertFailureMode)
+        convertFailureMode = convertFailureMode, typeModes = typeModes)
       // ++ is lazy: the recursive call runs only after this run is drained
       TransactionAssembler.assemble(run).flatMap(rb.onTransaction) ++
-        processPartition(buf, emitBoundaries, tableFilter, columnRules, convertFailureMode)
+        processPartition(buf, emitBoundaries, tableFilter, columnRules, convertFailureMode, typeModes)
     }
 }

@@ -90,7 +90,8 @@ final class RecordBuilder(
     tableFilter: TableFilter = TableFilter.acceptAll,
     columnRules: ColumnRules = ColumnRules.none,
     convertFailureMode: ConvertFailureMode = ConvertFailureMode.Fail,
-    snapshotTableFilter: Option[TableFilter] = None) {
+    snapshotTableFilter: Option[TableFilter] = None,
+    typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default) {
 
   private val mapper = new ObjectMapper()
 
@@ -226,7 +227,9 @@ final class RecordBuilder(
     meta.columns.zip(raw).foreach { case (col, bytes) =>
       if (!columnRules.isExcluded(meta.ref.keyspace, meta.ref.table, col.name)) {
       val decoded =
-        try ValueConversion.decode(col.graftType, bytes.orNull)
+        try ValueConversion.decode(
+          col.graftType, bytes.orNull,
+          typeModes.uint64, typeModes.binary, typeModes.temporal)
         catch {
           case scala.util.control.NonFatal(e) => convertFailureMode match {
             case ConvertFailureMode.Fail =>

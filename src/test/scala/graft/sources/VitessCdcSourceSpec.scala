@@ -588,6 +588,42 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("1", "v1"), ("2", "v2"), ("3", "v3")))
   }
 
+  test("type handling mode options reach the reader's decoder (D7)") {
+    val feedDir = Files.createTempDirectory("cdcfeed21")
+    val ckpt = Files.createTempDirectory("cdcckpt21")
+    val fields = Seq(
+      FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("u", "UINT64", "bigint(20) unsigned", 20, 0, 0L),
+      FieldDef("b", "BLOB", "blob", 0, 0, 0L),
+      FieldDef("ts", "TIMESTAMP", "timestamp", 19, 0, 0L))
+    val tx: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", fields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(
+        Seq(Some("1"), Some("-1"), Some("AB"), Some("2021-01-02 03:04:05"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1")))),
+      CommitEvent("s0", "ks", 1L))
+    writeFeed(feedDir, "s0", tx)
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("bigint.unsigned.handling.mode", "precise")
+      .option("binary.handling.mode", "hex")
+      .option("time.precision.mode", "isostring")
+      .load()
+      .writeStream.format("memory").queryName("cdc_modes")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.sql(
+      "SELECT get_json_object(after, '$.u'), get_json_object(after, '$.b'), " +
+        "get_json_object(after, '$.ts') FROM cdc_modes WHERE op = 'c'").first()
+    assert(r.getString(0) == "18446744073709551615") // -1 wire value +2^64
+    assert(r.getString(1) == "4142") // hex of "AB"
+    assert(r.getString(2) == "2021-01-02 03:04:05") // isostring passthrough
+    intercept[IllegalArgumentException] {
+      graft.core.ValueConversion.TypeModes.parse(None, None, Some("adaptive"))
+    }
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
