@@ -225,12 +225,20 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
     * chunks (any pair within Hamming distance ≤ maxHamming shares at
     * least one chunk when maxHamming < 4 by pigeonhole... chunks = 4
-    * guarantees distance ≤ 3; verification filters the rest). */
+    * guarantees distance ≤ 3; verification filters the rest).
+    *
+    * Hot chunk buckets (> hotBucketThreshold) switch to star pairing
+    * against the bucket minimum — O(K) instead of O(K²) pairs. The
+    * threshold is high (1024): a chunk bucket that large is dominated by
+    * a same-signature duplicate cluster (which the star fully covers,
+    * hamming 0 to the min); the cross pairs it forgoes are the accepted
+    * trade for a bounded plan at corpus scale. */
   def simhashNearDupPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      hotBucketThreshold: Int = 1024): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = withSig.select(
       col("id"), col("sig"),
@@ -238,10 +246,22 @@ object Dedup {
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "chunk"))
+    val w = Window.partitionBy(col("band"), col("chunk"))
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min(col("id")).over(w))
+    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
+    val a = small.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = small.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val smallPairs = a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    val hotPairs = sized
+      .filter(col("bucket_n") > hotBucketThreshold && col("id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("id_a"), col("id").as("id_b"), col("sig").as("sig_b"))
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    smallPairs.unionByName(hotPairs)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)

@@ -191,17 +191,52 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, found via the
-    * same bucket join (id_a < id_b). */
-  def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 8,
+  /** Embedding near-duplicate pairs: cosine ≥ threshold (id_a < id_b),
+    * found via the bucket join with two scale bounds:
+    *
+    *  - signature `bits` scale with corpus size (bits = 0, the default,
+    *    targets ≤ `hotBucketThreshold` vectors per random bucket, capped
+    *    at 24), so random bucket collisions stay O(1) at any corpus size;
+    *  - a bucket still hot after adaptive bits is overwhelmingly a
+    *    same-content duplicate cluster (identical vectors share a
+    *    signature at ANY width — unlike random collisions, a dup cluster
+    *    never disperses as bits grow), so it switches to star pairing
+    *    against the bucket minimum: O(K) pairs instead of O(K²), and the
+    *    star is exactly what the drop-with-smaller-twin policy needs.
+    *
+    * Heavy-payload discipline (same as Dedup.lshCandidatePairs): id pairs
+    * are formed from (bucket, id) alone; the vectors are joined back per
+    * candidate pair, never replicated through the bucket self-join. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 0,
+      hotBucketThreshold: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", hyperplaneSignature(col("vec"), bits))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    val src = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val useBits =
+      if (bits > 0) bits
+      else {
+        val n = src.count()
+        val target = math.max(1L, n / hotBucketThreshold)
+        math.min(24, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(target)))
+      }
+    val bucketed = src
+      .withColumn("bucket", hyperplaneSignature(col("vec"), useBits))
+      .select(col("bucket"), col("id"))
+    val w = Window.partitionBy(col("bucket"))
+    val sized = bucketed
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min(col("id")).over(w))
+    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
+    val a = small.select(col("bucket"), col("id").as("id_a"))
+    val b = small.select(col("bucket"), col("id").as("id_b"))
+    val smallPairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    val hotPairs = sized
+      .filter(col("bucket_n") > hotBucketThreshold && col("id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("id_a"), col("id").as("id_b"))
+    smallPairs.unionByName(hotPairs).distinct()
+      .join(src.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))

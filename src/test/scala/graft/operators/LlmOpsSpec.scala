@@ -71,6 +71,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.subsetOf(found))
   }
 
+  test("cosine near-dup pairs: adversarial single hot bucket stays O(K)") {
+    val sp = spark; import sp.implicits._
+    // 200 identical vectors: one bucket at any signature width, well past
+    // the hot threshold (64) — the star bound must cap pairs at K-1
+    val vec = Array.fill(8)(0.5f).toSeq
+    val df = (0L until 200L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 199) // O(K) star pairs, not K*(K-1)/2 = 19900
+    assert(pairs.forall(_._1 == 0L)) // every member pairs with the bucket min
+    assert(pairs.map(_._2).sorted.toSeq == (1L until 200L))
+    // drop-with-smaller-twin policy still removes every duplicate
+    val drop = pairs.map(_._2).toSet
+    assert((0L until 200L).count(!drop.contains(_)) == 1)
+  }
+
   test("simhash: identical text -> distance 0; small perturbation stays close") {
     val sp = spark; import sp.implicits._
     val df = Seq(
