@@ -39,6 +39,16 @@ object ValueConversion {
     case object Hex extends BinaryMode
   }
 
+  /** decimal.handling.mode (reference: Debezium DecimalHandlingMode wired
+    * through VitessValueConverter): precise DECIMAL(p,s), plain string
+    * (this engine's default), or lossy double. */
+  sealed trait DecimalMode
+  object DecimalMode {
+    case object AsString extends DecimalMode
+    case object Precise extends DecimalMode
+    case object AsDouble extends DecimalMode
+  }
+
   /** time.precision.mode (reference: VitessConnectorConfig.java:493-514 —
     * adaptive_time_microseconds default, connect = millisecond epoch
     * values, isostring passes the raw temporal string through unchanged;
@@ -59,7 +69,8 @@ object ValueConversion {
   final case class TypeModes(
       uint64: UInt64Mode = UInt64Mode.AsString,
       binary: BinaryMode = BinaryMode.Bytes,
-      temporal: TemporalMode = TemporalMode.AdaptiveMicros)
+      temporal: TemporalMode = TemporalMode.AdaptiveMicros,
+      decimal: DecimalMode = DecimalMode.AsString)
 
   object TypeModes {
     val default: TypeModes = TypeModes()
@@ -67,7 +78,8 @@ object ValueConversion {
     def parse(
         uint64: Option[String],
         binary: Option[String],
-        temporal: Option[String]): TypeModes = TypeModes(
+        temporal: Option[String],
+        decimal: Option[String] = None): TypeModes = TypeModes(
       uint64.map {
         case "string"  => UInt64Mode.AsString
         case "long"    => UInt64Mode.AsLong
@@ -90,7 +102,14 @@ object ValueConversion {
           // the reference rejects plain `adaptive` the same way
           // (VitessConnectorConfig.java:482-514)
           s"time.precision.mode must be adaptive_time_microseconds|connect|isostring, got $other")
-      }.getOrElse(TemporalMode.AdaptiveMicros))
+      }.getOrElse(TemporalMode.AdaptiveMicros),
+      decimal.map {
+        case "string"  => DecimalMode.AsString
+        case "precise" => DecimalMode.Precise
+        case "double"  => DecimalMode.AsDouble
+        case other => throw new IllegalArgumentException(
+          s"decimal.handling.mode must be string|precise|double, got $other")
+      }.getOrElse(DecimalMode.AsString))
   }
 
   def bytesToHex(b: Array[Byte]): String = {
@@ -216,7 +235,8 @@ object ValueConversion {
       raw: Array[Byte],
       uint64Mode: UInt64Mode = UInt64Mode.AsString,
       binaryMode: BinaryMode = BinaryMode.Bytes,
-      temporalMode: TemporalMode = TemporalMode.AdaptiveMicros): Option[Any] = {
+      temporalMode: TemporalMode = TemporalMode.AdaptiveMicros,
+      decimalMode: DecimalMode = DecimalMode.AsString): Option[Any] = {
     if (raw == null) return None
     def str = new String(raw, StandardCharsets.UTF_8)
     def bin(b: Array[Byte]): Any = binaryMode match {
@@ -237,7 +257,15 @@ object ValueConversion {
           case UInt64Mode.AsLong => Some(java.lang.Long.parseUnsignedLong(str))
           case UInt64Mode.AsPrecise => Some(correctUnsignedBigint(BigDecimal(str)))
         }
-      case GraftType.DecimalStr | GraftType.Text | GraftType.Json => Some(str)
+      case GraftType.DecimalStr =>
+        decimalMode match {
+          case DecimalMode.AsDouble => Some(str.toDouble)
+          case _ => Some(str)
+        }
+      // typed decimal (decimal.handling.mode=precise): the wire text is
+      // exact decimal, BigDecimal preserves its scale into the JSON number
+      case _: GraftType.DecimalT => Some(BigDecimal(str))
+      case GraftType.Text | GraftType.Json => Some(str)
       case GraftType.Bytes | GraftType.Unknown => Some(bin(raw))
       case GraftType.Bits(len) => if (len == 1) Some(bitToBoolean(raw)) else Some(bin(raw))
       case e: GraftType.Enum =>

@@ -24,8 +24,16 @@ object GraftType {
   case object Float64 extends GraftType { val sparkType: DataType = DoubleType }
   /** Unsigned 64-bit; default mode keeps the precise string. */
   case object UInt64 extends GraftType { val sparkType: DataType = StringType }
-  /** MySQL DECIMAL — precise-by-string (precision unknown on the wire). */
+  /** MySQL DECIMAL — precise-by-string (the reference default exposes
+    * decimals as strings too unless decimal.handling.mode says otherwise). */
   case object DecimalStr extends GraftType { val sparkType: DataType = StringType }
+  /** MySQL DECIMAL under decimal.handling.mode=precise: typed with the
+    * precision/scale parsed from the column definition (the wire FieldDef
+    * carries columnLength/decimals), so downstream extraction gets a real
+    * DecimalType(p,s) without a hand-written from_json schema. */
+  final case class DecimalT(precision: Int, scale: Int) extends GraftType {
+    val sparkType: DataType = DecimalType(math.min(math.max(precision, 1), 38), scale)
+  }
   case object Text extends GraftType { val sparkType: DataType = StringType }
   case object Json extends GraftType { val sparkType: DataType = StringType }
   case object Bytes extends GraftType { val sparkType: DataType = BinaryType }
@@ -61,12 +69,24 @@ object GraftType {
     * definition (e.g. "enum('a','b')", "text"); `isEnumSetStringValue` is
     * true during the copy phase, when the server sends enum/set values as
     * label strings instead of index/bitmask. */
+  private val DecimalDef = "(?i)decimal\\((\\d+)(?:,(\\d+))?\\)".r
+
+  /** Precision/scale of a DECIMAL column: parsed from the column
+    * definition (`decimal(13,4)`), falling back to the wire
+    * columnLength/decimals when the definition is bare. */
+  def decimalPrecisionScale(columnType: String, columnLength: Int, decimals: Int): (Int, Int) =
+    columnType match {
+      case DecimalDef(p, s) => (p.toInt, Option(s).map(_.toInt).getOrElse(0))
+      case _ => (math.max(columnLength, 1), decimals)
+    }
+
   def resolve(
       wireType: String,
       columnType: String = "",
       columnLength: Int = 0,
       decimals: Int = 0,
-      isEnumSetStringValue: Boolean = false): GraftType = wireType match {
+      isEnumSetStringValue: Boolean = false,
+      decimalPrecise: Boolean = false): GraftType = wireType match {
     case "INT8" | "UINT8" | "INT16" => Int16Type
     case "UINT16" | "INT24" | "UINT24" | "INT32" => Int32Type
     case "YEAR" => YearT
@@ -74,7 +94,11 @@ object GraftType {
     case "UINT64" => UInt64
     case "FLOAT32" => Float32
     case "FLOAT64" => Float64
-    case "DECIMAL" => DecimalStr
+    case "DECIMAL" =>
+      if (decimalPrecise) {
+        val (p, sc) = decimalPrecisionScale(columnType, columnLength, decimals)
+        DecimalT(p, sc)
+      } else DecimalStr
     case "ENUM" => Enum(parseEnumOrSetValues(columnType), isEnumSetStringValue)
     case "SET" => SetT(parseEnumOrSetValues(columnType), isEnumSetStringValue)
     case "BLOB" =>

@@ -78,8 +78,16 @@ object CdcFeed {
       d: String,
       nShards: Int = DefaultShards,
       opsMix: Boolean = false,
-      multiShardVgtid: Boolean = false): Dataset[FeedLine] = {
+      multiShardVgtid: Boolean = false,
+      decimalPrice: Boolean = false): Dataset[FeedLine] = {
     import s.implicits._
+    // decimalPrice: o_totalprice streams as a DECIMAL(12,2) wire column
+    // (2-dp text, the values are exact cents) instead of FLOAT64
+    val fields =
+      if (decimalPrice)
+        OrdersFields.updated(3,
+          FieldDef("o_totalprice", "DECIMAL", "decimal(12,2)", 12, 2, ColumnFlags.NotNull))
+      else OrdersFields
     val w = Window.partitionBy("shard").orderBy("o_orderkey")
     val src = Tables.orders(s, d)
       .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
@@ -91,7 +99,10 @@ object CdcFeed {
         col("o_orderpriority"))
       .as[(String, Long, Long, Long, String, Double, String, String)]
     src.flatMap { case (shard, tx, okey, ckey, status, price, odate, prio) =>
-      val row = Seq(okey.toString, ckey.toString, status, price.toString, odate, prio)
+      val priceText =
+        if (decimalPrice) String.format(java.util.Locale.ROOT, "%.2f", Double.box(price))
+        else price.toString
+      val row = Seq(okey.toString, ckey.toString, status, priceText, odate, prio)
         .map(Option(_))
       val change =
         if (opsMix && okey % 10 == 0)
@@ -103,7 +114,7 @@ object CdcFeed {
         else
           RowChange(None, Some(PackedRow.of(row)))
       feedLines(shard, tx,
-        txEvents(shard, "ks.orders", OrdersFields, change, tx,
+        txEvents(shard, "ks.orders", fields, change, tx,
           vgtidAt(shard, tx, nShards, multiShardVgtid), withField = tx == 1))
     }
   }

@@ -525,6 +525,33 @@ object CdcQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Typed DECIMAL plumb-through (decimal.handling.mode=precise): the
+    * wire DECIMAL(12,2) column lands as an exact JSON number whose
+    * registry type is DecimalType(12,2) — summable without a hand-written
+    * from_json schema. Output in cents (BIGINT) for canon-proof hashing. */
+  val qCdcDecimalTyped: Q = (s, d) => {
+    import graft.core.ValueConversion
+    val modes = ValueConversion.TypeModes(decimal = ValueConversion.DecimalMode.Precise)
+    val recs = CdcPipeline.changeRecords(
+      s, CdcFeed.orders(s, d, decimalPrice = true), typeModes = modes)
+    recs.toDF()
+      .filter(col("op") === "c")
+      .select(afterStr("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+      .agg(
+        (sum(col("p")).cast(DecimalType(30, 2)) * lit(100).cast(DecimalType(3, 0)))
+          .cast(LongType).as("total_cents"),
+        (max(col("p")).cast(DecimalType(30, 2)) * lit(100).cast(DecimalType(3, 0)))
+          .cast(LongType).as("max_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  val qCdcDecimalTypedSql: String =
+    """SELECT
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS total_cents,
+      |  CAST(CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS max_cents,
+      |  count(*) AS n
+      |FROM orders""".stripMargin
+
   val qCdcDecimalExtractSql: String =
     """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total,
       |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price,
@@ -535,6 +562,7 @@ object CdcQueries {
     "cdc_stream_source"    -> qCdcStreamSource,
     "cdc_sql_decode"       -> qCdcSqlDecode,
     "cdc_decimal_extract"  -> qCdcDecimalExtract,
+    "cdc_decimal_typed"    -> qCdcDecimalTyped,
     "cdc_materialize"      -> qCdcMaterialize,
     "cdc_topic_routing"    -> qCdcTopicRouting,
     "cdc_column_rules"     -> qCdcColumnRules,
@@ -556,6 +584,7 @@ object CdcQueries {
     "cdc_stream_source"    -> qCdcStreamSourceSql,
     "cdc_sql_decode"       -> qCdcSqlDecodeSql,
     "cdc_decimal_extract"  -> qCdcDecimalExtractSql,
+    "cdc_decimal_typed"    -> qCdcDecimalTypedSql,
     "cdc_materialize"      -> qCdcMaterializeSql,
     "cdc_topic_routing"    -> qCdcTopicRoutingSql,
     "cdc_column_rules"     -> qCdcColumnRulesSql,

@@ -250,13 +250,21 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     Option(options.get("exclude.empty.shards")).forall(_.toBoolean) // default true
   private val heartbeatPerBatch =
     Option(options.get("heartbeat.batch")).exists(_.toBoolean)
+  // H1 interval variant: emit a heartbeat record whenever at least
+  // `heartbeat.interval.ms` of stream (commit-timestamp) time has elapsed
+  // since the last one; 0 disables — the reference's NOOP heartbeat
+  // (VitessHeartbeatFactory.java:22-31). Event-time driven so replay is
+  // deterministic (wall-clock heartbeats cannot be replayed exactly).
+  private val heartbeatIntervalMs =
+    Option(options.get("heartbeat.interval.ms")).map(_.toLong).getOrElse(0L)
   // D7: user-facing type-handling modes (reference
   // VitessConnectorConfig.java:123-186, 482-514); validated at stream
   // construction so a bad option fails the query start, not a task
   private val typeModes = ValueConversion.TypeModes.parse(
     Option(options.get("bigint.unsigned.handling.mode")),
     Option(options.get("binary.handling.mode")),
-    Option(options.get("time.precision.mode")))
+    Option(options.get("time.precision.mode")),
+    Option(options.get("decimal.handling.mode")))
 
   /** F5: shards with no events are excluded from planning by default
     * (reference getNonEmptyShards, VitessMetadata.java:201-216). */
@@ -416,7 +424,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
         seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
         heartbeatPerBatch, inheritEpoch, snapshotTables,
-        typeModes,
+        typeModes, heartbeatIntervalMs,
         startByte, endByte,
         // schema checkpoint as of batch start (in-window FIELD lines are
         // read by the reader itself); sorted for determinism
@@ -448,6 +456,7 @@ final case class VitessCdcPartition(
     inheritEpoch: Boolean = false,
     snapshotTables: Option[TableFilter] = None,
     typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default,
+    heartbeatIntervalMs: Long = 0L, // 0 = NOOP heartbeat
     startByte: Long = 0L, // batch byte window [startByte, endByte)
     endByte: Long = Long.MaxValue,
     schemaLines: Seq[String] = Nil) // FIELD wire lines seen before startByte
@@ -477,7 +486,7 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
     Retry.withRetries(maxAttempts = 3)(new FeedSlice(p.file, p.startByte, p.endByte))
 
   private val rows: Iterator[InternalRow] = {
-    val registry = new SchemaRegistry
+    val registry = new SchemaRegistry(p.typeModes)
     // replay the checkpointed schema lines (a real VStream re-sends FIELD
     // events on reconnect; the file feed can't, so the offset carries them)
     p.schemaLines.foreach { line =>
@@ -519,6 +528,29 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
         }
       }
       .flatMap(rb.onTransaction)
+    // H1 interval heartbeats: a heartbeat record rides after the first
+    // data record at least `heartbeatIntervalMs` of commit time past the
+    // previous one, carrying that record's position as the current offset
+    // (reference VitessHeartbeatImpl.java:47-77; 0 = NOOP). Event-time
+    // driven: deterministic under replay.
+    val withIntervalHeartbeats =
+      if (p.heartbeatIntervalMs <= 0L) batchRecords
+      else {
+        var lastHbMs = Long.MinValue
+        batchRecords.flatMap { rec =>
+          val isData = rec.op == "c" || rec.op == "u" || rec.op == "d"
+          if (!isData) Iterator.single(rec)
+          else if (lastHbMs == Long.MinValue) {
+            lastHbMs = rec.tsMs
+            Iterator.single(rec)
+          } else if (rec.tsMs - lastHbMs >= p.heartbeatIntervalMs) {
+            lastHbMs = rec.tsMs
+            Iterator(rec, ChangeRecord(
+              p.shard, p.keyspace, "", "heartbeat", None, None, None,
+              rec.tsMs, rec.vgtid, rec.restartVgtid, None, rec.epoch, None, 0L, 0L))
+          } else Iterator.single(rec)
+        }
+      }
     // H1: one liveness record per shard per batch carrying the end offset
     // (reference VitessHeartbeatImpl.java:47-77 — emitted alongside data;
     // skipped while no offset exists yet, i.e. a fresh empty start)
@@ -529,7 +561,7 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
           0L, Vgtid(Seq(endSg)).json, Vgtid(Seq(endSg)).json,
           None, p.startEpoch, None, 0L, 0L))
       else Iterator.empty
-    (batchRecords ++ heartbeat).map(VitessCdc.toInternalRow)
+    (withIntervalHeartbeats ++ heartbeat).map(VitessCdc.toInternalRow)
   }
 
   private var current: InternalRow = _

@@ -62,7 +62,7 @@ object CdcPipeline {
         def next(): VEvent = VEventJson.read(buf.next().line)
       }
       val rb = new RecordBuilder(
-        new SchemaRegistry, OrderedTxContext.initial(Seq(shard)), emitBoundaries,
+        new SchemaRegistry(typeModes), OrderedTxContext.initial(Seq(shard)), emitBoundaries,
         tableFilter = tableFilter, columnRules = columnRules,
         convertFailureMode = convertFailureMode, typeModes = typeModes)
       // ++ is lazy: the recursive call runs only after this run is drained

@@ -13,16 +13,20 @@ final class ConversionFailure(msg: String, cause: Throwable)
   * metadata, last-writer-wins on every FIELD event (reference:
   * VitessDatabaseSchema.java:64-91). One instance per shard reader —
   * single-threaded by construction. */
-final class SchemaRegistry {
+final class SchemaRegistry(
+    typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default) {
   private var tables = Map.empty[TableRef, TableMeta]
 
   def update(shard: String, f: FieldEvent): TableMeta = {
     val (keyspace, table) = splitTableName(f.table, f.keyspace)
     val ref = TableRef(shard, keyspace, table)
+    val decimalPrecise = typeModes.decimal == ValueConversion.DecimalMode.Precise
     val cols = f.fields.map { fd =>
       ColumnMeta.of(
         fd.name,
-        GraftType.resolve(fd.wireType, fd.columnType, fd.columnLength, fd.decimals, f.enumSetStringValues),
+        GraftType.resolve(
+          fd.wireType, fd.columnType, fd.columnLength, fd.decimals,
+          f.enumSetStringValues, decimalPrecise),
         fd.flags)
     }
     val meta = TableMeta(ref, cols)
@@ -229,7 +233,7 @@ final class RecordBuilder(
       val decoded =
         try ValueConversion.decode(
           col.graftType, bytes.orNull,
-          typeModes.uint64, typeModes.binary, typeModes.temporal)
+          typeModes.uint64, typeModes.binary, typeModes.temporal, typeModes.decimal)
         catch {
           case scala.util.control.NonFatal(e) => convertFailureMode match {
             case ConvertFailureMode.Fail =>

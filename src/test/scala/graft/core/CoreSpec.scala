@@ -172,6 +172,26 @@ class VitessTypesSpec extends AnyFunSuite {
     assert(resolve("YEAR") == YearT)
   }
 
+  test("decimal.handling.mode=precise resolves a typed DECIMAL(p,s)") {
+    import org.apache.spark.sql.types.DecimalType
+    // default: precise-by-string
+    assert(GraftType.resolve("DECIMAL", "decimal(13,4)", 13, 4) == GraftType.DecimalStr)
+    // precise: typed with precision/scale parsed from the definition
+    val t = GraftType.resolve("DECIMAL", "decimal(13,4)", 13, 4, decimalPrecise = true)
+    assert(t == GraftType.DecimalT(13, 4))
+    assert(t.sparkType == DecimalType(13, 4))
+    // bare definition falls back to wire columnLength/decimals
+    assert(GraftType.resolve("DECIMAL", "", 11, 2, decimalPrecise = true) ==
+      GraftType.DecimalT(11, 2))
+    // decode keeps exact text scale as BigDecimal; double mode is lossy
+    val raw = "12345.6700".getBytes("UTF-8")
+    assert(ValueConversion.decode(GraftType.DecimalT(13, 4), raw) ==
+      Some(BigDecimal("12345.6700")))
+    assert(ValueConversion.decode(GraftType.DecimalStr, raw,
+      decimalMode = ValueConversion.DecimalMode.AsDouble) == Some(12345.67))
+    assert(ValueConversion.decode(GraftType.DecimalStr, raw) == Some("12345.6700"))
+  }
+
   test("textual BLOB and binary VARCHAR disambiguation") {
     assert(resolve("BLOB", "TEXT") == Text)
     assert(resolve("BLOB", "longtext") == Text)

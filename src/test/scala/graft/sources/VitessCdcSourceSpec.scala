@@ -190,6 +190,33 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM cdc_hb WHERE op = 'c'").first().getLong(0) == 2)
   }
 
+  test("interval heartbeats: NOOP at 0, one per elapsed interval with current offset") {
+    val feedDir = Files.createTempDirectory("cdcfeed22")
+    // commit timestamps 1 s apart (insertTx uses 1700000000 + seq)
+    writeFeed(feedDir, "s0", (1L to 5L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    def run(name: String, intervalMs: Long): Unit = {
+      val ckpt = Files.createTempDirectory(s"ck$name")
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("heartbeat.interval.ms", intervalMs.toString)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("cdc_hb0", 0L) // NOOP: no heartbeat records at interval 0
+    assert(spark.sql("SELECT count(*) FROM cdc_hb0 WHERE op = 'heartbeat'")
+      .first().getLong(0) == 0L)
+    run("cdc_hb2", 2000L) // 5 txs 1 s apart → heartbeats after tx 3 and tx 5
+    val hb = spark.sql(
+      "SELECT vgtid FROM cdc_hb2 WHERE op = 'heartbeat' ORDER BY ts_ms")
+      .collect().map(_.getString(0)).toSeq
+    assert(hb.length == 2)
+    assert(hb(0).contains("MySQL56/feed:1-3")) // current offset at emission
+    assert(hb(1).contains("MySQL56/feed:1-5"))
+    assert(spark.sql("SELECT count(*) FROM cdc_hb2 WHERE op = 'c'").first().getLong(0) == 5)
+  }
+
   test("metadata scans: shards, non-empty shards, tables, keyspaces (S6)") {
     val feedDir = Files.createTempDirectory("cdcfeed9")
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
