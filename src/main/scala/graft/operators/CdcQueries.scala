@@ -296,30 +296,46 @@ object CdcQueries {
     * JSON-lines files, run the `vitess-cdc` MicroBatchStream to a parquet
     * sink (checkpointed), and verify the delivered stream against the
     * source table. */
-  val qCdcStreamSource: Q = (s, d) => {
-    import java.nio.file.Files
+  /** Materialize a FeedLine dataset into one ordered `.jsonl` per shard:
+    * one job — hash shards into tasks, sort (shard, seq) within tasks,
+    * and let partitionBy fan one ordered file out per shard directory.
+    * `append` concatenates onto existing shard files (a later feed wave). */
+  private def writeFeedFiles(
+      s: SparkSession,
+      feed: org.apache.spark.sql.Dataset[graft.streaming.FeedLine],
+      feedDir: java.nio.file.Path,
+      append: Boolean = false): Unit = {
+    import java.nio.file.{Files, StandardOpenOption}
     import scala.jdk.CollectionConverters._
-    val feedDir = Files.createTempDirectory("graft_feed")
-    val outDir = Files.createTempDirectory("graft_stream_out")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
-    // one job: hash shards into tasks, sort (shard, seq) within tasks, and
-    // let partitionBy fan one ordered file out per shard directory
     val tmp = feedDir.resolve("_tmp")
-    CdcFeed.orders(s, d)
+    feed
       .repartition(CdcFeed.DefaultShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("seq"))
       .select(col("line"), col("shard")) // narrow projection keeps sort order
       .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
     (0 until CdcFeed.DefaultShards).foreach { i =>
       val shard = i.toString
-      val listing = Files.list(tmp.resolve(s"shard=$shard"))
-      val parts =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
-        finally listing.close()
-      require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
-      Files.move(parts.head, feedDir.resolve(s"$shard.jsonl"))
+      val shardDir = tmp.resolve(s"shard=$shard")
+      if (Files.exists(shardDir)) {
+        val listing = Files.list(shardDir)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+          finally listing.close()
+        require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
+        val target = feedDir.resolve(s"$shard.jsonl")
+        if (append && Files.exists(target))
+          Files.write(target, Files.readAllBytes(parts.head), StandardOpenOption.APPEND)
+        else Files.move(parts.head, target)
+      }
     }
+  }
+
+  private def runStreamOnce(
+      s: SparkSession,
+      feedDir: java.nio.file.Path,
+      outDir: java.nio.file.Path,
+      ckpt: java.nio.file.Path): Unit = {
     val q = s.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
       .load()
@@ -328,6 +344,15 @@ object CdcQueries {
       .option("checkpointLocation", ckpt.toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  val qCdcStreamSource: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed")
+    val outDir = Files.createTempDirectory("graft_stream_out")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    writeFeedFiles(s, CdcFeed.orders(s, d), feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -340,6 +365,38 @@ object CdcQueries {
   val qCdcStreamSourceSql: String =
     """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key, count(*) AS max_rank
+      |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // -------------------------------------------------- restart replay
+  /** S4/O2/O3 oracle gate: the stream is stopped mid-feed and resumed
+    * from its checkpoint after the rest of the transactions arrive — the
+    * union of both runs must equal the insert oracle exactly (no loss,
+    * no duplicates). The resume exercises initial-position resolution
+    * from the stored offset, offset round-trip through the checkpoint,
+    * and the feed-position byte seek. */
+  val qCdcRestartReplay: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed_rr")
+    val outDir = Files.createTempDirectory("graft_rr_out")
+    val ckpt = Files.createTempDirectory("graft_rr_ckpt")
+    val feed = CdcFeed.orders(s, d)
+    // FeedLine.seq = tx*8 + eventIndex: the first 100 transactions of each
+    // shard are wave 1, the rest arrive after the restart
+    writeFeedFiles(s, feed.filter(col("seq") < 800), feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt) // run 1, then stop ("kill")
+    writeFeedFiles(s, feed.filter(col("seq") >= 800), feedDir, append = true)
+    runStreamOnce(s, feedDir, outDir, ckpt) // resume from checkpoint
+    s.read.parquet(outDir.toString)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("after"), "$.o_orderkey").cast(LongType)).as("sum_key"))
+      .orderBy(col("shard"))
+  }
+
+  val qCdcRestartReplaySql: String =
+    """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
       |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
 
   // -------------------------------------------------- materialization
@@ -560,6 +617,7 @@ object CdcQueries {
 
   val queries: Map[String, Q] = Map(
     "cdc_stream_source"    -> qCdcStreamSource,
+    "cdc_restart_replay"   -> qCdcRestartReplay,
     "cdc_sql_decode"       -> qCdcSqlDecode,
     "cdc_decimal_extract"  -> qCdcDecimalExtract,
     "cdc_decimal_typed"    -> qCdcDecimalTyped,
@@ -582,6 +640,7 @@ object CdcQueries {
 
   val oracleSql: Map[String, String] = Map(
     "cdc_stream_source"    -> qCdcStreamSourceSql,
+    "cdc_restart_replay"   -> qCdcRestartReplaySql,
     "cdc_sql_decode"       -> qCdcSqlDecodeSql,
     "cdc_decimal_extract"  -> qCdcDecimalExtractSql,
     "cdc_decimal_typed"    -> qCdcDecimalTypedSql,
