@@ -272,10 +272,9 @@ object CdcQueries {
     * them. */
   val qCdcBoundaries: Q = (s, d) => {
     val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d), emitBoundaries = true)
-    // eagerly cached: the two union branches below would otherwise race
-    // and each recompute the pipeline
-    val df = CdcPipelineHelpers.cache(recs.toDF())
-    df.count()
+    // eager localCheckpoint: one materialization pass shared by the two
+    // union branches (persist + count would pay an extra full action)
+    val df = recs.toDF().localCheckpoint(true)
     val kept = Transforms.filterTransactionTopicRecords(df)
     df.groupBy(col("op")).agg(count(lit(1)).as("n"))
       .unionByName(
