@@ -195,6 +195,67 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  // ----------------------------------------------- duplicate clustering
+  /** Connected components over an undirected near-dup pair set: every
+    * node is labeled with the smallest id reachable from it, turning the
+    * pairwise near-dup relation into duplicate CLUSTERS (pick-one-per-
+    * cluster is the survivor policy a training corpus actually needs —
+    * pairwise drop alone over-deletes when A~B and B~C but A!~C).
+    *
+    * Shape for scale: iterative min-label propagation — each round is one
+    * shuffle (join on src + groupBy dst), converging in O(diameter)
+    * rounds. Near-dup components have tiny diameters by construction: the
+    * hot-bucket star pairing above already emits star-shaped components
+    * (diameter ≤ 2), and organic clusters are near-cliques. Lineage is
+    * truncated with an eager localCheckpoint per round so the plan does
+    * not grow with iterations, and the edge set is computed once and
+    * persisted. `maxIter` bounds the worst case (a path graph); raising
+    * it is safe, each extra round is a no-op after convergence.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // initial label: min(self, direct neighbors)
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(prop, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** One-survivor-per-cluster dedup: connected components over the
+    * verified near-dup pairs, keep the cluster minimum (plus every doc in
+    * no pair at all). */
+  def clusterDedup(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------ simhash
   private val simhashUdf = udf { (toks: Seq[String]) =>
     if (toks == null || toks.isEmpty) 0L

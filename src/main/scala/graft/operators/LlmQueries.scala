@@ -362,7 +362,89 @@ object LlmQueries {
       |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ duplicate clustering
+  /** Connected components over the verified near-dup pairs: every doc in
+    * a pair gets the min id reachable from it. The oracle computes the
+    * transitive closure of the exact all-pairs Jaccard edge set with a
+    * recursive CTE — an independent algorithm (BFS closure vs label
+    * propagation) agreeing on every (doc, cluster) assignment. */
+  val qDedupClusters: Q = (s, d) => {
+    val (_, pairs) = unionWithPairs(s, d)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupClustersSql: String =
+    """WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zzzz' FROM documents WHERE doc_id % 7 = 0
+      |), tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM all_docs
+      |), shingle_sets AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+      |  FROM tok WHERE len(toks) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS node, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+      |)
+      |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- stratified sampling
+  /** Deterministic domain-mixing sample over documents: per-language
+    * rates (en 100%, zh 50%, de 25%, rest 10%), decided by an md5-prefix
+    * threshold that any engine reproduces byte-for-byte. */
+  private val SampleRates = Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.25)
+  private val SampleDefault = 0.1
+  private val SampleSeed = "graft-s42"
+
+  val qSampleStratified: Q = (s, d) =>
+    Sampling.stratifiedHashSample(
+        Tables.documents(s, d), "doc_id", "lang", SampleRates, SampleSeed, SampleDefault)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+      .orderBy(col("lang"))
+
+  val qSampleStratifiedSql: String = {
+    def t(r: Double) = Sampling.hexThreshold(r)
+    s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept
+       |FROM documents
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR) || '$SampleSeed'), 1, 4) <
+       |  CASE lang WHEN 'en' THEN '${t(1.0)}' WHEN 'zh' THEN '${t(0.5)}'
+       |            WHEN 'de' THEN '${t(0.25)}' ELSE '${t(SampleDefault)}' END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ------------------------------------------------------ corpus top-terms
+  /** Vocabulary statistics: the 20 most frequent normalized tokens with
+    * deterministic tie-break on the term. */
+  val qTextTopterms: Q = (s, d) =>
+    TextOps.topTerms(Tables.documents(s, d), "text", 20)
+
+  val qTextToptermsSql: String =
+    """SELECT term, count(*) AS n FROM (
+      |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents
+      |) WHERE term <> '' GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_clusters"      -> qDedupClusters,
+    "sample_stratified"   -> qSampleStratified,
+    "text_topterms"       -> qTextTopterms,
     "events_sessions"     -> qEventsSessions,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -380,6 +462,9 @@ object LlmQueries {
     "multimodal_frames"   -> qMultimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters"      -> qDedupClustersSql,
+    "sample_stratified"   -> qSampleStratifiedSql,
+    "text_topterms"       -> qTextToptermsSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

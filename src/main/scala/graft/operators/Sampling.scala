@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `sample()`/TABLESAMPLE are seed-and-partitioning dependent: re-running
+  * the job, changing the partition count, or moving an engine changes the
+  * selected rows. A corpus pipeline needs the opposite — a sample that is
+  * a pure function of each row's key, so it is reproducible across runs,
+  * engines and cluster sizes, composes with incremental re-processing
+  * (new rows don't reshuffle old decisions), and can be recomputed by any
+  * system that has md5.
+  *
+  * The decision rule: keep a row iff the first 4 hex chars of
+  * `md5(key || seed)` fall below `floor(rate * 65536)` rendered as 4 hex
+  * chars. Lowercase hex sorts lexicographically in ASCII, so a plain
+  * string comparison implements the threshold; rates are quantized to
+  * 1/65536 granularity. Pure narrow map — no shuffle, fully codegen'd,
+  * trivially scales.
+  */
+object Sampling {
+
+  /** Threshold string for a rate in [0,1], quantized to k/65536. Rates
+    * below 1 render as 4 hex chars; rate ≥ 1 must keep EVERY row, and
+    * "10000" would sort before "2af3", so it maps to "g" — a single char
+    * that sorts after every lowercase-hex prefix. */
+  def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max(0L, math.floor(rate * 65536).toLong)}%04x"
+
+  /** The keep predicate: md5-prefix of (key, seed) below the rate
+    * threshold. `key` is rendered as a string, so any key type with a
+    * stable string form works. */
+  def keepPredicate(key: Column, rate: Double, seed: String): Column =
+    substring(md5(concat(key.cast("string"), lit(seed)).cast("binary")), 1, 4) <
+      lit(hexThreshold(rate))
+
+  /** Uniform deterministic Bernoulli sample at `rate`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: String): DataFrame =
+    df.filter(keepPredicate(col(keyCol), rate, seed))
+
+  /** Stratified deterministic sample: a different rate per stratum (the
+    * domain-mixing primitive — e.g. downsample crawl to 10%, keep books
+    * at 100%). The rate table is a tiny dim joined broadcast, so the
+    * plan stays one narrow stage over the fact table at any scale;
+    * strata absent from `rates` default to `defaultRate`. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      seed: String,
+      defaultRate: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDim = rates.toSeq.map { case (k, v) => (k, hexThreshold(v)) }
+      .toDF(strataCol, "__thresh")
+    df.join(broadcast(rateDim), Seq(strataCol), "left")
+      .withColumn("__thresh", coalesce(col("__thresh"), lit(hexThreshold(defaultRate))))
+      .filter(
+        substring(md5(concat(col(keyCol).cast("string"), lit(seed)).cast("binary")), 1, 4) <
+          col("__thresh"))
+      .drop("__thresh")
+  }
+}

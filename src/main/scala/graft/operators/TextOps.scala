@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -17,6 +17,25 @@ object TextOps {
 
   /** Whitespace-collapsed, trimmed, lowercased text. */
   def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Corpus term frequencies: explode normalized tokens, count per term.
+    * Partial (map-side) aggregation makes the shuffle carry one row per
+    * (partition, term) — vocabulary-sized, not corpus-sized. */
+  def termCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Top-k most frequent terms, ties broken by term — deterministic, so
+    * two engines agree on the exact set. A single ORDER BY + LIMIT over
+    * the vocabulary-sized count table (Spark runs it as a per-partition
+    * top-k + driver merge of k·partitions rows, never a full sort at
+    * scale). */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    termCounts(df, textCol)
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
 
   /** Tokens of the normalized text (single-space split). */
   def tokens(c: Column): Column = split(normText(c), " ")

@@ -149,4 +149,64 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("total") =!= col("expected"))
     assert(check.count() == 0)
   }
+
+  test("connected components: path graph + separate component + singleton edge") {
+    val sp = spark; import sp.implicits._
+    // 1-2-3-4 is a path (needs >1 propagation round), 10-11 is separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges within maxIter") {
+    val sp = spark; import sp.implicits._
+    // a 16-node path is the adversarial diameter case for label propagation
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got.size == 16 && got.values.forall(_ == 0L))
+  }
+
+  test("cluster dedup keeps one survivor per component, transitively") {
+    val sp = spark; import sp.implicits._
+    // A~B and B~C but A!~C: pairwise drop would keep nothing of {2,3}'s
+    // chain ancestry wrong; cluster dedup keeps exactly min(1) of {1,2,3}
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.clusterDedup(docs, pairs, "doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("hash sampling: deterministic across partitionings, rate edges exact") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.hashSample(df.repartition(13), "id", 0.3, "s").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.coalesce(1), "id", 0.3, "s").as[Long].collect().toSet
+    assert(a == b) // pure function of the key, not of partitioning
+    assert(a.size > 450 && a.size < 750) // ~600 expected
+    assert(Sampling.hashSample(df, "id", 1.0, "s").count() == 2000)
+    assert(Sampling.hashSample(df, "id", 0.0, "s").count() == 0)
+  }
+
+  test("stratified hash sampling honours per-stratum rates and the default") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val kept = Sampling.stratifiedHashSample(
+      df, "id", "stratum", Map("s0" -> 1.0, "s1" -> 0.2), "seed", defaultRate = 0.0)
+    val byStratum = kept.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStratum("s0") == 1000L) // rate 1.0 must keep every row
+    assert(byStratum.getOrElse("s2", 0L) == 0L) // default 0 drops all
+    val s1 = byStratum.getOrElse("s1", 0L)
+    assert(s1 > 100 && s1 < 320, s"s1 kept $s1, expected ~200")
+  }
+
+  test("top terms: frequency with deterministic term tie-break") {
+    val sp = spark; import sp.implicits._
+    val df = Seq("b b a", "a c  B", "d").toDF("text")
+    val got = TextOps.topTerms(df, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
 }
