@@ -64,11 +64,13 @@ object CdcFeed {
   /** The VGTID emitted with transaction `txSeq` of `shard`: the shard's
     * own position advances; with `multiShard` every other shard is listed
     * at a fixed position (as a real multi-shard VGTID would be). */
-  private def vgtidAt(shard: String, txSeq: Long, nShards: Int, multiShard: Boolean): Vgtid =
-    if (!multiShard) Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$txSeq")))
+  private def vgtidAt(
+      shard: String, txSeq: Long, nShards: Int, multiShard: Boolean,
+      host: String = "feed"): Vgtid =
+    if (!multiShard) Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/$host:1-$txSeq")))
     else Vgtid((0 until nShards).map { i =>
       val s = i.toString
-      ShardGtid("ks", s, if (s == shard) s"MySQL56/feed:1-$txSeq" else "MySQL56/feed:1-1")
+      ShardGtid("ks", s, if (s == shard) s"MySQL56/$host:1-$txSeq" else "MySQL56/feed:1-1")
     })
 
   /** orders → one tx per row. opsMix: orderkey%10==0 → update (status set
@@ -79,7 +81,8 @@ object CdcFeed {
       nShards: Int = DefaultShards,
       opsMix: Boolean = false,
       multiShardVgtid: Boolean = false,
-      decimalPrice: Boolean = false): Dataset[FeedLine] = {
+      decimalPrice: Boolean = false,
+      hostFlip: Boolean = false): Dataset[FeedLine] = {
     import s.implicits._
     // decimalPrice: o_totalprice streams as a DECIMAL(12,2) wire column
     // (2-dp text, the values are exact cents) instead of FLOAT64
@@ -92,13 +95,16 @@ object CdcFeed {
     val src = Tables.orders(s, d)
       .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
       .withColumn("tx", row_number().over(w).cast("long"))
+      // hostFlip: the GTID source UUID changes after the first half of each
+      // shard's transactions (a failover) — the epoch must bump exactly there
+      .withColumn("n_tx", count(lit(1)).over(Window.partitionBy("shard")))
       .select(
-        col("shard"), col("tx"), col("o_orderkey"), col("o_custkey"),
+        col("shard"), col("tx"), col("n_tx"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
         col("o_orderpriority"))
-      .as[(String, Long, Long, Long, String, Double, String, String)]
-    src.flatMap { case (shard, tx, okey, ckey, status, price, odate, prio) =>
+      .as[(String, Long, Long, Long, Long, String, Double, String, String)]
+    src.flatMap { case (shard, tx, nTx, okey, ckey, status, price, odate, prio) =>
       val priceText =
         if (decimalPrice) String.format(java.util.Locale.ROOT, "%.2f", Double.box(price))
         else price.toString
@@ -113,9 +119,10 @@ object CdcFeed {
           RowChange(Some(PackedRow.of(row)), None)
         else
           RowChange(None, Some(PackedRow.of(row)))
+      val host = if (hostFlip && 2 * tx > nTx) "failover" else "feed"
       feedLines(shard, tx,
         txEvents(shard, "ks.orders", fields, change, tx,
-          vgtidAt(shard, tx, nShards, multiShardVgtid), withField = tx == 1))
+          vgtidAt(shard, tx, nShards, multiShardVgtid, host), withField = tx == 1))
     }
   }
 

@@ -527,6 +527,35 @@ object CdcQueries {
     """SELECT count(*) AS n_id_ok, CAST(1 AS BIGINT) AS n_types,
       |  count(*) AS n_ks, count(*) AS n_total FROM orders""".stripMargin
 
+  // ------------------------------------------------------- epoch bump
+  /** A3+A5+A1 under the oracle: the feed's GTID source UUID fails over
+    * after the first half of each shard's transactions, so the
+    * transaction epoch must be 0 for the first half and 1 for the rest —
+    * per shard, independent of batch or scan order. The oracle recomputes
+    * the flip point with the identical rank arithmetic. */
+  val qCdcEpochBump: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d, hostFlip = true)).toDF()
+    recs
+      .filter(col("op") === "c")
+      .groupBy(col("shard"), col("epoch"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(afterStr("o_orderkey").cast(LongType)).as("sum_key"))
+      .orderBy(col("shard"), col("epoch"))
+  }
+
+  val qCdcEpochBumpSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderkey, CAST(o_orderkey % 4 AS VARCHAR) AS shard,
+      |    row_number() OVER (PARTITION BY o_orderkey % 4 ORDER BY o_orderkey) AS rk,
+      |    count(*) OVER (PARTITION BY o_orderkey % 4) AS n
+      |  FROM orders
+      |)
+      |SELECT shard, CAST(CASE WHEN 2 * rk <= n THEN 0 ELSE 1 END AS BIGINT) AS epoch,
+      |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM ranked GROUP BY shard, CASE WHEN 2 * rk <= n THEN 0 ELSE 1 END
+      |ORDER BY shard, epoch""".stripMargin
+
   // -------------------------------------------------- SQL-native decode
   /** D3 as a codegen'd Catalyst expression: the whole ROW decode —
     * event-JSON parse, change explode, packed-row slicing
@@ -627,6 +656,7 @@ object CdcQueries {
     "cdc_cloudevents"      -> qCdcCloudEvents,
     "cdc_insert_roundtrip" -> qCdcInsertRoundtrip,
     "cdc_ops_mix"          -> qCdcOpsMix,
+    "cdc_epoch_bump"       -> qCdcEpochBump,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
     "cdc_type_matrix"      -> qCdcTypeMatrix,
     "cdc_type_modes"       -> qCdcTypeModes,
@@ -650,6 +680,7 @@ object CdcQueries {
     "cdc_cloudevents"      -> qCdcCloudEventsSql,
     "cdc_insert_roundtrip" -> qCdcInsertRoundtripSql,
     "cdc_ops_mix"          -> qCdcOpsMixSql,
+    "cdc_epoch_bump"       -> qCdcEpochBumpSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,
     "cdc_type_matrix"      -> qCdcTypeMatrixSql,
     "cdc_type_modes"       -> qCdcTypeModesSql,
