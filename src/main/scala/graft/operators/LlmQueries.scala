@@ -429,6 +429,73 @@ object LlmQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------ sequence packing
+  /** Greedy per-source sequence packing at capacity 512: every document's
+    * bin assignment and running fill, against a recursive-CTE oracle that
+    * replays the identical fold. */
+  val qTextPack: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(
+      col("source"), col("doc_id"),
+      TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packSequences(docs, "source", "doc_id", "n_tokens", capacity = 512)
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextPackSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT source, doc_id,
+      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |          ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END)::BIGINT AS n_tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents
+      |), pack AS (
+      |  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
+      |  FROM docs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+      |    CASE WHEN p.bin_fill > 0 AND p.bin_fill + d.n_tokens > 512
+      |         THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.bin_fill > 0 AND p.bin_fill + d.n_tokens > 512
+      |         THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END
+      |  FROM docs d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+      |)
+      |SELECT source, doc_id, n_tokens, bin, bin_fill
+      |FROM pack ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- PII + repetition
+  /** Text cleaning: PII redaction (emails then ≥7-digit runs, with
+    * deterministic injected PII so the pass provably fires on every row)
+    * fingerprinted after redaction, plus the repeated-2-gram ratio. */
+  val qTextClean: Q = (s, d) => {
+    val injected = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 5551234567 now"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(TextOps.redactPii(injected).cast("binary")).as("fp_redacted"),
+      round(TextOps.repetitionRatio(col("text")), 6).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextCleanSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, text, toks,
+      |    [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)] AS grams
+      |  FROM g
+      |)
+      |SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 5551234567 now',
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{7,}', '<PHONE>', 'g')) AS fp_redacted,
+      |  round(CASE WHEN len(toks) <= 2 THEN 0.0
+      |        ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE END, 6) AS rep_ratio
+      |FROM sh ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ corpus top-terms
   /** Vocabulary statistics: the 20 most frequent normalized tokens with
     * deterministic tie-break on the term. */
@@ -445,6 +512,8 @@ object LlmQueries {
     "dedup_clusters"      -> qDedupClusters,
     "sample_stratified"   -> qSampleStratified,
     "text_topterms"       -> qTextTopterms,
+    "text_pack"           -> qTextPack,
+    "text_clean"          -> qTextClean,
     "events_sessions"     -> qEventsSessions,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -465,6 +534,8 @@ object LlmQueries {
     "dedup_clusters"      -> qDedupClustersSql,
     "sample_stratified"   -> qSampleStratifiedSql,
     "text_topterms"       -> qTextToptermsSql,
+    "text_pack"           -> qTextPackSql,
+    "text_clean"          -> qTextCleanSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

@@ -18,6 +18,29 @@ object TextOps {
   /** Whitespace-collapsed, trimmed, lowercased text. */
   def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
+  // --------------------------------------------------------- PII redaction
+  /** Email addresses, then runs of ≥7 digits (phone-ish), replaced with
+    * placeholder tags. Order matters: the email pass removes its digits
+    * before the phone pass, so `a123456789@x.com` never half-redacts.
+    * Patterns stay in the RE2-compatible subset (character classes +
+    * bounded repeats, no backrefs/lookarounds) so Java regex and RE2
+    * engines agree byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{7,}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Repeated-2-gram fraction (0 = no repetition): the standard cheap
+    * detector for boilerplate/spam expansion. Texts under 2 tokens score
+    * 0. */
+  def repetitionRatio(c: Column): Column = {
+    val sh = Dedup.shingles(c, 2)
+    val total = size(sh).cast("double")
+    val uniq = size(array_distinct(sh)).cast("double")
+    when(total <= 1, lit(0.0)).otherwise(lit(1.0) - uniq / total)
+  }
+
   /** Corpus term frequencies: explode normalized tokens, count per term.
     * Partial (map-side) aggregation makes the shuffle carry one row per
     * (partition, term) — vocabulary-sized, not corpus-sized. */

@@ -202,6 +202,51 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1 > 100 && s1 < 320, s"s1 kept $s1, expected ~200")
   }
 
+  test("sequence packing: overflow starts a bin, oversize doc sits alone, groups reset") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), // 300+300 > 512 → doc 2 opens bin 1
+      ("a", 3L, 600L),                  // oversize → bin 2 alone
+      ("a", 4L, 100L),                  // 600+100 > 512 → bin 3
+      ("b", 9L, 512L), ("b", 10L, 1L)   // fresh group: bins restart at 0
+    ).toDF("source", "doc_id", "n_tokens")
+    val got = Packing.packSequences(docs, "source", "doc_id", "n_tokens", 512)
+      .select("source", "doc_id", "bin", "bin_fill")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 0L, 300L), ("a", 2L, 1L, 300L), ("a", 3L, 2L, 600L), ("a", 4L, 3L, 100L),
+      ("b", 9L, 0L, 512L), ("b", 10L, 1L, 1L)))
+    // partitioning-independent: same assignment from a different layout
+    val got2 = Packing.packSequences(docs.repartition(7), "source", "doc_id", "n_tokens", 512)
+      .select("source", "doc_id", "bin", "bin_fill")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got2 == got)
+  }
+
+  test("pii redaction: emails then long digit runs, in order") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org thanks",
+      "call 5551234567 or 123456 now",
+      "a123456789@x.com then 99999999").toDF("text")
+    val got = df.select(TextOps.redactPii(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> thanks",
+      "call <PHONE> or 123456 now", // 6 digits stay
+      "<EMAIL> then <PHONE>"))      // email digits never half-redact
+  }
+
+  test("repetition ratio: 0 for short/unique text, rises with repeats") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "one"), (2L, "two words"), (3L, "a b c d"),
+      (4L, "spam spam spam spam spam")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.repetitionRatio(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0 && got(3L) == 0.0)
+    assert(got(4L) == 0.75) // 4 bigrams, 1 distinct
+  }
+
   test("top terms: frequency with deterministic term tie-break") {
     val sp = spark; import sp.implicits._
     val df = Seq("b b a", "a c  B", "d").toDF("text")
