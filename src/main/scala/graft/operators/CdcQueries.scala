@@ -334,9 +334,11 @@ object CdcQueries {
       s: SparkSession,
       feedDir: java.nio.file.Path,
       outDir: java.nio.file.Path,
-      ckpt: java.nio.file.Path): Unit = {
+      ckpt: java.nio.file.Path,
+      options: Map[String, String] = Map.empty): Unit = {
     val q = s.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
+      .options(options)
       .load()
       .writeStream.format("parquet")
       .option("path", outDir.toString)
@@ -397,6 +399,60 @@ object CdcQueries {
     """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
       |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------- heartbeats
+  /** H1 under the oracle: per-batch liveness heartbeats ride alongside
+    * the data — one per shard per (single) batch, while every data row
+    * still arrives exactly once. */
+  val qCdcHeartbeat: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed_hb")
+    val outDir = Files.createTempDirectory("graft_hb_out")
+    val ckpt = Files.createTempDirectory("graft_hb_ckpt")
+    writeFeedFiles(s, CdcFeed.orders(s, d), feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt, Map("heartbeat.batch" -> "true"))
+    s.read.parquet(outDir.toString)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"))
+  }
+
+  val qCdcHeartbeatSql: String =
+    """SELECT op, n FROM (
+      |  SELECT 'c' AS op, count(*) AS n FROM orders
+      |  UNION ALL
+      |  SELECT 'heartbeat' AS op, CAST(4 AS BIGINT) AS n
+      |) ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------- metadata scans
+  /** S6+F5 under the oracle: SHOW VITESS_SHARDS / VITESS_TABLETS
+    * (non-empty only) / TABLES / DATABASES over a two-table feed with
+    * one empty shard. The inventory is feed-defined, so the oracle is a
+    * literal table. */
+  val qCdcMetadata: Q = (s, d) => {
+    import java.nio.file.Files
+    import graft.sources.Metadata
+    val feedDir = Files.createTempDirectory("graft_feed_meta")
+    writeFeedFiles(s, CdcFeed.twoTables(s, d), feedDir)
+    Files.writeString(feedDir.resolve("9.jsonl"), "") // empty shard
+    val sp = s; import sp.implicits._
+    val dir = feedDir.toString
+    (Metadata.shards(dir).map(("shard", _)) ++
+      Metadata.nonEmptyShards(dir).map(("shard_nonempty", _)) ++
+      Metadata.tables(s, dir).map(("table", _)) ++
+      Metadata.keyspaces(s, dir).map(("keyspace", _)))
+      .toDF("kind", "name")
+      .orderBy(col("kind"), col("name"))
+  }
+
+  val qCdcMetadataSql: String =
+    """SELECT kind, name FROM (VALUES
+      |  ('keyspace', 'ks'), ('keyspace', 'mysql'),
+      |  ('shard', '0'), ('shard', '1'), ('shard', '2'), ('shard', '3'), ('shard', '9'),
+      |  ('shard_nonempty', '0'), ('shard_nonempty', '1'),
+      |  ('shard_nonempty', '2'), ('shard_nonempty', '3'),
+      |  ('table', 'ks.customer'), ('table', 'ks.orders'), ('table', 'mysql.user')
+      |) AS t(kind, name) ORDER BY kind, name""".stripMargin
 
   // -------------------------------------------------- materialization
   /** S7 + SURVEY §2.9: CDC→table upsert — latest state per key ordered by
@@ -657,6 +713,8 @@ object CdcQueries {
     "cdc_insert_roundtrip" -> qCdcInsertRoundtrip,
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_epoch_bump"       -> qCdcEpochBump,
+    "cdc_heartbeat"        -> qCdcHeartbeat,
+    "cdc_metadata"         -> qCdcMetadata,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
     "cdc_type_matrix"      -> qCdcTypeMatrix,
     "cdc_type_modes"       -> qCdcTypeModes,
@@ -681,6 +739,8 @@ object CdcQueries {
     "cdc_insert_roundtrip" -> qCdcInsertRoundtripSql,
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_epoch_bump"       -> qCdcEpochBumpSql,
+    "cdc_heartbeat"        -> qCdcHeartbeatSql,
+    "cdc_metadata"         -> qCdcMetadataSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,
     "cdc_type_matrix"      -> qCdcTypeMatrixSql,
     "cdc_type_modes"       -> qCdcTypeModesSql,
