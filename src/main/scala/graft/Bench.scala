@@ -20,6 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet-reader paths before timing: without
+    // this the alphabetically-first query absorbs all session startup
+    // cost and the per-query numbers misreport steady-state throughput.
+    try {
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+        .write.format("noop").mode("overwrite").save()
+      spark.range(100000).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

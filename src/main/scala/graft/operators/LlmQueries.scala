@@ -496,6 +496,48 @@ object LlmQueries {
       |        ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE END, 6) AS rep_ratio
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- quality filter
+  /** C4-style conjunctive filter: ≥20 tokens, ≤10% repeated 2-grams,
+    * language in {en, de} — the oracle recomputes every feature with the
+    * same formulas and applies the same predicate. */
+  val qTextQualityFilter: Q = (s, d) =>
+    TextOps.qualityFilter(
+        Tables.documents(s, d), "text",
+        minTokens = 20, maxRepetition = 0.1, langs = Seq("en", "de"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+
+  val qTextQualityFilterSql: String = {
+    val hits = TextOps.LangMarkers.map { case (lang, ms) => lang -> markerHitsSql(ms) }.toMap
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+       |    CASE
+       |      WHEN ${hits("en")} >= greatest(${hits("de")}, ${hits("fr")}, ${hits("es")}, ${hits("zh")})
+       |           AND ${hits("en")} > 0 THEN 'en'
+       |      WHEN ${hits("de")} >= greatest(${hits("en")}, ${hits("fr")}, ${hits("es")}, ${hits("zh")})
+       |           AND ${hits("de")} > 0 THEN 'de'
+       |      WHEN ${hits("fr")} >= greatest(${hits("en")}, ${hits("de")}, ${hits("es")}, ${hits("zh")})
+       |           AND ${hits("fr")} > 0 THEN 'fr'
+       |      WHEN ${hits("es")} >= greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("zh")})
+       |           AND ${hits("es")} > 0 THEN 'es'
+       |      WHEN ${hits("zh")} >= greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")})
+       |           AND ${hits("zh")} > 0 THEN 'zh'
+       |      ELSE 'unknown' END AS lang_pred
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, lang_pred,
+       |    (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS n_tokens,
+       |    CASE WHEN len(toks) <= 2 THEN 0.0
+       |         ELSE 1.0 - len(list_distinct([toks[i] || ' ' || toks[i+1]
+       |                FOR i IN generate_series(1, len(toks) - 1)]))::DOUBLE
+       |              / (len(toks) - 1)::DOUBLE END AS rep_ratio
+       |  FROM g
+       |)
+       |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept
+       |FROM feat
+       |WHERE n_tokens >= 20 AND rep_ratio <= 0.1 AND lang_pred IN ('en', 'de')""".stripMargin
+  }
+
   // ------------------------------------------------------ corpus top-terms
   /** Vocabulary statistics: the 20 most frequent normalized tokens with
     * deterministic tie-break on the term. */
@@ -514,6 +556,7 @@ object LlmQueries {
     "text_topterms"       -> qTextTopterms,
     "text_pack"           -> qTextPack,
     "text_clean"          -> qTextClean,
+    "text_quality_filter" -> qTextQualityFilter,
     "events_sessions"     -> qEventsSessions,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -536,6 +579,7 @@ object LlmQueries {
     "text_topterms"       -> qTextToptermsSql,
     "text_pack"           -> qTextPackSql,
     "text_clean"          -> qTextCleanSql,
+    "text_quality_filter" -> qTextQualityFilterSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

@@ -41,6 +41,25 @@ object TextOps {
     when(total <= 1, lit(0.0)).otherwise(lit(1.0) - uniq / total)
   }
 
+  /** C4-style document quality filter: keep documents with at least
+    * `minTokens` tokens, repetition ratio at most `maxRepetition`, and a
+    * language-ID in `langs` (empty = any). A single conjunctive
+    * predicate over codegen'd expressions — evaluates in one pass over
+    * the scan with no shuffle, so it composes ahead of any dedup/pack
+    * stage at full scan speed. */
+  def qualityFilter(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int,
+      maxRepetition: Double,
+      langs: Seq[String] = Nil): DataFrame = {
+    val t = col(textCol)
+    val keep = wsTokenCount(t) >= minTokens &&
+      repetitionRatio(t) <= maxRepetition &&
+      (if (langs.isEmpty) lit(true) else langId(t).isin(langs: _*))
+    df.filter(keep)
+  }
+
   /** Corpus term frequencies: explode normalized tokens, count per term.
     * Partial (map-side) aggregation makes the shuffle carry one row per
     * (partition, term) — vocabulary-sized, not corpus-sized. */

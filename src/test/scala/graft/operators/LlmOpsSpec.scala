@@ -167,6 +167,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 16 && got.values.forall(_ == 0L))
   }
 
+  test("connected components match an in-memory union-find on random graphs") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference: union-find with union-by-min, so every root is the
+      // component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("cluster dedup keeps one survivor per component, transitively") {
     val sp = spark; import sp.implicits._
     // A~B and B~C but A!~C: pairwise drop would keep nothing of {2,3}'s
