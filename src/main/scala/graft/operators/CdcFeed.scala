@@ -82,7 +82,8 @@ object CdcFeed {
       opsMix: Boolean = false,
       multiShardVgtid: Boolean = false,
       decimalPrice: Boolean = false,
-      hostFlip: Boolean = false): Dataset[FeedLine] = {
+      hostFlip: Boolean = false,
+      shardNames: Seq[String] = Nil): Dataset[FeedLine] = {
     import s.implicits._
     // decimalPrice: o_totalprice streams as a DECIMAL(12,2) wire column
     // (2-dp text, the values are exact cents) instead of FLOAT64
@@ -91,9 +92,15 @@ object CdcFeed {
         OrdersFields.updated(3,
           FieldDef("o_totalprice", "DECIMAL", "decimal(12,2)", 12, 2, ColumnFlags.NotNull))
       else OrdersFields
+    // shardNames maps the key-modulo shard index to range-style names
+    // ("-80", "80-", …) so lineage/epoch gates can use real key ranges
+    val shardCol =
+      if (shardNames.isEmpty) (col("o_orderkey") % nShards).cast("string")
+      else element_at(
+        array(shardNames.map(lit): _*), (col("o_orderkey") % nShards).cast("int") + 1)
     val w = Window.partitionBy("shard").orderBy("o_orderkey")
     val src = Tables.orders(s, d)
-      .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
+      .withColumn("shard", shardCol)
       .withColumn("tx", row_number().over(w).cast("long"))
       // hostFlip: the GTID source UUID changes after the first half of each
       // shard's transactions (a failover) — the epoch must bump exactly there

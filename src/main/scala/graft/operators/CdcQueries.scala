@@ -312,21 +312,23 @@ object CdcQueries {
       .sortWithinPartitions(col("shard"), col("seq"))
       .select(col("line"), col("shard")) // narrow projection keeps sort order
       .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
-    (0 until CdcFeed.DefaultShards).foreach { i =>
-      val shard = i.toString
-      val shardDir = tmp.resolve(s"shard=$shard")
-      if (Files.exists(shardDir)) {
-        val listing = Files.list(shardDir)
-        val parts =
-          try listing.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
-          finally listing.close()
-        require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
-        val target = feedDir.resolve(s"$shard.jsonl")
-        if (append && Files.exists(target))
-          Files.write(target, Files.readAllBytes(parts.head), StandardOpenOption.APPEND)
-        else Files.move(parts.head, target)
-      }
+    val dirListing = Files.list(tmp)
+    val shardDirs =
+      try dirListing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+      finally dirListing.close()
+    shardDirs.foreach { shardDir =>
+      val shard = shardDir.getFileName.toString.stripPrefix("shard=")
+      val listing = Files.list(shardDir)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+        finally listing.close()
+      require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
+      val target = feedDir.resolve(s"$shard.jsonl")
+      if (append && Files.exists(target))
+        Files.write(target, Files.readAllBytes(parts.head), StandardOpenOption.APPEND)
+      else Files.move(parts.head, target)
     }
   }
 
@@ -399,6 +401,52 @@ object CdcQueries {
     """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
       |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------- reshard epochs
+  /** A4+A6 under the oracle: run 1 streams parents `-80` / `80-` whose
+    * GTID host fails over mid-feed (epochs 0→1); run 2 resumes from the
+    * checkpoint after a reshard child `40-c0` (overlapping both parents)
+    * has appeared — with `inherit.epoch` the child must seed at
+    * max(parent epochs)+1 = 2 for every one of its transactions. */
+  val qCdcReshardEpoch: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed_rs")
+    val outDir = Files.createTempDirectory("graft_rs_out")
+    val ckpt = Files.createTempDirectory("graft_rs_ckpt")
+    val opts = Map("inherit.epoch" -> "true")
+    writeFeedFiles(s,
+      CdcFeed.orders(s, d, nShards = 2, hostFlip = true, shardNames = Seq("-80", "80-")),
+      feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt, opts)
+    val child = CdcFeed.orders(s, d, nShards = 4, shardNames = Seq("p0", "p1", "p2", "40-c0"))
+      .filter(col("shard") === "40-c0")
+    writeFeedFiles(s, child, feedDir, append = true)
+    runStreamOnce(s, feedDir, outDir, ckpt, opts)
+    s.read.parquet(outDir.toString)
+      .filter(col("op") === "c")
+      .groupBy(col("shard"), col("epoch"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(get_json_object(col("after"), "$.o_orderkey").cast(LongType)).as("sum_key"))
+      .orderBy(col("shard"), col("epoch"))
+  }
+
+  val qCdcReshardEpochSql: String =
+    """SELECT shard, epoch, n_rows, sum_key FROM (
+      |  WITH ranked AS (
+      |    SELECT o_orderkey,
+      |      CASE WHEN o_orderkey % 2 = 0 THEN '-80' ELSE '80-' END AS shard,
+      |      row_number() OVER (PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) AS rk,
+      |      count(*) OVER (PARTITION BY o_orderkey % 2) AS n
+      |    FROM orders
+      |  )
+      |  SELECT shard, CAST(CASE WHEN 2 * rk <= n THEN 0 ELSE 1 END AS BIGINT) AS epoch,
+      |    count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |  FROM ranked GROUP BY shard, CASE WHEN 2 * rk <= n THEN 0 ELSE 1 END
+      |  UNION ALL
+      |  SELECT '40-c0', CAST(2 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 4 = 3
+      |) ORDER BY shard, epoch""".stripMargin
 
   // ---------------------------------------------------- heartbeats
   /** H1 under the oracle: per-batch liveness heartbeats ride alongside
@@ -713,6 +761,7 @@ object CdcQueries {
     "cdc_insert_roundtrip" -> qCdcInsertRoundtrip,
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_epoch_bump"       -> qCdcEpochBump,
+    "cdc_reshard_epoch"    -> qCdcReshardEpoch,
     "cdc_heartbeat"        -> qCdcHeartbeat,
     "cdc_metadata"         -> qCdcMetadata,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
@@ -739,6 +788,7 @@ object CdcQueries {
     "cdc_insert_roundtrip" -> qCdcInsertRoundtripSql,
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_epoch_bump"       -> qCdcEpochBumpSql,
+    "cdc_reshard_epoch"    -> qCdcReshardEpochSql,
     "cdc_heartbeat"        -> qCdcHeartbeatSql,
     "cdc_metadata"         -> qCdcMetadataSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,
