@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Generation is distributed: a window rank per shard (one shuffle), then
   * a flatMap emitting event JSON on executors.
   */
-object CdcFeed {
+object CdcFeed extends Serializable {
 
   val DefaultShards = 4
 
@@ -210,6 +210,78 @@ object CdcFeed {
     }
     orders(s, d, nShards).unionByName(custShifted)
       .unionByName(s.createDataset(sysTx))
+  }
+
+  /** VStream-copy feed (S5/F3 gate fixture), single shard `s0` — the
+    * server copies tables sequentially with lastpk progress in every
+    * VGTID, signals COPY_COMPLETED, then switches to streaming:
+    *
+    *   1. copy of `ks.orders` (o_orderkey%4==0, ascending pk),
+    *   2. copy of `ks.customer` (c_custkey%4==0),
+    *   3. COPY_COMPLETED,
+    *   4. streaming inserts for both tables (key%4==1).
+    *
+    * Copy-phase FIELDs carry `enumSetStringValues=true` exactly like the
+    * real copy phase. With `snapshot.tables` restricted to orders, the
+    * customer COPY rows must be dropped while its streaming rows flow. */
+  def copyPhase(s: SparkSession, d: String): Dataset[FeedLine] = {
+    import s.implicits._
+    val shard = "s0"
+    val ordFields = Seq(
+      FieldDef("o_orderkey", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("o_orderstatus", "VARCHAR", "varchar(1)", 1, 0, 0L))
+    val custFields = Seq(
+      FieldDef("c_custkey", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("c_mktsegment", "VARCHAR", "varchar(10)", 10, 0, 0L))
+
+    def lastPkVgtid(table: String, pkName: String, pk: Long, gtidSeq: Long): Vgtid = {
+      val txt = pk.toString
+      Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$gtidSeq", Seq(
+        TableLastPk(table,
+          Seq(PkField(pkName, "INT64", 63, None)),
+          Seq(PkRow(Seq(txt.length.toString),
+            java.util.Base64.getEncoder.encodeToString(txt.getBytes("UTF-8")))))))))
+    }
+
+    def tx(table: String, fields: Seq[FieldDef], vals: Seq[String], txSeq: Long,
+        vgtid: Vgtid, copyLabels: Boolean): Seq[FeedLine] =
+      feedLines(shard, txSeq, Seq(
+        BeginEvent(shard, "ks"),
+        FieldEvent(shard, "ks", s"ks.$table", fields, enumSetStringValues = copyLabels),
+        RowEvent(shard, "ks", s"ks.$table",
+          Seq(RowChange(None, Some(PackedRow.of(vals.map(Option(_))))))),
+        VgtidEvent(shard, vgtid),
+        CommitEvent(shard, "ks", 1700000000L + txSeq)))
+
+    val wOrd = Window.orderBy("o_orderkey")
+    val wCust = Window.orderBy("c_custkey")
+    def ordSlice(res: Long, base: Long, copy: Boolean) =
+      Tables.orders(s, d).filter(col("o_orderkey") % 4 === res)
+        .withColumn("tx", row_number().over(wOrd).cast("long") + base)
+        .select(col("tx"), col("o_orderkey"), col("o_orderstatus"))
+        .as[(Long, Long, String)]
+        .flatMap { case (t, okey, status) =>
+          val v = if (copy) lastPkVgtid("orders", "o_orderkey", okey, t)
+          else Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$t")))
+          tx("orders", ordFields, Seq(okey.toString, status), t, v, copyLabels = copy)
+        }
+    def custSlice(res: Long, base: Long, copy: Boolean) =
+      Tables.customer(s, d).filter(col("c_custkey") % 4 === res)
+        .withColumn("tx", row_number().over(wCust).cast("long") + base)
+        .select(col("tx"), col("c_custkey"), col("c_mktsegment"))
+        .as[(Long, Long, String)]
+        .flatMap { case (t, ckey, seg) =>
+          val v = if (copy) lastPkVgtid("customer", "c_custkey", ckey, t)
+          else Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$t")))
+          tx("customer", custFields, Seq(ckey.toString, seg), t, v, copyLabels = copy)
+        }
+    val copyCompleted = s.createDataset(Seq(
+      FeedLine(shard, 2_000_000L * 8, VEventJson.write(CopyCompletedEvent(shard)))))
+    ordSlice(0, 0L, copy = true)
+      .unionByName(custSlice(0, 1_000_000L, copy = true))
+      .unionByName(copyCompleted)
+      .unionByName(ordSlice(1, 3_000_000L, copy = false))
+      .unionByName(custSlice(1, 4_000_000L, copy = false))
   }
 
   // ------------------------------------------------------------ literal

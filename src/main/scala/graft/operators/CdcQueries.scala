@@ -448,6 +448,47 @@ object CdcQueries {
       |  FROM orders WHERE o_orderkey % 4 = 3
       |) ORDER BY shard, epoch""".stripMargin
 
+  // ---------------------------------------------------- copy phase
+  /** S5+F3 under the oracle: a VStream-copy feed (orders then customer
+    * with lastpk VGTIDs, COPY_COMPLETED, then streaming inserts) with
+    * `snapshot.tables` restricted to orders — the customer COPY rows must
+    * be dropped while every other (table, phase) slice arrives exactly
+    * once. Phase is derived from the delivered position: copy records
+    * carry lastpk progress in their VGTID. */
+  val qCdcCopyPhase: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed_cp")
+    val outDir = Files.createTempDirectory("graft_cp_out")
+    val ckpt = Files.createTempDirectory("graft_cp_ckpt")
+    writeFeedFiles(s, CdcFeed.copyPhase(s, d), feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt, Map("snapshot.tables" -> "ks\\.orders"))
+    s.read.parquet(outDir.toString)
+      .filter(col("op") === "c")
+      // copy positions carry a lastpk object; streaming ones serialize
+      // with an empty table_p_ks array, so match the inner key
+      .withColumn("phase",
+        when(col("vgtid").contains("lastpk"), "copy").otherwise("stream"))
+      .groupBy(col("table").as("tbl"), col("phase"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(coalesce(
+          afterStr("o_orderkey"), afterStr("c_custkey")).cast(LongType)).as("sum_key"))
+      .orderBy(col("tbl"), col("phase"))
+  }
+
+  val qCdcCopyPhaseSql: String =
+    """SELECT tbl, phase, n_rows, sum_key FROM (
+      |  SELECT 'orders' AS tbl, 'copy' AS phase, count(*) AS n_rows,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT 'orders', 'stream', count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 4 = 1
+      |  UNION ALL
+      |  SELECT 'customer', 'stream', count(*), CAST(sum(c_custkey) AS BIGINT)
+      |  FROM customer WHERE c_custkey % 4 = 1
+      |) ORDER BY tbl, phase""".stripMargin
+
   // ---------------------------------------------------- heartbeats
   /** H1 under the oracle: per-batch liveness heartbeats ride alongside
     * the data — one per shard per (single) batch, while every data row
@@ -762,6 +803,7 @@ object CdcQueries {
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_epoch_bump"       -> qCdcEpochBump,
     "cdc_reshard_epoch"    -> qCdcReshardEpoch,
+    "cdc_copy_phase"       -> qCdcCopyPhase,
     "cdc_heartbeat"        -> qCdcHeartbeat,
     "cdc_metadata"         -> qCdcMetadata,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
@@ -789,6 +831,7 @@ object CdcQueries {
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_epoch_bump"       -> qCdcEpochBumpSql,
     "cdc_reshard_epoch"    -> qCdcReshardEpochSql,
+    "cdc_copy_phase"       -> qCdcCopyPhaseSql,
     "cdc_heartbeat"        -> qCdcHeartbeatSql,
     "cdc_metadata"         -> qCdcMetadataSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,
