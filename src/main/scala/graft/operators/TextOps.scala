@@ -32,14 +32,29 @@ object TextOps {
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
   /** Repeated-2-gram fraction (0 = no repetition): the standard cheap
-    * detector for boilerplate/spam expansion. Texts under 2 tokens score
-    * 0. */
-  def repetitionRatio(c: Column): Column = {
-    val sh = Dedup.shingles(c, 2)
-    val total = size(sh).cast("double")
-    val uniq = size(array_distinct(sh)).cast("double")
-    when(total <= 1, lit(0.0)).otherwise(lit(1.0) - uniq / total)
+    * detector for boilerplate/spam expansion. Texts of ≤2 tokens score 0.
+    *
+    * Single-pass scalar function over the token array with an exact
+    * string set — the interpreted higher-order shingle expressions
+    * (`transform`+`sequence`+`slice`) evaluate a lambda tree per element
+    * and were 20× slower on corpus-sized text (the same trade the minhash
+    * signature makes). */
+  private val repRatioUdf = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length <= 2) 0.0
+    else {
+      val n = toks.length - 1
+      val seen = new java.util.HashSet[String](n * 2)
+      var uniq = 0
+      var i = 0
+      while (i < n) {
+        if (seen.add(toks(i) + " " + toks(i + 1))) uniq += 1
+        i += 1
+      }
+      1.0 - uniq.toDouble / n
+    }
   }
+
+  def repetitionRatio(c: Column): Column = repRatioUdf(tokens(c))
 
   /** C4-style document quality filter: keep documents with at least
     * `minTokens` tokens, repetition ratio at most `maxRepetition`, and a
