@@ -232,6 +232,18 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   private val generation = Option(options.get("generation")).map(_.toLong).getOrElse(1L)
   private val emitBoundaries = Option(options.get("boundaries")).exists(_.toBoolean)
   private val inheritEpoch = Option(options.get("inherit.epoch")).exists(_.toBoolean)
+  // S3: stop_on_reshard request-flag analogue — the reference's VStream
+  // ends at a reshard boundary so the operator restarts against the new
+  // shard topology (VitessReplicationConnection.java:302-338). Here the
+  // planner fails the query with a descriptive error; restarting from the
+  // same checkpoint resumes with the child shard admitted (A4 epochs
+  // apply on resume when inherit.epoch is set).
+  private val stopOnReshard = Option(options.get("stop.on.reshard")).exists(_.toBoolean)
+  // topology as resolved when this stream (re)started: the reshard check
+  // compares against THIS set, so a restart — which re-resolves shards,
+  // like the reference connector regenerating task configs — admits the
+  // new topology instead of failing again
+  private lazy val startupShards: Set[String] = shardFiles.map(_._1).toSet
   // H2: Vitess's own heartbeat tables stream only when opted in
   // (reference stream.keyspace.heartbeats, VitessConnectorConfig.java:228-235)
   private val streamKeyspaceHeartbeats =
@@ -329,6 +341,14 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     * replaying history. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VgtidOffset]
+    if (stopOnReshard) {
+      val fresh = shardFiles.map(_._1).filterNot(startupShards)
+      if (fresh.nonEmpty)
+        throw new IllegalStateException(
+          s"stop.on.reshard: new shard(s) ${fresh.mkString(", ")} appeared after " +
+            s"start topology [${startupShards.toSeq.sorted.mkString(", ")}]; restart " +
+            "the query from this checkpoint to stream the resharded topology")
+    }
     lazy val init = initialOffset().asInstanceOf[VgtidOffset]
     lazy val bumpedInit = EpochProvider.applyGeneration(init.epochs, from.generation, generation)
     var epochs = EpochProvider.applyGeneration(from.epochs, from.generation, generation)

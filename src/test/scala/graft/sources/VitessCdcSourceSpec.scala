@@ -388,6 +388,36 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("40-60", 2L)))
   }
 
+  test("stop.on.reshard fails the query when a new shard appears; restart resumes it (S3)") {
+    val feedDir = Files.createTempDirectory("cdcfeed23")
+    val ckpt = Files.createTempDirectory("cdcckpt23")
+    val out = Files.createTempDirectory("cdcout23")
+    writeFeed(feedDir, "-80", insertTx("-80", 1, 1, "a"))
+    def start() = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("stop.on.reshard", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).start()
+    val q = start()
+    try {
+      q.processAllAvailable() // parent-only topology streams fine
+      // reshard WHILE the query runs: the child shard appears mid-stream
+      writeFeed(feedDir, "40-60", insertTx("40-60", 1, 10, "c"))
+      var waited = 0
+      while (q.exception.isEmpty && waited < 30000) { Thread.sleep(100); waited += 100 }
+      assert(q.exception.exists(_.toString.contains("stop.on.reshard")))
+    } finally q.stop()
+    // a restart re-resolves the topology and admits the child
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out.toString)
+      .selectExpr("get_json_object(after, '$.id') AS id").orderBy("id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("1", "10"))
+  }
+
   test("mid-copy restart resumes from lastpk with no loss and no duplicates (S5 hard part d)") {
     val feedDir = Files.createTempDirectory("cdcfeed15")
     val ckpt = Files.createTempDirectory("cdcckpt15")
