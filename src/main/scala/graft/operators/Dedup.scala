@@ -202,15 +202,18 @@ object Dedup {
     * cluster is the survivor policy a training corpus actually needs —
     * pairwise drop alone over-deletes when A~B and B~C but A!~C).
     *
-    * Shape for scale: iterative min-label propagation — each round is one
-    * shuffle (join on src + groupBy dst), converging in O(diameter)
-    * rounds. Near-dup components have tiny diameters by construction: the
-    * hot-bucket star pairing above already emits star-shaped components
-    * (diameter ≤ 2), and organic clusters are near-cliques. Lineage is
-    * truncated with an eager localCheckpoint per round so the plan does
-    * not grow with iterations, and the edge set is computed once and
-    * persisted. `maxIter` bounds the worst case (a path graph); raising
-    * it is safe, each extra round is a no-op after convergence.
+    * Shape for scale: each round does one hop of min-label propagation
+    * over the edges (join on src + groupBy dst) AND one pointer-jumping
+    * hop (label ← label of label), so the effective label reach doubles
+    * per round — O(log diameter) rounds even for adversarial chain-shaped
+    * components, not O(diameter). Near-dup components are usually tiny-
+    * diameter anyway (the hot-bucket star pairing above emits stars, and
+    * organic clusters are near-cliques), so typical runs converge in 2-3
+    * rounds. Lineage is truncated with an eager localCheckpoint per round
+    * so the plan does not grow with iterations, and the edge set is
+    * computed once and persisted. Failing to converge within `maxIter`
+    * throws — silently returning half-propagated labels would be a wrong
+    * answer, not a degraded one.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
@@ -227,13 +230,23 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // hop 1: min over direct neighbors' labels
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels
+      val hopped = labels
         .join(prop, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // hop 2: pointer jumping — adopt the label of the current label,
+      // halving the remaining chain depth every round
+      val next = hopped.as("a")
+        .join(
+          hopped.select(col("id").as("lid"), col("label").as("llabel")),
+          col("a.label") === col("lid"), "left")
+        .select(
+          col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
         .localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), Seq("id"))
@@ -243,6 +256,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -159,12 +159,12 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("connected components: long path converges within maxIter") {
+  test("connected components: a 200-node path converges (pointer jumping, O(log d) rounds)") {
     val sp = spark; import sp.implicits._
-    // a 16-node path is the adversarial diameter case for label propagation
-    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // diameter 200 ≫ maxIter 25: only the label-doubling makes this converge
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-    assert(got.size == 16 && got.values.forall(_ == 0L))
+    assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
   test("connected components match an in-memory union-find on random graphs") {
