@@ -174,9 +174,13 @@ object VgtidJson {
     mapper.writeValueAsString(arr)
   }
 
-  def read(json: String): Vgtid = {
-    val root = mapper.readTree(json)
-    require(root.isArray, s"vgtid json must be an array, got: $json")
+  def read(json: String): Vgtid = readNode(mapper.readTree(json))
+
+  /** Parse from an already-materialized JSON tree — the event decoder has
+    * one in hand, and a serialize-then-reparse round trip per VGTID event
+    * (one per transaction) is pure decode-path overhead. */
+  def readNode(root: JsonNode): Vgtid = {
+    require(root.isArray, s"vgtid json must be an array, got: $root")
     Vgtid(root.elements().asScala.map(readShardGtid).toVector)
   }
 

@@ -203,7 +203,7 @@ object VEventJson {
             RowChange(readPacked(c.get("before")), readPacked(c.get("after")))
           }.toVector)
       case "VGTID" =>
-        VgtidEvent(s("shard"), VgtidJson.read(mapper.writeValueAsString(n.get("vgtid"))))
+        VgtidEvent(s("shard"), VgtidJson.readNode(n.get("vgtid")))
       case "DDL" =>
         DdlEvent(s("shard"), s("keyspace"), s("statement"),
           Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
