@@ -193,7 +193,9 @@ object CdcFeed extends Serializable {
     * customer transactions are offset after the orders transactions so
     * per-shard seq ordering stays strict; a `mysql.user` row rides along
     * to exercise the system-schema exclusion. */
-  def twoTables(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
+  def twoTables(
+      s: SparkSession, d: String, nShards: Int = DefaultShards,
+      withHeartbeatTable: Boolean = false): Dataset[FeedLine] = {
     import s.implicits._
     val base = 10_000_000L
     val custShifted = customer(s, d, nShards)
@@ -208,8 +210,23 @@ object CdcFeed extends Serializable {
           RowChange(None, Some(PackedRow.of(Seq(Some("root"))))), txSeq,
           Vgtid(Seq(ShardGtid("mysql", shard, s"MySQL56/feed:1-$txSeq")))))
     }
+    // H2: one Vitess heartbeat-table row per shard rides along; filtered
+    // out unless the consumer opts in
+    val hbFields = Seq(
+      FieldDef("ts", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey))
+    val hbTx =
+      if (!withHeartbeatTable) Nil
+      else (0 until nShards).flatMap { i =>
+        val shard = i.toString
+        val txSeq = 3 * base
+        feedLines(shard, txSeq,
+          txEvents(shard, "ks.heartbeat", hbFields,
+            RowChange(None, Some(PackedRow.of(Seq(Some("1"))))), txSeq,
+            Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$txSeq")))))
+      }
     orders(s, d, nShards).unionByName(custShifted)
       .unionByName(s.createDataset(sysTx))
+      .unionByName(s.createDataset(hbTx))
   }
 
   /** VStream-copy feed (S5/F3 gate fixture), single shard `s0` — the

@@ -513,6 +513,39 @@ object CdcQueries {
       |  SELECT 'heartbeat' AS op, CAST(4 AS BIGINT) AS n
       |) ORDER BY op""".stripMargin
 
+  // ---------------------------------------------- heartbeat tables (H2)
+  /** H2 under the oracle: Vitess's own heartbeat-table rows ride the feed
+    * on every shard; by default the filter drops them (before
+    * include/exclude, like the reference's server-side flag), and the
+    * opt-in streams them alongside the data tables. System-schema rows
+    * (mysql.user) stay excluded in both modes. */
+  val qCdcHeartbeatTables: Q = (s, d) => {
+    import graft.core.TableFilter
+    val feed = CdcFeed.twoTables(s, d, withHeartbeatTable = true)
+    def run(mode: String, streamHeartbeats: Boolean) =
+      CdcPipeline.changeRecords(
+          s, feed,
+          tableFilter = TableFilter.acceptAll.copy(excludeHeartbeatTables = !streamHeartbeats))
+        .toDF()
+        .filter(col("op") === "c")
+        .groupBy(col("table").as("tbl"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mode", lit(mode))
+    run("default", streamHeartbeats = false)
+      .unionByName(run("with_heartbeats", streamHeartbeats = true))
+      .select(col("mode"), col("tbl"), col("n"))
+      .orderBy(col("mode"), col("tbl"))
+  }
+
+  val qCdcHeartbeatTablesSql: String =
+    """SELECT mode, tbl, n FROM (
+      |  SELECT 'default' AS mode, 'orders' AS tbl, count(*) AS n FROM orders
+      |  UNION ALL SELECT 'default', 'customer', count(*) FROM customer
+      |  UNION ALL SELECT 'with_heartbeats', 'orders', count(*) FROM orders
+      |  UNION ALL SELECT 'with_heartbeats', 'customer', count(*) FROM customer
+      |  UNION ALL SELECT 'with_heartbeats', 'heartbeat', CAST(4 AS BIGINT)
+      |) ORDER BY mode, tbl""".stripMargin
+
   // ---------------------------------------------------- metadata scans
   /** S6+F5 under the oracle: SHOW VITESS_SHARDS / VITESS_TABLETS
     * (non-empty only) / TABLES / DATABASES over a two-table feed with
@@ -805,6 +838,7 @@ object CdcQueries {
     "cdc_reshard_epoch"    -> qCdcReshardEpoch,
     "cdc_copy_phase"       -> qCdcCopyPhase,
     "cdc_heartbeat"        -> qCdcHeartbeat,
+    "cdc_heartbeat_tables" -> qCdcHeartbeatTables,
     "cdc_metadata"         -> qCdcMetadata,
     "cdc_tx_metadata"      -> qCdcTxMetadata,
     "cdc_type_matrix"      -> qCdcTypeMatrix,
@@ -833,6 +867,7 @@ object CdcQueries {
     "cdc_reshard_epoch"    -> qCdcReshardEpochSql,
     "cdc_copy_phase"       -> qCdcCopyPhaseSql,
     "cdc_heartbeat"        -> qCdcHeartbeatSql,
+    "cdc_heartbeat_tables" -> qCdcHeartbeatTablesSql,
     "cdc_metadata"         -> qCdcMetadataSql,
     "cdc_tx_metadata"      -> qCdcTxMetadataSql,
     "cdc_type_matrix"      -> qCdcTypeMatrixSql,
