@@ -538,6 +538,38 @@ object LlmQueries {
        |WHERE n_tokens >= 20 AND rep_ratio <= 0.1 AND lang_pred IN ('en', 'de')""".stripMargin
   }
 
+  // ------------------------------------------------------ winnowing
+  /** Winnowing fingerprint summary per document (count + min), oracle =
+    * the identical k-gram/window-min construction in SQL. */
+  val qTextWinnow: Q = (s, d) =>
+    TextOps.winnowFingerprints(Tables.documents(s, d), "text", "doc_id", k = 5, w = 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+      .orderBy(col("doc_id"))
+
+  val qTextWinnowSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, 0 AS pos, array_to_string(toks, ' ') AS gram
+      |  FROM tok WHERE len(toks) < 5
+      |  UNION ALL
+      |  SELECT doc_id, u.pos, u.gram FROM (
+      |    SELECT doc_id, unnest([{'pos': i - 1,
+      |      'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]}
+      |      FOR i IN generate_series(1, len(toks) - 4)]) AS u
+      |    FROM tok WHERE len(toks) >= 5
+      |  )
+      |), fp AS (
+      |  SELECT doc_id, min(md5(gram)) OVER (
+      |    PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+      |  FROM grams
+      |)
+      |SELECT doc_id, count(DISTINCT minh) AS n_fp, min(minh) AS min_fp
+      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ corpus top-terms
   /** Vocabulary statistics: the 20 most frequent normalized tokens with
     * deterministic tie-break on the term. */
@@ -557,6 +589,7 @@ object LlmQueries {
     "text_pack"           -> qTextPack,
     "text_clean"          -> qTextClean,
     "text_quality_filter" -> qTextQualityFilter,
+    "text_winnow"         -> qTextWinnow,
     "events_sessions"     -> qEventsSessions,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -580,6 +613,7 @@ object LlmQueries {
     "text_pack"           -> qTextPackSql,
     "text_clean"          -> qTextCleanSql,
     "text_quality_filter" -> qTextQualityFilterSql,
+    "text_winnow"         -> qTextWinnowSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

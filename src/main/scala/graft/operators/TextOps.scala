@@ -56,6 +56,33 @@ object TextOps {
 
   def repetitionRatio(c: Column): Column = repRatioUdf(tokens(c))
 
+  // ---------------------------------------------------------- winnowing
+  private def kgramUdf(k: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) Seq.empty[String]
+    else if (toks.length < k) Seq(toks.mkString(" "))
+    else toks.sliding(k).map(_.mkString(" ")).toSeq
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every k-gram, slide a window of w hashes, keep each window's
+    * minimum, distinct per document — any shared run of ≥ w+k-1 tokens is
+    * guaranteed to share a fingerprint, at ~1/w the density of full
+    * k-gram fingerprinting. Hashes are md5 hex strings (engine-portable,
+    * lexicographic min), window minima are plain window functions —
+    * one shuffle on the document id, no UDF beyond the k-gram slide.
+    * Returns one row per (doc, fingerprint). */
+  def winnowFingerprints(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    df.select(col(idCol).as("doc_id"), kgramUdf(k)(tokens(col(textCol))).as("grams"))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+      .withColumn("minh", min(md5(col("gram").cast("binary"))).over(win))
+      .select(col("doc_id"), col("minh").as("fp"))
+      .distinct()
+  }
+
   /** C4-style document quality filter: keep documents with at least
     * `minTokens` tokens, repetition ratio at most `maxRepetition`, and a
     * language-ID in `langs` (empty = any). A single conjunctive

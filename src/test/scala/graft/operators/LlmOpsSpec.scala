@@ -272,6 +272,24 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == 0.75) // 4 bigrams, 1 distinct
   }
 
+  test("winnowing: documents sharing a run of >= w+k-1 tokens share a fingerprint") {
+    val sp = spark; import sp.implicits._
+    // k=5, w=4: any shared run of 8 tokens must yield a common fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, "one two " + shared + " xx yy"),
+      (2L, "prefix words here " + shared + " other tail"),
+      (3L, "completely unrelated content about databases and storage engines")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(df, "text", "doc_id")
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (id, v) => id -> v.map(_._2).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // winnowing selects ~1/w of the k-gram fingerprints
+    assert(fps(1L).size < 12)
+  }
+
   test("top terms: frequency with deterministic term tie-break") {
     val sp = spark; import sp.implicits._
     val df = Seq("b b a", "a c  B", "d").toDF("text")
