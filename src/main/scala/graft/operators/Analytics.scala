@@ -276,7 +276,46 @@ object Analytics {
       |GROUP BY ROLLUP (n_name, c_mktsegment)
       |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------- q17 (correlated agg)
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's
+    * parts whose quantity is under half that part's average. The brand's
+    * part-key set is tiny and SF-stable → broadcast semi shape prunes
+    * lineitem BEFORE the per-part aggregate, so the self-join correlation
+    * aggregates ~1/25 of lineitem instead of all of it. l_quantity is
+    * integer-valued, so the double average is exact and the comparison is
+    * engine-independent; money goes through exact DECIMAL. */
+  val q17SmallQty: Q = (s, d) => {
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey").as("l_partkey"))
+    val branded = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), Seq("l_partkey"))
+    val halfAvg = branded.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    branded.join(halfAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(
+        count(lit(1)).as("n"),
+        fixed4(sum(dec(col("l_extendedprice")))).as("revenue"))
+  }
+
+  val q17Sql: String =
+    s"""WITH branded AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#13'
+      |), pavg AS (
+      |  SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+      |  FROM branded GROUP BY l_partkey
+      |)
+      |SELECT count(*) AS n,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)))")} AS revenue
+      |FROM branded JOIN pavg USING (l_partkey)
+      |WHERE l_quantity < half_avg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q17_small_qty"        -> q17SmallQty,
     "q_rollup_revenue"     -> qRollupRevenue,
     "q1_pricing_summary"   -> q1PricingSummary,
     "q3_top_orders"        -> q3TopOrders,
@@ -288,6 +327,7 @@ object Analytics {
     "q_events_daily"       -> qEventsDaily)
 
   val oracleSql: Map[String, String] = Map(
+    "q17_small_qty"        -> q17Sql,
     "q_rollup_revenue"     -> qRollupRevenueSql,
     "q1_pricing_summary"   -> q1Sql,
     "q3_top_orders"        -> q3Sql,
