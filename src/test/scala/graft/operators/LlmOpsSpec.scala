@@ -214,6 +214,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.hashSample(df, "id", 0.0, "s").count() == 0)
   }
 
+  test("hexThreshold: monotone in rate, 4-char hex below 1.0, 'g' at 1.0") {
+    val rates = Seq(0.0, 1e-9, 0.1, 0.25, 0.5, 0.9999, 1.0, 1.5)
+    val ts = rates.map(Sampling.hexThreshold)
+    assert(ts.sliding(2).forall { case Seq(a, b) => a <= b })
+    ts.zip(rates).foreach { case (t, r) =>
+      if (r >= 1.0) assert(t == "g")
+      else assert(t.length == 4 && t.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    }
+    assert(Sampling.hexThreshold(0.25) == "4000") // 0.25 * 65536 = 0x4000
+  }
+
+  test("sequence packing matches an in-memory greedy fold on random inputs") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300)(i => (s"g${rnd.nextInt(5)}", i.toLong, rnd.nextInt(700).toLong))
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var bin = 0L; var fill = 0L
+      rs.sortBy(_._2).map { case (_, id, t) =>
+        if (fill > 0 && fill + t > 512) { bin += 1; fill = t } else fill += t
+        (g, id) -> (bin, fill)
+      }
+    }
+    val got = Packing.packSequences(
+        rows.toDF("source", "doc_id", "n_tokens").repartition(11), "source", "doc_id", "n_tokens", 512)
+      .select("source", "doc_id", "bin", "bin_fill")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, id, b, f) => (g, id) -> (b, f) }.toMap
+    assert(got == expected)
+  }
+
   test("stratified hash sampling honours per-stratum rates and the default") {
     val sp = spark; import sp.implicits._
     val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
