@@ -70,7 +70,11 @@ object ValueConversion {
       uint64: UInt64Mode = UInt64Mode.AsString,
       binary: BinaryMode = BinaryMode.Bytes,
       temporal: TemporalMode = TemporalMode.AdaptiveMicros,
-      decimal: DecimalMode = DecimalMode.AsString)
+      decimal: DecimalMode = DecimalMode.AsString,
+      // override.datetime.to.nullable: zero-date sentinels on NOT NULL
+      // temporal columns become SQL NULL instead of the epoch fallback
+      // (reference VitessConnectorConfig.java override.datetime.to.nullable)
+      datetimeToNullable: Boolean = false)
 
   object TypeModes {
     val default: TypeModes = TypeModes()
@@ -79,7 +83,8 @@ object ValueConversion {
         uint64: Option[String],
         binary: Option[String],
         temporal: Option[String],
-        decimal: Option[String] = None): TypeModes = TypeModes(
+        decimal: Option[String] = None,
+        datetimeToNullable: Option[String] = None): TypeModes = TypeModes(
       uint64.map {
         case "string"  => UInt64Mode.AsString
         case "long"    => UInt64Mode.AsLong
@@ -109,7 +114,8 @@ object ValueConversion {
         case "double"  => DecimalMode.AsDouble
         case other => throw new IllegalArgumentException(
           s"decimal.handling.mode must be string|precise|double, got $other")
-      }.getOrElse(DecimalMode.AsString))
+      }.getOrElse(DecimalMode.AsString),
+      datetimeToNullable.exists(_.toBoolean))
   }
 
   def bytesToHex(b: Array[Byte]): String = {

@@ -276,7 +276,31 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     Option(options.get("bigint.unsigned.handling.mode")),
     Option(options.get("binary.handling.mode")),
     Option(options.get("time.precision.mode")),
-    Option(options.get("decimal.handling.mode")))
+    Option(options.get("decimal.handling.mode")),
+    Option(options.get("override.datetime.to.nullable")))
+  // include.schema.changes (default true): DDL records are delivered on
+  // the change stream; false drops them (reference routes them to a
+  // schema-change topic controlled by the same flag)
+  private val includeSchemaChanges =
+    Option(options.get("include.schema.changes")).forall(_.toBoolean)
+  // snapshot.mode: `initial` (default) starts empty → VStream copy;
+  // `never` starts from `current` and drops any copy-phase rows
+  // (reference VitessConnectorConfig snapshot.mode initial|never)
+  private val snapshotMode =
+    Option(options.get("snapshot.mode")).getOrElse("initial") match {
+      case m @ ("initial" | "never") => m
+      case other => throw new IllegalArgumentException(
+        s"snapshot.mode must be initial|never, got $other")
+    }
+  // shard.epoch.map: JSON seed for per-shard epochs at first start
+  // (reference VitessConnectorConfig shard.epoch.map)
+  private val seedEpochMap: Option[ShardEpochMap] =
+    Option(options.get("shard.epoch.map")).map(ShardEpochMap.fromJson)
+  // snapshot.mode=never drops every copy-phase row regardless of table —
+  // expressed as a snapshot filter whose include list matches nothing
+  private val effectiveSnapshotTables: Option[TableFilter] =
+    if (snapshotMode == "never") Some(TableFilter(Seq("(?!)"), Nil))
+    else snapshotTables
 
   /** F5: shards with no events are excluded from planning by default
     * (reference getNonEmptyShards, VitessMetadata.java:201-216). */
@@ -293,18 +317,25 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
 
   /** S4: explicit `vgtid` option, else empty GTIDs for every discovered
     * shard (would trigger VStream copy on a real server). */
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
+    def seeded(shards: Seq[String]): ShardEpochMap =
+      seedEpochMap.getOrElse(ShardEpochMap.init(shards))
     Option(options.get("vgtid")) match {
       case Some(json) =>
         val v = Vgtid.of(json)
-        VgtidOffset(v, ShardEpochMap.init(v.shardGtids.map(_.shard)), generation)
+        VgtidOffset(v, seeded(v.shardGtids.map(_.shard)), generation)
       case None =>
         val shards = shardFiles.map(_._1)
+        // snapshot.mode=never starts at `current` (no VStream copy);
+        // `initial` starts empty, which a real server answers with copy
+        val startGtid =
+          if (snapshotMode == "never") Vgtid.CurrentGtid else Vgtid.EmptyGtid
         VgtidOffset(
-          Vgtid(shards.map(sh => ShardGtid(keyspace, sh, Vgtid.EmptyGtid))),
-          ShardEpochMap.init(shards),
+          Vgtid(shards.map(sh => ShardGtid(keyspace, sh, startGtid))),
+          seeded(shards),
           generation)
     }
+  }
 
   // Backpressure analogue of the reference's bounded queue
   // (VitessConnectorTask.java:118-125): cap how many new transactions a
@@ -443,8 +474,9 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         shard, keyspace, file.toString,
         Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
         seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
-        heartbeatPerBatch, inheritEpoch, snapshotTables,
+        heartbeatPerBatch, inheritEpoch, effectiveSnapshotTables,
         typeModes, heartbeatIntervalMs,
+        includeSchemaChanges,
         startByte, endByte,
         // schema checkpoint as of batch start (in-window FIELD lines are
         // read by the reader itself); sorted for determinism
@@ -477,6 +509,7 @@ final case class VitessCdcPartition(
     snapshotTables: Option[TableFilter] = None,
     typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default,
     heartbeatIntervalMs: Long = 0L, // 0 = NOOP heartbeat
+    includeSchemaChanges: Boolean = true,
     startByte: Long = 0L, // batch byte window [startByte, endByte)
     endByte: Long = Long.MaxValue,
     schemaLines: Seq[String] = Nil) // FIELD wire lines seen before startByte
@@ -548,6 +581,8 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
         }
       }
       .flatMap(rb.onTransaction)
+      // include.schema.changes=false: DDL records stay off the stream
+      .filter(rec => p.includeSchemaChanges || rec.op != "ddl")
     // H1 interval heartbeats: a heartbeat record rides after the first
     // data record at least `heartbeatIntervalMs` of commit time past the
     // previous one, carrying that record's position as the current offset

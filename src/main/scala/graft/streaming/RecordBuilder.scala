@@ -245,9 +245,11 @@ final class RecordBuilder(
           }
         }
       // zero-date sentinel collapsed on a NOT NULL column → epoch fallback
-      // (reference: null only for optional columns)
+      // (reference: null only for optional columns), unless the
+      // override.datetime.to.nullable mode forces NULL through
       val withFallback =
-        if (decoded.isEmpty && bytes.isDefined && !col.optional)
+        if (decoded.isEmpty && bytes.isDefined && !col.optional &&
+          !typeModes.datetimeToNullable)
           ValueConversion.epochFallback(col.graftType)
         else decoded
       withFallback match {

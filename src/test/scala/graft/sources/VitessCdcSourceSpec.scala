@@ -489,6 +489,98 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ddlPos.contains("MySQL56/feed:1-2"))
   }
 
+  test("include.schema.changes=false drops DDL records but not data") {
+    val feedDir = Files.createTempDirectory("cdcfeed24")
+    val ckpt = Files.createTempDirectory("cdcckpt24")
+    writeFeed(feedDir, "s0",
+      insertTx("s0", 1, 1, "a") ++ Seq(
+        VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-2")))),
+        DdlEvent("s0", "ks", "ALTER TABLE t1 ADD c INT", 42L)) ++
+        insertTx("s0", 3, 3, "b"))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("include.schema.changes", "false")
+      .load()
+      .writeStream.format("memory").queryName("cdc_no_ddl")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val ops = spark.sql("SELECT op FROM cdc_no_ddl ORDER BY op")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("c", "c"))
+  }
+
+  test("snapshot.mode=never starts at current and skips copy-phase rows") {
+    val feedDir = Files.createTempDirectory("cdcfeed25")
+    val copyVgtid = Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1", Seq(
+      TableLastPk("t1", Seq(PkField("id", "INT64", 63, None)), Seq(PkRow(Seq("1"), "MQ==")))))))
+    val copy: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", t1Fields, enumSetStringValues = true),
+      RowEvent("s0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("m"))))))),
+      VgtidEvent("s0", copyVgtid),
+      CommitEvent("s0", "ks", 1L),
+      CopyCompletedEvent("s0"))
+    writeFeed(feedDir, "s0", copy ++ insertTx("s0", 2, 2, "streamrow"))
+    def run(name: String, mode: String): Seq[String] = {
+      val ckpt = Files.createTempDirectory(s"ck$name")
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("snapshot.mode", mode)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.sql(s"SELECT get_json_object(after, '$$.id') FROM $name WHERE op = 'c' ORDER BY 1")
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(run("cdc_snap_initial", "initial") == Seq("1", "2")) // copy + stream
+    assert(run("cdc_snap_never", "never") == Seq("2")) // stream only
+  }
+
+  test("shard.epoch.map seeds per-shard epochs at first start") {
+    val feedDir = Files.createTempDirectory("cdcfeed26")
+    val ckpt = Files.createTempDirectory("cdcckpt26")
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "a"))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("shard.epoch.map", """{"s0":7}""")
+      .load()
+      .writeStream.format("memory").queryName("cdc_seed_epoch")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val epochs = spark.sql("SELECT DISTINCT epoch FROM cdc_seed_epoch WHERE op = 'c'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(epochs == Seq(7L))
+  }
+
+  test("override.datetime.to.nullable: zero datetime on NOT NULL column becomes null") {
+    val feedDir = Files.createTempDirectory("cdcfeed27")
+    val dtFields = Seq(
+      FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("dt", "DATETIME", "datetime", 19, 0, ColumnFlags.NotNull))
+    val tx: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", dtFields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t1", Seq(
+        RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("0000-00-00 00:00:00"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1")))),
+      CommitEvent("s0", "ks", 1L))
+    writeFeed(feedDir, "s0", tx)
+    def run(name: String, enable: Boolean): String = {
+      val ckpt = Files.createTempDirectory(s"ck$name")
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("override.datetime.to.nullable", enable.toString)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.sql(s"SELECT after FROM $name WHERE op = 'c'").first().getString(0)
+    }
+    assert(run("cdc_dt_default", enable = false).contains("1970-01-01")) // epoch fallback
+    assert(run("cdc_dt_nullable", enable = true).contains("\"dt\":null"))
+  }
+
   test("bounded batches also cap copy-phase progress (admission + lastpk)") {
     val feedDir = Files.createTempDirectory("cdcfeed17")
     val ckpt = Files.createTempDirectory("cdcckpt17")
