@@ -81,9 +81,10 @@ final case class PkRow(lengths: Seq[String], values: String)
   *
   * Per-table lastpk ordering honours the PK field type carried in the
   * position: numeric-text PKs (VStream sends numbers as decimal text)
-  * order by (length, lexicographic); any other type (e.g. VARCHAR PKs,
-  * reference TablePrimaryKeys.java:127-437) orders by plain bytes —
-  * length-first would put "b" before "ab". */
+  * compare by exact numeric value (negatives and DECIMAL text included);
+  * any other type (e.g. VARCHAR PKs, reference
+  * TablePrimaryKeys.java:127-437) orders by plain bytes — length-first
+  * would put "b" before "ab". */
 object CopyProgress {
 
   private def rankOf(gtid: String): BigDecimal =
@@ -104,8 +105,13 @@ object CopyProgress {
     val numeric = ta.fields.headOption.forall(f => NumericPkTypes(f.typeName)) &&
       tb.fields.headOption.forall(f => NumericPkTypes(f.typeName))
     if (numeric) {
-      val byLen = Integer.compare(va.length, vb.length)
-      if (byLen != 0) byLen else va.compareTo(vb)
+      // exact numeric order — (length, lexicographic) would misorder
+      // negative PKs ("-5" vs "4") and DECIMAL text ("-12.00" vs "3.00")
+      try BigDecimal(va).compare(BigDecimal(vb))
+      catch { case _: NumberFormatException =>
+        val byLen = Integer.compare(va.length, vb.length)
+        if (byLen != 0) byLen else va.compareTo(vb)
+      }
     } else va.compareTo(vb)
   }
 
@@ -180,7 +186,7 @@ object VgtidJson {
     * one in hand, and a serialize-then-reparse round trip per VGTID event
     * (one per transaction) is pure decode-path overhead. */
   def readNode(root: JsonNode): Vgtid = {
-    require(root.isArray, s"vgtid json must be an array, got: $root")
+    require(root != null && root.isArray, s"vgtid json must be an array, got: $root")
     Vgtid(root.elements().asScala.map(readShardGtid).toVector)
   }
 

@@ -30,12 +30,16 @@ object Sampling {
     if (rate >= 1.0) "g"
     else f"${math.max(0L, math.floor(rate * 65536).toLong)}%04x"
 
+  /** 4-hex-char md5 prefix of (key, seed) — the value every keep decision
+    * compares against its threshold. */
+  private def hashPrefix(key: Column, seed: String): Column =
+    substring(md5(concat(key.cast("string"), lit(seed)).cast("binary")), 1, 4)
+
   /** The keep predicate: md5-prefix of (key, seed) below the rate
     * threshold. `key` is rendered as a string, so any key type with a
     * stable string form works. */
   def keepPredicate(key: Column, rate: Double, seed: String): Column =
-    substring(md5(concat(key.cast("string"), lit(seed)).cast("binary")), 1, 4) <
-      lit(hexThreshold(rate))
+    hashPrefix(key, seed) < lit(hexThreshold(rate))
 
   /** Uniform deterministic Bernoulli sample at `rate`. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: String): DataFrame =
@@ -59,9 +63,7 @@ object Sampling {
       .toDF(strataCol, "__thresh")
     df.join(broadcast(rateDim), Seq(strataCol), "left")
       .withColumn("__thresh", coalesce(col("__thresh"), lit(hexThreshold(defaultRate))))
-      .filter(
-        substring(md5(concat(col(keyCol).cast("string"), lit(seed)).cast("binary")), 1, 4) <
-          col("__thresh"))
+      .filter(hashPrefix(col(keyCol), seed) < col("__thresh"))
       .drop("__thresh")
   }
 }

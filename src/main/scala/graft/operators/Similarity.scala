@@ -210,7 +210,11 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 0,
       hotBucketThreshold: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // persisted: evaluated by the adaptive-bits count, the bucketing pass,
+    // and both per-side vector join-backs — four scans of the corpus
+    // otherwise re-derive the upstream lineage each time
     val src = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val useBits =
       if (bits > 0) bits
       else {

@@ -121,7 +121,12 @@ final case class VgtidOffset(
     epochs: ShardEpochMap,
     generation: Long,
     positions: Map[String, Long] = Map.empty,
-    schemas: Map[String, Map[String, String]] = Map.empty)
+    schemas: Map[String, Map[String, String]] = Map.empty,
+    // per-shard interval-heartbeat baseline (commit-time ms): carried in
+    // the checkpoint so the cadence survives batch boundaries — a
+    // per-reader baseline would reset every micro-batch and never fire
+    // under bounded triggers
+    hbMs: Map[String, Long] = Map.empty)
     extends Offset {
   override def json(): String = {
     val m = new ObjectMapper()
@@ -141,6 +146,10 @@ final case class VgtidOffset(
         val t = s.putObject(sh)
         tables.toSeq.sortBy(_._1).foreach { case (tbl, line) => t.put(tbl, line) }
       }
+    }
+    if (hbMs.nonEmpty) {
+      val h = o.putObject("heartbeat_ms")
+      hbMs.toSeq.sortBy(_._1).foreach { case (sh, t) => h.put(sh, t) }
     }
     m.writeValueAsString(o)
   }
@@ -166,7 +175,10 @@ object VgtidOffset {
         .getOrElse(ShardEpochMap.empty),
       Option(n.get("connector_generation")).map(_.asLong()).getOrElse(1L),
       positions,
-      schemas)
+      schemas,
+      Option(n.get("heartbeat_ms")).map { h =>
+        h.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty[String, Long]))
   }
 }
 
@@ -184,31 +196,37 @@ private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long
     java.nio.channels.FileChannel.open(Paths.get(file), java.nio.file.StandardOpenOption.READ)
   private var consumed: Long = math.min(from, ch.size())
   ch.position(consumed)
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(
-      java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8),
-    1 << 16)
+  private val in = new java.io.BufferedInputStream(
+    java.nio.channels.Channels.newInputStream(ch), 1 << 16)
+  private val buf = new java.io.ByteArrayOutputStream(256)
 
   /** Byte position immediately after the last line returned. */
   def position: Long = consumed
 
-  /** Next line, or null at EOF / the `to` bound. */
+  /** Next COMPLETE line (its `\n` terminator was observed), or null at
+    * EOF / the `to` bound. A trailing line without a terminator — a
+    * concurrent appender caught mid-write — is NOT returned and does not
+    * advance `position`, so byte positions recorded in offsets always
+    * point at a line start; the half-line is picked up whole by the next
+    * trigger's slice. */
   def readLine(): String =
     if (consumed >= to) null
     else {
-      val l = reader.readLine()
-      if (l == null) null
+      buf.reset()
+      var b = in.read()
+      while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+      if (b == -1) null // unterminated tail: leave it for the next slice
       else {
-        consumed += l.getBytes(StandardCharsets.UTF_8).length + 1L
+        consumed += buf.size() + 1L
         FeedSlice.linesRead.incrementAndGet()
-        l
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
       }
     }
 
   def lines: Iterator[String] =
     Iterator.continually(readLine()).takeWhile(_ != null)
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }
 
 private[sources] object FeedSlice {
@@ -385,6 +403,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     var epochs = EpochProvider.applyGeneration(from.epochs, from.generation, generation)
     val positionsOut = Map.newBuilder[String, Long]
     val schemasOut = Map.newBuilder[String, Map[String, String]]
+    val hbMsOut = Map.newBuilder[String, Long]
     val gtids = shardFiles.map { case (shard, file) =>
       val startSg = from.vgtid.shardGtid(shard)
         .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
@@ -406,6 +425,10 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       var admitted = 0L
       var inTx = false
       var safePos = fromByte
+      // interval-heartbeat baseline fold: mirrors the reader's per-commit
+      // rule so the offset carries the same baseline the reader ends on
+      var hbMs = from.hbMs.getOrElse(shard, Long.MinValue)
+      var txAdmitted = false
       val slice = new FeedSlice(file.toString, fromByte)
       try {
         var line = slice.readLine()
@@ -414,8 +437,19 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           // prefix dispatch: only VGTID/FIELD lines need JSON parsing (the
           // scan is driver-side and single-threaded — parsing every event
           // line would dominate trigger latency on large feeds)
-          if (line.startsWith(FeedSlice.BeginPrefix)) inTx = true
-          else if (line.startsWith(FeedSlice.CommitPrefix)) inTx = false
+          if (line.startsWith(FeedSlice.BeginPrefix)) { inTx = true; txAdmitted = false }
+          else if (line.startsWith(FeedSlice.CommitPrefix)) {
+            inTx = false
+            if (heartbeatIntervalMs > 0 && txAdmitted) {
+              VEventJson.read(line) match {
+                case c: CommitEvent =>
+                  val tsMs = c.timestampSec * 1000L
+                  if (hbMs == Long.MinValue || tsMs - hbMs >= heartbeatIntervalMs) hbMs = tsMs
+                case _ =>
+              }
+            }
+            txAdmitted = false
+          }
           else if (line.startsWith(FeedSlice.FieldPrefix)) {
             VEventJson.read(line) match {
               case f: FieldEvent => tableSchemas += (f.table -> line)
@@ -426,7 +460,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
               case VgtidEvent(_, v) =>
                 v.shardGtid(shard).foreach { sg =>
                   if (sg != lastSg) {
-                    if (CopyProgress.compare(sg, startSg) > 0) admitted += 1
+                    if (CopyProgress.compare(sg, startSg) > 0) { admitted += 1; txAdmitted = true }
                     if (sg.gtid != lastSg.gtid) {
                       if (lastSg.gtid != Vgtid.EmptyGtid && lastSg.gtid != Vgtid.CurrentGtid)
                         epoch = EpochProvider.epochForGtid(epoch, lastSg.gtid, sg.gtid)
@@ -447,10 +481,13 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       epochs = epochs.put(shard, epoch)
       positionsOut += shard -> safePos
       if (tableSchemas.nonEmpty) schemasOut += shard -> tableSchemas
+      if (heartbeatIntervalMs > 0 && hbMs != Long.MinValue) hbMsOut += shard -> hbMs
       // never regress behind the committed start position
       if (CopyProgress.compare(lastSg, startSg) < 0) startSg else lastSg
     }
-    VgtidOffset(Vgtid(gtids), epochs, generation, positionsOut.result(), schemasOut.result())
+    VgtidOffset(
+      Vgtid(gtids), epochs, generation,
+      positionsOut.result(), schemasOut.result(), hbMsOut.result())
   }
 
   override def latestOffset(): Offset =
@@ -476,6 +513,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
         heartbeatPerBatch, inheritEpoch, effectiveSnapshotTables,
         typeModes, heartbeatIntervalMs,
+        s.hbMs.getOrElse(shard, Long.MinValue),
         includeSchemaChanges,
         startByte, endByte,
         // schema checkpoint as of batch start (in-window FIELD lines are
@@ -509,6 +547,7 @@ final case class VitessCdcPartition(
     snapshotTables: Option[TableFilter] = None,
     typeModes: ValueConversion.TypeModes = ValueConversion.TypeModes.default,
     heartbeatIntervalMs: Long = 0L, // 0 = NOOP heartbeat
+    startHbMs: Long = Long.MinValue, // checkpointed interval-heartbeat baseline
     includeSchemaChanges: Boolean = true,
     startByte: Long = 0L, // batch byte window [startByte, endByte)
     endByte: Long = Long.MaxValue,
@@ -574,36 +613,56 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
           case None =>
             // DDL/heartbeat flushes with no position: a bounded byte
             // window contains each such line exactly once across the
-            // stream's lifetime, so deliver unconditionally; the legacy
-            // whole-file mode keeps the progress guard to avoid
-            // re-delivery on every batch
-            p.endByte != Long.MaxValue || CopyProgress.compare(endSg, startSg) > 0
+            // stream's lifetime — but only when the window START is
+            // trustworthy: a mid-stream resume from a legacy checkpoint
+            // (real GTID, no recorded byte position → startByte 0) would
+            // re-scan from byte 0 and re-deliver old DDLs, so it falls
+            // back to the legacy progress guard instead
+            val freshStart =
+              startSg.gtid == Vgtid.EmptyGtid || startSg.gtid == Vgtid.CurrentGtid
+            if (p.endByte == Long.MaxValue) CopyProgress.compare(endSg, startSg) > 0
+            else p.startByte > 0 || freshStart ||
+              CopyProgress.compare(endSg, startSg) > 0
         }
       }
-      .flatMap(rb.onTransaction)
-      // include.schema.changes=false: DDL records stay off the stream
-      .filter(rec => p.includeSchemaChanges || rec.op != "ddl")
-    // H1 interval heartbeats: a heartbeat record rides after the first
-    // data record at least `heartbeatIntervalMs` of commit time past the
-    // previous one, carrying that record's position as the current offset
-    // (reference VitessHeartbeatImpl.java:47-77; 0 = NOOP). Event-time
-    // driven: deterministic under replay.
+    // H1 interval heartbeats: one heartbeat record per admitted
+    // transaction whose commit time is at least `heartbeatIntervalMs`
+    // past the previous baseline (reference VitessHeartbeatImpl.java:
+    // 47-77; 0 = NOOP). The baseline is seeded from the CHECKPOINT
+    // (p.startHbMs) and the driver's offset fold applies the identical
+    // per-commit rule, so the cadence survives batch boundaries — a
+    // per-reader baseline would reset every micro-batch and never fire
+    // under bounded triggers. Event-time driven: deterministic under
+    // replay. Emission is per-tx (not per-record), so fully-filtered
+    // stretches still heartbeat — exactly when consumers need liveness.
     val withIntervalHeartbeats =
-      if (p.heartbeatIntervalMs <= 0L) batchRecords
+      if (p.heartbeatIntervalMs <= 0L)
+        batchRecords.flatMap(rb.onTransaction)
+          // include.schema.changes=false: DDL records stay off the stream
+          .filter(rec => p.includeSchemaChanges || rec.op != "ddl")
       else {
-        var lastHbMs = Long.MinValue
-        batchRecords.flatMap { rec =>
-          val isData = rec.op == "c" || rec.op == "u" || rec.op == "d"
-          if (!isData) Iterator.single(rec)
-          else if (lastHbMs == Long.MinValue) {
-            lastHbMs = rec.tsMs
-            Iterator.single(rec)
-          } else if (rec.tsMs - lastHbMs >= p.heartbeatIntervalMs) {
-            lastHbMs = rec.tsMs
-            Iterator(rec, ChangeRecord(
-              p.shard, p.keyspace, "", "heartbeat", None, None, None,
-              rec.tsMs, rec.vgtid, rec.restartVgtid, None, rec.epoch, None, 0L, 0L))
-          } else Iterator.single(rec)
+        var lastHbMs = p.startHbMs
+        var lastEpoch = p.startEpoch
+        batchRecords.flatMap { tx =>
+          val recs = rb.onTransaction(tx)
+            .filter(rec => p.includeSchemaChanges || rec.op != "ddl")
+            .toVector
+          recs.lastOption.foreach(r => lastEpoch = r.epoch)
+          val isCommitTx = tx.events.lastOption.exists(_.isInstanceOf[CommitEvent])
+          if (!isCommitTx) recs
+          else {
+            val tsMs = tx.commitTsSec * 1000L
+            if (lastHbMs == Long.MinValue) { lastHbMs = tsMs; recs }
+            else if (tsMs - lastHbMs >= p.heartbeatIntervalMs) {
+              lastHbMs = tsMs
+              val last = recs.lastOption
+              val vj = last.map(_.vgtid).orElse(tx.vgtid.map(_.json)).getOrElse("[]")
+              val rj = last.map(_.restartVgtid).orElse(tx.vgtid.map(_.json)).getOrElse("[]")
+              recs :+ ChangeRecord(
+                p.shard, p.keyspace, "", "heartbeat", None, None, None,
+                tsMs, vj, rj, None, last.map(_.epoch).getOrElse(lastEpoch), None, 0L, 0L)
+            } else recs
+          }
         }
       }
     // H1: one liveness record per shard per batch carrying the end offset

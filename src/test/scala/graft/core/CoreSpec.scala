@@ -53,8 +53,15 @@ class VgtidSpec extends AnyFunSuite {
     // not-yet-started (no lastpk row) sorts before any progress
     assert(CopyProgress.compare(
       pos(lp("t1", ""), lp("t2", "")), pos(lp("t1", "1"), lp("t2", ""))) < 0)
-    // numeric-text PKs order by (length, lexicographic): 9 < 10
+    // numeric-text PKs order by exact numeric value: 9 < 10
     assert(CopyProgress.compare(pos(lp("t", "9")), pos(lp("t", "10"))) < 0)
+    // signed and DECIMAL text too: -5 < 4, -12.00 < 3.00 (length-first
+    // ordering would invert both)
+    assert(CopyProgress.compare(pos(lp("t", "-5")), pos(lp("t", "4"))) < 0)
+    assert(CopyProgress.compare(
+      pos(lp("t", "-12.00", "DECIMAL")), pos(lp("t", "3.00", "DECIMAL"))) < 0)
+    assert(CopyProgress.compare(
+      pos(lp("t", "3.00", "DECIMAL")), pos(lp("t", "-12.00", "DECIMAL"))) > 0)
     // VARCHAR PKs order lexicographically: "ab" < "b" despite being longer
     assert(CopyProgress.compare(
       pos(lp("t", "ab", "VARCHAR")), pos(lp("t", "b", "VARCHAR"))) < 0)

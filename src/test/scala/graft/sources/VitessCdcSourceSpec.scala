@@ -217,6 +217,29 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM cdc_hb2 WHERE op = 'c'").first().getLong(0) == 5)
   }
 
+  test("interval heartbeats keep their cadence across bounded micro-batches") {
+    val feedDir = Files.createTempDirectory("cdcfeed28")
+    val ckpt = Files.createTempDirectory("cdcckpt28")
+    // 5 txs 1 s apart, one tx per batch: the baseline must survive batch
+    // boundaries via the checkpointed heartbeat_ms, or no heartbeat ever
+    // fires (each single-tx batch would just re-seed the baseline)
+    writeFeed(feedDir, "s0", (1L to 5L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("heartbeat.interval.ms", "2000")
+      .option("max.txs.per.trigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdc_hb_bounded")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val hb = spark.sql(
+      "SELECT vgtid FROM cdc_hb_bounded WHERE op = 'heartbeat' AND ts_ms > 0 ORDER BY ts_ms")
+      .collect().map(_.getString(0)).toSeq
+    assert(hb.length == 2, s"expected heartbeats after tx 3 and tx 5, got $hb")
+    assert(hb(0).contains("MySQL56/feed:1-3"))
+    assert(hb(1).contains("MySQL56/feed:1-5"))
+  }
+
   test("metadata scans: shards, non-empty shards, tables, keyspaces (S6)") {
     val feedDir = Files.createTempDirectory("cdcfeed9")
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
