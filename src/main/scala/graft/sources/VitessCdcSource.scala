@@ -196,9 +196,13 @@ private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long
     java.nio.channels.FileChannel.open(Paths.get(file), java.nio.file.StandardOpenOption.READ)
   private var consumed: Long = math.min(from, ch.size())
   ch.position(consumed)
-  private val in = new java.io.BufferedInputStream(
-    java.nio.channels.Channels.newInputStream(ch), 1 << 16)
+  private val in = java.nio.channels.Channels.newInputStream(ch)
   private val buf = new java.io.ByteArrayOutputStream(256)
+  // chunked newline scan: per-byte stream reads would double feed-scan
+  // cost; this fills 64 KiB chunks and scans them with an index loop
+  private val chunk = new Array[Byte](1 << 16)
+  private var chunkLen = 0
+  private var chunkPos = 0
 
   /** Byte position immediately after the last line returned. */
   def position: Long = consumed
@@ -213,14 +217,28 @@ private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long
     if (consumed >= to) null
     else {
       buf.reset()
-      var b = in.read()
-      while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
-      if (b == -1) null // unterminated tail: leave it for the next slice
-      else {
-        consumed += buf.size() + 1L
-        FeedSlice.linesRead.incrementAndGet()
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      var result: String = null
+      var done = false
+      while (!done) {
+        if (chunkPos >= chunkLen) {
+          chunkLen = in.read(chunk)
+          chunkPos = 0
+          if (chunkLen <= 0) done = true // EOF: unterminated tail stays unread
+        }
+        if (!done) {
+          var i = chunkPos
+          while (i < chunkLen && chunk(i) != '\n') i += 1
+          buf.write(chunk, chunkPos, i - chunkPos)
+          if (i < chunkLen) { // terminator observed
+            chunkPos = i + 1
+            consumed += buf.size() + 1L
+            FeedSlice.linesRead.incrementAndGet()
+            result = new String(buf.toByteArray, StandardCharsets.UTF_8)
+            done = true
+          } else chunkPos = chunkLen
+        }
       }
+      result
     }
 
   def lines: Iterator[String] =
