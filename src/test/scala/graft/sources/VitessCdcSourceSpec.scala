@@ -240,6 +240,29 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hb(1).contains("MySQL56/feed:1-5"))
   }
 
+  test("feed slice: unterminated tail line is not returned and never advances position") {
+    val dir = Files.createTempDirectory("cdcslice")
+    val f = dir.resolve("s0.jsonl")
+    Files.writeString(f, "line one\nline two\npartial tail with no newline")
+    val s1 = new FeedSlice(f.toString, 0L)
+    try {
+      assert(s1.readLine() == "line one")
+      assert(s1.readLine() == "line two")
+      val posAfterComplete = s1.position
+      assert(s1.readLine() == null) // torn tail stays unread
+      assert(s1.position == posAfterComplete) // position still at a line start
+      // the appender finishes the line: resuming from the recorded
+      // position yields the WHOLE line, not a mid-line fragment
+      Files.writeString(f, " now complete\nnext\n", StandardOpenOption.APPEND)
+      val s2 = new FeedSlice(f.toString, posAfterComplete)
+      try {
+        assert(s2.readLine() == "partial tail with no newline now complete")
+        assert(s2.readLine() == "next")
+        assert(s2.readLine() == null)
+      } finally s2.close()
+    } finally s1.close()
+  }
+
   test("metadata scans: shards, non-empty shards, tables, keyspaces (S6)") {
     val feedDir = Files.createTempDirectory("cdcfeed9")
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
