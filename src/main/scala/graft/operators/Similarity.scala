@@ -238,11 +238,17 @@ object Similarity {
     val hotPairs = sized
       .filter(col("bucket_n") > hotBucketThreshold && col("id") =!= col("bucket_min"))
       .select(col("bucket_min").as("id_a"), col("id").as("id_b"))
-    smallPairs.unionByName(hotPairs).distinct()
+    val result = smallPairs.unionByName(hotPairs).distinct()
       .join(src.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(src.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      // eager: the verified pair set (tiny next to the corpus) is
+      // materialized here so the corpus cache can be released instead of
+      // staying pinned for the session's lifetime
+      .localCheckpoint()
+    src.unpersist()
+    result
   }
 }

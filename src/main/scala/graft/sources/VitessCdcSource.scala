@@ -447,6 +447,15 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       // rule so the offset carries the same baseline the reader ends on
       var hbMs = from.hbMs.getOrElse(shard, Long.MinValue)
       var txAdmitted = false
+      // the offset must only carry state as of the last TRANSACTION
+      // boundary: a concurrent appender can tear a tx between its VGTID
+      // and COMMIT lines, and folding that VGTID into the offset while
+      // safePos excludes its bytes would make the next batch's rank
+      // filter skip the tx forever (pos == startSg) — silent loss
+      var safeSg = lastSg
+      var safeEpoch = epoch
+      var safeSchemas = tableSchemas
+      var safeHb = hbMs
       val slice = new FeedSlice(file.toString, fromByte)
       try {
         var line = slice.readLine()
@@ -491,17 +500,21 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           }
           if (!inTx) {
             safePos = slice.position
+            safeSg = lastSg
+            safeEpoch = epoch
+            safeSchemas = tableSchemas
+            safeHb = hbMs
             if (admitted >= maxTxsPerTrigger) stop = true
           }
           if (!stop) line = slice.readLine()
         }
       } finally slice.close()
-      epochs = epochs.put(shard, epoch)
+      epochs = epochs.put(shard, safeEpoch)
       positionsOut += shard -> safePos
-      if (tableSchemas.nonEmpty) schemasOut += shard -> tableSchemas
-      if (heartbeatIntervalMs > 0 && hbMs != Long.MinValue) hbMsOut += shard -> hbMs
+      if (safeSchemas.nonEmpty) schemasOut += shard -> safeSchemas
+      if (heartbeatIntervalMs > 0 && safeHb != Long.MinValue) hbMsOut += shard -> safeHb
       // never regress behind the committed start position
-      if (CopyProgress.compare(lastSg, startSg) < 0) startSg else lastSg
+      if (CopyProgress.compare(safeSg, startSg) < 0) startSg else safeSg
     }
     VgtidOffset(
       Vgtid(gtids), epochs, generation,

@@ -263,6 +263,36 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s1.close()
   }
 
+  test("tx torn between VGTID and COMMIT is delivered whole on the next trigger") {
+    val feedDir = Files.createTempDirectory("cdcfeed29")
+    val ckpt = Files.createTempDirectory("cdcckpt29")
+    val out = Files.createTempDirectory("cdcout29")
+    val tx2 = insertTx("s0", 2, 2, "torn")
+    // tx1 complete; tx2's BEGIN/FIELD/ROW/VGTID lines written but its
+    // COMMIT not yet — the appender is mid-transaction when the trigger
+    // fires. The offset must NOT fold tx2's VGTID, or the resume filter
+    // would treat it as already delivered.
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "a") ++ tx2.dropRight(1))
+    def run(): Unit = {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out.toString).count() == 1) // only tx1 so far
+    // appender finishes tx2 and adds tx3
+    writeFeed(feedDir, "s0", tx2.takeRight(1) ++ insertTx("s0", 3, 3, "c"), append = true)
+    run()
+    val ids = spark.read.parquet(out.toString)
+      .selectExpr("get_json_object(after, '$.id') AS id").orderBy("id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("1", "2", "3")) // tx2 neither lost nor duplicated
+  }
+
   test("metadata scans: shards, non-empty shards, tables, keyspaces (S6)") {
     val feedDir = Files.createTempDirectory("cdcfeed9")
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
