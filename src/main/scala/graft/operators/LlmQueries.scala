@@ -570,6 +570,33 @@ object LlmQueries {
       |SELECT doc_id, count(DISTINCT minh) AS n_fp, min(minh) AS min_fp
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- decontamination
+  /** Every doc_id%31==0 document plays the benchmark set; flagged corpus
+    * docs share an 8-gram with one of them (the benchmark docs flag
+    * themselves, plus any near-dup with a shared 8-token run). */
+  val qTextDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+    TextOps.contaminatedIds(docs, bench, "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextDecontaminateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+      |          toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
+      |          FOR i IN generate_series(1, len(toks) - 7)] END) AS gram
+      |  FROM tok
+      |), bench AS (
+      |  SELECT DISTINCT gram FROM grams WHERE doc_id % 31 = 0
+      |)
+      |SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ corpus top-terms
   /** Vocabulary statistics: the 20 most frequent normalized tokens with
     * deterministic tie-break on the term. */
@@ -590,6 +617,7 @@ object LlmQueries {
     "text_clean"          -> qTextClean,
     "text_quality_filter" -> qTextQualityFilter,
     "text_winnow"         -> qTextWinnow,
+    "text_decontaminate"  -> qTextDecontaminate,
     "events_sessions"     -> qEventsSessions,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -614,6 +642,7 @@ object LlmQueries {
     "text_clean"          -> qTextCleanSql,
     "text_quality_filter" -> qTextQualityFilterSql,
     "text_winnow"         -> qTextWinnowSql,
+    "text_decontaminate"  -> qTextDecontaminateSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

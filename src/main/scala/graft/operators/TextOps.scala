@@ -57,6 +57,11 @@ object TextOps {
   def repetitionRatio(c: Column): Column = repRatioUdf(tokens(c))
 
   // ---------------------------------------------------------- winnowing
+  /** Word k-grams of the normalized text (short texts yield the whole
+    * token string) — single-pass scalar slide, shared by winnowing and
+    * decontamination. */
+  def kgrams(c: Column, k: Int): Column = kgramUdf(k)(tokens(c))
+
   private def kgramUdf(k: Int) = udf { (toks: Seq[String]) =>
     if (toks == null || toks.isEmpty) Seq.empty[String]
     else if (toks.length < k) Seq(toks.mkString(" "))
@@ -80,6 +85,29 @@ object TextOps {
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
       .withColumn("minh", min(md5(col("gram").cast("binary"))).over(win))
       .select(col("doc_id"), col("minh").as("fp"))
+      .distinct()
+  }
+
+  // ----------------------------------------------------- decontamination
+  /** Benchmark decontamination: ids of corpus documents that share at
+    * least one word k-gram with any benchmark document — the standard
+    * "drop eval data from the training set" stage. Benchmark suites are
+    * tiny next to a training corpus, so their distinct gram set is
+    * broadcast and the corpus side is one narrow scan + broadcast
+    * semi-join: no shuffle of corpus data at any scale. */
+  def contaminatedIds(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(kgrams(col(textCol), k)).as("gram"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(kgrams(col(textCol), k)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col(idCol))
       .distinct()
   }
 

@@ -320,6 +320,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps(1L).size < 12)
   }
 
+  test("decontamination flags docs sharing a k-gram with the benchmark, and only those") {
+    val sp = spark; import sp.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, "intro words then " + leak + " trailing text"), // contains the bench 8-gram
+      (2L, "completely unrelated content about storage engines and query planners"),
+      (3L, "alpha beta gamma delta epsilon zeta eta other tail")) // only 7 shared tokens
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "prefix " + leak + " suffix")).toDF("doc_id", "text")
+    val flagged = TextOps.contaminatedIds(docs, bench, "text", "doc_id", k = 8)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L)) // 7-token overlap is below the k=8 bar
+  }
+
   test("top terms: frequency with deterministic term tie-break") {
     val sp = spark; import sp.implicits._
     val df = Seq("b b a", "a c  B", "d").toDF("text")
