@@ -597,6 +597,73 @@ object LlmQueries {
       |SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ tf-idf
+  /** Top-3 TF-IDF terms per document; `rk` is cast to long because Spark
+    * row_number is INTEGER while DuckDB's is BIGINT. */
+  val qTextTfidf: Q = (s, d) =>
+    TextOps.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id", topK = 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+
+  val qTextTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+      |), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+      |SELECT doc_id, rk, term, score FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ln(n.n_docs / dfreq.df) DESC, tf.term) AS rk
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ------------------------------------------------------ unigram LM score
+  /** Mean ln P(token) under the corpus unigram distribution. Per-token
+    * log-probs are rounded to 12 decimals and summed as exact DECIMAL on
+    * both sides, so the result is independent of aggregation order. */
+  val qTextLmScore: Q = (s, d) =>
+    TextOps.lmScore(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qTextLmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1
+      |), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+      |  round(CAST(sum(CAST(tf AS DECIMAL(18,0)) *
+      |      CAST(round(ln(n::DOUBLE / tot.total), 12) AS DECIMAL(20,12))) AS DOUBLE)
+      |    / CAST(sum(tf) AS BIGINT), 6) AS lm_score
+      |FROM tf JOIN cnt USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- embedding outliers
+  /** Bottom-20 embeddings by cosine to the corpus centroid (exact
+    * DECIMAL per-dimension sums — see Similarity.centroidOutliers). */
+  val qEmbOutliers: Q = (s, d) =>
+    Similarity.centroidOutliers(Tables.embeddings(s, d), bottomK = 20)
+      .orderBy(col("vec_id"))
+
+  val qEmbOutliersSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM e),
+      |cent AS (SELECT i, sum(CAST(x AS DECIMAL(38,10))) AS s FROM dims GROUP BY i),
+      |cvec AS (SELECT list(s::DOUBLE ORDER BY i) AS c FROM cent)
+      |SELECT vec_id, sim FROM (
+      |  SELECT vec_id, round(list_cosine_similarity(v, c), 6) AS sim,
+      |    row_number() OVER (ORDER BY list_cosine_similarity(v, c), vec_id) AS rk
+      |  FROM e CROSS JOIN cvec
+      |) WHERE rk <= 20 ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------ corpus top-terms
   /** Vocabulary statistics: the 20 most frequent normalized tokens with
     * deterministic tie-break on the term. */
@@ -618,6 +685,9 @@ object LlmQueries {
     "text_quality_filter" -> qTextQualityFilter,
     "text_winnow"         -> qTextWinnow,
     "text_decontaminate"  -> qTextDecontaminate,
+    "text_tfidf"          -> qTextTfidf,
+    "text_lm_score"       -> qTextLmScore,
+    "emb_outliers"        -> qEmbOutliers,
     "events_sessions"     -> qEventsSessions,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -643,6 +713,9 @@ object LlmQueries {
     "text_quality_filter" -> qTextQualityFilterSql,
     "text_winnow"         -> qTextWinnowSql,
     "text_decontaminate"  -> qTextDecontaminateSql,
+    "text_tfidf"          -> qTextTfidfSql,
+    "text_lm_score"       -> qTextLmScoreSql,
+    "emb_outliers"        -> qEmbOutliersSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

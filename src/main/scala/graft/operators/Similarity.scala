@@ -191,6 +191,39 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Bottom-`bottomK` embedding outliers by cosine to the corpus
+    * centroid — the cheap "drop broken/off-distribution embeddings"
+    * filter ahead of ANN indexing. Cosine is scale-invariant, so the
+    * per-dimension SUM vector is used as the centroid direction
+    * directly: summing as exact DECIMAL makes the centroid independent
+    * of partitioning and aggregation order (a double sum is neither),
+    * and skips a division that engines scale differently. Shape at
+    * scale: one narrow posexplode pass into a dim-sized aggregate (the
+    * collect is dim rows, not data), then one scan with the centroid
+    * shipped as a literal, and a TakeOrdered bottom-k (per-partition
+    * top-k + driver merge of k·partitions rows — never a global sort
+    * or a one-partition window). */
+  def centroidOutliers(df: DataFrame, bottomK: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sums = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x").cast("double").cast("decimal(38,10)")).as("s"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getDecimal(1).doubleValue())
+    // dot/norm composition, not CosineSim: the codegen'd expression reads
+    // float elements, while the centroid literal is array<double>. The
+    // composition casts per element and accumulates left-to-right — the
+    // identical IEEE result, on a scan that is bottom-k-bounded anyway.
+    val cent = typedLit(sums)
+    val v = col(vecCol)
+    df.select(col(idCol).as("vec_id"), (dot(v, cent) / (norm(v) * norm(cent))).as("sim_raw"))
+      .orderBy(col("sim_raw").asc, col("vec_id"))
+      .limit(bottomK)
+      .select(col("vec_id"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold (id_a < id_b),
     * found via the bucket join with two scale bounds:
     *

@@ -139,6 +139,63 @@ object TextOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-document term frequencies: one row per (doc, term) with its
+    * count. The groupBy carries map-side partial aggregation, so the
+    * shuffle moves distinct (doc, term) pairs, not raw tokens. */
+  def docTermCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top `topK` TF-IDF terms per document: score = tf · ln(N/df), ties
+    * broken by term. Three shuffles, all key-parallel: (doc, term)
+    * counts, vocabulary-sized document frequencies, and the per-doc
+    * window — no step is driver-bound or all-pairs, so the shape holds
+    * at corpus scale (df is joined back on `term`, a shuffle join:
+    * vocabularies at 100 TB outgrow broadcast). `nDocs` is one scalar
+    * action, not a data collect. */
+  def tfidfTopTerms(
+      df: DataFrame, textCol: String, idCol: String, topK: Int = 3): DataFrame = {
+    val nDocs = df.count()
+    val tf = docTermCounts(df, textCol, idCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_raw").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_raw", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** Unigram language-model score per document (CCNet-style quality
+    * signal): mean ln P(token) under the corpus's own unigram
+    * distribution — boilerplate full of frequent tokens scores high,
+    * rare-token noise scores low. Per-token log-probs are rounded to 12
+    * decimals and accumulated as exact DECIMAL, because a distributed
+    * double sum is ordering-dependent and would not reproduce across
+    * engines or partitionings; the single final division happens on the
+    * exact sum. Same shuffle shape as TF-IDF: (doc, term) counts joined
+    * to the vocabulary-sized count table on `term`, then one per-doc
+    * aggregation. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docTermCounts(df, textCol, idCol)
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
+    val total = counts.agg(sum(col("n"))).first().getLong(0)
+    tf.join(counts, Seq("term"))
+      .withColumn(
+        "contrib",
+        col("tf").cast("decimal(18,0)") *
+          round(log(col("n").cast("double") / lit(total.toDouble)), 12).cast("decimal(20,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("contrib")).as("sum_lp"))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        round(col("sum_lp").cast("double") / col("n_tok"), 6).as("lm_score"))
+  }
+
   /** Top-k most frequent terms, ties broken by term — deterministic, so
     * two engines agree on the exact set. A single ORDER BY + LIMIT over
     * the vocabulary-sized count table (Spark runs it as a per-partition

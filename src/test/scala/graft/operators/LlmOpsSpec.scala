@@ -334,6 +334,51 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flagged == Set(1L)) // 7-token overlap is below the k=8 bar
   }
 
+  test("tfidf: rare heavy terms outrank ubiquitous ones") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana the the the"),
+      (2L, "the the banana"),
+      (3L, "the cherry")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(docs, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    // doc 1: apple tf=2 df=1 → 2·ln3 beats banana tf=1 df=2 → ln1.5
+    assert(top((1L, 1))._1 == "apple")
+    assert(top((1L, 2))._1 == "banana")
+    assert(math.abs(top((1L, 1))._2 - 2 * math.log(3.0)) < 1e-6)
+    // "the" appears in every doc → idf 0 → score 0, never outranks cherry
+    assert(top((3L, 1))._1 == "cherry")
+    assert(top((3L, 2)) == ("the", 0.0))
+  }
+
+  test("lm score: common-token docs score higher; exact mean log-prob") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    // corpus: a×5, b×1, total 6
+    val rows = TextOps.lmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 == 4L && rows(2L)._1 == 2L)
+    val lnA = BigDecimal(math.log(5.0 / 6.0)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val lnB = BigDecimal(math.log(1.0 / 6.0)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    assert(rows(1L)._2 == (lnA * 4 / 4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows(2L)._2 == ((lnA + lnB) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows(1L)._2 > rows(2L)._2)
+  }
+
+  test("centroid outliers: the vector opposing the corpus direction ranks first") {
+    val sp = spark; import sp.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.9f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(emb, bottomK = 2)
+      .orderBy(col("sim")).collect()
+    assert(out.head.getLong(0) == 4L) // anti-aligned with the sum vector
+    assert(out.head.getDouble(1) < -0.99)
+    assert(out.length == 2)
+  }
+
   test("top terms: frequency with deterministic term tie-break") {
     val sp = spark; import sp.implicits._
     val df = Seq("b b a", "a c  B", "d").toDF("text")
