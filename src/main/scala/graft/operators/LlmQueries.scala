@@ -613,13 +613,17 @@ object LlmQueries {
       |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
       |), dfreq AS (
       |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
-      |), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
-      |SELECT doc_id, rk, term, score FROM (
+      |), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+      |scored AS (
       |  SELECT tf.doc_id, tf.term,
-      |    round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score,
-      |    row_number() OVER (PARTITION BY tf.doc_id
-      |      ORDER BY tf.tf * ln(n.n_docs / dfreq.df) DESC, tf.term) AS rk
+      |    CAST(tf.tf AS DECIMAL(17,0)) *
+      |      CAST(round(ln(n.n_docs / dfreq.df), 12) AS DECIMAL(20,12)) AS score_d
       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, rk, term, score FROM (
+      |  SELECT doc_id, term, round(score_d::DOUBLE, 6) AS score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score_d DESC, term) AS rk
+      |  FROM scored
       |) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   // ------------------------------------------------------ unigram LM score
@@ -640,7 +644,7 @@ object LlmQueries {
       |  SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1
       |), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt)
       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
-      |  round(CAST(sum(CAST(tf AS DECIMAL(18,0)) *
+      |  round(CAST(sum(CAST(tf AS DECIMAL(17,0)) *
       |      CAST(round(ln(n::DOUBLE / tot.total), 12) AS DECIMAL(20,12))) AS DOUBLE)
       |    / CAST(sum(tf) AS BIGINT), 6) AS lm_score
       |FROM tf JOIN cnt USING (term) CROSS JOIN tot

@@ -215,10 +215,17 @@ object Similarity {
     // dot/norm composition, not CosineSim: the codegen'd expression reads
     // float elements, while the centroid literal is array<double>. The
     // composition casts per element and accumulates left-to-right — the
-    // identical IEEE result, on a scan that is bottom-k-bounded anyway.
+    // identical IEEE result. The centroid norm is folded on the driver
+    // (same left-to-right sum of squares): the higher-order aggregate
+    // over a literal is not constant-folded and would re-run per row.
     val cent = typedLit(sums)
+    val centNorm = math.sqrt(sums.foldLeft(0.0)((acc, x) => acc + x * x))
     val v = col(vecCol)
-    df.select(col(idCol).as("vec_id"), (dot(v, cent) / (norm(v) * norm(cent))).as("sim_raw"))
+    df.select(col(idCol).as("vec_id"), (dot(v, cent) / (norm(v) * lit(centNorm))).as("sim_raw"))
+      // a dimension-mismatched vector zip_with-pads with null → null sim;
+      // asc sort is nulls-first, so without this guard a broken vector
+      // would silently claim a bottom-k slot with sim = null
+      .filter(col("sim_raw").isNotNull)
       .orderBy(col("sim_raw").asc, col("vec_id"))
       .limit(bottomK)
       .select(col("vec_id"), round(col("sim_raw"), 6).as("sim"))
@@ -271,17 +278,20 @@ object Similarity {
     val hotPairs = sized
       .filter(col("bucket_n") > hotBucketThreshold && col("id") =!= col("bucket_min"))
       .select(col("bucket_min").as("id_a"), col("id").as("id_b"))
-    val result = smallPairs.unionByName(hotPairs).distinct()
+    // eager checkpoint of the CANDIDATE pair ids (tiny next to the
+    // corpus): it cuts the signature/bucket lineage so the corpus cache
+    // can be released, while the cosine scoring below stays lazy — its
+    // plan remains inspectable (checkpointing the scored result instead
+    // left graft.Explain a bare ExistingRDD scan and executed the whole
+    // job at construction). The join-backs re-derive `src` from the raw
+    // input — one narrow scan each, no signature recompute.
+    val pairs = smallPairs.unionByName(hotPairs).distinct().localCheckpoint()
+    src.unpersist()
+    pairs
       .join(src.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(src.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-      // eager: the verified pair set (tiny next to the corpus) is
-      // materialized here so the corpus cache can be released instead of
-      // staying pinned for the session's lifetime
-      .localCheckpoint()
-    src.unpersist()
-    result
   }
 }

@@ -81,7 +81,7 @@ object TextOps {
       k: Int = 5, w: Int = 4): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
-    df.select(col(idCol).as("doc_id"), kgramUdf(k)(tokens(col(textCol))).as("grams"))
+    df.select(col(idCol).as("doc_id"), kgrams(col(textCol), k).as("grams"))
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
       .withColumn("minh", min(md5(col("gram").cast("binary"))).over(win))
       .select(col("doc_id"), col("minh").as("fp"))
@@ -153,20 +153,33 @@ object TextOps {
     * counts, vocabulary-sized document frequencies, and the per-doc
     * window — no step is driver-bound or all-pairs, so the shape holds
     * at corpus scale (df is joined back on `term`, a shuffle join:
-    * vocabularies at 100 TB outgrow broadcast). `nDocs` is one scalar
-    * action, not a data collect. */
+    * vocabularies at 100 TB outgrow broadcast). N rides along as a
+    * crossJoined 1-row aggregate, not a driver action.
+    *
+    * The ranking key is tf · round(ln(N/df), 12) as an exact DECIMAL:
+    * ranking on the raw double would let a last-ulp difference between
+    * the engines' ln flip mathematically tied scores from different
+    * (tf, df) pairs (e.g. 2·ln2 vs ln4) past the term tie-break.
+    * decimal(17,0) · decimal(20,12) stays within Spark's 38-digit cap,
+    * so the product is exact — 18 digits would silently round the scale
+    * to 11. */
   def tfidfTopTerms(
       df: DataFrame, textCol: String, idCol: String, topK: Int = 3): DataFrame = {
-    val nDocs = df.count()
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docTermCounts(df, textCol, idCol)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score_raw").desc, col("term"))
+      .partitionBy(col("doc_id")).orderBy(col("score_d").desc, col("term"))
     tf.join(dfreq, Seq("term"))
-      .withColumn("score_raw", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score_d",
+        col("tf").cast("decimal(17,0)") *
+          round(log(col("n_docs") / col("df")), 12).cast("decimal(20,12)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
-      .select(col("doc_id"), col("rk"), col("term"), round(col("score_raw"), 6).as("score"))
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(col("score_d").cast("double"), 6).as("score"))
   }
 
   /** Unigram language-model score per document (CCNet-style quality
@@ -182,12 +195,19 @@ object TextOps {
   def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = docTermCounts(df, textCol, idCol)
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
-    val total = counts.agg(sum(col("n"))).first().getLong(0)
+    // total rides along as a crossJoined 1-row aggregate: no separate
+    // driver action (which also ran the tokenize+count pipeline twice and
+    // NPE'd on an all-empty corpus — null total now just yields no rows)
+    val tot = counts.agg(sum(col("n")).cast("double").as("total"))
     tf.join(counts, Seq("term"))
+      .crossJoin(broadcast(tot))
       .withColumn(
         "contrib",
-        col("tf").cast("decimal(18,0)") *
-          round(log(col("n").cast("double") / lit(total.toDouble)), 12).cast("decimal(20,12)"))
+        // decimal(17,0): 17+20+1 digits keeps the product exactly
+        // DECIMAL(38,12) — an 18-digit cast would overflow Spark's cap
+        // and silently round the scale to 11, off the oracle's exact sum
+        col("tf").cast("decimal(17,0)") *
+          round(log(col("n").cast("double") / col("total")), 12).cast("decimal(20,12)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tok"), sum(col("contrib")).as("sum_lp"))
       .select(
