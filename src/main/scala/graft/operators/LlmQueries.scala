@@ -429,6 +429,52 @@ object LlmQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ----------------------------------------------------------- split assign
+  /** Deterministic 90/5/5 train/val/test assignment; the oracle replays
+    * the cumulative md5-range rule. */
+  val qSampleSplit: Q = (s, d) =>
+    Sampling.splitAssign(
+        Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), SampleSeed)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("split"))
+
+  val qSampleSplitSql: String = {
+    def t(r: Double) = Sampling.hexThreshold(r)
+    s"""SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (
+       |  SELECT doc_id, CASE
+       |    WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SampleSeed'), 1, 4) < '${t(0.9)}' THEN 'train'
+       |    WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SampleSeed'), 1, 4) < '${t(0.95)}' THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM documents
+       |) GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  // ------------------------------------------------------------- chunking
+  /** Context-length chunking at 32 tokens, stride 24 (8-token overlap);
+    * the oracle re-slices the token list per chunk index. */
+  val qTextChunks: Q = (s, d) =>
+    TextOps.chunkTokens(Tables.documents(s, d), "text", "doc_id",
+        chunkSize = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val qTextChunksSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1,
+      |      CASE WHEN len(toks) = 0 OR toks = [''] THEN 0
+      |           ELSE (len(toks) - 1) // 24 + 1 END)) AS i
+      |  FROM tok
+      |)
+      |SELECT doc_id, (i - 1)::BIGINT AS chunk_id,
+      |  len(toks[(i-1)*24+1 : least((i-1)*24+32, len(toks))])::BIGINT AS n_tok,
+      |  array_to_string(toks[(i-1)*24+1 : least((i-1)*24+32, len(toks))], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------ sequence packing
   /** Greedy per-source sequence packing at capacity 512: every document's
     * bin assignment and running fill, against a recursive-CTE oracle that
@@ -683,6 +729,8 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "dedup_clusters"      -> qDedupClusters,
     "sample_stratified"   -> qSampleStratified,
+    "sample_split"        -> qSampleSplit,
+    "text_chunks"         -> qTextChunks,
     "text_topterms"       -> qTextTopterms,
     "text_pack"           -> qTextPack,
     "text_clean"          -> qTextClean,
@@ -711,6 +759,8 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_clusters"      -> qDedupClustersSql,
     "sample_stratified"   -> qSampleStratifiedSql,
+    "sample_split"        -> qSampleSplitSql,
+    "text_chunks"         -> qTextChunksSql,
     "text_topterms"       -> qTextToptermsSql,
     "text_pack"           -> qTextPackSql,
     "text_clean"          -> qTextCleanSql,

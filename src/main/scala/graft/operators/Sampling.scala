@@ -45,6 +45,30 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: String): DataFrame =
     df.filter(keepPredicate(col(keyCol), rate, seed))
 
+  /** Deterministic train/val/test split: each row gets the label of the
+    * cumulative-weight hash range its md5 prefix falls in. A pure
+    * narrow map like `hashSample` — the same row lands in the same
+    * split on any engine, run, or cluster size, and membership is
+    * mutually exclusive and exhaustive by construction (the last label
+    * is the fall-through, so quantization remainders go there). */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      seed: String,
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0), "weights must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val prefix = hashPrefix(col(keyCol), seed)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cumRate), acc) =>
+        when(prefix < lit(hexThreshold(cumRate)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, label)
+  }
+
   /** Stratified deterministic sample: a different rate per stratum (the
     * domain-mixing primitive — e.g. downsample crawl to 10%, keep books
     * at 100%). The rate table is a tiny dim joined broadcast, so the

@@ -111,6 +111,38 @@ object TextOps {
       .distinct()
   }
 
+  // ------------------------------------------------------------ chunking
+  /** Context-length chunking: the token stream of each document split
+    * into windows of `size` tokens every `stride` tokens (overlapping
+    * when stride < size; the tail chunk may be shorter). The slide is a
+    * single-pass scalar UDF like the k-gram slide; chunks then explode
+    * into one row each — a narrow map + explode, no shuffle, so it
+    * composes ahead of packing/dedup at full scan speed. Empty or
+    * all-whitespace documents yield no chunks. */
+  private def chunkUdf(size: Int, stride: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty || (toks.length == 1 && toks.head.isEmpty))
+      Seq.empty[String]
+    else
+      (0 until toks.length by stride)
+        .map(st => toks.slice(st, math.min(st + size, toks.length)).mkString(" "))
+  }
+
+  /** One row per (doc, chunk): 0-based chunk_id, token count, chunk
+    * text. */
+  def chunkTokens(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol).as("doc_id"),
+        chunkUdf(chunkSize, stride)(tokens(col(textCol))).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+        col("chunk"))
+  }
+
   /** C4-style document quality filter: keep documents with at least
     * `minTokens` tokens, repetition ratio at most `maxRepetition`, and a
     * language-ID in `langs` (empty = any). A single conjunctive

@@ -379,6 +379,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 2)
   }
 
+  test("split assign: exhaustive, exclusive, zero-weight split gets nothing") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.2, "never" -> 0.0)
+    val out = Sampling.splitAssign(df, "id", splits, "s1").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 1000L) // every row labeled exactly once
+    assert(!out.contains("never"))
+    assert(out("train") > 700 && out("train") < 900) // ~binomial around 800
+    // deterministic: a second run yields the identical assignment
+    val again = Sampling.splitAssign(df, "id", splits, "s1").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("chunking: overlapping windows, short tail, empty doc yields no chunks") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "solo"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val rows = TextOps.chunkTokens(docs, "text", "doc_id", chunkSize = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(rows.keys.count(_._1 == 1L) == 3) // starts 0, 4, 8
+    assert(rows((1L, 0L)) == (8L, (1 to 8).map(i => s"t$i").mkString(" ")))
+    assert(rows((1L, 1L)) == (6L, (5 to 10).map(i => s"t$i").mkString(" ")))
+    assert(rows((1L, 2L)) == (2L, "t9 t10"))
+    assert(rows((2L, 0L)) == (1L, "solo"))
+    assert(!rows.keys.exists(_._1 == 3L)) // whitespace-only doc: no chunks
+  }
+
   test("top terms: frequency with deterministic term tie-break") {
     val sp = spark; import sp.implicits._
     val df = Seq("b b a", "a c  B", "d").toDF("text")
