@@ -74,7 +74,11 @@ object ValueConversion {
       // override.datetime.to.nullable: zero-date sentinels on NOT NULL
       // temporal columns become SQL NULL instead of the epoch fallback
       // (reference VitessConnectorConfig.java override.datetime.to.nullable)
-      datetimeToNullable: Boolean = false)
+      datetimeToNullable: Boolean = false,
+      // include.unknown.datatypes: false (reference default) omits
+      // unknown-typed fields from the record; true keeps them as an
+      // opaque binary representation (VitessConnectorConfig.java:367-376)
+      includeUnknown: Boolean = false)
 
   object TypeModes {
     val default: TypeModes = TypeModes()
@@ -84,7 +88,8 @@ object ValueConversion {
         binary: Option[String],
         temporal: Option[String],
         decimal: Option[String] = None,
-        datetimeToNullable: Option[String] = None): TypeModes = TypeModes(
+        datetimeToNullable: Option[String] = None,
+        includeUnknown: Option[String] = None): TypeModes = TypeModes(
       uint64.map {
         case "string"  => UInt64Mode.AsString
         case "long"    => UInt64Mode.AsLong
@@ -115,7 +120,8 @@ object ValueConversion {
         case other => throw new IllegalArgumentException(
           s"decimal.handling.mode must be string|precise|double, got $other")
       }.getOrElse(DecimalMode.AsString),
-      datetimeToNullable.exists(_.toBoolean))
+      datetimeToNullable.exists(_.toBoolean),
+      includeUnknown.exists(_.toBoolean))
   }
 
   def bytesToHex(b: Array[Byte]): String = {

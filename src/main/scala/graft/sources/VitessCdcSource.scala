@@ -275,6 +275,17 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   // same checkpoint resumes with the child shard admitted (A4 epochs
   // apply on resume when inherit.epoch is set).
   private val stopOnReshard = Option(options.get("stop.on.reshard")).exists(_.toBoolean)
+  // S3: tablet.type request parameter (reference
+  // VitessConnectorConfig.java:304-312, default MASTER). The file feed
+  // has no tablet fan-out, so the option is validated at construction —
+  // a typo fails the query start exactly like the reference's config
+  // validation — and otherwise only shapes the (simulated) request.
+  private val tabletType =
+    Option(options.get("tablet.type")).getOrElse("MASTER").toUpperCase match {
+      case t @ ("MASTER" | "REPLICA" | "RDONLY") => t
+      case other => throw new IllegalArgumentException(
+        s"tablet.type must be MASTER|REPLICA|RDONLY, got $other")
+    }
   // topology as resolved when this stream (re)started: the reshard check
   // compares against THIS set, so a restart — which re-resolves shards,
   // like the reference connector regenerating task configs — admits the
@@ -313,7 +324,8 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     Option(options.get("binary.handling.mode")),
     Option(options.get("time.precision.mode")),
     Option(options.get("decimal.handling.mode")),
-    Option(options.get("override.datetime.to.nullable")))
+    Option(options.get("override.datetime.to.nullable")),
+    Option(options.get("include.unknown.datatypes")))
   // include.schema.changes (default true): DDL records are delivered on
   // the change stream; false drops them (reference routes them to a
   // schema-change topic controlled by the same flag)

@@ -229,7 +229,13 @@ final class RecordBuilder(
       s"row has ${raw.size} columns, schema ${meta.ref} has ${meta.columns.size}")
     val o = mapper.createObjectNode()
     meta.columns.zip(raw).foreach { case (col, bytes) =>
-      if (!columnRules.isExcluded(meta.ref.keyspace, meta.ref.table, col.name)) {
+      // unknown-typed fields are omitted unless include.unknown.datatypes
+      // is set (reference default: resolver drops the field rather than
+      // emitting an implementation-defined binary form)
+      val dropUnknown =
+        col.graftType == GraftType.Unknown && !typeModes.includeUnknown
+      if (!dropUnknown &&
+        !columnRules.isExcluded(meta.ref.keyspace, meta.ref.table, col.name)) {
       val decoded =
         try ValueConversion.decode(
           col.graftType, bytes.orNull,

@@ -849,6 +849,48 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unknown datatypes are omitted unless include.unknown.datatypes; tablet.type validated") {
+    val fields = Seq(
+      FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("geo", "GEOMETRY", "geometry", 0, 0, 0L)) // resolves to Unknown
+    val tx: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", fields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(
+        Seq(Some("7"), Some("POINTBYTES"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1")))),
+      CommitEvent("s0", "ks", 1L))
+
+    def run(name: String, opts: Map[String, String]): String = {
+      val feedDir = Files.createTempDirectory(s"cdcfeed_$name")
+      val ckpt = Files.createTempDirectory(s"cdcckpt_$name")
+      writeFeed(feedDir, "s0", tx)
+      val reader = spark.readStream.format("vitess-cdc").option("path", feedDir.toString)
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.sql(s"SELECT after FROM $name WHERE op = 'c'").first().getString(0)
+    }
+
+    // reference default: the unknown-typed field is dropped from the record
+    val dropped = run("cdc_unknown_default", Map.empty)
+    assert(dropped.contains("\"id\""))
+    assert(!dropped.contains("geo"))
+    // opt-in: the field survives as an opaque binary representation
+    val kept = run("cdc_unknown_kept", Map("include.unknown.datatypes" -> "true"))
+    assert(kept.contains("geo"))
+    // tablet.type: valid values accepted (any case), typos fail the start
+    val ok = run("cdc_tablet_ok", Map("tablet.type" -> "replica"))
+    assert(ok.contains("\"id\""))
+    val err = intercept[Exception] {
+      run("cdc_tablet_bad", Map("tablet.type" -> "primary"))
+    }
+    assert(err.getMessage.contains("tablet.type") ||
+      Option(err.getCause).exists(_.getMessage.contains("tablet.type")))
+  }
+
   test("table include filter prunes other tables inside the reader") {
     val feedDir = Files.createTempDirectory("cdcfeed6")
     val ckpt = Files.createTempDirectory("cdcckpt6")
