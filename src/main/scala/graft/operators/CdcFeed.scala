@@ -170,6 +170,48 @@ object CdcFeed extends Serializable {
     }
   }
 
+  val DocumentsFields: Seq[FieldDef] = Seq(
+    FieldDef("doc_id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+    FieldDef("text", "TEXT", "longtext", 0, 0, ColumnFlags.NotNull),
+    FieldDef("lang", "VARCHAR", "varchar(8)", 8, 0, ColumnFlags.NotNull),
+    FieldDef("source", "VARCHAR", "varchar(32)", 32, 0, ColumnFlags.NotNull))
+
+  /** Multi-version documents feed (the CDC→corpus composition fixture):
+    * wave 1 inserts every document; wave 2 appends an edit-marker suffix
+    * to doc_id%3==0; wave 3 deletes doc_id%10==5. The final corpus is
+    * fully SQL-expressible over the source table. */
+  val DocEditSuffix = " graft update marker"
+
+  def documentsVersioned(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
+    import s.implicits._
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val src = Tables.documents(s, d)
+      .withColumn("shard", (col("doc_id") % nShards).cast("string"))
+      .withColumn("tx", row_number().over(w).cast("long"))
+      .select(col("shard"), col("tx"), col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(String, Long, Long, String, String, String)]
+    val W2 = 10000000L // wave offsets keep per-shard tx seq monotone
+    val W3 = 20000000L
+    src.flatMap { case (shard, tx, id, text, lang, source) =>
+      val row = Seq(id.toString, text, lang, source).map(Option(_))
+      def mk(txSeq: Long, change: RowChange): Seq[FeedLine] =
+        feedLines(shard, txSeq,
+          txEvents(shard, "ks.documents", DocumentsFields, change, txSeq,
+            vgtidAt(shard, txSeq, nShards, multiShard = false), withField = txSeq == 1))
+      val insert = mk(tx, RowChange(None, Some(PackedRow.of(row))))
+      val update =
+        if (id % 3 == 0)
+          mk(tx + W2, RowChange(
+            Some(PackedRow.of(row)),
+            Some(PackedRow.of(row.updated(1, Some(text + DocEditSuffix))))))
+        else Nil
+      val delete =
+        if (id % 10 == 5) mk(tx + W3, RowChange(Some(PackedRow.of(row)), None))
+        else Nil
+      insert ++ update ++ delete
+    }
+  }
+
   /** customer → insert-only feed (used by the extract-new-record-state
     * gate, full typed round-trip). */
   def customer(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {

@@ -599,6 +599,43 @@ object CdcQueries {
       |  o_totalprice, o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 10 <> 5""".stripMargin
 
+  // ------------------------------------------- CDC→corpus composition
+  /** End-to-end pipeline flagship: a versioned documents CDC feed is
+    * materialized into the live corpus (upserts + deletes applied in
+    * (epoch, rank, total_order) order), and the text-analytics stage
+    * runs directly on the materialized table — the ingest→analyze
+    * composition a training-data platform runs continuously. Every stage
+    * is the production operator, not a test double; the oracle recomputes
+    * the final corpus and the identical token formulas in SQL. */
+  val qPipelineCdcCorpus: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.documentsVersioned(s, d))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType)))
+    val corpus = Sink.materialize(recs.toDF(), "documents", schema)
+    corpus.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("doc_id")).as("sum_id"),
+      sum(TextOps.wsTokenCount(col("text"))).as("sum_tokens"),
+      sum(TextOps.bpeTokenCount(col("text"))).as("sum_bpe"))
+      .orderBy(col("lang"))
+  }
+
+  val qPipelineCdcCorpusSql: String =
+    s"""WITH final AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || '${CdcFeed.DocEditSuffix}' ELSE text END AS text,
+       |    lang
+       |  FROM documents WHERE doc_id % 10 <> 5
+       |)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) END) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpe
+       |FROM final GROUP BY lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------------- topic routing
   /** S7 topic naming: prefix.table with an override prefix that an
     * exclude list vetoes per table; mysql.user is filtered out upstream. */
@@ -828,6 +865,7 @@ object CdcQueries {
     "cdc_decimal_extract"  -> qCdcDecimalExtract,
     "cdc_decimal_typed"    -> qCdcDecimalTyped,
     "cdc_materialize"      -> qCdcMaterialize,
+    "pipeline_cdc_corpus"  -> qPipelineCdcCorpus,
     "cdc_topic_routing"    -> qCdcTopicRouting,
     "cdc_column_rules"     -> qCdcColumnRules,
     "cdc_convert_failure"  -> qCdcConvertFailure,
@@ -857,6 +895,7 @@ object CdcQueries {
     "cdc_decimal_extract"  -> qCdcDecimalExtractSql,
     "cdc_decimal_typed"    -> qCdcDecimalTypedSql,
     "cdc_materialize"      -> qCdcMaterializeSql,
+    "pipeline_cdc_corpus"  -> qPipelineCdcCorpusSql,
     "cdc_topic_routing"    -> qCdcTopicRoutingSql,
     "cdc_column_rules"     -> qCdcColumnRulesSql,
     "cdc_convert_failure"  -> qCdcConvertFailureSql,
