@@ -714,6 +714,34 @@ object LlmQueries {
       |  FROM e CROSS JOIN cvec
       |) WHERE rk <= 20 ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- sentence-level dedup
+  /** Corpus-wide first-occurrence sentence dedup (C4's line-level
+    * stage); the oracle replays the identical (doc, pos) ranking. */
+  val qDedupSentences: Q = (s, d) =>
+    TextOps.sentenceDedup(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qDedupSentencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, '.') AS sents FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, len(sents))) AS pos, unnest(sents) AS sent
+      |  FROM t
+      |), kept AS (
+      |  SELECT doc_id, pos, sent FROM (
+      |    SELECT doc_id, pos, sent,
+      |      row_number() OVER (
+      |        PARTITION BY lower(trim(regexp_replace(sent, '\s+', ' ', 'g')))
+      |        ORDER BY doc_id, pos) AS rk
+      |    FROM s
+      |    WHERE length(lower(trim(regexp_replace(sent, '\s+', ' ', 'g')))) > 0
+      |  ) WHERE rk = 1
+      |)
+      |SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(sent, '.' ORDER BY pos) AS text_kept
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ corpus top-terms
   /** Vocabulary statistics: the 20 most frequent normalized tokens with
     * deterministic tie-break on the term. */
@@ -740,6 +768,7 @@ object LlmQueries {
     "text_tfidf"          -> qTextTfidf,
     "text_lm_score"       -> qTextLmScore,
     "emb_outliers"        -> qEmbOutliers,
+    "dedup_sentences"     -> qDedupSentences,
     "events_sessions"     -> qEventsSessions,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -770,6 +799,7 @@ object LlmQueries {
     "text_tfidf"          -> qTextTfidfSql,
     "text_lm_score"       -> qTextLmScoreSql,
     "emb_outliers"        -> qEmbOutliersSql,
+    "dedup_sentences"     -> qDedupSentencesSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

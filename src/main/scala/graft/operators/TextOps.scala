@@ -143,6 +143,35 @@ object TextOps {
         col("chunk"))
   }
 
+  // ------------------------------------------------- sentence-level dedup
+  /** C4-style line/sentence dedup: every sentence (period-delimited span)
+    * that already occurred anywhere in the corpus — by normalized text,
+    * first occurrence = smallest (doc, position) — is dropped, and each
+    * document is reassembled from its surviving sentences. Both stages
+    * are key-parallel shuffles (sentence-hash for first-occurrence, doc
+    * id for reassembly); no all-pairs, no driver state, so the shape
+    * holds at corpus scale. Returns (doc_id, n_kept, text_kept); docs
+    * whose every sentence is a duplicate disappear. */
+  def sentenceDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sents = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\\.")).as(Seq("pos", "sent")))
+      .filter(length(normText(col("sent"))) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(normText(col("sent"))).orderBy(col("doc_id"), col("pos"))
+    sents
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("sent")))),
+            x => x.getField("sent")),
+          ".").as("text_kept"))
+  }
+
   /** C4-style document quality filter: keep documents with at least
     * `minTokens` tokens, repetition ratio at most `maxRepetition`, and a
     * language-ID in `langs` (empty = any). A single conjunctive

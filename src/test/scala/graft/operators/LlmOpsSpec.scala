@@ -410,6 +410,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.keys.exists(_._1 == 3L)) // whitespace-only doc: no chunks
   }
 
+  test("sentence dedup: corpus-wide first occurrence wins, empty docs vanish") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "unique one. SHARED  line. tail one"),
+      (2L, "shared line. unique two"), // "shared line" normalizes equal to doc 1's
+      (3L, "shared line.")).toDF("doc_id", "text") // nothing survives
+    val out = TextOps.sentenceDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (3L, "unique one. SHARED  line. tail one")) // original text kept
+    assert(out(2L) == (1L, " unique two")) // shared sentence dropped, raw spacing kept
+    assert(!out.contains(3L))
+  }
+
   test("top terms: frequency with deterministic term tie-break") {
     val sp = spark; import sp.implicits._
     val df = Seq("b b a", "a c  B", "d").toDF("text")
