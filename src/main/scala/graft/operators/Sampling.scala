@@ -66,7 +66,11 @@ object Sampling {
       case (((name, _), cumRate), acc) =>
         when(prefix < lit(hexThreshold(cumRate)), lit(name)).otherwise(acc)
     }
-    df.withColumn(outCol, label)
+    // null keys are dropped (same as hashSample's predicate): a null
+    // hashPrefix fails every `when`, and letting such rows fall through
+    // to the last label would silently concentrate them in the smallest
+    // (usually eval) split
+    df.filter(col(keyCol).isNotNull).withColumn(outCol, label)
   }
 
   /** Stratified deterministic sample: a different rate per stratum (the

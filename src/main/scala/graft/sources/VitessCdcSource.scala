@@ -277,15 +277,14 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   private val stopOnReshard = Option(options.get("stop.on.reshard")).exists(_.toBoolean)
   // S3: tablet.type request parameter (reference
   // VitessConnectorConfig.java:304-312, default MASTER). The file feed
-  // has no tablet fan-out, so the option is validated at construction —
-  // a typo fails the query start exactly like the reference's config
-  // validation — and otherwise only shapes the (simulated) request.
-  private val tabletType =
-    Option(options.get("tablet.type")).getOrElse("MASTER").toUpperCase match {
-      case t @ ("MASTER" | "REPLICA" | "RDONLY") => t
-      case other => throw new IllegalArgumentException(
-        s"tablet.type must be MASTER|REPLICA|RDONLY, got $other")
-    }
+  // has no tablet fan-out, so the option is validation-only: a typo
+  // fails the query start exactly like the reference's config check.
+  Option(options.get("tablet.type")).getOrElse("MASTER")
+    .toUpperCase(java.util.Locale.ROOT) match {
+    case "MASTER" | "REPLICA" | "RDONLY" => ()
+    case other => throw new IllegalArgumentException(
+      s"tablet.type must be MASTER|REPLICA|RDONLY, got $other")
+  }
   // topology as resolved when this stream (re)started: the reshard check
   // compares against THIS set, so a restart — which re-resolves shards,
   // like the reference connector regenerating task configs — admits the

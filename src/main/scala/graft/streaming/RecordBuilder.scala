@@ -231,9 +231,13 @@ final class RecordBuilder(
     meta.columns.zip(raw).foreach { case (col, bytes) =>
       // unknown-typed fields are omitted unless include.unknown.datatypes
       // is set (reference default: resolver drops the field rather than
-      // emitting an implementation-defined binary form)
+      // emitting an implementation-defined binary form) — EXCEPT primary
+      // key columns: keyJson reads from this output, and omitting a PK
+      // column would collapse every row of the table to one key (silent
+      // loss through materialize); an opaque-binary key stays distinct
       val dropUnknown =
-        col.graftType == GraftType.Unknown && !typeModes.includeUnknown
+        col.graftType == GraftType.Unknown && !typeModes.includeUnknown &&
+          !col.primaryKey
       if (!dropUnknown &&
         !columnRules.isExcluded(meta.ref.keyspace, meta.ref.table, col.name)) {
       val decoded =

@@ -392,6 +392,9 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Sampling.splitAssign(df, "id", splits, "s1").groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == out)
+    // null keys are dropped, not silently funneled into the last split
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    assert(Sampling.splitAssign(withNull, "id", splits, "s1").count() == 2L)
   }
 
   test("chunking: overlapping windows, short tail, empty doc yields no chunks") {

@@ -878,6 +878,30 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dropped = run("cdc_unknown_default", Map.empty)
     assert(dropped.contains("\"id\""))
     assert(!dropped.contains("geo"))
+    // …but an unknown-typed PRIMARY KEY column must survive the default
+    // drop: keys are built from this payload, and omitting it would
+    // collapse every row of the table to a single key
+    val pkFields = Seq(
+      FieldDef("gid", "GEOMETRY", "geometry", 0, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+      FieldDef("v", "VARCHAR", "varchar(8)", 8, 0, ColumnFlags.NotNull))
+    val pkTx: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", pkFields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(
+        Seq(Some("GEOKEY"), Some("x"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1")))),
+      CommitEvent("s0", "ks", 1L))
+    val pkFeed = Files.createTempDirectory("cdcfeed_unkpk")
+    val pkCkpt = Files.createTempDirectory("cdcckpt_unkpk")
+    writeFeed(pkFeed, "s0", pkTx)
+    val pq = spark.readStream.format("vitess-cdc").option("path", pkFeed.toString)
+      .load()
+      .writeStream.format("memory").queryName("cdc_unknown_pk")
+      .option("checkpointLocation", pkCkpt.toString).start()
+    try pq.processAllAvailable() finally pq.stop()
+    val pkRow = spark.sql("SELECT key, after FROM cdc_unknown_pk WHERE op = 'c'").first()
+    assert(pkRow.getString(0).contains("gid")) // key carries the unknown-typed PK
+    assert(pkRow.getString(1).contains("gid"))
     // opt-in: the field survives as an opaque binary representation
     val kept = run("cdc_unknown_kept", Map("include.unknown.datatypes" -> "true"))
     assert(kept.contains("geo"))
