@@ -448,6 +448,42 @@ object CdcQueries {
       |  FROM orders WHERE o_orderkey % 4 = 3
       |) ORDER BY shard, epoch""".stripMargin
 
+  // ------------------------------------------------ generation epochs
+  /** A5 under the oracle: run 1 streams the insert wave at the default
+    * connector generation; run 2 resumes from the checkpoint with
+    * `generation` bumped, so every resumed shard's epoch increments once
+    * and the update/delete waves all carry epoch 1. */
+  val qCdcGeneration: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed_gen")
+    val outDir = Files.createTempDirectory("graft_gen_out")
+    val ckpt = Files.createTempDirectory("graft_gen_ckpt")
+    val all = CdcFeed.ordersVersioned(s, d)
+    val waveBoundary = 8L * 10000000L // feed seq = txSeq*8+i; wave 2 starts at W2
+    writeFeedFiles(s, all.filter(col("seq") < waveBoundary), feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt)
+    writeFeedFiles(s, all.filter(col("seq") >= waveBoundary), feedDir, append = true)
+    runStreamOnce(s, feedDir, outDir, ckpt, Map("generation" -> "2"))
+    s.read.parquet(outDir.toString)
+      .groupBy(col("op"), col("epoch").cast(LongType).as("epoch"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("key"), "$.o_orderkey").cast(LongType)).as("sum_key"))
+      .orderBy(col("op"), col("epoch"))
+  }
+
+  val qCdcGenerationSql: String =
+    """SELECT op, epoch, n, sum_key FROM (
+      |  SELECT 'c' AS op, CAST(0 AS BIGINT) AS epoch, count(*) AS n,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM orders
+      |  UNION ALL
+      |  SELECT 'u', CAST(1 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 'd', CAST(1 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 10 = 5
+      |) ORDER BY op, epoch""".stripMargin
+
   // ---------------------------------------------------- copy phase
   /** S5+F3 under the oracle: a VStream-copy feed (orders then customer
     * with lastpk VGTIDs, COPY_COMPLETED, then streaming inserts) with
@@ -874,6 +910,7 @@ object CdcQueries {
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_epoch_bump"       -> qCdcEpochBump,
     "cdc_reshard_epoch"    -> qCdcReshardEpoch,
+    "cdc_generation"       -> qCdcGeneration,
     "cdc_copy_phase"       -> qCdcCopyPhase,
     "cdc_heartbeat"        -> qCdcHeartbeat,
     "cdc_heartbeat_tables" -> qCdcHeartbeatTables,
@@ -904,6 +941,7 @@ object CdcQueries {
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_epoch_bump"       -> qCdcEpochBumpSql,
     "cdc_reshard_epoch"    -> qCdcReshardEpochSql,
+    "cdc_generation"       -> qCdcGenerationSql,
     "cdc_copy_phase"       -> qCdcCopyPhaseSql,
     "cdc_heartbeat"        -> qCdcHeartbeatSql,
     "cdc_heartbeat_tables" -> qCdcHeartbeatTablesSql,

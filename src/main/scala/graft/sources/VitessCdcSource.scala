@@ -446,9 +446,12 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
       }
       var epoch = seekFrom match {
-        case Some(_) => epochs.get(shard).getOrElse(seedEpoch(shard, from.epochs))
+        // fallbacks inherit from the generation-BUMPED map so a reshard
+        // child appearing across a generation-change restart seeds from
+        // its parents' post-bump epochs (same map the readers see)
+        case Some(_) => epochs.get(shard).getOrElse(seedEpoch(shard, epochs))
         case None if from.epochs.get(shard).isDefined => bumpedInit.get(shard).getOrElse(0L)
-        case None => seedEpoch(shard, from.epochs) // reshard child (A4)
+        case None => seedEpoch(shard, epochs) // reshard child (A4)
       }
       var tableSchemas = from.schemas.getOrElse(shard, Map.empty[String, String])
       var admitted = 0L
@@ -538,6 +541,12 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VgtidOffset]
     val e = end.asInstanceOf[VgtidOffset]
+    // A5: a generation change vs the batch-start offset bumps every epoch
+    // once — the readers must seed from the SAME bumped map the driver
+    // fold uses, or the first batch after a generation-change restart
+    // emits records with stale epochs (mid-run batches carry the
+    // configured generation in their offset, so this is a no-op there)
+    val startEpochs = EpochProvider.applyGeneration(s.epochs, s.generation, generation)
     shardFiles.flatMap { case (shard, file) =>
       val startSg = s.vgtid.shardGtid(shard)
         .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
@@ -552,7 +561,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       else Some(VitessCdcPartition(
         shard, keyspace, file.toString,
         Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
-        seedEpoch(shard, s.epochs), emitBoundaries, tableFilter,
+        seedEpoch(shard, startEpochs), emitBoundaries, tableFilter,
         heartbeatPerBatch, inheritEpoch, effectiveSnapshotTables,
         typeModes, heartbeatIntervalMs,
         s.hbMs.getOrElse(shard, Long.MinValue),
