@@ -30,6 +30,28 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol))
 
+  /** Streaming ingest dedup: first occurrence of each normalized content
+    * hash wins across micro-batches (stateful dropDuplicates — state is
+    * one hash per distinct document, checkpointed). State grows with the
+    * distinct corpus; when ingest carries an event-time column, prefer
+    * `streamingExactDedupWithinWatermark`, which expires state past the
+    * watermark delay and bounds it by the dedup window instead. */
+  def streamingExactDedup(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__fp", sha2(TextOps.normText(col(textCol)).cast("binary"), 256))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
+  /** Watermark-bounded variant: duplicates are only suppressed within the
+    * watermark delay of their first occurrence, so state stays
+    * proportional to the window, not the corpus — the 100 TB continuous-
+    * ingest shape. `tsCol` must be a timestamp column. */
+  def streamingExactDedupWithinWatermark(
+      df: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame =
+    df.withColumn("__fp", sha2(TextOps.normText(col(textCol)).cast("binary"), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // ----------------------------------------------------------- shingles
   /** Word n-gram shingles of the normalized text (n consecutive tokens,
     * space-joined); texts shorter than n tokens get their whole token

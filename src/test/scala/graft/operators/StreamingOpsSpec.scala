@@ -95,6 +95,50 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate state spans micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, String)] // (doc_id, text)
+    val deduped = Dedup.streamingExactDedup(
+      input.toDS().select(col("_1").as("doc_id"), col("_2").as("text")), "text")
+    val q = deduped.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, "gamma"))
+      q.processAllAvailable()
+      // cross-batch dup of doc 1 (same normalized content, different id
+      // and spacing) is suppressed; only the new doc flows through
+      input.addData((3L, "  ALPHA   beta "), (4L, "delta"))
+      q.processAllAvailable()
+      val ids = sp.table("sdedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark: state expires past the delay") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // (doc_id, tsMicros, text)
+    val deduped = Dedup.streamingExactDedupWithinWatermark(
+      input.toDS().select(
+        col("_1").as("doc_id"), timestamp_micros(col("_2")).as("ts"), col("_3").as("text")),
+      "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("swdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1 * Minute, "alpha"), (2L, 2 * Minute, "alpha"))
+      q.processAllAvailable() // dup inside the window: suppressed
+      input.addData((3L, 120 * Minute, "other")) // watermark advances far past
+      q.processAllAvailable()
+      input.addData((4L, 119 * Minute, "alpha")) // state for 'alpha' expired
+      q.processAllAvailable()
+      val ids = sp.table("swdedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation drops late data in append mode") {
     val sp = spark
     import sp.implicits._
