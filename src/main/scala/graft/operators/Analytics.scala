@@ -314,7 +314,65 @@ object Analytics {
       |FROM branded JOIN pavg USING (l_partkey)
       |WHERE l_quantity < half_avg""".stripMargin
 
+  // ---------------------------------------------------------------- q6
+  /** TPC-H Q6-style forecast revenue: a pure scan-side query — every
+    * predicate (shipdate year, discount band, quantity cap) pushes to
+    * the parquet scan and only three columns are read; the single
+    * aggregate is map-side partial. The canonical "is pushdown working"
+    * probe: at 100 TB this reads a year of two columns, not the table. */
+  val q6ForecastRevenue: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1994-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1995-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(fixed4(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
+
+  val q6Sql: String =
+    s"""SELECT
+       |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)))")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  /** TPC-H Q14-style promo revenue share: one month of lineitem joined
+    * to part on the part key. part scales with SF, so no forced
+    * broadcast (AQE decides; at 100 TB this is a shuffle join on
+    * partkey). Both revenue sums are exact DECIMAL; the share is one
+    * double division of the two exact sums, rounded to 6. */
+  val q14PromoShare: Q = (s, d) => {
+    val month = Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-09-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1995-10-01").cast(TimestampType))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))
+    month.join(Tables.part(s, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        fixed4(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast(DecimalType(18, 4))))).as("promo_rev"),
+        fixed4(sum(rev)).as("total_rev"),
+        round(
+          sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType) * 100.0 /
+            sum(rev).cast(DoubleType), 6).as("promo_pct"))
+  }
+
+  val q14Sql: String = {
+    val rev = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+    val promo = s"sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE CAST(0 AS DECIMAL(18,4)) END)"
+    s"""SELECT
+       |  ${fixed4Sql(promo)} AS promo_rev,
+       |  ${fixed4Sql(s"sum($rev)")} AS total_rev,
+       |  round(CAST($promo AS DOUBLE) * 100.0 / CAST(sum($rev) AS DOUBLE), 6) AS promo_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q6_forecast_revenue"  -> q6ForecastRevenue,
+    "q14_promo_share"      -> q14PromoShare,
     "q17_small_qty"        -> q17SmallQty,
     "q_rollup_revenue"     -> qRollupRevenue,
     "q1_pricing_summary"   -> q1PricingSummary,
@@ -327,6 +385,8 @@ object Analytics {
     "q_events_daily"       -> qEventsDaily)
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue"  -> q6Sql,
+    "q14_promo_share"      -> q14Sql,
     "q17_small_qty"        -> q17Sql,
     "q_rollup_revenue"     -> qRollupRevenueSql,
     "q1_pricing_summary"   -> q1Sql,
