@@ -231,6 +231,16 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ------------------------------------------------------------- ANN PQ
+  /** Product-quantization ANN (approximate by contract like IVF: no
+    * exact oracle, rows-only gate + recall spec). */
+  val qAnnPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.pqTopK(emb, queries, k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // -------------------------------------------------------- multimodal
   /** Binary-column plumbing: synthetic media table → batch-shaped stub
     * feature extraction; byte length + format are decoder-independent
@@ -781,6 +791,7 @@ object LlmQueries {
     "dedup_minhash_kept"  -> qDedupMinhashSurvivors,
     "dedup_simhash"       -> qDedupSimhash,
     "ann_topk"            -> qAnnTopk,
+    "ann_pq"              -> qAnnPq,
     "ann_ivf"             -> qAnnIvf,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_frames"   -> qMultimodalFrames)

@@ -191,6 +191,124 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  // ------------------------------------------------ product quantization
+  /** PQ codebooks: `codebooks(sub)(code)` is the sub-centroid of
+    * subspace `sub` (length `subDim`). */
+  final case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def codes: Int = codebooks.head.length
+  }
+
+  private def nearestCode(book: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      val cb = book(c); var d = 0.0; var i = 0
+      while (i < cb.length) { val t = cb(i) - v(off + i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train PQ codebooks: per-subspace k-means (deterministic sample
+    * init, `iters` Lloyd rounds). Assignment is a per-row closure — no
+    * shuffle beyond the per-(sub, code, pos) mean aggregation — and the
+    * collected model is m·codes·subDim doubles, bounded by the model,
+    * not the data. Empty cells keep their previous sub-centroid. */
+  def trainPq(corpus: DataFrame, m: Int, codes: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val init = corpus.orderBy(col(idCol)).limit(codes)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.length == codes, s"corpus must hold at least $codes vectors")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, codes)((sub, c) => init(c).slice(sub * subDim, (sub + 1) * subDim))
+    (1 to iters).foreach { _ =>
+      val frozen = books
+      val assignU = udf { (v: Seq[Float]) =>
+        val arr = new Array[Double](v.length)
+        var i = 0; while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+        (0 until frozen.length).map(sub => nearestCode(frozen(sub), arr, sub * subDim)).toArray
+      }
+      val subCol = (col("pos") / subDim).cast("int")
+      val means = corpus
+        .select(assignU(col(vecCol)).as("cs"), posexplode(col(vecCol)))
+        .select(subCol.as("sub"), element_at(col("cs"), subCol + 1).as("code"),
+          col("pos"), col("col").cast("double").as("x"))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val sub = r.getInt(0)
+        next(sub)(r.getInt(1))(r.getInt(2) - sub * subDim) = r.getDouble(3)
+      }
+      books = next
+    }
+    PqModel(subDim, books)
+  }
+
+  /** PQ-ANN top-k: corpus vectors compress to `m` code ids; each query
+    * precomputes an m×codes dot-product table (asymmetric distance
+    * computation), so the candidate scan reads m SMALL INTS per corpus
+    * row instead of dim floats — the memory-bandwidth scale path when
+    * vectors no longer fit hot storage. The top `candidates` by
+    * additive ADC score are rescored with exact cosine. Approximate by
+    * contract (like IVF): verified by a recall spec, not an exact
+    * oracle. `queries` must be broadcast-small. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, codes: Int = 32, candidates: Int = 64, trainIters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = trainPq(corpus, m, codes, trainIters, idCol, vecCol)
+    val subDim = model.subDim
+    val frozen = model.codebooks
+    val encodeU = udf { (v: Seq[Float]) =>
+      val arr = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+      (0 until frozen.length).map(sub => nearestCode(frozen(sub), arr, sub * subDim)).toArray
+    }
+    // per-query ADC tables: bounded by |queries|·m·codes, not data
+    val qrows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val table = Array.tabulate(frozen.length, codes) { (sub, c) =>
+        val cb = frozen(sub)(c); var dp = 0.0; var i = 0
+        while (i < cb.length) { dp += qv(sub * subDim + i) * cb(i); i += 1 }
+        dp
+      }
+      (qid, table)
+    }
+    val scoreU = udf { (cs: Seq[Int]) =>
+      qrows.toSeq.map { case (qid, table) =>
+        var s = 0.0; var sub = 0
+        while (sub < cs.length) { s += table(sub)(cs(sub)); sub += 1 }
+        (qid, s)
+      }
+    }
+    val approx = corpus.select(col(idCol).as("neighbor_id"), encodeU(col(vecCol)).as("cs"))
+      .select(col("neighbor_id"), explode(scoreU(col("cs"))).as("qs"))
+      .select(col("neighbor_id"), col("qs._1").as("query_id"), col("qs._2").as("approx"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = approx.withColumn("crk", row_number().over(wA))
+      .filter(col("crk") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Bottom-`bottomK` embedding outliers by cosine to the corpus
     * centroid — the cheap "drop broken/off-distribution embeddings"
     * filter ahead of ANN indexing. Cosine is scale-invariant, so the

@@ -47,6 +47,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toDouble / n >= 0.9, s"IVF top-1 recall $hits/$n")
   }
 
+  test("pq ann: top-1 recall >= 0.9 vs brute force after exact rescore") {
+    // sf0.01 (500 vectors): the 64-candidate ADC scan covers only ~13% of
+    // the corpus, so recall genuinely measures code quality — at sf0.001
+    // the rescore would cover every vector and the test would be vacuous
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.cosineTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("expected"))
+    val pq = Similarity.pqTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("got"))
+    val joined = brute.join(pq, Seq("query_id"), "left")
+    val n = joined.count()
+    val hits = joined.filter(col("got") === col("expected")).count()
+    assert(n > 0)
+    assert(hits.toDouble / n >= 0.9, s"PQ top-1 recall $hits/$n")
+  }
+
   test("k-means-trained IVF keeps top-1 recall >= 0.9") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)
