@@ -225,6 +225,33 @@ object Analytics {
       |) WHERE rn <= 3
       |ORDER BY l_suppkey, rn""".stripMargin
 
+  // ---------------------------------------------------------------- as-of join
+  /** Temporal.asofJoin: each order joined to the customer's most recent
+    * strictly-earlier order day (the "time since last activity" query).
+    * The right side pre-aggregates to one row per (customer, day) so the
+    * as-of match is unique; the oracle is DuckDB's native ASOF JOIN.
+    * Scale: one shuffle on o_custkey, no range-join pair explosion. */
+  val qAsofPrevOrder: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val right = orders
+      .groupBy(col("o_custkey"), col("o_orderdate").as("t"))
+      .agg(max(col("o_totalprice")).as("prev_price"))
+      .withColumn("prev_date", col("t"))
+    val left = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"))
+    Temporal.asofJoin(left, right, Seq("o_custkey"), "o_orderdate", "t",
+        Seq("prev_date", "prev_price"), strict = true)
+      .select(col("o_orderkey"), col("prev_date"), col("prev_price"))
+  }
+
+  val qAsofPrevOrderSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate AS t, max(o_totalprice) AS prev_price
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o.o_orderkey, r.t AS prev_date, r.prev_price
+      |FROM orders o ASOF LEFT JOIN r
+      |  ON o.o_custkey = r.o_custkey AND o.o_orderdate > r.t""".stripMargin
+
   // ---------------------------------------------------------------- events daily
   /** Daily event rollup (tumbling-window batch analogue; date_trunc is the
     * batch twin of a 1-day streaming window). */
@@ -382,6 +409,7 @@ object Analytics {
     "q_order_priority"     -> qOrderPriority,
     "q_customers_no_orders" -> qCustomersNoOrders,
     "q_running_supplier"   -> qRunningSupplier,
+    "q_asof_prev_order"    -> qAsofPrevOrder,
     "q_events_daily"       -> qEventsDaily)
 
   val oracleSql: Map[String, String] = Map(
@@ -396,5 +424,6 @@ object Analytics {
     "q_order_priority"     -> qOrderPrioritySql,
     "q_customers_no_orders" -> qCustomersNoOrdersSql,
     "q_running_supplier"   -> qRunningSupplierSql,
+    "q_asof_prev_order"    -> qAsofPrevOrderSql,
     "q_events_daily"       -> qEventsDailySql)
 }

@@ -613,19 +613,29 @@ object CdcQueries {
       |) AS t(kind, name) ORDER BY kind, name""".stripMargin
 
   // -------------------------------------------------- materialization
+  private val OrdersMaterializeSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", LongType),
+    StructField("o_orderpriority", StringType)))
+
+  /** The multi-version orders change log, computed once per scale dir —
+    * the materialize, time-travel, and SCD2 gates all consume the same
+    * log, like three readers of one landed CDC table. */
+  private val sharedVersioned =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def ordersVersionedLog(s: SparkSession, d: String): DataFrame =
+    sharedVersioned.computeIfAbsent(d, _ =>
+      CdcPipelineHelpers.cache(
+        CdcPipeline.changeRecords(s, CdcFeed.ordersVersioned(s, d)).toDF()))
+
   /** S7 + SURVEY §2.9: CDC→table upsert — latest state per key ordered by
     * (epoch, rank, total_order); deletes drop the key. The multi-version
     * feed makes the final state fully SQL-expressible. */
   val qCdcMaterialize: Q = (s, d) => {
-    val recs = CdcPipeline.changeRecords(s, CdcFeed.ordersVersioned(s, d))
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType),
-      StructField("o_custkey", LongType),
-      StructField("o_orderstatus", StringType),
-      StructField("o_totalprice", DoubleType),
-      StructField("o_orderdate", LongType),
-      StructField("o_orderpriority", StringType)))
-    Sink.materialize(recs.toDF(), "orders", schema)
+    Sink.materialize(ordersVersionedLog(s, d), "orders", OrdersMaterializeSchema)
       .withColumn("o_orderdate", timestamp_micros(col("o_orderdate")))
   }
 
@@ -634,6 +644,63 @@ object CdcQueries {
       |  CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
       |  o_totalprice, o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 10 <> 5""".stripMargin
+
+  // -------------------------------------------------- time travel
+  /** Temporal.snapshotAt: orders as of rank W2+50 — every wave-1 insert
+    * plus the first 50 per-shard update transactions, no deletes yet.
+    * The cutoff lands mid-wave, so the gate proves the position filter
+    * is applied per transaction, not per wave. */
+  val qCdcTimeTravel: Q = (s, d) => {
+    Temporal.snapshotAt(ordersVersionedLog(s, d), "orders",
+        OrdersMaterializeSchema, epoch = 0L, rank = 10000050L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
+
+  val qCdcTimeTravelSql: String =
+    """WITH rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey % 4
+      |    ORDER BY o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 3 = 0 AND rn <= 50 THEN 'X'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice
+      |FROM rn""".stripMargin
+
+  // -------------------------------------------------- SCD2 history
+  /** Temporal.scd2: full version history with rank-space validity
+    * intervals — updated keys carry two versions (the update closes v1),
+    * deletes close the last version without opening a new one, and only
+    * live latest versions are current. */
+  val qCdcScd2: Q = (s, d) => {
+    Temporal.scd2(ordersVersionedLog(s, d), "orders", OrdersMaterializeSchema)
+      .select(col("o_orderkey"), col("version"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  val qCdcScd2Sql: String =
+    """WITH rn AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    row_number() OVER (PARTITION BY o_orderkey % 4
+      |      ORDER BY o_orderkey) AS rn
+      |  FROM orders),
+      |v1 AS (
+      |  SELECT o_orderkey, CAST(1 AS BIGINT) AS version, o_orderstatus,
+      |    rn AS valid_from,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN rn + 10000000
+      |         WHEN o_orderkey % 10 = 5 THEN rn + 20000000
+      |         ELSE NULL END AS valid_to
+      |  FROM rn),
+      |v2 AS (
+      |  SELECT o_orderkey, CAST(2 AS BIGINT) AS version, 'X' AS o_orderstatus,
+      |    rn + 10000000 AS valid_from,
+      |    CASE WHEN o_orderkey % 10 = 5 THEN rn + 20000000
+      |         ELSE NULL END AS valid_to
+      |  FROM rn WHERE o_orderkey % 3 = 0)
+      |SELECT o_orderkey, version, o_orderstatus, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)""".stripMargin
 
   // ------------------------------------------- CDC→corpus composition
   /** End-to-end pipeline flagship: a versioned documents CDC feed is
@@ -901,6 +968,8 @@ object CdcQueries {
     "cdc_decimal_extract"  -> qCdcDecimalExtract,
     "cdc_decimal_typed"    -> qCdcDecimalTyped,
     "cdc_materialize"      -> qCdcMaterialize,
+    "cdc_time_travel"      -> qCdcTimeTravel,
+    "cdc_scd2"             -> qCdcScd2,
     "pipeline_cdc_corpus"  -> qPipelineCdcCorpus,
     "cdc_topic_routing"    -> qCdcTopicRouting,
     "cdc_column_rules"     -> qCdcColumnRules,
@@ -932,6 +1001,8 @@ object CdcQueries {
     "cdc_decimal_extract"  -> qCdcDecimalExtractSql,
     "cdc_decimal_typed"    -> qCdcDecimalTypedSql,
     "cdc_materialize"      -> qCdcMaterializeSql,
+    "cdc_time_travel"      -> qCdcTimeTravelSql,
+    "cdc_scd2"             -> qCdcScd2Sql,
     "pipeline_cdc_corpus"  -> qPipelineCdcCorpusSql,
     "cdc_topic_routing"    -> qCdcTopicRoutingSql,
     "cdc_column_rules"     -> qCdcColumnRulesSql,

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level semantics of the temporal operators — inclusive vs strict
+  * as-of bounds, no-match nulls, SCD2 interval chaining with deletes,
+  * and snapshot cutoffs — on data small enough to reason about by hand.
+  * (The gates check the same operators at sf scale against DuckDB.)
+  */
+class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("temporal-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def leftDf = {
+    val s = spark; import s.implicits._
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "b", 10L))
+      .toDF("id", "k", "t")
+  }
+
+  private def rightDf = {
+    val s = spark; import s.implicits._
+    Seq(("a", 10L, "r10"), ("a", 25L, "r25"), ("c", 1L, "r1"))
+      .toDF("k", "rt", "v")
+  }
+
+  test("asofJoin inclusive: equal time matches; no earlier row -> null") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "r10", 2L -> "r10", 3L -> "r25", 4L -> null))
+  }
+
+  test("asofJoin strict: equal time is NOT visible") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt", Seq("v"),
+        strict = true)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> null, 2L -> "r10", 3L -> "r25", 4L -> null))
+  }
+
+  test("asofJoin keeps every left row and all left columns") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.columns.toSeq === Seq("id", "k", "t", "v"))
+    assert(out.count() === leftDf.count())
+  }
+
+  // Change-log fixture: key A inserted @1, updated @3, deleted @5;
+  // key B inserted @2; key C inserted @4, deleted @6.
+  private def log = {
+    val s = spark; import s.implicits._
+    Seq(
+      ("A", "c", 1L, """{"id":"A","x":"a1"}"""),
+      ("B", "c", 2L, """{"id":"B","x":"b1"}"""),
+      ("A", "u", 3L, """{"id":"A","x":"a2"}"""),
+      ("C", "c", 4L, """{"id":"C","x":"c1"}"""),
+      ("A", "d", 5L, null: String),
+      ("C", "d", 6L, null: String))
+      .toDF("key0", "op", "rank0", "after")
+      .select(
+        concat(lit("""{"id":""""), col("key0"), lit(""""}""")).as("key"),
+        col("op"), lit("t").as("table"),
+        col("rank0").cast("string").as("rank"),
+        lit(0L).as("epoch"), lit(1L).as("totalOrder"), col("after"))
+  }
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("x",
+      org.apache.spark.sql.types.StringType)))
+
+  test("snapshotAt honors the rank cutoff including deletes") {
+    def snap(r: Long): Map[String, String] =
+      Temporal.snapshotAt(log, "t", schema, epoch = 0L, rank = r)
+        .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(snap(2L) === Map("A" -> "a1", "B" -> "b1"))
+    assert(snap(4L) === Map("A" -> "a2", "B" -> "b1", "C" -> "c1"))
+    assert(snap(5L) === Map("B" -> "b1", "C" -> "c1"))
+    assert(snap(99L) === Map("B" -> "b1"))
+  }
+
+  test("scd2 chains intervals, closes on delete, flags only live current") {
+    val hist = Temporal.scd2(log, "t", schema)
+      .select("id", "x", "version", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getString(1), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(hist === Map(
+      ("A", 1L) -> ("a1", 1L, 3L, false),
+      ("A", 2L) -> ("a2", 3L, 5L, false),
+      ("B", 1L) -> ("b1", 2L, -1L, true),
+      ("C", 1L) -> ("c1", 4L, 6L, false)))
+  }
+}
