@@ -210,43 +210,43 @@ object Similarity {
     best
   }
 
-  /** Train PQ codebooks: per-subspace k-means (deterministic sample
-    * init, `iters` Lloyd rounds). Assignment is a per-row closure — no
-    * shuffle beyond the per-(sub, code, pos) mean aggregation — and the
-    * collected model is m·codes·subDim doubles, bounded by the model,
-    * not the data. Empty cells keep their previous sub-centroid. */
+  /** Train PQ codebooks on a deterministic bounded sample: the first
+    * `trainRows` vectors by id-hash order (unbiased w.r.t. content,
+    * reproducible across runs and partitionings) are collected once and
+    * `iters` Lloyd rounds run locally — the FAISS-style contract where
+    * codebook training is bounded by the sample (trainRows·dim doubles),
+    * never by corpus size, so it costs one TakeOrdered job at any scale.
+    * Empty cells keep their previous sub-centroid. */
   def trainPq(corpus: DataFrame, m: Int, codes: Int, iters: Int,
+      trainRows: Int = 2048,
       idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val subDim = dim / m
-    val init = corpus.orderBy(col(idCol)).limit(codes)
+    val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(codes, trainRows))
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(init.length == codes, s"corpus must hold at least $codes vectors")
+    require(sample.length >= codes, s"corpus must hold at least $codes vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
     var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m, codes)((sub, c) => init(c).slice(sub * subDim, (sub + 1) * subDim))
+      Array.tabulate(m, codes)((sub, c) => sample(c).slice(sub * subDim, (sub + 1) * subDim))
     (1 to iters).foreach { _ =>
-      val frozen = books
-      val assignU = udf { (v: Seq[Float]) =>
-        val arr = new Array[Double](v.length)
-        var i = 0; while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
-        (0 until frozen.length).map(sub => nearestCode(frozen(sub), arr, sub * subDim)).toArray
+      val sums = Array.fill(m, codes, subDim)(0.0)
+      val counts = Array.fill(m, codes)(0L)
+      sample.foreach { v =>
+        var sub = 0
+        while (sub < m) {
+          val c = nearestCode(books(sub), v, sub * subDim)
+          counts(sub)(c) += 1
+          val s = sums(sub)(c); var i = 0
+          while (i < subDim) { s(i) += v(sub * subDim + i); i += 1 }
+          sub += 1
+        }
       }
-      val subCol = (col("pos") / subDim).cast("int")
-      val means = corpus
-        .select(assignU(col(vecCol)).as("cs"), posexplode(col(vecCol)))
-        .select(subCol.as("sub"), element_at(col("cs"), subCol + 1).as("code"),
-          col("pos"), col("col").cast("double").as("x"))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      means.foreach { r =>
-        val sub = r.getInt(0)
-        next(sub)(r.getInt(1))(r.getInt(2) - sub * subDim) = r.getDouble(3)
+      books = Array.tabulate(m, codes) { (sub, c) =>
+        if (counts(sub)(c) == 0) books(sub)(c)
+        else sums(sub)(c).map(_ / counts(sub)(c))
       }
-      books = next
     }
     PqModel(subDim, books)
   }
@@ -262,7 +262,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, codes: Int = 32, candidates: Int = 64, trainIters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = trainPq(corpus, m, codes, trainIters, idCol, vecCol)
+    val model = trainPq(corpus, m, codes, trainIters, idCol = idCol, vecCol = vecCol)
     val subDim = model.subDim
     val frozen = model.codebooks
     val encodeU = udf { (v: Seq[Float]) =>
