@@ -461,6 +461,55 @@ object LlmQueries {
        |) GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ------------------------------------------------------ mixture weights
+  /** Static-weights data mixing end to end: target weight per source
+    * (w = source index + 1), max-data-use sampling rates from
+    * `Sampling.mixtureWeights`, then the actual deterministic sample at
+    * those rates — tokens, rate, the binding stratum, and what survived,
+    * all hash-checked against the oracle replaying the same arithmetic. */
+  val qSampleMixture: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("w",
+        (substring(col("source"), 4, 10).cast("int") + 1).cast("double"))
+    val rates = Sampling.mixtureWeights(
+      docs, "source", weights, TextOps.wsTokenCount(col("text")))
+    val kept = Sampling.stratifiedHashSampleByRates(
+        docs, "doc_id", "source", rates, SampleSeed)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("tokens"), col("rate"), col("binding"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_kept"), lit(0L)).as("sum_kept"))
+      .orderBy(col("source"))
+  }
+
+  val qSampleMixtureSql: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) END) AS BIGINT) AS tokens,
+       |    CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) AS w
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT min(CAST(tokens AS DOUBLE) / w) AS budget FROM tok),
+       |r AS (
+       |  SELECT source, tokens, round(budget * w / tokens, 9) AS rate,
+       |    CAST(tokens AS DOUBLE) / w = budget AS binding
+       |  FROM tok, b),
+       |k AS (
+       |  SELECT d.source, count(*) AS n_kept,
+       |    CAST(sum(d.doc_id) AS BIGINT) AS sum_kept
+       |  FROM documents d JOIN r ON d.source = r.source
+       |  WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '$SampleSeed'), 1, 4) <
+       |    CASE WHEN r.rate >= 1 THEN 'g'
+       |         ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END
+       |  GROUP BY d.source)
+       |SELECT r.source, r.tokens, r.rate, r.binding,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(k.sum_kept, 0) AS sum_kept
+       |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin
+
   // ------------------------------------------------------------- chunking
   /** Context-length chunking at 32 tokens, stride 24 (8-token overlap);
     * the oracle re-slices the token list per chunk index. */
@@ -768,6 +817,7 @@ object LlmQueries {
     "dedup_clusters"      -> qDedupClusters,
     "sample_stratified"   -> qSampleStratified,
     "sample_split"        -> qSampleSplit,
+    "sample_mixture"      -> qSampleMixture,
     "text_chunks"         -> qTextChunks,
     "text_topterms"       -> qTextTopterms,
     "text_pack"           -> qTextPack,
@@ -800,6 +850,7 @@ object LlmQueries {
     "dedup_clusters"      -> qDedupClustersSql,
     "sample_stratified"   -> qSampleStratifiedSql,
     "sample_split"        -> qSampleSplitSql,
+    "sample_mixture"      -> qSampleMixtureSql,
     "text_chunks"         -> qTextChunksSql,
     "text_topterms"       -> qTextToptermsSql,
     "text_pack"           -> qTextPackSql,

@@ -73,6 +73,54 @@ object Sampling {
     df.filter(col(keyCol).isNotNull).withColumn(outCol, label)
   }
 
+  /** Data-mixing rates: given a target weight per stratum (the desired
+    * mixture proportions, not necessarily normalized), compute the
+    * per-stratum sampling rate that hits the target distribution while
+    * using the most data possible — the stratum with the least tokens
+    * relative to its weight binds at rate 1.0 and every other stratum
+    * downsamples to match (`rate_s = min_t(tokens_t/w_t) * w_s /
+    * tokens_s`). This is the static-weights mixing step of a training
+    * pipeline (given DoReMi/manual domain weights, derive executable
+    * sampling rates).
+    *
+    * `weights` is a tiny dim (strataCol, w); the only data-sized work is
+    * one map-side-combined aggregation of `tokenCount` per stratum.
+    * Rates are rounded to 9 decimals so they are engine-portable; feed
+    * them to `stratifiedHashSampleByRates` to materialize the sample.
+    */
+  def mixtureWeights(
+      df: DataFrame,
+      strataCol: String,
+      weights: DataFrame,
+      tokenCount: Column): DataFrame = {
+    val tok = df.groupBy(col(strataCol))
+      .agg(sum(tokenCount).cast("long").as("tokens"))
+    val j = tok.join(broadcast(weights), Seq(strataCol))
+    val budget = j.agg(min(col("tokens").cast("double") / col("w")).as("__budget"))
+    j.crossJoin(broadcast(budget))
+      .select(col(strataCol), col("tokens"),
+        round(col("__budget") * col("w") / col("tokens"), 9).as("rate"),
+        (col("tokens").cast("double") / col("w") === col("__budget")).as("binding"))
+  }
+
+  /** `stratifiedHashSample` with the rate table as a DataFrame (e.g. the
+    * output of `mixtureWeights`) instead of a driver-side Map — the rate
+    * computation stays distributed end to end. Strata without a rate row
+    * are dropped (rate 0). */
+  def stratifiedHashSampleByRates(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: DataFrame,
+      seed: String): DataFrame = {
+    val thresh = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(lower(lpad(hex(floor(col("rate") * 65536).cast("int")), 4, "0")))
+    df.join(broadcast(rates.select(col(strataCol), thresh.as("__thresh"))),
+        Seq(strataCol))
+      .filter(hashPrefix(col(keyCol), seed) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Stratified deterministic sample: a different rate per stratum (the
     * domain-mixing primitive — e.g. downsample crawl to 10%, keep books
     * at 100%). The rate table is a tiny dim joined broadcast, so the

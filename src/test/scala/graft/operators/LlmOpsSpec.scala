@@ -274,6 +274,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1 > 100 && s1 < 320, s"s1 kept $s1, expected ~200")
   }
 
+  test("mixture weights: binding stratum at rate 1, others scale to target ratio") {
+    val sp = spark; import sp.implicits._
+    // tokens: a=400, b=100, c=300; weights a=1, b=1, c=3.
+    // budget = min(400/1, 100/1, 300/3) = 100 → b binds;
+    // rates: a = 100/400 = 0.25, b = 1.0, c = 100*3/300 = 1.0 (also binding-equal)
+    val docs = (1 to 4).map(i => (s"d_a$i", "a", 100L)) ++
+      Seq(("d_b1", "b", 100L)) ++ (1 to 3).map(i => (s"d_c$i", "c", 100L))
+    val df = docs.toDF("id", "src", "ntok")
+    val weights = Seq(("a", 1.0), ("b", 1.0), ("c", 3.0)).toDF("src", "w")
+    val out = Sampling.mixtureWeights(df, "src", weights, col("ntok"))
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((400L, 0.25, false)))
+    assert(out("b") == ((100L, 1.0, true)))
+    assert(out("c") == ((300L, 1.0, true)))
+  }
+
+  test("stratified sample by rates DataFrame matches the Map-based sampler") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 2000L).map(i => (i, s"s${i % 2}")).toDF("id", "stratum")
+    val rates = Seq(("s0", 1.0), ("s1", 0.2)).toDF("stratum", "rate")
+    val byDf = Sampling.stratifiedHashSampleByRates(df, "id", "stratum", rates, "seed")
+      .select("id").as[Long].collect().toSet
+    val byMap = Sampling.stratifiedHashSample(
+        df, "id", "stratum", Map("s0" -> 1.0, "s1" -> 0.2), "seed", defaultRate = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(byDf == byMap)
+    assert(byDf.count(_ % 2 == 0) == 1000) // s0 fully kept
+  }
+
   test("sequence packing: overflow starts a bin, oversize doc sits alone, groups reset") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
