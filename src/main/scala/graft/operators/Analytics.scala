@@ -397,6 +397,173 @@ object Analytics {
        |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
   }
 
+  // --------------------------------------------------------------- q10
+  /** TPC-H Q10-style: top customers by returned-item revenue in one
+    * quarter. Four-way star join; only the constant 25-row nation dim is
+    * force-broadcast, the date filter prunes orders at the scan, and the
+    * returnflag filter prunes lineitem before any join. Top-k is
+    * sort+limit → TakeOrdered (no global sort at any SF). */
+  val q10ReturnedCustomers: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-01-01").cast(TimestampType))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q13
+  /** TPC-H Q13-style: distribution of per-customer order counts. The
+    * outer join keeps zero-order customers; the join-side filter lives in
+    * the join condition (not a WHERE) so those customers count as 0, not
+    * vanish. Two aggregations: per-customer count (shuffle on custkey),
+    * then the tiny distribution rollup. */
+  val q13OrderDistribution: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --------------------------------------------------------------- q15
+  /** TPC-H Q15-style: the supplier(s) with maximum quarterly revenue.
+    * Aggregate-over-aggregate: the per-supplier revenue is one shuffle on
+    * l_suppkey; the global max is a 1-row aggregate of the supplier-level
+    * result (10k rows/SF-unit) joined back by cross-broadcast — no
+    * single-partition window over the whole fact table. */
+  val q15TopSupplier: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev), rev("total_rev") === maxRev("max_rev"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String = {
+    val rev = fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")
+    s"""WITH rev AS (
+      |  SELECT l_suppkey, $rev AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q18
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds a threshold, with customer context. The HAVING aggregate
+    * runs on lineitem alone (one shuffle on l_orderkey, map-side
+    * partials); only the few qualifying orderkeys flow into the joins,
+    * so at 100 TB the join input is the filtered aggregate, not the
+    * fact table. l_quantity is integer-valued ⇒ the DECIMAL sum and the
+    * >300 comparison are exact on both engines. */
+  val q18LargeOrders: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > lit(300).cast(DecimalType(18, 4)))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"),
+        fixed4(col("o_totalprice").cast(DecimalType(18, 4))).as("o_totalprice"),
+        fixed4(col("sum_qty_d")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  ${fixed4Sql("CAST(o_totalprice AS DECIMAL(18,4))")} AS o_totalprice,
+      |  ${fixed4Sql("sum_qty_d")} AS sum_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_d
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300
+      |) JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- q19
+  /** TPC-H Q19-style disjunctive-predicate revenue: three (brand, size,
+    * quantity) bands OR'ed together. The join-independent parts of the
+    * disjunction (quantity ≤ 30, size ≥ 1) push to the scans; the full
+    * disjunction evaluates post-join inside whole-stage codegen. part
+    * scales with SF → no forced broadcast, AQE decides. */
+  val q19DisjunctiveRev: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .filter(bands)
+      .agg(
+        count(lit(1)).as("n"),
+        fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT count(*) AS n,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q6_forecast_revenue"  -> q6ForecastRevenue,
     "q14_promo_share"      -> q14PromoShare,
@@ -410,7 +577,12 @@ object Analytics {
     "q_customers_no_orders" -> qCustomersNoOrders,
     "q_running_supplier"   -> qRunningSupplier,
     "q_asof_prev_order"    -> qAsofPrevOrder,
-    "q_events_daily"       -> qEventsDaily)
+    "q_events_daily"       -> qEventsDaily,
+    "q10_returned_custs"   -> q10ReturnedCustomers,
+    "q13_order_dist"       -> q13OrderDistribution,
+    "q15_top_supplier"     -> q15TopSupplier,
+    "q18_large_orders"     -> q18LargeOrders,
+    "q19_disjunctive_rev"  -> q19DisjunctiveRev)
 
   val oracleSql: Map[String, String] = Map(
     "q6_forecast_revenue"  -> q6Sql,
@@ -425,5 +597,10 @@ object Analytics {
     "q_customers_no_orders" -> qCustomersNoOrdersSql,
     "q_running_supplier"   -> qRunningSupplierSql,
     "q_asof_prev_order"    -> qAsofPrevOrderSql,
-    "q_events_daily"       -> qEventsDailySql)
+    "q_events_daily"       -> qEventsDailySql,
+    "q10_returned_custs"   -> q10Sql,
+    "q13_order_dist"       -> q13Sql,
+    "q15_top_supplier"     -> q15Sql,
+    "q18_large_orders"     -> q18Sql,
+    "q19_disjunctive_rev"  -> q19Sql)
 }

@@ -510,6 +510,52 @@ object LlmQueries {
        |  COALESCE(k.sum_kept, 0) AS sum_kept
        |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin
 
+  // ---------------------------------------------------- per-source cap
+  /** Per-domain document cap: keep at most 40 docs per source, longest
+    * first (n_chars desc, doc_id as the unique tiebreak). The gate
+    * returns the per-source survivor count and id-sum; the oracle
+    * replays the identical window rule. */
+  val qSampleSourceCap: Q = (s, d) =>
+    Sampling.capPerGroup(
+        Tables.documents(s, d), "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), n = 40)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+      .orderBy(col("source"))
+
+  val qSampleSourceCapSql: String =
+    """SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept
+      |FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn <= 40
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- length quantiles
+  /** Per-language exact length quantiles (p25/p50/p75/p95 of n_chars) —
+    * corpus profiling before filter-threshold selection. Spark's
+    * `percentile` is the exact linear-interpolation quantile, the same
+    * definition as DuckDB's `quantile_cont`; both sides round to 4
+    * decimals so the interpolation arithmetic hashes identically.
+    * Exact percentile sorts per group — fine for a bounded group count
+    * (languages); for per-document grouping use approx_percentile. */
+  val qTextLenQuantiles: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        transform(
+          percentile(col("n_chars"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))),
+          x => round(x.cast("double"), 4)).as("qs"))
+      .orderBy(col("lang"))
+
+  val qTextLenQuantilesSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]),
+      |                 x -> round(x, 4)) AS qs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------- chunking
   /** Context-length chunking at 32 tokens, stride 24 (8-token overlap);
     * the oracle re-slices the token list per chunk index. */
@@ -818,6 +864,8 @@ object LlmQueries {
     "sample_stratified"   -> qSampleStratified,
     "sample_split"        -> qSampleSplit,
     "sample_mixture"      -> qSampleMixture,
+    "sample_source_cap"   -> qSampleSourceCap,
+    "text_len_quantiles"  -> qTextLenQuantiles,
     "text_chunks"         -> qTextChunks,
     "text_topterms"       -> qTextTopterms,
     "text_pack"           -> qTextPack,
@@ -851,6 +899,8 @@ object LlmQueries {
     "sample_stratified"   -> qSampleStratifiedSql,
     "sample_split"        -> qSampleSplitSql,
     "sample_mixture"      -> qSampleMixtureSql,
+    "sample_source_cap"   -> qSampleSourceCapSql,
+    "text_len_quantiles"  -> qTextLenQuantilesSql,
     "text_chunks"         -> qTextChunksSql,
     "text_topterms"       -> qTextToptermsSql,
     "text_pack"           -> qTextPackSql,

@@ -121,6 +121,26 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Per-group row cap — the web-corpus "max N documents per domain"
+    * rule. Keeps the top `n` rows of each group under an explicit,
+    * deterministic ordering (ties must be broken by a unique key in
+    * `orderBy`, or the survivor set is engine-dependent).
+    *
+    * Scale: one shuffle on the group key. The `row_number() <= n` filter
+    * is recognized by Catalyst's InferWindowGroupLimit, which inserts a
+    * partial WindowGroupLimit BEFORE the shuffle — each map task forwards
+    * at most `n` rows per group, so a hot domain costs O(n) network, not
+    * O(group). That rewrite is what makes this safe at 100 TB; a plain
+    * rank-then-filter without it would sort whole groups. */
+  def capPerGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column], n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
+
   /** Stratified deterministic sample: a different rate per stratum (the
     * domain-mixing primitive — e.g. downsample crawl to 10%, keep books
     * at 100%). The rate table is a tiny dim joined broadcast, so the

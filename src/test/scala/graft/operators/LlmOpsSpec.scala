@@ -480,4 +480,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
   }
+
+  test("per-group cap: keeps top-n per group under the given order, deterministic ties") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("b", 5L, 1L)).toDF("source", "doc_id", "n_chars")
+    val kept = Sampling.capPerGroup(df, "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // group a: n_chars 30 (ids 2,3 — tie broken by id) beat 20 and 10
+    assert(kept == Set(2L, 3L, 5L))
+  }
+
+  test("per-group cap: rank filter compiles to a pre-shuffle WindowGroupLimit") {
+    val sp = spark; import sp.implicits._
+    // the partial WindowGroupLimit before the exchange is the property
+    // that bounds a hot group's shuffle cost to O(n) per map task
+    val df = (1L to 100L).map(i => (s"s${i % 3}", i, i * 7 % 41)).toDF("source", "doc_id", "n_chars")
+    val plan = Sampling.capPerGroup(df, "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"), s"expected a Partial (pre-shuffle) group limit in:\n$plan")
+  }
 }
