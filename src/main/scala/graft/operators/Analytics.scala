@@ -564,6 +564,25 @@ object Analytics {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // ------------------------------------------------------- salted join
+  /** qTopBrands re-expressed through [[Joins.saltedJoin]] (8 salt
+    * buckets): the skew-safe rewrite must produce bit-identical results
+    * to the plain join, so it shares qTopBrands' oracle SQL. At 100 TB
+    * this is the shape for a viral-key join where AQE's skew splitting
+    * isn't enough; here it proves the rewrite is semantics-preserving
+    * under the hash gate. */
+  val qSaltedBrands: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount")
+    val pt = Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Joins.saltedJoin(li, pt, Seq("l_partkey"), buckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q6_forecast_revenue"  -> q6ForecastRevenue,
     "q14_promo_share"      -> q14PromoShare,
@@ -582,7 +601,8 @@ object Analytics {
     "q13_order_dist"       -> q13OrderDistribution,
     "q15_top_supplier"     -> q15TopSupplier,
     "q18_large_orders"     -> q18LargeOrders,
-    "q19_disjunctive_rev"  -> q19DisjunctiveRev)
+    "q19_disjunctive_rev"  -> q19DisjunctiveRev,
+    "q_salted_brands"      -> qSaltedBrands)
 
   val oracleSql: Map[String, String] = Map(
     "q6_forecast_revenue"  -> q6Sql,
@@ -602,5 +622,6 @@ object Analytics {
     "q13_order_dist"       -> q13Sql,
     "q15_top_supplier"     -> q15Sql,
     "q18_large_orders"     -> q18Sql,
-    "q19_disjunctive_rev"  -> q19Sql)
+    "q19_disjunctive_rev"  -> q19Sql,
+    "q_salted_brands"      -> qTopBrandsSql)
 }

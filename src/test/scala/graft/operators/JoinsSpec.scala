@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted skew join and bucketed co-located join: semantics equal the
+  * plain join; the bucketed plan contains no shuffle exchange. */
+class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("joins-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Skewed fixture: key 0 holds half the left rows. */
+  private def skewed() = {
+    val sp = spark; import sp.implicits._
+    val left = ((1 to 500).map(i => (0L, s"hot$i")) ++
+      (1 to 500).map(i => (i.toLong % 50 + 1, s"cold$i"))).toDF("k", "lv")
+    val right = (0L to 50L).map(k => (k, s"dim$k")).toDF("k", "rv")
+    (left, right)
+  }
+
+  test("salted join: inner equals plain inner join, including duplicates") {
+    val (left, right) = skewed()
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    val salted = Joins.saltedJoin(left, right, Seq("k"), buckets = 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    assert(salted == plain)
+    assert(plain.size == 1000)
+  }
+
+  test("salted join: left join keeps unmatched left rows exactly once") {
+    val sp = spark; import sp.implicits._
+    val (left, right) = skewed()
+    val withOrphan = left.unionByName(Seq((999L, "orphan")).toDF("k", "lv"))
+    val plain = withOrphan.join(right, Seq("k"), "left")
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    val salted = Joins.saltedJoin(withOrphan, right, Seq("k"), buckets = 8, joinType = "left")
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+    assert(salted == plain)
+    assert(salted.count(_.head == 999L) == 1)
+  }
+
+  test("salted join: rejects right/full outer (would duplicate unmatched right rows)") {
+    val (left, right) = skewed()
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(left, right, Seq("k"), buckets = 8, joinType = "right")
+    }
+  }
+
+  test("bucketed join: no shuffle exchange, same result as direct join") {
+    val sp = spark; import sp.implicits._
+    val facts = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val dims = (0L until 100L).map(k => (k, s"d$k")).toDF("k", "name")
+    Joins.materializeBucketed(facts, "bkt_facts", numBuckets = 4, Seq("k"))
+    Joins.materializeBucketed(dims, "bkt_dims", numBuckets = 4, Seq("k"))
+    // force the sort-merge path so the assertion is about bucketing, not
+    // a broadcast that hides the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Joins.bucketedJoin(spark, "bkt_facts", "bkt_dims", Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      val expect = facts.join(dims, Seq("k")).count()
+      assert(joined.count() == expect)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  /** Deterministic ordering for row-seq comparison. */
+  private object RowOrd extends Ordering[Seq[Any]] {
+    def compare(a: Seq[Any], b: Seq[Any]): Int =
+      a.map(String.valueOf).mkString("|").compareTo(b.map(String.valueOf).mkString("|"))
+  }
+}
