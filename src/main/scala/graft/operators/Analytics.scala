@@ -564,6 +564,213 @@ object Analytics {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // ---------------------------------------------------------------- q7
+  /** TPC-H Q7-style volume shipping: revenue flowing between two nations
+    * (supplier side ↔ customer side), by ship year. The nation dim is
+    * filtered to the two nations of interest BEFORE the broadcast joins,
+    * so the fact rows of the other 23 nations drop at the join instead of
+    * at a post-join filter; only the cross-pair condition (different
+    * nation on each side) evaluates after. Two aliased broadcasts of the
+    * constant 25-row dim; everything else is left to Catalyst/AQE. */
+  val q7NationVolume: Q = (s, d) => {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS volume
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice, l_discount
+      |  FROM lineitem
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |)
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** TPC-H Q8-style market share: within one region's customers and one
+    * part type, the share of revenue supplied by one nation, per order
+    * year. The region restriction reaches customers through a broadcast
+    * of the (nation ⋈ region) 25-row dim; the supplier's nation name
+    * rides a second broadcast. The share division is the only double —
+    * both operands are exact DECIMAL sums. */
+  val q8MarketShare: Q = (s, d) => {
+    val natRegion = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val pt = Tables.part(s, d).filter(col("p_type") === "STANDARD").select("p_partkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))
+    val natRev = sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0).cast(DecimalType(18, 4))))
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(natRegion), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(suppNat), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("o_year"))
+      .agg(
+        fixed4(natRev).as("nation_rev"),
+        fixed4(sum(rev)).as("total_rev"),
+        round(natRev.cast(DoubleType) / sum(rev).cast(DoubleType), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String = {
+    val rev = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+    val natRev = s"sum(CASE WHEN supp_nation = 'NATION_3' THEN $rev ELSE CAST(0 AS DECIMAL(18,4)) END)"
+    s"""SELECT o_year,
+      |  ${fixed4Sql(natRev)} AS nation_rev,
+      |  ${fixed4Sql(s"sum($rev)")} AS total_rev,
+      |  round(CAST($natRev AS DOUBLE) / CAST(sum($rev) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    ns.n_name AS supp_nation, l_extendedprice, l_discount
+      |  FROM lineitem
+      |    JOIN part ON l_partkey = p_partkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |    JOIN region ON nc.n_regionkey = r_regionkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |)
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q21
+  /** TPC-H Q21-style (adapted — testdata has no commit/receipt dates):
+    * suppliers who were the SOLE supplier on finished orders. The Q21
+    * signature shape is the fact-table self-correlation (EXISTS my line /
+    * NOT EXISTS another supplier's line); here that correlation is a
+    * left-anti self-join of lineitem at order grain — both sides shuffle
+    * once on l_orderkey, no driver-side work, skew-safe (an order has ≤7
+    * lines at every SF). The aggregate-rewrite (HAVING count(DISTINCT
+    * l_suppkey)=1) would be one fewer scan; the anti-join is kept
+    * deliberately to pin Spark's LeftAnti plan shape under the gate. */
+  val q21SoleSupplier: Q = (s, d) => {
+    val fOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val sole = li
+      .join(fOrders, li("l_orderkey") === fOrders("o_orderkey"), "left_semi")
+      .join(others,
+        li("l_orderkey") === others("o2_orderkey") && li("l_suppkey") =!= others("o2_suppkey"),
+        "left_anti")
+      .select("l_orderkey", "l_suppkey").distinct()
+    sole.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_sole_orders"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_sole_orders"))
+      .orderBy(col("n_sole_orders").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS n_sole_orders
+      |FROM (
+      |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      |  FROM lineitem l1
+      |  WHERE EXISTS (SELECT 1 FROM orders
+      |                WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                    WHERE l2.l_orderkey = l1.l_orderkey
+      |                      AND l2.l_suppkey <> l1.l_suppkey)
+      |) JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY n_sole_orders DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------ funnel
+  /** Event-sequence funnel: users who viewed, then clicked strictly after
+    * their first view, then purchased strictly after that first
+    * qualifying click. Each stage is one aggregation on user_id plus a
+    * join back to the (filtered, column-pruned) events scan — the
+    * standard scale shape for funnels: no per-user event collection, no
+    * window over the whole stream, every shuffle keyed on user_id so AQE
+    * can coalesce. Timestamps are µs-exact on both engines (the feed has
+    * no sub-µs components). */
+  val qEventsFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .select("user_id").distinct()
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  val qEventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click_after_view,
+      |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
+
   // ------------------------------------------------------- salted join
   /** qTopBrands re-expressed through [[Joins.saltedJoin]] (8 salt
     * buckets): the skew-safe rewrite must produce bit-identical results
@@ -602,6 +809,10 @@ object Analytics {
     "q15_top_supplier"     -> q15TopSupplier,
     "q18_large_orders"     -> q18LargeOrders,
     "q19_disjunctive_rev"  -> q19DisjunctiveRev,
+    "q7_nation_volume"     -> q7NationVolume,
+    "q8_market_share"      -> q8MarketShare,
+    "q21_sole_supplier"    -> q21SoleSupplier,
+    "events_funnel"        -> qEventsFunnel,
     "q_salted_brands"      -> qSaltedBrands)
 
   val oracleSql: Map[String, String] = Map(
@@ -623,5 +834,9 @@ object Analytics {
     "q15_top_supplier"     -> q15Sql,
     "q18_large_orders"     -> q18Sql,
     "q19_disjunctive_rev"  -> q19Sql,
+    "q7_nation_volume"     -> q7Sql,
+    "q8_market_share"      -> q8Sql,
+    "q21_sole_supplier"    -> q21Sql,
+    "events_funnel"        -> qEventsFunnelSql,
     "q_salted_brands"      -> qTopBrandsSql)
 }
