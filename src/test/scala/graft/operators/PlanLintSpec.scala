@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression net for the batch analytics queries.
+  *
+  * The scale story of every query lives in its plan — which filters reach
+  * the parquet scan, which joins are broadcast BY HINT (vs by AQE's
+  * small-SF accident), where the semi/anti shapes land. These properties
+  * are what survive a 100× scale-up; this spec pins them so a refactor
+  * that silently turns a pushed filter into a post-scan filter, or
+  * force-broadcasts an SF-scaling table, fails the build.
+  *
+  * The session disables AQE and auto-broadcast so the planned string
+  * shows only deliberate choices: any BroadcastExchange present comes
+  * from an explicit `broadcast()` hint in the query.
+  */
+class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-lint-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => df.queryExecution.explainString(m)
+    }
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  // Queries whose gate functions are pure plan builders (no feed
+  // materialization, no persist/count at build time).
+  private val lintable = Seq(
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q10_returned_custs", "q13_order_dist", "q14_promo_share",
+    "q15_top_supplier", "q17_small_qty", "q18_large_orders",
+    "q19_disjunctive_rev", "q21_sole_supplier", "q_rollup_revenue",
+    "q_top_brands", "q_order_priority", "q_customers_no_orders",
+    "q_running_supplier", "q_events_daily", "events_funnel")
+
+  private def q(name: String): DataFrame =
+    Analytics.queries(name)(spark, sfDir)
+
+  test("no cartesian product in any lintable analytics plan (funnel's 1-row cross joins excepted)") {
+    for (name <- lintable if name != "events_funnel") {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("q6: all three predicates reach the lineitem scan; only 3 columns read") {
+    val f = formatted(q("q6_forecast_revenue"))
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(f.contains("LessThan(l_shipdate"), "shipdate upper bound not pushed")
+    assert(f.contains("GreaterThanOrEqual(l_discount"), "discount band not pushed")
+    assert(f.contains("LessThan(l_quantity"), "quantity cap not pushed")
+    val read = f.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .forall(read.contains), s"scan must read exactly the needed columns: $read")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"scan reads columns the query never uses: $read")
+  }
+
+  test("forced broadcasts are exactly the constant dims (auto-broadcast disabled)") {
+    // (query, expected BroadcastExchange count from explicit hints)
+    val expected = Seq(
+      "q3_top_orders"      -> 0, // customer+orders scale with SF: never hinted
+      "q_top_brands"       -> 0, // part scales with SF
+      "q13_order_dist"     -> 0,
+      "q5_nation_revenue"  -> 1, // 25-row nation
+      "q_rollup_revenue"   -> 1, // 25-row nation
+      "q10_returned_custs" -> 1, // 25-row nation
+      "q7_nation_volume"   -> 2, // nation aliased twice
+      "q17_small_qty"      -> 2, // one brand's partkeys (SF-stable), hinted in both subtree reuses
+
+      "q15_top_supplier"   -> 1) // 1-row global max
+    for ((name, n) <- expected) {
+      val c = countOf(plan(q(name)), "BroadcastExchange")
+      assert(c == n, s"$name: expected $n hinted broadcasts, plan has $c")
+    }
+    // q8: region-filtered nation semi-join + supplier-nation dim (the
+    // inner region⋈nation build may itself plan 1-2 exchanges)
+    val c8 = countOf(plan(q("q8_market_share")), "BroadcastExchange")
+    assert(c8 >= 2 && c8 <= 3, s"q8_market_share: dim broadcasts expected, got $c8")
+  }
+
+  test("q21: the self-correlation is a semi join plus an anti join, both shuffle-based") {
+    val p = plan(q("q21_sole_supplier"))
+    assert(p.contains("LeftSemi"), "orders-status EXISTS must plan as a semi join")
+    assert(p.contains("LeftAnti"), "other-supplier NOT EXISTS must plan as an anti join")
+    assert(!p.contains("BroadcastExchange"),
+      "both correlation sides scale with SF; nothing may be force-broadcast")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan(q("q1_pricing_summary"))
+    assert(countOf(p, "HashAggregate") >= 2, s"expected partial+final aggregate:\n$p")
+    assert(p.contains("partial_"), "map-side partial aggregation missing")
+  }
+
+  test("funnel: every join/aggregation shuffle is keyed on user_id") {
+    val p = plan(q("events_funnel"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "funnel should shuffle on its stage keys")
+    assert(exchanges.forall(_.contains("user_id")),
+      s"a funnel shuffle is keyed off user_id:\n${exchanges.mkString("\n")}")
+  }
+
+  test("top-k queries plan TakeOrdered, not a global sort") {
+    for (name <- Seq("q3_top_orders", "q_top_brands", "q10_returned_custs",
+        "q18_large_orders", "q21_sole_supplier")) {
+      val p = plan(q(name))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: sort+limit should plan as TakeOrdered, not Sort+GlobalLimit:\n$p")
+    }
+  }
+}
