@@ -728,6 +728,99 @@ object Analytics {
       |ORDER BY n_sole_orders DESC, s_name
       |LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q22
+  /** TPC-H Q22-style: customers with above-average account balance and
+    * no large order (every testdata customer has SOME order, so the
+    * anti-join side is the large-order subset — same shape, non-empty
+    * result). Two classic shapes in one plan: a scalar subquery (the
+    * global positive-balance average — one tiny broadcast row, computed
+    * from a pruned scan) and a left-anti join against filtered orders.
+    * The average is computed as an exact DECIMAL ratio and the
+    * comparison stays in DECIMAL, so the qualifying-customer set is
+    * engine-independent. */
+  val q22GlobalBalance: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))) / count(lit(1))).cast(DecimalType(38, 10)).as("avg_bal"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000.0).select("o_custkey")
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter(dec(col("c_acctbal")) > col("avg_bal"))
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        fixed4(sum(dec(col("c_acctbal")))).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q22Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_cust,
+      |  ${fixed4Sql("sum(CAST(c_acctbal AS DECIMAL(18,4)))")} AS total_bal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4)) > (
+      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) / count(*) AS DECIMAL(38,10))
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** TPC-H Q9-style product-profit by nation and year (adapted: testdata
+    * has no partsupp, so supply cost is proxied by the part's retail
+    * price). Profit = revenue − cost·quantity per lineitem,
+    * aggregated over (supplier nation, order year) — the widest star in
+    * the suite: lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ nation. Only the
+    * constant 25-row nation dim is force-broadcast; part/supplier/orders
+    * all scale with SF and are left to AQE. The part-name filter prunes
+    * part (and through the join, lineitem) at the scan. */
+  val q9NationProfit: Q = (s, d) => {
+    val pt = Tables.part(s, d)
+      .filter(col("p_name").contains("red") || col("p_type") === "PROMO")
+      .select("p_partkey", "p_retailprice")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    // Tight casts keep every intermediate under DECIMAL(38,·) with NO
+    // precision-loss rounding on either engine: prices are 2-dp cents
+    // (12,2), discounts 2-dp fractions (3,2), quantities small integers
+    // (4,0) — so rev is exact at (17,4), cost at (17,2), profit at (19,4).
+    // The generic (18,4) casts would push rev−cost past the 38-digit cap,
+    // where Spark and DuckDB round differently.
+    val priceOf = (c: Column) => c.cast(DecimalType(12, 2))
+    val profit =
+      priceOf(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))) -
+        priceOf(col("p_retailprice")) * col("l_quantity").cast(DecimalType(4, 0))
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(fixed4(sum(profit)).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q9Sql: String = {
+    val profit = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) - " +
+      "CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))"
+    s"""SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  ${fixed4Sql(s"sum($profit)")} AS profit
+      |FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%' OR p_type = 'PROMO'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin
+  }
+
   // ------------------------------------------------------------ funnel
   /** Event-sequence funnel: users who viewed, then clicked strictly after
     * their first view, then purchased strictly after that first
@@ -811,7 +904,9 @@ object Analytics {
     "q19_disjunctive_rev"  -> q19DisjunctiveRev,
     "q7_nation_volume"     -> q7NationVolume,
     "q8_market_share"      -> q8MarketShare,
+    "q9_nation_profit"     -> q9NationProfit,
     "q21_sole_supplier"    -> q21SoleSupplier,
+    "q22_global_balance"   -> q22GlobalBalance,
     "events_funnel"        -> qEventsFunnel,
     "q_salted_brands"      -> qSaltedBrands)
 
@@ -836,7 +931,9 @@ object Analytics {
     "q19_disjunctive_rev"  -> q19Sql,
     "q7_nation_volume"     -> q7Sql,
     "q8_market_share"      -> q8Sql,
+    "q9_nation_profit"     -> q9Sql,
     "q21_sole_supplier"    -> q21Sql,
+    "q22_global_balance"   -> q22Sql,
     "events_funnel"        -> qEventsFunnelSql,
     "q_salted_brands"      -> qTopBrandsSql)
 }

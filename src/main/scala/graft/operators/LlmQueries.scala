@@ -801,6 +801,48 @@ object LlmQueries {
       |FROM tf JOIN cnt USING (term) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- DSIR importance
+  /** Top 50 documents by DSIR importance score (target = the English
+    * slice): mean per-token log-likelihood ratio of the Laplace-smoothed
+    * target unigram LM over the raw-corpus unigram LM. Ordering is on
+    * the rounded score — both engines compute it from identical exact
+    * operands — with doc_id as the tie-break. */
+  val qTextDsir: Q = (s, d) =>
+    TextOps.dsirScores(Tables.documents(s, d), "text", "doc_id",
+        col("lang") === "en")
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(50)
+
+  val qTextDsirSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS is_target,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, is_target, term, count(*)::BIGINT AS tf
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2, 3
+      |), raw AS (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS n_raw FROM tf GROUP BY 1
+      |), tgt AS (
+      |  SELECT term, CAST(sum(tf) AS BIGINT) AS n_tgt FROM tf WHERE is_target GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM raw) AS vocab,
+      |    (SELECT CAST(sum(n_raw) AS DOUBLE) FROM raw) AS total_raw,
+      |    (SELECT CAST(sum(n_tgt) AS DOUBLE) FROM tgt) AS total_tgt
+      |)
+      |SELECT doc_id, n_tok, dsir_score FROM (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+      |    round(CAST(sum(CAST(tf AS DECIMAL(17,0)) *
+      |        CAST(round(ln(((COALESCE(n_tgt, 0)::DOUBLE + 1.0) / (tot.total_tgt + tot.vocab)) /
+      |                      ((n_raw::DOUBLE + 1.0) / (tot.total_raw + tot.vocab))), 12)
+      |          AS DECIMAL(20,12))) AS DOUBLE)
+      |      / CAST(sum(tf) AS BIGINT), 6) AS dsir_score
+      |  FROM tf JOIN raw USING (term) LEFT JOIN tgt USING (term) CROSS JOIN tot
+      |  GROUP BY doc_id
+      |)
+      |ORDER BY dsir_score DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   // ------------------------------------------------- embedding outliers
   /** Bottom-20 embeddings by cosine to the corpus centroid (exact
     * DECIMAL per-dimension sums — see Similarity.centroidOutliers). */
@@ -875,6 +917,7 @@ object LlmQueries {
     "text_decontaminate"  -> qTextDecontaminate,
     "text_tfidf"          -> qTextTfidf,
     "text_lm_score"       -> qTextLmScore,
+    "text_dsir"           -> qTextDsir,
     "emb_outliers"        -> qEmbOutliers,
     "dedup_sentences"     -> qDedupSentences,
     "events_sessions"     -> qEventsSessions,
@@ -910,6 +953,7 @@ object LlmQueries {
     "text_decontaminate"  -> qTextDecontaminateSql,
     "text_tfidf"          -> qTextTfidfSql,
     "text_lm_score"       -> qTextLmScoreSql,
+    "text_dsir"           -> qTextDsirSql,
     "emb_outliers"        -> qEmbOutliersSql,
     "dedup_sentences"     -> qDedupSentencesSql,
     "events_sessions"     -> qEventsSessionsSql,

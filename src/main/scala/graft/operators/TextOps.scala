@@ -277,6 +277,62 @@ object TextOps {
         round(col("sum_lp").cast("double") / col("n_tok"), 6).as("lm_score"))
   }
 
+  /** DSIR-style importance scores (Data Selection via Importance
+    * Resampling, Xie et al. 2023): each document's mean per-token
+    * log-likelihood ratio between a TARGET slice's unigram LM and the
+    * raw corpus's unigram LM, both add-1 (Laplace) smoothed over the
+    * corpus vocabulary — documents whose token distribution looks like
+    * the target score high and are kept preferentially when building a
+    * training mix.
+    *
+    * Scale shape (the same key-parallel skeleton as tfidf/lmScore): one
+    * (doc, term) count shuffle, two vocabulary-sized term-count tables
+    * (raw, target) joined back on `term` — vocabularies at 100 TB
+    * outgrow broadcast, so this is a shuffle join — and one per-doc
+    * aggregation; the three scalar totals (vocab size, token totals)
+    * ride along as a crossJoined broadcast 1-row aggregate, never a
+    * driver action. Per-token log-ratios are rounded to 12 decimals and
+    * summed as exact DECIMAL so the score is aggregation-order-
+    * independent (a raw double sum would not reproduce across engines
+    * or partitionings); the final per-token mean is one double division
+    * of exact operands. */
+  def dsirScores(
+      df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("is_target"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val raw = tf.groupBy(col("term")).agg(sum(col("tf")).as("n_raw"))
+    val tgt = tf.filter(col("is_target"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("n_tgt"))
+    val totals = raw.agg(
+      count(lit(1)).cast("double").as("vocab"),
+      sum(col("n_raw")).cast("double").as("total_raw"))
+      .crossJoin(tgt.agg(sum(col("n_tgt")).cast("double").as("total_tgt")))
+    tf.join(raw, Seq("term"))
+      .join(tgt, Seq("term"), "left_outer")
+      .na.fill(0L, Seq("n_tgt"))
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "contrib",
+        // identical double expression tree on both engines: smoothed
+        // target prob over smoothed raw prob, ln, round to 12; the
+        // decimal(17,0) × decimal(20,12) product is exact at (38,12)
+        col("tf").cast("decimal(17,0)") *
+          round(log(
+            ((col("n_tgt").cast("double") + 1.0) / (col("total_tgt") + col("vocab"))) /
+              ((col("n_raw").cast("double") + 1.0) / (col("total_raw") + col("vocab")))), 12)
+            .cast("decimal(20,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("contrib")).as("sum_lr"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("sum_lr").cast("double") / col("n_tok"), 6).as("dsir_score"))
+  }
+
   /** Top-k most frequent terms, ties broken by term — deterministic, so
     * two engines agree on the exact set. A single ORDER BY + LIMIT over
     * the vocabulary-sized count table (Spark runs it as a per-partition

@@ -412,6 +412,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L)._2 > rows(2L)._2)
   }
 
+  test("dsir: target-looking docs outscore off-target docs; smoothing covers unseen terms") {
+    val sp = spark; import sp.implicits._
+    // target docs (flag by id) speak "x y"; off-target speak "p q";
+    // doc 5 mixes. Scores must rank pure-target > mixed > pure-off.
+    val docs = Seq(
+      (1L, "x y x y"), (2L, "x x y"), // target
+      (3L, "p q p q"), (4L, "p p q"), // off-target
+      (5L, "x p")).toDF("doc_id", "text")
+    val scored = TextOps.dsirScores(docs, "text", "doc_id", col("doc_id") <= 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.size == 5)
+    assert(scored(1L) > scored(5L) && scored(2L) > scored(5L),
+      s"pure-target must beat mixed: $scored")
+    assert(scored(5L) > scored(3L) && scored(5L) > scored(4L),
+      s"mixed must beat pure-off-target: $scored")
+    // 'p'/'q' never occur in the target slice: only Laplace smoothing
+    // keeps their ratio finite — scores must all be finite numbers
+    assert(scored.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("centroid outliers: the vector opposing the corpus direction ranks first") {
     val sp = spark; import sp.implicits._
     val emb = Seq(

@@ -56,7 +56,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q10_returned_custs", "q13_order_dist", "q14_promo_share",
     "q15_top_supplier", "q17_small_qty", "q18_large_orders",
-    "q19_disjunctive_rev", "q21_sole_supplier", "q_rollup_revenue",
+    "q19_disjunctive_rev", "q21_sole_supplier", "q22_global_balance",
+    "q9_nation_profit", "q_rollup_revenue",
     "q_top_brands", "q_order_priority", "q_customers_no_orders",
     "q_running_supplier", "q_events_daily", "events_funnel")
 
@@ -94,7 +95,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q10_returned_custs" -> 1, // 25-row nation
       "q7_nation_volume"   -> 2, // nation aliased twice
       "q17_small_qty"      -> 2, // one brand's partkeys (SF-stable), hinted in both subtree reuses
-
+      "q9_nation_profit"   -> 1, // 25-row nation; part/supplier/orders left to AQE
+      "q22_global_balance" -> 1, // the 1-row global average (scalar subquery)
       "q15_top_supplier"   -> 1) // 1-row global max
     for ((name, n) <- expected) {
       val c = countOf(plan(q(name)), "BroadcastExchange")
