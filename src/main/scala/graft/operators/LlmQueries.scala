@@ -355,6 +355,47 @@ object LlmQueries {
     """SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
       |WHERE vec_id % 9 = 0 ORDER BY id_a""".stripMargin
 
+  // ------------------------------------------------ streaming daily agg
+  /** Daily windowed aggregation run as a REAL Structured Streaming query:
+    * the events table is re-laid as 8 parquet files, read back with
+    * `maxFilesPerTrigger=2` so the tumbling-window state genuinely spans
+    * four micro-batches, and emitted in complete mode to a memory sink
+    * (file sinks are append-only; the result is ~150 rows, not data).
+    * The oracle is the plain batch aggregation — streaming state
+    * accumulation must agree with it exactly. The watermark+append
+    * production path (late-data drop, state expiry) is spec-covered in
+    * StreamingOpsSpec; complete mode here keeps the gate deterministic
+    * (append would hold back windows the final watermark never passes). */
+  val qEventsStreamDaily: Q = (s, d) => {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_events_stream")
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(8, col("event_id")).write.mode("overwrite").parquet(dir.toString)
+    val schema = s.read.parquet(dir.toString).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(dir.toString)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Analytics.fixed4(sum(col("value").cast("decimal(18,4)"))).as("total_value"))
+      .select(
+        col("window.start").cast("date").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_stream_daily").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_daily").orderBy(col("day"), col("event_type"))
+  }
+
+  val qEventsStreamDailySql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |  ${Analytics.fixed4Sql("sum(CAST(value AS DECIMAL(18,4)))")} AS total_value
+      |FROM events
+      |GROUP BY CAST(ts AS DATE), event_type
+      |ORDER BY day, event_type""".stripMargin
+
   // ------------------------------------------------- props extraction
   /** Semi-structured analytics over the events props JSON column. */
   val qEventsProps: Q = (s, d) =>
@@ -921,6 +962,7 @@ object LlmQueries {
     "emb_outliers"        -> qEmbOutliers,
     "dedup_sentences"     -> qDedupSentences,
     "events_sessions"     -> qEventsSessions,
+    "events_stream_daily" -> qEventsStreamDaily,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "dedup_embedding"     -> qDedupEmbedding,
@@ -957,6 +999,7 @@ object LlmQueries {
     "emb_outliers"        -> qEmbOutliersSql,
     "dedup_sentences"     -> qDedupSentencesSql,
     "events_sessions"     -> qEventsSessionsSql,
+    "events_stream_daily" -> qEventsStreamDailySql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "dedup_embedding"     -> qDedupEmbeddingSql,
