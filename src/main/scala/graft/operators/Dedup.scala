@@ -71,6 +71,50 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  // -------------------------------------------------------- containment
+  /** Near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|) over
+    * distinct word n-grams. Jaccard (and MinHash-LSH, which recalls by
+    * Jaccard) structurally misses a small document embedded in a large
+    * one: the union is dominated by the large doc, so Jaccard stays low
+    * while the snippet is a verbatim copy. Containment normalizes by the
+    * smaller side and catches exactly that case.
+    *
+    * Scale shape: an inverted-index join, not all-pairs — explode
+    * distinct shingles (one shuffle keyed on shingle), pair documents
+    * that share a shingle, count shared shingles per pair, divide by the
+    * smaller doc's shingle count. The document-frequency cap
+    * (`maxShingleDf`) is the hot-key bound: a shingle occurring in more
+    * than that many docs (boilerplate) is dropped BEFORE pairing, so no
+    * shingle contributes more than maxShingleDf² candidate pairs and the
+    * join never degenerates on stop-phrases. The cap is part of the
+    * operator's contract (capped containment), mirrored by the oracle. */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = 64): DataFrame = {
+    val sh = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val kept = sh.join(
+      sh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= maxShingleDf)
+        .select("sh"),
+      Seq("sh"))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = kept.as("a")
+      .join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   // ------------------------------------------------------------ minhash
   /** MinHash signature: shingles are string-hashed once to 64-bit keys;
     * each of the k hash functions is then a cheap re-hash of that 8-byte

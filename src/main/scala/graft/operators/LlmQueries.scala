@@ -413,6 +413,60 @@ object LlmQueries {
       |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ containment near-dup
+  /** Snippet-in-document detection: the corpus plus a 12-token prefix
+    * snippet of every ninth document (ids +300000). MinHash/Jaccard
+    * structurally miss these (the union is dominated by the parent doc);
+    * capped shingle containment must flag every snippet against its
+    * parent at 1.0. The oracle recomputes capped containment with
+    * DuckDB list algebra over the identical union corpus. */
+  val qDedupContainment: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val snippets = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(col("text")), 1, 12)).as("text"))
+    Dedup.containmentPairs(
+        docs.unionByName(snippets), "text", "doc_id",
+        n = 3, threshold = 0.9, maxShingleDf = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qDedupContainmentSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    array_to_string(
+      |      (string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))[1:12], ' ')
+      |  FROM documents WHERE doc_id % 9 = 0
+      |), tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM all_docs
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |               FOR i IN generate_series(1, len(t) - 2)] END)) AS sh
+      |  FROM tok
+      |), dfreq AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64
+      |), kept AS (
+      |  SELECT doc_id, sh.sh FROM sh JOIN dfreq USING (sh)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  round(inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE, 6) AS containment
+      |FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE, 6) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------ duplicate clustering
   /** Connected components over the verified near-dup pairs: every doc in
     * a pair gets the min id reachable from it. The oracle computes the
@@ -944,6 +998,7 @@ object LlmQueries {
 
   val queries: Map[String, Q] = Map(
     "dedup_clusters"      -> qDedupClusters,
+    "dedup_containment"   -> qDedupContainment,
     "sample_stratified"   -> qSampleStratified,
     "sample_split"        -> qSampleSplit,
     "sample_mixture"      -> qSampleMixture,
@@ -981,6 +1036,7 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_clusters"      -> qDedupClustersSql,
+    "dedup_containment"   -> qDedupContainmentSql,
     "sample_stratified"   -> qSampleStratifiedSql,
     "sample_split"        -> qSampleSplitSql,
     "sample_mixture"      -> qSampleMixtureSql,

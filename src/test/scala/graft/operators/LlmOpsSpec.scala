@@ -412,6 +412,32 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L)._2 > rows(2L)._2)
   }
 
+  test("containment: flags snippet-in-document that jaccard misses; df cap drops shared shingles") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta"), // verbatim prefix snippet of doc 1
+      (3L, "unrelated words entirely different content here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.9, maxShingleDf = 64).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(1) == 1L || pairs(0).getLong(0) == 1L)
+    assert(pairs(0).getDouble(2) == 1.0, "snippet is fully contained")
+    // the same pair under jaccard: 2 shared of 8 union shingles = 0.25 —
+    // under any near-dup threshold; containment is the op that sees it
+    val j = docs.filter($"doc_id" === 1L)
+      .select(Dedup.jaccard(
+        Dedup.shingles(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa"), 3),
+        Dedup.shingles(lit("alpha beta gamma delta"), 3)))
+      .head().getDouble(0)
+    assert(j < 0.3, s"jaccard must miss the snippet: $j")
+    // df cap = 1: every shingle the pair shares occurs in 2 docs → dropped
+    // before pairing, so no candidate pair survives (the hot-key bound)
+    assert(Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.9, maxShingleDf = 1).isEmpty)
+  }
+
   test("dsir: target-looking docs outscore off-target docs; smoothing covers unseen terms") {
     val sp = spark; import sp.implicits._
     // target docs (flag by id) speak "x y"; off-target speak "p q";
