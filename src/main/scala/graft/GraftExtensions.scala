@@ -11,10 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session built with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit = {
-    val (id, info, builder) = GraftExtensions.slicePackedRow
-    extensions.injectFunction((id, info, builder))
-  }
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(extensions.injectFunction)
 }
 
 object GraftExtensions {
@@ -31,9 +29,24 @@ object GraftExtensions {
       SlicePackedRow(children(0), children(1)): Expression
     })
 
+  private def cosineSim = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(
+      classOf[graft.functions.CosineSim].getName,
+      null,
+      "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float arrays in one fused codegen pass; 0.0 when either norm is 0.",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "cosine_sim takes (a, b)")
+      graft.functions.CosineSim(children(0), children(1)): Expression
+    })
+
+  private def all = Seq(slicePackedRow, cosineSim)
+
   /** Runtime registration into an already-running session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = slicePackedRow
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id.funcName, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id.funcName, info, builder)
+    }
 }

@@ -64,6 +64,15 @@ class SlicePackedRowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == "bc")
   }
 
+  test("cosine_sim registered as a SQL function") {
+    graft.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float)))")
+      .first().getDouble(0)
+    assert(math.abs(out - 1.0) < 1e-12)
+  }
+
   test("cosine_sim matches the HOF formulation and generates real code") {
     import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback}
     val sp = spark; import sp.implicits._
