@@ -133,6 +133,42 @@ object CdcFeed extends Serializable {
     }
   }
 
+  /** orders feed whose schema EVOLVES mid-stream (D4 last-writer-wins,
+    * reference VitessDatabaseSchema.java:64-91): the first half of each
+    * shard's transactions stream the 6-column schema; the first
+    * transaction of the second half re-sends FIELD with a trailing
+    * `o_comment` column — exactly what a live ALTER TABLE + Vitess
+    * schema reload produces — and every later row carries 7 values.
+    * Decode must follow the registry's latest schema per shard. */
+  def ordersEvolving(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
+    import s.implicits._
+    val evolvedFields = OrdersFields :+
+      FieldDef("o_comment", "VARCHAR", "varchar(32)", 32, 0, 0L)
+    val w = Window.partitionBy("shard").orderBy("o_orderkey")
+    val src = Tables.orders(s, d)
+      .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
+      .withColumn("tx", row_number().over(w).cast("long"))
+      .withColumn("n_tx", count(lit(1)).over(Window.partitionBy("shard")))
+      .select(
+        col("shard"), col("tx"), col("n_tx"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        col("o_orderpriority"))
+      .as[(String, Long, Long, Long, Long, String, Double, String, String)]
+    src.flatMap { case (shard, tx, nTx, okey, ckey, status, price, odate, prio) =>
+      val secondHalf = 2 * tx > nTx
+      val base = Seq(okey.toString, ckey.toString, status, price.toString, odate, prio)
+      val row = (if (secondHalf) base :+ s"c$okey" else base).map(Option(_))
+      val firstOfSecondHalf = secondHalf && 2 * (tx - 1) <= nTx
+      feedLines(shard, tx,
+        txEvents(shard, "ks.orders",
+          if (secondHalf) evolvedFields else OrdersFields,
+          RowChange(None, Some(PackedRow.of(row))), tx,
+          vgtidAt(shard, tx, nShards, multiShard = false),
+          withField = tx == 1 || firstOfSecondHalf))
+    }
+  }
+
   /** Multi-version orders feed for the materialization gate: wave 1
     * inserts every row; wave 2 (later tx seqs) updates status to 'X' for
     * orderkey%3==0; wave 3 deletes orderkey%10==5. Final state per key is

@@ -874,6 +874,33 @@ object CdcQueries {
       |FROM ranked GROUP BY shard, CASE WHEN 2 * rk <= n THEN 0 ELSE 1 END
       |ORDER BY shard, epoch""".stripMargin
 
+  // --------------------------------------------------- schema evolution
+  /** D4 last-writer-wins end-to-end: the feed re-sends FIELD with an
+    * added trailing `o_comment` column at each shard's half-way point
+    * (a live ALTER TABLE + schema reload). Rows decoded before the
+    * evolution must have no comment; rows after must carry `c<okey>`.
+    * The oracle recomputes the per-shard flip point with the identical
+    * rank arithmetic. */
+  val qCdcSchemaEvolve: Q = (s, d) => {
+    val recs = CdcPipeline.changeRecords(s, CdcFeed.ordersEvolving(s, d)).toDF()
+    recs
+      .filter(col("op") === "c")
+      .select(
+        afterStr("o_orderkey").cast(LongType).as("o_orderkey"),
+        afterStr("o_comment").as("o_comment"))
+  }
+
+  val qCdcSchemaEvolveSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderkey % 4 ORDER BY o_orderkey) AS rk,
+      |    count(*) OVER (PARTITION BY o_orderkey % 4) AS n
+      |  FROM orders
+      |)
+      |SELECT o_orderkey,
+      |  CASE WHEN 2 * rk > n THEN 'c' || o_orderkey END AS o_comment
+      |FROM ranked""".stripMargin
+
   // -------------------------------------------------- SQL-native decode
   /** D3 as a codegen'd Catalyst expression: the whole ROW decode —
     * event-JSON parse, change explode, packed-row slicing
@@ -978,6 +1005,7 @@ object CdcQueries {
     "cdc_insert_roundtrip" -> qCdcInsertRoundtrip,
     "cdc_ops_mix"          -> qCdcOpsMix,
     "cdc_epoch_bump"       -> qCdcEpochBump,
+    "cdc_schema_evolve"    -> qCdcSchemaEvolve,
     "cdc_reshard_epoch"    -> qCdcReshardEpoch,
     "cdc_generation"       -> qCdcGeneration,
     "cdc_copy_phase"       -> qCdcCopyPhase,
@@ -1011,6 +1039,7 @@ object CdcQueries {
     "cdc_insert_roundtrip" -> qCdcInsertRoundtripSql,
     "cdc_ops_mix"          -> qCdcOpsMixSql,
     "cdc_epoch_bump"       -> qCdcEpochBumpSql,
+    "cdc_schema_evolve"    -> qCdcSchemaEvolveSql,
     "cdc_reshard_epoch"    -> qCdcReshardEpochSql,
     "cdc_generation"       -> qCdcGenerationSql,
     "cdc_copy_phase"       -> qCdcCopyPhaseSql,
