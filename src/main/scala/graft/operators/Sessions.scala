@@ -44,6 +44,48 @@ object Sessions {
   final case class SessionState(startMicros: Long, lastMicros: Long, n: Long, total: Double)
   final case class Session(user_id: Long, startMicros: Long, n_events: Long, total_value: Double)
 
+  // ------------------------------------------------- streaming funnel
+  final case class FEv(user_id: Long, event_id: Long, tsMicros: Long, event_type: String)
+  final case class FunnelState(stagesDone: Int, lastMicros: Long)
+  final case class StageHit(user_id: Long, stage: String, tsMicros: Long)
+
+  /** Streaming funnel: per-user stage state machine over
+    * `flatMapGroupsWithState`. A user advances to stage k+1 on the first
+    * event of that stage type with a timestamp strictly after the stage-k
+    * completion; each advance emits a `StageHit` immediately (no waiting
+    * for the stream to end — the batch funnel query only answers after a
+    * full pass). Greedy earliest-advance is optimal here, so membership
+    * matches the batch funnel's min-timestamp construction exactly.
+    * Events are sorted per batch; cross-batch per-key order is the
+    * stream's responsibility (same contract as sessionizeStream). State
+    * is two numbers per user — bounded regardless of stream length. */
+  def funnelStream(
+      spark: SparkSession,
+      events: Dataset[FEv],
+      stages: Seq[String]): Dataset[StageHit] = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FEv], state: GroupState[FunnelState]) =>
+          val sorted = it.toVector.sortBy(e => (e.tsMicros, e.event_id))
+          var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val hits = Vector.newBuilder[StageHit]
+          sorted.foreach { e =>
+            if (cur.stagesDone < stages.length &&
+                stageIdx.get(e.event_type).contains(cur.stagesDone) &&
+                (cur.stagesDone == 0 || e.tsMicros > cur.lastMicros)) {
+              cur = FunnelState(cur.stagesDone + 1, e.tsMicros)
+              hits += StageHit(user, stages(cur.stagesDone - 1), e.tsMicros)
+            }
+          }
+          state.update(cur)
+          hits.result().iterator
+      }
+  }
+
   /** flatMapGroupsWithState session assembly: events for a user extend
     * the open session or close it (emitting) when the gap exceeds the
     * threshold. Events within a batch are sorted by (ts, event_id) —

@@ -95,6 +95,57 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch funnel; stage state spans batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // u1 completes view→click→purchase across TWO batches; u2 views and
+    // clicks but the purchase comes BEFORE the click (must not count);
+    // u3 clicks without ever viewing (no stage at all)
+    val batch1 = Seq(
+      Sessions.FEv(1L, 1, 10 * Minute, "view"),
+      Sessions.FEv(2L, 2, 10 * Minute, "purchase"),
+      Sessions.FEv(2L, 3, 20 * Minute, "view"),
+      Sessions.FEv(3L, 4, 10 * Minute, "click"))
+    val batch2 = Seq(
+      Sessions.FEv(1L, 5, 20 * Minute, "click"),
+      Sessions.FEv(1L, 6, 30 * Minute, "purchase"),
+      Sessions.FEv(2L, 7, 30 * Minute, "click"))
+    val input = MemoryStream[Sessions.FEv]
+    val q = Sessions.funnelStream(sp, input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_cmp")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val hits = sp.table("funnel_cmp")
+        .as[Sessions.StageHit].collect()
+        .groupBy(_.stage).view.mapValues(_.map(_.user_id).toSet).toMap
+      assert(hits("view") == Set(1L, 2L), "views: u1 and u2")
+      assert(hits("click") == Set(1L, 2L), "clicks after view: u1 (cross-batch), u2")
+      assert(hits.getOrElse("purchase", Set.empty) == Set(1L),
+        "only u1 purchases after its click; u2's purchase preceded its click")
+      // cross-check against the batch funnel query on the identical data
+      val all = (batch1 ++ batch2)
+        .toDF("user_id", "event_id", "tsMicros", "event_type")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("tsMicros")).as("ts"))
+      val ev = all
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click")).select("user_id").distinct()
+      assert(v.select("user_id").as[Long].collect().toSet == hits("view"))
+      assert(c.select("user_id").as[Long].collect().toSet == hits("click"))
+      assert(p.as[Long].collect().toSet == hits.getOrElse("purchase", Set.empty))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicate state spans micro-batches") {
     val sp = spark
     import sp.implicits._
