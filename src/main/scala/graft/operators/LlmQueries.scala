@@ -651,6 +651,34 @@ object LlmQueries {
       |                 x -> round(x, 4)) AS qs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ robust outliers
+  /** Median/MAD outliers in event values per event type (k=3). All
+    * arithmetic is double over identical interpolated medians, so the
+    * boundary comparison is engine-independent; the deviation is rounded
+    * only in the OUTPUT. */
+  val qEventsOutliers: Q = (s, d) =>
+    Outliers.madOutliers(
+        Tables.events(s, d).select("event_id", "event_type", "value"), "value",
+        Seq("event_type"), k = 3.0)
+      .select(col("event_id"), col("event_type"), round(col("adev"), 6).as("adev"))
+      .orderBy(col("event_id"))
+
+  val qEventsOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type
+      |), dev AS (
+      |  SELECT event_id, e.event_type, abs(value - med) AS adev
+      |  FROM events e JOIN med USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type
+      |)
+      |SELECT event_id, event_type, round(adev, 6) AS adev
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE adev > 3 * mad
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------- chunking
   /** Context-length chunking at 32 tokens, stride 24 (8-token overlap);
     * the oracle re-slices the token list per chunk index. */
@@ -1018,6 +1046,7 @@ object LlmQueries {
     "dedup_sentences"     -> qDedupSentences,
     "events_sessions"     -> qEventsSessions,
     "events_stream_daily" -> qEventsStreamDaily,
+    "events_outliers"     -> qEventsOutliers,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "dedup_embedding"     -> qDedupEmbedding,
@@ -1056,6 +1085,7 @@ object LlmQueries {
     "dedup_sentences"     -> qDedupSentencesSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_stream_daily" -> qEventsStreamDailySql,
+    "events_outliers"     -> qEventsOutliersSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "dedup_embedding"     -> qDedupEmbeddingSql,

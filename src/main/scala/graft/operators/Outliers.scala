@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust outlier detection for pipeline data cleaning: a value is an
+  * outlier when its absolute deviation from the group median exceeds
+  * `k` times the group's median absolute deviation (MAD). Median/MAD
+  * resist the very outliers they hunt, unlike mean/stddev.
+  *
+  * Shape: two aggregations on the group key (median, then MAD of the
+  * deviations) with joins back to the rows — the per-group stat tables
+  * have one row per group, so AQE broadcasts them and the fact rows
+  * shuffle at most once. `percentile` is the exact interpolating
+  * quantile (same definition as DuckDB's `quantile_cont`), which
+  * buffers a group's values in memory — right for bounded-cardinality
+  * groups like event types; swap in `approx_percentile` for
+  * high-cardinality grouping at scale. */
+object Outliers {
+
+  def madOutliers(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double): DataFrame = {
+    val keys = groupCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = df.join(med, groupCols)
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, groupCols)
+      .filter(col("adev") > lit(k) * col("mad"))
+  }
+}
