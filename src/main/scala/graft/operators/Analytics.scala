@@ -864,6 +864,34 @@ object Analytics {
       |  (SELECT count(*) FROM c) AS n_click_after_view,
       |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
 
+  // ---------------------------------------------------- interval join
+  /** Shipping activity around each order: how many lineitems (of ANY
+    * order) shipped within ±1 day of the order's date — a genuine
+    * point-in-interval join, which naive Spark plans as a nested-loop
+    * cartesian. [[Joins.pointInIntervalJoin]] rewrites it to an
+    * equi-join on 2-day time buckets (each pair meets exactly once, no
+    * dedup); the oracle runs DuckDB's native range join. */
+  val qIntervalShipping: Q = (s, d) => {
+    val iv = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_orderdate") - expr("INTERVAL 1 DAY")).as("lo"),
+      (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("hi"))
+    val pts = Tables.lineitem(s, d).select(col("l_shipdate"))
+    Joins.pointInIntervalJoin(pts, iv, "l_shipdate", "lo", "hi",
+        bucketMicros = 2L * 86400L * 1000000L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped_nearby"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qIntervalShippingSql: String =
+    """SELECT o_orderkey, count(*) AS n_shipped_nearby
+      |FROM orders JOIN lineitem
+      |  ON l_shipdate BETWEEN o_orderdate - INTERVAL 1 DAY
+      |                    AND o_orderdate + INTERVAL 1 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------- salted join
   /** qTopBrands re-expressed through [[Joins.saltedJoin]] (8 salt
     * buckets): the skew-safe rewrite must produce bit-identical results
@@ -908,6 +936,7 @@ object Analytics {
     "q21_sole_supplier"    -> q21SoleSupplier,
     "q22_global_balance"   -> q22GlobalBalance,
     "events_funnel"        -> qEventsFunnel,
+    "q_interval_shipping"  -> qIntervalShipping,
     "q_salted_brands"      -> qSaltedBrands)
 
   val oracleSql: Map[String, String] = Map(
@@ -935,5 +964,6 @@ object Analytics {
     "q21_sole_supplier"    -> q21Sql,
     "q22_global_balance"   -> q22Sql,
     "events_funnel"        -> qEventsFunnelSql,
+    "q_interval_shipping"  -> qIntervalShippingSql,
     "q_salted_brands"      -> qTopBrandsSql)
 }

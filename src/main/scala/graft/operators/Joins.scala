@@ -49,6 +49,41 @@ object Joins {
     saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Point-in-interval join without a cartesian product. Spark has no
+    * range-join optimization: a bare `l.ts BETWEEN r.lo AND r.hi`
+    * condition plans as BroadcastNestedLoopJoin (or worse, cartesian) —
+    * O(|L|·|R|) at any scale. This rewrite buckets time: each point
+    * lands in exactly one fixed-width bucket, each interval explodes
+    * into every bucket it overlaps, and the join becomes an EQUI-join
+    * on bucket id followed by the exact containment filter. Each
+    * matching (point, interval) pair meets exactly once — in the
+    * point's unique bucket — so no dedup pass is needed.
+    *
+    * Scale: shuffle keyed on bucket id (time-parallel, grows with the
+    * covered time span); interval replication is |interval|/bucketWidth
+    * + 1 copies, so pick bucketWidth near the typical interval length.
+    * Point and interval columns must be timestamps. */
+  def pointInIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucket width must be positive, got $bucketMicros")
+    // accept TIMESTAMP and TIMESTAMP_NTZ alike (parquet scans yield NTZ);
+    // the cast is lossless under the engine's fixed UTC session timezone
+    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
+    val p = points.withColumn("__bucket", floor(micros(pointCol) / bucketMicros))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(micros(startCol) / bucketMicros),
+        floor(micros(endCol) / bucketMicros))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** Write `df` as a bucketed+sorted table so later equi-joins on
     * `bucketKeys` read co-located partitions and skip the shuffle (and
     * with matching sort, the merge phase reads pre-sorted buckets).

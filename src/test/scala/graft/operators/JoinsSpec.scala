@@ -66,6 +66,37 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interval join: equals the naive range join; boundaries inclusive; pairs meet once") {
+    val sp = spark; import sp.implicits._
+    val H = 3600L * 1000000L // one hour in micros
+    // points every 10 minutes over a day; intervals of assorted widths,
+    // including one spanning many buckets and zero-width boundary cases
+    val points = (0L until 144L).map(i => Tuple1(i * 10 * 60 * 1000000L))
+      .toDF("p_us").select(timestamp_micros(col("p_us")).as("p"))
+    val ivs = Seq(
+      (1L, 0L, 30 * 60 * 1000000L),             // half-hour from epoch
+      (2L, 2 * H, 2 * H),                        // zero-width: exactly one point
+      (3L, 5 * H + 1, 9 * H - 1),                // open-ish interior
+      (4L, 0L, 23 * H)                           // spans many buckets
+    ).toDF("iv_id", "lo_us", "hi_us")
+      .select(col("iv_id"),
+        timestamp_micros(col("lo_us")).as("lo"),
+        timestamp_micros(col("hi_us")).as("hi"))
+    val got = Joins.pointInIntervalJoin(points, ivs, "p", "lo", "hi",
+        bucketMicros = 2 * H)
+      .select(col("iv_id"), col("p")).as[(Long, java.sql.Timestamp)]
+      .collect().toVector.sorted(Ordering.by((t: (Long, java.sql.Timestamp)) => (t._1, t._2.getTime)))
+    val naive = points.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("iv_id"), col("p")).as[(Long, java.sql.Timestamp)]
+      .collect().toVector.sorted(Ordering.by((t: (Long, java.sql.Timestamp)) => (t._1, t._2.getTime)))
+    assert(got == naive, "bucketed result must equal the naive range join")
+    // no dedup pass exists, so pair multiplicity must already be 1
+    assert(got.distinct == got, "each (interval, point) pair meets exactly once")
+    // zero-width interval matched exactly its boundary point (inclusivity)
+    assert(got.count(_._1 == 2L) == 1)
+  }
+
   test("bucketed join: no shuffle exchange, same result as direct join") {
     val sp = spark; import sp.implicits._
     val facts = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
