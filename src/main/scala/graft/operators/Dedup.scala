@@ -338,6 +338,28 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** One-survivor-per-cluster dedup with a QUALITY-CHOSEN representative:
+    * keep the cluster member maximizing `scoreCol` (ties → smallest id)
+    * instead of the arbitrary min-id — the policy real pipelines want,
+    * since the shortest/noisiest copy often has the smallest id. Docs in
+    * no pair pass through untouched via an anti join, so the per-cluster
+    * window only ever partitions actual cluster members (singletons
+    * never funnel into one giant null partition). */
+  def clusterDedupBy(
+      df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val members = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val inClusters = df.join(members, Seq(idCol))
+    val singletons = df.join(members.select(idCol), Seq(idCol), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col(scoreCol).desc, col(idCol))
+    val reps = inClusters
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "cluster_id")
+    singletons.unionByName(reps)
+  }
+
   // ------------------------------------------------------------ simhash
   private val simhashUdf = udf { (toks: Seq[String]) =>
     if (toks == null || toks.isEmpty) 0L

@@ -413,6 +413,72 @@ object LlmQueries {
       |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------- cluster representatives
+  /** Quality-chosen dedup survivors: within each near-dup cluster keep
+    * the member with the highest quality score (ties → smallest id);
+    * singletons pass through. The oracle recomputes the transitive
+    * closure AND the quality argmax independently. */
+  val qDedupClusterReps: Q = (s, d) => {
+    val (union, pairs) = unionWithPairs(s, d)
+    val scored = union.withColumn("quality", TextOps.qualityScore(col("text")))
+      .select("doc_id", "quality")
+    Dedup.clusterDedupBy(scored, pairs, "doc_id", "quality")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of TextOps.qualityScore over a column named `text`. */
+  private val qualitySqlExpr: String = {
+    val toks = """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+    val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::DOUBLE"
+    val stop = s"len(list_filter($toks, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE"
+    val punct = """len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::DOUBLE"""
+    s"""round(least($nTok, 200.0) / 200.0
+       |    * (1.0 - ($stop / greatest($nTok, 1.0)) * 0.5)
+       |    - ($punct / greatest(length(text)::DOUBLE, 1.0)) * 0.25, 6)""".stripMargin
+  }
+
+  val qDedupClusterRepsSql: String =
+    s"""WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zzzz' FROM documents WHERE doc_id % 7 = 0
+      |), tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM all_docs
+      |), shingle_sets AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+      |  FROM tok WHERE len(toks) >= 3
+      |), prs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM prs
+      |  UNION
+      |  SELECT id_b, id_a FROM prs
+      |), reach AS (
+      |  SELECT src AS node, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+      |), clusters AS (
+      |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+      |), q AS (
+      |  SELECT doc_id, $qualitySqlExpr AS quality FROM all_docs
+      |), ranked AS (
+      |  SELECT q.doc_id, q.quality,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |                       ORDER BY q.quality DESC, q.doc_id) AS rk
+      |  FROM q JOIN clusters c USING (doc_id)
+      |)
+      |SELECT doc_id, quality FROM (
+      |  SELECT doc_id, quality FROM ranked WHERE rk = 1
+      |  UNION ALL
+      |  SELECT doc_id, quality FROM q
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+      |) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ containment near-dup
   /** Snippet-in-document detection: the corpus plus a 12-token prefix
     * snippet of every ninth document (ids +300000). MinHash/Jaccard
@@ -1027,6 +1093,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "dedup_clusters"      -> qDedupClusters,
     "dedup_containment"   -> qDedupContainment,
+    "dedup_cluster_reps"  -> qDedupClusterReps,
     "sample_stratified"   -> qSampleStratified,
     "sample_split"        -> qSampleSplit,
     "sample_mixture"      -> qSampleMixture,
@@ -1066,6 +1133,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_clusters"      -> qDedupClustersSql,
     "dedup_containment"   -> qDedupContainmentSql,
+    "dedup_cluster_reps"  -> qDedupClusterRepsSql,
     "sample_stratified"   -> qSampleStratifiedSql,
     "sample_split"        -> qSampleSplitSql,
     "sample_mixture"      -> qSampleMixtureSql,
