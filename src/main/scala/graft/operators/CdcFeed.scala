@@ -199,8 +199,13 @@ object CdcFeed extends Serializable {
         if (okey % 3 == 0)
           mk(tx + W2, RowChange(Some(PackedRow.of(row)), Some(PackedRow.of(row.updated(2, Some("X"))))))
         else Nil
+      // the delete's before image reflects the row's CURRENT state (post
+      // wave-2 update where one applied), as a real binlog does — delta
+      // consumers (incremental aggregate maintenance) depend on before
+      // images being consistent with the log, not the original insert
+      val current = if (okey % 3 == 0) row.updated(2, Some("X")) else row
       val delete =
-        if (okey % 10 == 5) mk(tx + W3, RowChange(Some(PackedRow.of(row)), None))
+        if (okey % 10 == 5) mk(tx + W3, RowChange(Some(PackedRow.of(current)), None))
         else Nil
       insert ++ update ++ delete
     }

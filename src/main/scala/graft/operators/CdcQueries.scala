@@ -645,6 +645,30 @@ object CdcQueries {
       |  o_totalprice, o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 10 <> 5""".stripMargin
 
+  // ------------------------------------------- incremental aggregate
+  /** Delta-maintained aggregate (materialized-view pattern): revenue and
+    * live-row count per order status, maintained purely from the change
+    * log's signed before/after deltas — no rescan, no per-key window.
+    * Updates move rows between status groups; deletes (whose before
+    * images reflect the post-update state, like a real binlog) retract
+    * them. Must equal the aggregate DuckDB computes over the final
+    * state. */
+  val qCdcIncrementalAgg: Q = (s, d) =>
+    Sink.incrementalAgg(ordersVersionedLog(s, d), "orders",
+        "o_orderstatus", "o_totalprice")
+      .select(
+        col("grp").as("o_orderstatus"),
+        col("n_live"),
+        graft.operators.Analytics.fixed4(col("total")).as("total"))
+      .orderBy(col("o_orderstatus"))
+
+  val qCdcIncrementalAggSql: String =
+    s"""SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |  count(*) AS n_live,
+      |  ${graft.operators.Analytics.fixed4Sql("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
+      |FROM orders WHERE o_orderkey % 10 <> 5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------- time travel
   /** Temporal.snapshotAt: orders as of rank W2+50 — every wave-1 insert
     * plus the first 50 per-shard update transactions, no deletes yet.
@@ -995,6 +1019,7 @@ object CdcQueries {
     "cdc_decimal_extract"  -> qCdcDecimalExtract,
     "cdc_decimal_typed"    -> qCdcDecimalTyped,
     "cdc_materialize"      -> qCdcMaterialize,
+    "cdc_incremental_agg"  -> qCdcIncrementalAgg,
     "cdc_time_travel"      -> qCdcTimeTravel,
     "cdc_scd2"             -> qCdcScd2,
     "pipeline_cdc_corpus"  -> qPipelineCdcCorpus,
@@ -1029,6 +1054,7 @@ object CdcQueries {
     "cdc_decimal_extract"  -> qCdcDecimalExtractSql,
     "cdc_decimal_typed"    -> qCdcDecimalTypedSql,
     "cdc_materialize"      -> qCdcMaterializeSql,
+    "cdc_incremental_agg"  -> qCdcIncrementalAggSql,
     "cdc_time_travel"      -> qCdcTimeTravelSql,
     "cdc_scd2"             -> qCdcScd2Sql,
     "pipeline_cdc_corpus"  -> qPipelineCdcCorpusSql,

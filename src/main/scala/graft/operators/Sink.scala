@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 /** S7 sink side: per-table topic routing + partitioned materialization,
   * and the CDC→table upsert that turns a change log into a queryable
@@ -80,6 +80,38 @@ object Sink {
     * exactly for this (A2/A3: rank is monotone per shard+epoch). Deletes
     * drop the key. One shuffle on the key; at scale the window is the
     * same cost as the groupBy a merge would need. */
+  /** Incremental aggregate maintenance from a change log (the
+    * materialized-view pattern): each change record contributes signed
+    * deltas — the `before` side of updates/deletes subtracts from its
+    * group, the `after` side of inserts/updates adds to its group — so a
+    * grouped SUM/COUNT is maintained from the deltas alone, one pass
+    * over the log, NO rescan of the base table and no per-key window.
+    * An update that moves a row between groups contributes to both. The
+    * maintained aggregate over a complete log equals the aggregate over
+    * the materialized final state (groups whose live count reaches 0
+    * drop out, as they would in the recomputed result). Money deltas
+    * are exact DECIMAL, so +x and −x cancel exactly. */
+  def incrementalAgg(
+      records0: DataFrame, table: String,
+      groupField: String, valueField: String): DataFrame = {
+    val records = normalize(records0)
+      .filter(col("table") === table && col("op").isin("c", "u", "d"))
+    def side(json: String, sign: Int) = {
+      val ops = if (sign > 0) Seq("c", "u") else Seq("u", "d")
+      records
+        .filter(col("op").isin(ops: _*))
+        .select(
+          get_json_object(col(json), s"$$.$groupField").as("grp"),
+          lit(sign.toLong).as("dn"),
+          (get_json_object(col(json), s"$$.$valueField")
+            .cast(DecimalType(18, 4)) * sign).as("dv"))
+    }
+    side("after", 1).unionByName(side("before", -1))
+      .groupBy(col("grp"))
+      .agg(sum(col("dn")).as("n_live"), sum(col("dv")).cast(DecimalType(38, 4)).as("total"))
+      .filter(col("n_live") > 0)
+  }
+
   def materialize(records0: DataFrame, table: String, schema: StructType): DataFrame = {
     val records = normalize(records0)
     val w = Window.partitionBy(col("key"))
