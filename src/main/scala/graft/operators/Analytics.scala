@@ -865,32 +865,40 @@ object Analytics {
       |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
 
   // ---------------------------------------------------- interval join
-  /** Shipping activity around each order: how many lineitems (of ANY
-    * order) shipped within ±1 day of the order's date — a genuine
+  /** Activity in each user's first day after every signup: a keyed
     * point-in-interval join, which naive Spark plans as a nested-loop
     * cartesian. [[Joins.pointInIntervalJoin]] rewrites it to an
-    * equi-join on 2-day time buckets (each pair meets exactly once, no
-    * dedup); the oracle runs DuckDB's native range join. */
-  val qIntervalShipping: Q = (s, d) => {
-    val iv = Tables.orders(s, d).select(
-      col("o_orderkey"),
-      (col("o_orderdate") - expr("INTERVAL 1 DAY")).as("lo"),
-      (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("hi"))
-    val pts = Tables.lineitem(s, d).select(col("l_shipdate"))
-    Joins.pointInIntervalJoin(pts, iv, "l_shipdate", "lo", "hi",
-        bucketMicros = 2L * 86400L * 1000000L)
-      .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_shipped_nearby"))
-      .orderBy(col("o_orderkey"))
+    * equi-join on (user_id, 1-day time bucket) plus the exact
+    * containment filter (each pair meets exactly once, no dedup). The
+    * user key keeps pair volume proportional to per-user activity —
+    * an unkeyed time-bucket variant of this query grows quadratically
+    * with event density per day. The oracle runs DuckDB's native range
+    * join. */
+  val qIntervalSignup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val iv = ev.filter(col("event_type") === "signup").select(
+      col("user_id"),
+      col("event_id").as("signup_id"),
+      col("ts").as("lo"),
+      (col("ts") + expr("INTERVAL 24 HOURS")).as("hi"))
+    val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
+    Joins.pointInIntervalJoin(pts, iv, "ts", "lo", "hi",
+        bucketMicros = 86400L * 1000000L, keys = Seq("user_id"))
+      .filter(col("event_id") =!= col("signup_id")) // not the signup itself
+      .groupBy(col("signup_id"))
+      .agg(count(lit(1)).as("n_next_day"))
+      .orderBy(col("signup_id"))
   }
 
-  val qIntervalShippingSql: String =
-    """SELECT o_orderkey, count(*) AS n_shipped_nearby
-      |FROM orders JOIN lineitem
-      |  ON l_shipdate BETWEEN o_orderdate - INTERVAL 1 DAY
-      |                    AND o_orderdate + INTERVAL 1 DAY
-      |GROUP BY o_orderkey
-      |ORDER BY o_orderkey""".stripMargin
+  val qIntervalSignupSql: String =
+    """SELECT s.event_id AS signup_id, count(*) AS n_next_day
+      |FROM events s JOIN events e
+      |  ON e.user_id = s.user_id
+      | AND e.event_id <> s.event_id
+      | AND e.ts BETWEEN s.ts AND s.ts + INTERVAL 24 HOURS
+      |WHERE s.event_type = 'signup'
+      |GROUP BY s.event_id
+      |ORDER BY signup_id""".stripMargin
 
   // ------------------------------------------------------- salted join
   /** qTopBrands re-expressed through [[Joins.saltedJoin]] (8 salt
@@ -936,7 +944,7 @@ object Analytics {
     "q21_sole_supplier"    -> q21SoleSupplier,
     "q22_global_balance"   -> q22GlobalBalance,
     "events_funnel"        -> qEventsFunnel,
-    "q_interval_shipping"  -> qIntervalShipping,
+    "q_interval_signup"    -> qIntervalSignup,
     "q_salted_brands"      -> qSaltedBrands)
 
   val oracleSql: Map[String, String] = Map(
@@ -964,6 +972,6 @@ object Analytics {
     "q21_sole_supplier"    -> q21Sql,
     "q22_global_balance"   -> q22Sql,
     "events_funnel"        -> qEventsFunnelSql,
-    "q_interval_shipping"  -> qIntervalShippingSql,
+    "q_interval_signup"    -> qIntervalSignupSql,
     "q_salted_brands"      -> qTopBrandsSql)
 }

@@ -59,9 +59,14 @@ object Joins {
     * matching (point, interval) pair meets exactly once — in the
     * point's unique bucket — so no dedup pass is needed.
     *
-    * Scale: shuffle keyed on bucket id (time-parallel, grows with the
-    * covered time span); interval replication is |interval|/bucketWidth
-    * + 1 copies, so pick bucketWidth near the typical interval length.
+    * Scale: shuffle keyed on (equi-keys, bucket id) — time-parallel and,
+    * with `keys`, key-parallel; interval replication is
+    * |interval|/bucketWidth + 1 copies, so pick bucketWidth near the
+    * typical interval length. Pass the entity keys both sides share in
+    * `keys` whenever the query has them (events per user, readings per
+    * device): a bare time-bucket join concentrates the whole corpus's
+    * time-coincident pairs, which grows quadratically with density,
+    * while the keyed form stays proportional to per-key activity.
     * Point and interval columns must be timestamps. */
   def pointInIntervalJoin(
       points: DataFrame,
@@ -69,7 +74,8 @@ object Joins {
       pointCol: String,
       startCol: String,
       endCol: String,
-      bucketMicros: Long): DataFrame = {
+      bucketMicros: Long,
+      keys: Seq[String] = Nil): DataFrame = {
     require(bucketMicros > 0, s"bucket width must be positive, got $bucketMicros")
     // accept TIMESTAMP and TIMESTAMP_NTZ alike (parquet scans yield NTZ);
     // the cast is lossless under the engine's fixed UTC session timezone
@@ -79,7 +85,7 @@ object Joins {
       explode(sequence(
         floor(micros(startCol) / bucketMicros),
         floor(micros(endCol) / bucketMicros))))
-    p.join(iv, Seq("__bucket"))
+    p.join(iv, keys :+ "__bucket")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }

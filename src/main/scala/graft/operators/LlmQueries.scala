@@ -491,9 +491,14 @@ object LlmQueries {
     val snippets = docs.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 300000L).as("doc_id"),
         concat_ws(" ", slice(graft.operators.TextOps.tokens(col("text")), 1, 12)).as("text"))
+    // 5-gram shingles: the synthetic corpus draws from a ~40-word
+    // vocabulary, so 3-grams collide organically across most documents
+    // and the inverted index degenerates toward the df cap; 5-grams are
+    // effectively unique to a passage, which is also the right
+    // granularity for verbatim-copy detection
     Dedup.containmentPairs(
         docs.unionByName(snippets), "text", "doc_id",
-        n = 3, threshold = 0.9, maxShingleDf = 64)
+        n = 5, threshold = 0.9, maxShingleDf = 64)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -510,9 +515,9 @@ object LlmQueries {
       |  FROM all_docs
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-      |         ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-      |               FOR i IN generate_series(1, len(t) - 2)] END)) AS sh
+      |    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |         ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |               FOR i IN generate_series(1, len(t) - 4)] END)) AS sh
       |  FROM tok
       |), dfreq AS (
       |  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64

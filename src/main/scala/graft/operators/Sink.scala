@@ -93,6 +93,18 @@ object Sink {
     * are exact DECIMAL, so +x and −x cancel exactly. */
   def incrementalAgg(
       records0: DataFrame, table: String,
+      groupField: String, valueField: String): DataFrame =
+    aggDeltas(records0, table, groupField, valueField)
+      .groupBy(col("grp"))
+      .agg(sum(col("dn")).as("n_live"), sum(col("dv")).cast(DecimalType(38, 4)).as("total"))
+      .filter(col("n_live") > 0)
+
+  /** The raw signed delta rows `(grp, dn, dv)` behind [[incrementalAgg]]
+    * — the per-micro-batch unit of maintenance: in a `foreachBatch`
+    * consumer each batch contributes only its own deltas (which may be
+    * net-negative for a group) and the running aggregate is their sum. */
+  def aggDeltas(
+      records0: DataFrame, table: String,
       groupField: String, valueField: String): DataFrame = {
     val records = normalize(records0)
       .filter(col("table") === table && col("op").isin("c", "u", "d"))
@@ -107,9 +119,6 @@ object Sink {
             .cast(DecimalType(18, 4)) * sign).as("dv"))
     }
     side("after", 1).unionByName(side("before", -1))
-      .groupBy(col("grp"))
-      .agg(sum(col("dn")).as("n_live"), sum(col("dv")).cast(DecimalType(38, 4)).as("total"))
-      .filter(col("n_live") > 0)
   }
 
   def materialize(records0: DataFrame, table: String, schema: StructType): DataFrame = {

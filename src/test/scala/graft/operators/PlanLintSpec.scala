@@ -60,7 +60,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q9_nation_profit", "q_rollup_revenue",
     "q_top_brands", "q_order_priority", "q_customers_no_orders",
     "q_running_supplier", "q_events_daily", "events_funnel",
-    "q_interval_shipping")
+    "q_interval_signup")
 
   private def q(name: String): DataFrame =
     Analytics.queries(name)(spark, sfDir)
@@ -131,12 +131,12 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a funnel shuffle is keyed off user_id:\n${exchanges.mkString("\n")}")
   }
 
-  test("interval join plans as an equi-join on the bucket id, never a nested loop") {
-    val p = plan(q("q_interval_shipping"))
+  test("interval join plans as an equi-join on (key, bucket), never a nested loop") {
+    val p = plan(q("q_interval_signup"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range condition must not fall back to a nested loop:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-      s"expected a shuffled equi-join on the time bucket:\n$p")
+      s"expected a shuffled equi-join on (user_id, time bucket):\n$p")
   }
 
   test("top-k queries plan TakeOrdered, not a global sort") {

@@ -104,6 +104,51 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally q.stop()
   }
 
+  test("incremental aggregate maintained per micro-batch equals the one-shot answer") {
+    val feedDir = Files.createTempDirectory("graft_inc_feed")
+    val ckpt = Files.createTempDirectory("graft_inc_ckpt")
+    def packed(id: Long, v: String) = PackedRow.of(Seq(Some(id.toString), Some(v)))
+    def rowTx(seq: Long, change: RowChange): Seq[VEvent] = Seq(
+      BeginEvent("0", "ks"),
+      FieldEvent("0", "ks", "ks.t1", t1Fields, enumSetStringValues = false),
+      RowEvent("0", "ks", "ks.t1", Seq(change)),
+      VgtidEvent("0", Vgtid(Seq(ShardGtid("ks", "0", s"MySQL56/feed:1-$seq")))),
+      CommitEvent("0", "ks", 1700000000L + seq))
+    // batch 1: three inserts; batch 2: a group-moving update, a delete, an insert
+    writeFeed(feedDir, "0",
+      rowTx(1, RowChange(None, Some(packed(10, "a")))) ++
+        rowTx(2, RowChange(None, Some(packed(20, "a")))) ++
+        rowTx(3, RowChange(None, Some(packed(30, "b")))))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(String, Long, BigDecimal)]
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        deltas.synchronized {
+          deltas ++= graft.operators.Sink.aggDeltas(batch.toDF(), "t1", "v", "id")
+            .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      writeFeed(feedDir, "0",
+        rowTx(4, RowChange(Some(packed(20, "a")), Some(packed(20, "b")))) ++
+          rowTx(5, RowChange(Some(packed(30, "b")), None)) ++
+          rowTx(6, RowChange(None, Some(packed(40, "b")))),
+        append = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state: a = {10}, b = {20, 40}
+    val byGrp = deltas.groupBy(_._1).view.mapValues(rs =>
+      (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    assert(byGrp("a") == ((1L, BigDecimal(10))), s"group a wrong: $byGrp")
+    assert(byGrp("b") == ((2L, BigDecimal(60))), s"group b wrong: $byGrp")
+  }
+
   test("restart from checkpoint resumes with no loss and no duplicates") {
     val feedDir = Files.createTempDirectory("cdcfeed2")
     val ckpt = Files.createTempDirectory("cdcckpt2")
