@@ -97,6 +97,34 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == 2L) == 1)
   }
 
+  test("interval join property: random keyed corpus equals naive join at several bucket widths") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    val H = 3600L * 1000000L
+    val points = (1 to 300).map { i =>
+      (i.toLong % 5, rnd.nextLong(48 * H))
+    }.toDF("k", "p_us")
+      .select(col("k"), timestamp_micros(col("p_us")).as("p"))
+    val ivs = (1 to 80).map { i =>
+      val lo = rnd.nextLong(48 * H)
+      (i.toLong, i.toLong % 5, lo, lo + rnd.nextLong(6 * H))
+    }.toDF("iv_id", "k", "lo_us", "hi_us")
+      .select(col("iv_id"), col("k"),
+        timestamp_micros(col("lo_us")).as("lo"),
+        timestamp_micros(col("hi_us")).as("hi"))
+    val naive = points.join(ivs, Seq("k"))
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("iv_id"), col("p")).as[(Long, java.sql.Timestamp)]
+      .collect().sortBy(t => (t._1, t._2.getTime)).toVector
+    for (bucket <- Seq(H / 2, H, 7 * H)) {
+      val got = Joins.pointInIntervalJoin(points, ivs, "p", "lo", "hi",
+          bucketMicros = bucket, keys = Seq("k"))
+        .select(col("iv_id"), col("p")).as[(Long, java.sql.Timestamp)]
+        .collect().sortBy(t => (t._1, t._2.getTime)).toVector
+      assert(got == naive, s"bucket width $bucket diverges from the naive join")
+    }
+  }
+
   test("bucketed join: no shuffle exchange, same result as direct join") {
     val sp = spark; import sp.implicits._
     val facts = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")

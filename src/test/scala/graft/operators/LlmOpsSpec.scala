@@ -412,6 +412,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L)._2 > rows(2L)._2)
   }
 
+  test("mad outliers: exact median/MAD per group, boundary excluded, per-group independence") {
+    val sp = spark; import sp.implicits._
+    // group g1: values 1..7 plus a spike — median 4 (of 1..7+100 → 4.5
+    // actually: 8 values 1,2,3,4,5,6,7,100 → median (4+5)/2 = 4.5,
+    // deviations 3.5,2.5,1.5,0.5,0.5,1.5,2.5,95.5 → MAD = (1.5+2.5)/2 = 2.0;
+    // k=3 ⇒ threshold 6.0: only the spike (95.5) exceeds it.
+    // group g2: constant values → MAD 0, nothing flagged (0 > 0 false).
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, "g1", v)
+    } ++ Seq((100L, "g2", 5.0), (101L, "g2", 5.0), (102L, "g2", 5.0)))
+      .toDF("id", "grp", "v")
+    val out = Outliers.madOutliers(df, "v", Seq("grp"), k = 3.0)
+      .select("id", "adev").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(7L), s"only the spike is an outlier: $out")
+    assert(out(7L) == 95.5)
+  }
+
   test("containment: flags snippet-in-document that jaccard misses; df cap drops shared shingles") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
