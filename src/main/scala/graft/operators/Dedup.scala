@@ -95,11 +95,15 @@ object Dedup {
     val sh = df
       .select(col(idCol).cast("long").as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    // persisted: the pruned inverted index feeds the size aggregation and
+    // BOTH sides of the pairing self-join — without the cache the
+    // tokenize+explode over the corpus runs once per consumer
     val kept = sh.join(
       sh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
         .filter(col("sdf") <= maxShingleDf)
         .select("sh"),
       Seq("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shared = kept.as("a")
       .join(kept.as("b"),
