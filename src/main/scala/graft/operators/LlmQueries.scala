@@ -220,20 +220,64 @@ object LlmQueries {
       |) WHERE rk = 1 ORDER BY query_id""".stripMargin
 
   // ------------------------------------------------------------ ANN IVF
-  /** Scale-path ANN: IVF cells + probing, rescored exactly. ANN is
-    * approximate by contract, so there is no exact oracle — the driver
-    * records a rows-only check and the unit spec asserts top-1 recall
-    * ≥ 0.9 vs brute force. */
+  /** Scale-path ANN: IVF cells + probing, rescored exactly. ANN results
+    * are approximate w.r.t. brute force (a recall spec pins that ≥0.9),
+    * but with trainIters=0 the ALGORITHM is fully deterministic —
+    * centroids are the first 32 vectors by id, assignment is argmax
+    * cosine (ties → lower cell id), probes are the top-4 cells — so the
+    * oracle replays the identical IVF pipeline in SQL and the gate
+    * hash-checks it exactly. */
   val qAnnIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
     Similarity.ivfTopK(emb, queries, k = 5)
+      // long rk: matches DuckDB row_number's BIGINT so the gate's schema
+      // comparison is type-identical, not just name-identical
+      .withColumn("rk", col("rk").cast("long"))
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** DuckDB replay of ivfTopK with trainIters=0: cells = first-32 ids,
+    * assignment/probing via list_cosine_similarity (proven hash-identical
+    * to graft's left-to-right double cosine by ann_topk), top-4 probed
+    * cells per query, exact rescoring within them. */
+  val qAnnIvfSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 32
+      |), assigned AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS vec, cid FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM embeddings e CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |), probes AS (
+      |  SELECT query_id, query_vec, cid FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+      |  ) WHERE prn <= 4
+      |)
+      |SELECT query_id, rk, neighbor_id, sim FROM (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    round(list_cosine_similarity(p.query_vec::DOUBLE[], a.vec::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(p.query_vec::DOUBLE[], a.vec::DOUBLE[]) DESC,
+      |               a.neighbor_id) AS rk
+      |  FROM probes p JOIN assigned a USING (cid)
+      |  WHERE a.neighbor_id <> p.query_id
+      |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   // ------------------------------------------------------------- ANN PQ
-  /** Product-quantization ANN (approximate by contract like IVF: no
-    * exact oracle, rows-only gate + recall spec). */
+  /** Product-quantization ANN. Unlike IVF, no exact oracle is
+    * constructible: the codebook sample order is Spark's xxhash64 (no
+    * DuckDB equivalent), and the default trainIters=3 Lloyd refinement
+    * is an iterative dense-array fixpoint with no reasonable SQL
+    * expression — so the gate stays rows-only by contract, with the
+    * recall ≥0.9 spec as the correctness pin. */
   val qAnnPq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
@@ -705,21 +749,26 @@ object LlmQueries {
     * definition as DuckDB's `quantile_cont`; both sides round to 4
     * decimals so the interpolation arithmetic hashes identically.
     * Exact percentile sorts per group — fine for a bounded group count
-    * (languages); for per-document grouping use approx_percentile. */
+    * (languages); for per-document grouping use approx_percentile.
+    * Quantiles are emitted as four scalar columns (not one array) so the
+    * driver's pandas-based comparator can sort/hash the frame. */
   val qTextLenQuantiles: Q = (s, d) =>
     Tables.documents(s, d)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        transform(
-          percentile(col("n_chars"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))),
-          x => round(x.cast("double"), 4)).as("qs"))
+        round(percentile(col("n_chars"), lit(0.25)).cast("double"), 4).as("q25"),
+        round(percentile(col("n_chars"), lit(0.5)).cast("double"), 4).as("q50"),
+        round(percentile(col("n_chars"), lit(0.75)).cast("double"), 4).as("q75"),
+        round(percentile(col("n_chars"), lit(0.95)).cast("double"), 4).as("q95"))
       .orderBy(col("lang"))
 
   val qTextLenQuantilesSql: String =
     """SELECT lang, count(*) AS n_docs,
-      |  list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]),
-      |                 x -> round(x, 4)) AS qs
+      |  round(quantile_cont(n_chars, 0.25), 4) AS q25,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS q50,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS q75,
+      |  round(quantile_cont(n_chars, 0.95), 4) AS q95
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------ robust outliers
@@ -1170,6 +1219,7 @@ object LlmQueries {
     "dedup_minhash_kept"  -> qDedupMinhashSurvivorsSql,
     "dedup_simhash"       -> qDedupSimhashSql,
     "ann_topk"            -> qAnnTopkSql,
+    "ann_ivf"             -> qAnnIvfSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
     "multimodal_frames"   -> qMultimodalFramesSql)
 }
