@@ -281,20 +281,49 @@ object Similarity {
       }
       (qid, table)
     }
-    val scoreU = udf { (cs: Seq[Int]) =>
-      qrows.toSeq.map { case (qid, table) =>
-        var s = 0.0; var sub = 0
-        while (sub < cs.length) { s += table(sub)(cs(sub)); sub += 1 }
-        (qid, s)
+    // Candidate selection is partial-aggregated: a bounded heap per query
+    // per partition keeps only the local top-`candidates` by ADC score, so
+    // the exchange ahead of the final per-query rank carries at most
+    // partitions·|queries|·candidates rows — never the N·|queries| scored
+    // pairs an explode+window would materialize. The heap order (approx
+    // desc, neighbor_id asc) is a total order, so distributing the
+    // selection per partition is exact, not approximate.
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    // dequeues the WORST kept candidate: lowest score first, highest id on ties
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
-    val approx = corpus.select(col(idCol).as("neighbor_id"), encodeU(col(vecCol)).as("cs"))
-      .select(col("neighbor_id"), explode(scoreU(col("cs"))).as("qs"))
-      .select(col("neighbor_id"), col("qs._1").as("query_id"), col("qs._2").as("approx"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val localTop = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), encodeU(col(vecCol)).as("cs"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val heaps = qrows.map { case (qid, _) =>
+          qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+        }
+        it.foreach { case (nid, cs) =>
+          var qi = 0
+          while (qi < qrows.length) {
+            val (qid, table) = qrows(qi)
+            if (nid != qid) {
+              var s = 0.0; var sub = 0
+              while (sub < cs.length) { s += table(sub)(cs(sub)); sub += 1 }
+              val h = heaps(qi)._2
+              if (h.size < candidates) h.enqueue((s, nid))
+              else if (worstFirst.gt(h.head, (s, nid))) { h.dequeue(); h.enqueue((s, nid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = approx.withColumn("crk", row_number().over(wA))
+    val cand = localTop.withColumn("crk", row_number().over(wA))
       .filter(col("crk") <= candidates)
       .select(col("query_id"), col("neighbor_id"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
