@@ -104,12 +104,21 @@ object Dedup {
         .select("sh"),
       Seq("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both index consumers are materialized eagerly (sizes is one row per
+    // doc, shared one per candidate pair — tiny next to the index), which
+    // cuts their lineage and lets the cache release HERE instead of
+    // pinning a corpus-scale relation for the session lifetime (the same
+    // persist/checkpoint/unpersist discipline as cosineNearDupPairs and
+    // connectedComponents). The final containment join below stays lazy.
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
     val shared = kept.as("a")
       .join(kept.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .localCheckpoint()
+    kept.unpersist()
     shared
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
@@ -352,15 +361,19 @@ object Dedup {
   def clusterDedupBy(
       df: DataFrame, pairs: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
-    val members = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    // reserved internal name, like __rk/__salt elsewhere: a caller's own
+    // cluster_id column must not collide with the CC label we join in
+    val members = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("cluster_id", "__cluster_id")
     val inClusters = df.join(members, Seq(idCol))
     val singletons = df.join(members.select(idCol), Seq(idCol), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(col(scoreCol).desc, col(idCol))
+      .partitionBy(col("__cluster_id")).orderBy(col(scoreCol).desc, col(idCol))
     val reps = inClusters
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .drop("__rk", "cluster_id")
+      .drop("__rk", "__cluster_id")
     singletons.unionByName(reps)
   }
 

@@ -430,7 +430,17 @@ object LlmQueries {
       .writeStream.outputMode("complete").format("memory")
       .queryName("graft_stream_daily").start()
     try q.processAllAvailable() finally q.stop()
-    s.table("graft_stream_daily").orderBy(col("day"), col("event_type"))
+    // The result is ~150 rows (days × event types), so pin it on the
+    // driver and rebuild a local DataFrame: the memory-sink table and the
+    // temp re-lay directory can then be released immediately instead of
+    // accumulating session state and disk across gate/bench invocations.
+    val resDf = s.table("graft_stream_daily").orderBy(col("day"), col("event_type"))
+    val rows = resDf.collect()
+    val outSchema = resDf.schema
+    s.catalog.dropTempView("graft_stream_daily")
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 
   val qEventsStreamDailySql: String =
@@ -796,7 +806,7 @@ object LlmQueries {
       |)
       |SELECT event_id, event_type, round(adev, 6) AS adev
       |FROM dev JOIN mad USING (event_type)
-      |WHERE adev > 3 * mad
+      |WHERE round(adev, 9) > round(3 * mad, 9)
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------- chunking

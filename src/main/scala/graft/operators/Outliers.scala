@@ -28,7 +28,13 @@ object Outliers {
       .withColumn("adev", abs(col(valueCol) - col("med")))
     val mad = dev.groupBy(keys: _*)
       .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    // fixed-point the boundary: both sides of the comparison are doubles
+    // derived from each engine's own interpolated median, so a value
+    // landing within one ulp of k·mad could classify differently between
+    // engines; rounding both sides to 9 decimals makes the predicate
+    // engine-independent (the same discipline as lmScore's fixed-point
+    // sums), and 1e-9 is far below any meaningful deviation threshold
     dev.join(mad, groupCols)
-      .filter(col("adev") > lit(k) * col("mad"))
+      .filter(round(col("adev"), 9) > round(lit(k) * col("mad"), 9))
   }
 }
