@@ -191,7 +191,7 @@ object VgtidOffset {
   * equivalent of resuming a VStream at the checkpointed VGTID instead of
   * replaying history (reference VitessOffsetContext.java:92-100). */
 private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long.MaxValue)
-    extends AutoCloseable {
+    extends VStreamSlice {
   private val ch =
     java.nio.channels.FileChannel.open(Paths.get(file), java.nio.file.StandardOpenOption.READ)
   private var consumed: Long = math.min(from, ch.size())
@@ -240,9 +240,6 @@ private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long
       }
       result
     }
-
-  def lines: Iterator[String] =
-    Iterator.continually(readLine()).takeWhile(_ != null)
 
   override def close(): Unit = in.close()
 }
@@ -349,18 +346,15 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     if (snapshotMode == "never") Some(TableFilter(Seq("(?!)"), Nil))
     else snapshotTables
 
-  /** F5: shards with no events are excluded from planning by default
-    * (reference getNonEmptyShards, VitessMetadata.java:201-216). */
-  private def shardFiles: Seq[(String, Path)] = {
-    val listing = Files.list(Paths.get(path))
-    try {
-      listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".jsonl"))
-        .filter(p => !excludeEmptyShards || Files.size(p) > 0)
-        .map(p => p.getFileName.toString.stripSuffix(".jsonl") -> p)
-        .toSeq.sortBy(_._1)
-    } finally listing.close()
-  }
+  /** The transport seam (SURVEY S1): all raw-stream I/O below here goes
+    * through this handle, so a live gRPC VTGate transport is a drop-in
+    * (see graft.sources.VStreamTransport). Only the file feed exists in
+    * this environment. */
+  private val transport: VStreamTransport = FileFeedTransport(path, excludeEmptyShards)
+
+  /** (shard, locator) topology as the transport currently sees it (F5:
+    * empty shards already excluded by the file transport). */
+  private def shardFiles: Seq[(String, String)] = transport.listShards()
 
   /** S4: explicit `vgtid` option, else empty GTIDs for every discovered
     * shard (would trigger VStream copy on a real server). */
@@ -470,7 +464,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       var safeEpoch = epoch
       var safeSchemas = tableSchemas
       var safeHb = hbMs
-      val slice = new FeedSlice(file.toString, fromByte)
+      val slice = transport.open(file, fromByte, Long.MaxValue)
       try {
         var line = slice.readLine()
         var stop = false
@@ -559,7 +553,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       // bytes without advancing the VGTID)
       if (startSg == endSg && (endByte == Long.MaxValue || startByte >= endByte)) None
       else Some(VitessCdcPartition(
-        shard, keyspace, file.toString,
+        shard, keyspace, file,
         Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
         seedEpoch(shard, startEpochs), emitBoundaries, tableFilter,
         heartbeatPerBatch, inheritEpoch, effectiveSnapshotTables,
@@ -573,11 +567,15 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the factory ships to executors; capture the transport explicitly so
+    // the closure serializes it, not the whole stream object
+    val t = transport
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new VitessCdcPartitionReader(partition.asInstanceOf[VitessCdcPartition])
+        new VitessCdcPartitionReader(partition.asInstanceOf[VitessCdcPartition], t)
     }
+  }
 
   override def deserializeOffset(json: String): Offset = VgtidOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -587,7 +585,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
 final case class VitessCdcPartition(
     shard: String,
     keyspace: String,
-    file: String,
+    file: String, // transport locator (feed-file path for the file feed)
     startPosJson: String, // single-shard vgtid JSON incl. copy lastpk
     endPosJson: String,
     startEpoch: Long,
@@ -616,7 +614,9 @@ final case class VitessCdcPartition(
   * the reference's ordered-transaction metadata relies on. A legacy
   * partition without byte positions (endByte == Long.MaxValue with
   * startByte == 0) degrades to the original whole-file replay. */
-class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[InternalRow] {
+class VitessCdcPartitionReader(
+    p: VitessCdcPartition,
+    transport: VStreamTransport) extends PartitionReader[InternalRow] {
 
   private val startSg = Vgtid.of(p.startPosJson).shardGtid(p.shard)
     .getOrElse(ShardGtid(p.keyspace, p.shard, Vgtid.EmptyGtid))
@@ -626,7 +626,7 @@ class VitessCdcPartitionReader(p: VitessCdcPartition) extends PartitionReader[In
   // E1: transient I/O on stream open is retried with backoff; everything
   // else surfaces to Spark's task retry + restart-from-checkpoint
   private val slice =
-    Retry.withRetries(maxAttempts = 3)(new FeedSlice(p.file, p.startByte, p.endByte))
+    Retry.withRetries(maxAttempts = 3)(transport.open(p.file, p.startByte, p.endByte))
 
   private val rows: Iterator[InternalRow] = {
     val registry = new SchemaRegistry(p.typeModes)
