@@ -49,7 +49,14 @@ object Bench {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(json)
+    // The driver captures stdout with a bounded tail that can truncate the
+    // early per-query timings; persist the full line so round-over-round
+    // comparison always covers every query.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_full.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

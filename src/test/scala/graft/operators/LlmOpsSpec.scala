@@ -455,6 +455,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       n = 3, threshold = 0.9, maxShingleDf = 1).isEmpty)
   }
 
+  test("containment df-cap boundary: a shingle exactly at the cap pairs, one over is dropped") {
+    val sp = spark; import sp.implicits._
+    // unigram shingles: "keep" occurs in exactly 3 docs, "drop" in 4
+    val docs = Seq(
+      (1L, "keep drop aaa"),
+      (2L, "keep drop bbb"),
+      (3L, "keep drop ccc"),
+      (4L, "drop ddd eee")).toDF("doc_id", "text")
+    // cap = 3: "keep" sits exactly AT the cap (df <= cap keeps it) and
+    // still pairs docs 1-3; "drop" (df 4, one over) is pruned BEFORE
+    // pairing, so doc 4 pairs with nothing. Sizes are post-cap too: each
+    // of docs 1-3 has 2 kept shingles, so containment = 1/min(2,2) = 0.5.
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 1, threshold = 0.4, maxShingleDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.forall(_._3 == 0.5), s"post-cap sizes are the denominator: ${pairs.toSeq}")
+    // cap one lower: "keep" (df 3) now exceeds it as well → nothing pairs
+    assert(Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 1, threshold = 0.4, maxShingleDf = 2).isEmpty)
+  }
+
   test("dsir: target-looking docs outscore off-target docs; smoothing covers unseen terms") {
     val sp = spark; import sp.implicits._
     // target docs (flag by id) speak "x y"; off-target speak "p q";
