@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import graft.core._
 import graft.streaming._
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Paths
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
