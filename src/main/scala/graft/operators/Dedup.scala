@@ -309,14 +309,17 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // hop 1: min over direct neighbors' labels
+      // hop 1: min over direct neighbors' labels (round-start label rides
+      // along as `old` so convergence is a cheap scan of the checkpointed
+      // result, not an extra join job per round)
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
       val hopped = labels
         .join(prop, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // hop 2: pointer jumping — adopt the label of the current label,
       // halving the remaining chain depth every round
       val next = hopped.as("a")
@@ -325,13 +328,11 @@ object Dedup {
           col("a.label") === col("lid"), "left")
         .select(
           col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"),
+          col("a.old").as("old"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     edges.unpersist()
