@@ -147,4 +147,19 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name: sort+limit should plan as TakeOrdered, not Sort+GlobalLimit:\n$p")
     }
   }
+
+  test("pq ann: candidate selection is a partial map-side top-k, never an exploded exchange") {
+    // the ADC candidate stage must stay the bounded-heap mapPartitions:
+    // an explode of |queries| scored pairs per corpus row would plan a
+    // Generate feeding the rank exchange — the N·|queries| shuffle the
+    // operator exists to avoid
+    val p = plan(LlmQueries.queries("ann_pq")(spark, sfDir))
+    assert(p.contains("MapPartitions"),
+      s"ann_pq: expected the bounded-heap candidate stage:\n$p")
+    assert(!p.contains("Generate"),
+      s"ann_pq: candidate scoring must not explode per-query pairs into the shuffle:\n$p")
+    // the per-query rank over local winners still partial-aggregates
+    assert(p.contains("WindowGroupLimit"),
+      s"ann_pq: final candidate rank should keep the partial WindowGroupLimit:\n$p")
+  }
 }
