@@ -41,6 +41,8 @@ import scala.jdk.CollectionConverters._
   *   its whole transaction — inclusive, no loss.
   *
   * Options: `path` (feed dir), `vgtid` (initial VGTID JSON), `keyspace`,
+  * `shard` (explicit comma-separated shard list; authoritative — not
+  * pruned by exclude.empty.shards, unknown shards fail fast),
   * `tables.include` / `tables.exclude` (comma-separated regexes, S3
   * server-side filter analogue), `boundaries` (emit begin/end records),
   * `generation` (connector generation; a change bumps all epochs, A5).
@@ -282,6 +284,27 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     case other => throw new IllegalArgumentException(
       s"tablet.type must be MASTER|REPLICA|RDONLY, got $other")
   }
+  // gRPC channel tuning (reference VitessConnectorConfig.java:332-365:
+  // keepalive.interval.ms, grpc.max_inbound_message_size, grpc.headers,
+  // grpc.default.load.balancing.policy): accepted and range-validated for
+  // config parity, consumed by a gRPC VStreamTransport; the file
+  // transport has no channel to apply them to, so like tablet.type they
+  // are validation-only here.
+  Option(options.get("keepalive.interval.ms")).foreach { v =>
+    require(v.toLong > 0L, s"keepalive.interval.ms must be positive, got $v")
+  }
+  Option(options.get("grpc.max_inbound_message_size")).foreach { v =>
+    require(v.toLong > 0L, s"grpc.max_inbound_message_size must be positive, got $v")
+  }
+  // S3: explicit shard list (reference vitess.shard,
+  // VitessConnectorConfig.java:247-256): restrict streaming to the named
+  // shards. An explicit list is authoritative — the empty-shard rule does
+  // not prune it, and naming a shard absent from the topology fails the
+  // query start the way a real VStream request for it would.
+  private val configuredShards: Option[Seq[String]] =
+    Option(options.get("shard"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
   // topology as resolved when this stream (re)started: the reshard check
   // compares against THIS set, so a restart — which re-resolves shards,
   // like the reference connector regenerating task configs — admits the
@@ -349,12 +372,27 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   /** The transport seam (SURVEY S1): all raw-stream I/O below here goes
     * through this handle, so a live gRPC VTGate transport is a drop-in
     * (see graft.sources.VStreamTransport). Only the file feed exists in
-    * this environment. */
-  private val transport: VStreamTransport = FileFeedTransport(path, excludeEmptyShards)
+    * this environment. An explicit `shard` list disables the empty-shard
+    * pruning — the list is authoritative. */
+  private val transport: VStreamTransport =
+    FileFeedTransport(path, excludeEmptyShards && configuredShards.isEmpty)
 
   /** (shard, locator) topology as the transport currently sees it (F5:
-    * empty shards already excluded by the file transport). */
-  private def shardFiles: Seq[(String, String)] = transport.listShards()
+    * empty shards already excluded by the file transport), restricted to
+    * the configured `shard` list when one is set. */
+  private def shardFiles: Seq[(String, String)] = {
+    val all = transport.listShards()
+    configuredShards match {
+      case None => all
+      case Some(names) =>
+        val byName = all.toMap
+        names.distinct.sorted.map { sh =>
+          sh -> byName.getOrElse(sh, throw new IllegalArgumentException(
+            s"configured shard '$sh' is not present in the topology " +
+              s"[${all.map(_._1).mkString(", ")}]"))
+        }
+    }
+  }
 
   /** S4: explicit `vgtid` option, else empty GTIDs for every discovered
     * shard (would trigger VStream copy on a real server). */
@@ -364,6 +402,14 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     Option(options.get("vgtid")) match {
       case Some(json) =>
         val v = Vgtid.of(json)
+        // reference validateVgtids: an explicit vgtid must cover exactly
+        // the configured shard list when both are set
+        configuredShards.foreach { names =>
+          val vs = v.shardGtids.map(_.shard).toSet
+          require(vs == names.toSet,
+            s"vgtid shards [${vs.toSeq.sorted.mkString(", ")}] must match the " +
+              s"configured shard list [${names.sorted.mkString(", ")}]")
+        }
         VgtidOffset(v, seeded(v.shardGtids.map(_.shard)), generation)
       case None =>
         val shards = shardFiles.map(_._1)

@@ -91,6 +91,47 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(5)).toSeq == Seq("1", "2", "3", "1", "2"))
   }
 
+  test("shard option restricts streaming to the named shards; unknown shards fail fast") {
+    val feedDir = Files.createTempDirectory("cdcshardopt")
+    writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"a$i")))
+    writeFeed(feedDir, "s1", (1L to 2L).flatMap(i => insertTx("s1", i, 100 + i, s"b$i")))
+    def run(shard: String, sink: String): Unit = {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("shard", shard)
+        .load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", Files.createTempDirectory("cdcshardckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("s1", "cdc_shard_only_s1")
+    val rows = spark.sql("SELECT shard, rank FROM cdc_shard_only_s1 ORDER BY rank").collect()
+    assert(rows.length == 2 && rows.forall(_.getString(0) == "s1"),
+      s"only the configured shard streams: ${rows.toSeq}")
+    // a shard absent from the topology fails the query, like a real
+    // VStream request for a nonexistent shard
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run("s0, nope", "cdc_shard_unknown")
+    }
+    assert(err.getMessage.contains("nope") ||
+      Option(err.getCause).exists(_.getMessage.contains("nope")))
+    // an explicit vgtid must cover exactly the configured shard list
+    val mismatch = intercept[Throwable] {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("shard", "s0,s1")
+        .option("vgtid", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1"))).json)
+        .load()
+        .writeStream.format("memory").queryName("cdc_shard_vgtid_mismatch")
+        .option("checkpointLocation", Files.createTempDirectory("cdcshardckpt2").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(mismatch.getMessage.contains("must match the configured shard list") ||
+      Option(mismatch.getCause).exists(_.getMessage.contains("must match the configured shard list")))
+  }
+
   private def runToParquet(feedDir: Path, checkpoint: Path, outDir: Path): Unit = {
     val q = spark.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
