@@ -263,8 +263,13 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl {
   private val path = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("vitess-cdc source requires a path"))
+  // first present key wins: each option's own name first, then the
+  // reference connector's spelling, so a reference config drops in
+  private def opt(keys: String*): Option[String] =
+    keys.view.flatMap(k => Option(options.get(k))).headOption
   private val keyspace = Option(options.get("keyspace")).getOrElse("ks")
-  private val generation = Option(options.get("generation")).map(_.toLong).getOrElse(1L)
+  private val generation =
+    opt("generation", "connector.generation").map(_.toLong).getOrElse(1L)
   private val emitBoundaries = Option(options.get("boundaries")).exists(_.toBoolean)
   private val inheritEpoch = Option(options.get("inherit.epoch")).exists(_.toBoolean)
   // S3: stop_on_reshard request-flag analogue — the reference's VStream
@@ -273,7 +278,8 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   // planner fails the query with a descriptive error; restarting from the
   // same checkpoint resumes with the child shard admitted (A4 epochs
   // apply on resume when inherit.epoch is set).
-  private val stopOnReshard = Option(options.get("stop.on.reshard")).exists(_.toBoolean)
+  private val stopOnReshard =
+    opt("stop.on.reshard", "stop_on_reshard").exists(_.toBoolean)
   // S3: tablet.type request parameter (reference
   // VitessConnectorConfig.java:304-312, default MASTER). The file feed
   // has no tablet fan-out, so the option is validation-only: a typo
@@ -399,7 +405,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   override def initialOffset(): Offset = {
     def seeded(shards: Seq[String]): ShardEpochMap =
       seedEpochMap.getOrElse(ShardEpochMap.init(shards))
-    Option(options.get("vgtid")) match {
+    opt("vgtid", "gtid") match { // `gtid` = the reference's deprecated alias
       case Some(json) =>
         val v = Vgtid.of(json)
         // reference validateVgtids: an explicit vgtid must cover exactly
