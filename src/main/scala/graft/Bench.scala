@@ -53,10 +53,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     println(json)
     // The driver captures stdout with a bounded tail that can truncate the
-    // early per-query timings; persist the full line so round-over-round
-    // comparison always covers every query.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_full.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // early per-query timings; persist the full line (cwd-relative — the
+    // repo root under sbt) so round-over-round comparison always covers
+    // every query. A failed write must not fail the bench, but say so.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json not written: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -437,9 +437,15 @@ object LlmQueries {
     val resDf = s.table("graft_stream_daily").orderBy(col("day"), col("event_type"))
     val rows = resDf.collect()
     val outSchema = resDf.schema
-    s.catalog.dropTempView("graft_stream_daily")
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    // cleanup is best-effort: the result is already pinned, so a straggler
+    // lock on the temp dir must not fail an otherwise-correct gate
+    try {
+      s.catalog.dropTempView("graft_stream_daily")
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Throwable => () }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 
@@ -761,16 +767,22 @@ object LlmQueries {
     * Exact percentile sorts per group — fine for a bounded group count
     * (languages); for per-document grouping use approx_percentile.
     * Quantiles are emitted as four scalar columns (not one array) so the
-    * driver's pandas-based comparator can sort/hash the frame. */
+    * driver's pandas-based comparator can sort/hash the frame; one
+    * array-percentile aggregate buffers each group's values once, with
+    * the elements projected out after the agg. */
   val qTextLenQuantiles: Q = (s, d) =>
     Tables.documents(s, d)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(percentile(col("n_chars"), lit(0.25)).cast("double"), 4).as("q25"),
-        round(percentile(col("n_chars"), lit(0.5)).cast("double"), 4).as("q50"),
-        round(percentile(col("n_chars"), lit(0.75)).cast("double"), 4).as("q75"),
-        round(percentile(col("n_chars"), lit(0.95)).cast("double"), 4).as("q95"))
+        percentile(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+      .select(
+        col("lang"), col("n_docs"),
+        round(col("qs")(0).cast("double"), 4).as("q25"),
+        round(col("qs")(1).cast("double"), 4).as("q50"),
+        round(col("qs")(2).cast("double"), 4).as("q75"),
+        round(col("qs")(3).cast("double"), 4).as("q95"))
       .orderBy(col("lang"))
 
   val qTextLenQuantilesSql: String =

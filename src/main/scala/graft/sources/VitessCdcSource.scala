@@ -465,6 +465,20 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     * replaying history. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VgtidOffset]
+    // An explicit shard list narrowed against an existing checkpoint would
+    // silently drop the excluded shards' positions from every offset this
+    // fold writes (and a later widening would replay their history from
+    // scratch) — fail fast instead. Without an explicit list, discovery
+    // governs and a disappearing shard is the reshard path, not an error.
+    configuredShards.foreach { names =>
+      val dropped = from.vgtid.shardGtids.map(_.shard).toSet -- names.toSet
+      if (dropped.nonEmpty)
+        throw new IllegalStateException(
+          s"shard option [${names.sorted.mkString(", ")}] does not cover checkpointed " +
+            s"shard(s) [${dropped.toSeq.sorted.mkString(", ")}]; narrowing the shard list " +
+            "against an existing checkpoint would drop their positions — use a new " +
+            "checkpoint location for the restricted query instead")
+    }
     if (stopOnReshard) {
       val fresh = shardFiles.map(_._1).filterNot(startupShards)
       if (fresh.nonEmpty)

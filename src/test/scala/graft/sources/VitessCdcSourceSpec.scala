@@ -132,6 +132,36 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(mismatch.getCause).exists(_.getMessage.contains("must match the configured shard list")))
   }
 
+  test("narrowing the shard list against an existing checkpoint fails fast, not silently") {
+    val feedDir = Files.createTempDirectory("cdcshardnarrow")
+    val ckpt = Files.createTempDirectory("cdcshardnarrowckpt")
+    writeFeed(feedDir, "s0", (1L to 2L).flatMap(i => insertTx("s0", i, i, s"a$i")))
+    writeFeed(feedDir, "s1", (1L to 2L).flatMap(i => insertTx("s1", i, 100 + i, s"b$i")))
+    // first run unrestricted: the checkpoint now carries positions for both
+    // shards (parquet sink — it supports restart-from-checkpoint)
+    val outDir = Files.createTempDirectory("cdcshardnarrowout")
+    runToParquet(feedDir, ckpt, outDir)
+    assert(spark.read.parquet(outDir.toString).count() == 4)
+    // append new data so the restart has work, then restart the SAME
+    // checkpoint restricted to s0: s1's checkpointed position would be
+    // silently dropped from every new offset — must throw
+    writeFeed(feedDir, "s0", insertTx("s0", 3, 3, "a3"), append = true)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("vitess-cdc")
+        .option("path", feedDir.toString)
+        .option("shard", "s0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs(err).exists(_.contains("does not cover checkpointed")), msgs(err).mkString(" | "))
+  }
+
   private def runToParquet(feedDir: Path, checkpoint: Path, outDir: Path): Unit = {
     val q = spark.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
