@@ -112,10 +112,24 @@ object Dedup {
     // connectedComponents). The final containment join below stays lazy.
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       .localCheckpoint()
-    val shared = kept.as("a")
-      .join(kept.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Pairing groups each shingle's (cap-bounded, ≤ maxShingleDf) doc
+    // list once and explodes the C(k,2) ordered pairs narrowly — one
+    // shuffle of the index instead of the two a self-join needs, with
+    // identical semantics (pairs of distinct docs sharing the shingle).
+    // The collect_list is safe ONLY because the df filter above already
+    // dropped hot shingles; collecting before capping would rebuild the
+    // hot-key hazard the cap exists to bound.
+    val ids = col("ids")
+    val pairsOfIds = flatten(
+      transform(sequence(lit(0), size(ids) - 2), i =>
+        transform(
+          slice(ids, i + 2, size(ids)),
+          b => struct(element_at(ids, i + 1).as("id_a"), b.as("id_b")))))
+    val shared = kept.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(pairsOfIds).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
       .localCheckpoint()
     kept.unpersist()
