@@ -64,6 +64,57 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toDouble / n >= 0.9, s"PQ top-1 recall $hits/$n")
   }
 
+  test("pq ann: distributed heap candidate selection replays the exact in-memory pipeline") {
+    // re-runs the whole PQ pipeline in driver memory — same codebooks,
+    // same ADC scores, same (score desc, id asc) candidate order, exact
+    // cosine rescore — and demands pqTopK match it row for row. This pins
+    // the per-partition bounded-heap selection as EXACT (a heap bug that
+    // dropped or reordered any candidate would diverge somewhere).
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val (m, codes, candidates, k, iters) = (8, 32, 64, 5, 3)
+    val got = Similarity.pqTopK(emb, queries, k, m, codes, candidates, iters)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+    val model = Similarity.trainPq(emb, m, codes, iters)
+    val subDim = model.subDim
+    val corpus = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def code(v: Array[Double], sub: Int): Int = {
+      val book = model.codebooks(sub)
+      (0 until codes).minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < subDim) { val t = book(c)(i) - v(sub * subDim + i); d += t * t; i += 1 }
+        (d, c)
+      }
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = corpus.keys.toSeq.sorted.filter(_ < 10).flatMap { qid =>
+      val qv = corpus(qid)
+      val adc = corpus.toSeq.filter(_._1 != qid).map { case (nid, nv) =>
+        var s = 0.0
+        (0 until m).foreach { sub =>
+          val c = code(nv, sub); val cb = model.codebooks(sub)(c)
+          var i = 0; while (i < subDim) { s += qv(sub * subDim + i) * cb(i); i += 1 }
+        }
+        (nid, s)
+      }
+      val cand = adc.sortBy { case (nid, s) => (-s, nid) }.take(candidates)
+      cand.map { case (nid, _) => (nid, cosine(qv, corpus(nid))) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(k).zipWithIndex
+        .map { case ((nid, s), i) =>
+          (qid, i + 1, nid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+    assert(got.length == expected.length, s"${got.length} vs ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
   test("k-means-trained IVF keeps top-1 recall >= 0.9") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)
