@@ -370,6 +370,32 @@ object CdcQueries {
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key, count(*) AS max_rank
       |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // -------------------------------------------------- explicit shard list
+  /** S3 under the oracle: the explicit `shard` option restricts the
+    * stream to the named shards (reference vitess.shard,
+    * VitessConnectorConfig.java:247-256); the oracle applies the same
+    * restriction as the shard-derivation modulo filter. */
+  val qCdcShardOption: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed_shopt")
+    val outDir = Files.createTempDirectory("graft_shopt_out")
+    val ckpt = Files.createTempDirectory("graft_shopt_ckpt")
+    writeFeedFiles(s, CdcFeed.orders(s, d), feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt, Map("shard" -> "1,3"))
+    s.read.parquet(outDir.toString)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("after"), "$.o_orderkey").cast(LongType)).as("sum_key"))
+      .orderBy(col("shard"))
+  }
+
+  val qCdcShardOptionSql: String =
+    """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders WHERE o_orderkey % 4 IN (1, 3)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   // -------------------------------------------------- restart replay
   /** S4/O2/O3 oracle gate: the stream is stopped mid-feed and resumed
     * from its checkpoint after the rest of the transactions arrive — the
@@ -1014,6 +1040,7 @@ object CdcQueries {
 
   val queries: Map[String, Q] = Map(
     "cdc_stream_source"    -> qCdcStreamSource,
+    "cdc_shard_option"     -> qCdcShardOption,
     "cdc_restart_replay"   -> qCdcRestartReplay,
     "cdc_sql_decode"       -> qCdcSqlDecode,
     "cdc_decimal_extract"  -> qCdcDecimalExtract,
@@ -1049,6 +1076,7 @@ object CdcQueries {
 
   val oracleSql: Map[String, String] = Map(
     "cdc_stream_source"    -> qCdcStreamSourceSql,
+    "cdc_shard_option"     -> qCdcShardOptionSql,
     "cdc_restart_replay"   -> qCdcRestartReplaySql,
     "cdc_sql_decode"       -> qCdcSqlDecodeSql,
     "cdc_decimal_extract"  -> qCdcDecimalExtractSql,
