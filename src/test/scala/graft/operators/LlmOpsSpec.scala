@@ -528,6 +528,38 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       n = 1, threshold = 0.4, maxShingleDf = 2).isEmpty)
   }
 
+  test("results are partition-count invariant: sampling, near-dup pairs, clustering, packing") {
+    // What actually changes between local[32] and a 1000-executor cluster
+    // is the physical partitioning — every deterministic operator must
+    // produce the identical logical result under any split. Run the same
+    // operators at two unrelated partition counts and demand equality.
+    val docs = graft.Tables.documents(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    def results(parts: Int): Seq[Seq[String]] = {
+      val d = docs.repartition(parts, col("doc_id"))
+      val pairs = Dedup.minhashNearDupPairs(d, "text", "doc_id",
+        threshold = 0.8, numHashes = 64, bands = 16)
+      Seq(
+        canon(Sampling.hashSample(d, "doc_id", 0.3, seed = "inv")),
+        canon(Sampling.splitAssign(d, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "inv")
+          .groupBy(col("split")).agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"))),
+        canon(pairs),
+        canon(Dedup.connectedComponents(pairs)),
+        canon(Packing.packSequences(
+          d.select(col("source"), col("doc_id"), col("n_chars").cast("long").as("n_tokens")),
+          "source", "doc_id", "n_tokens", capacity = 4096)))
+    }
+
+    val a = results(3)
+    val b = results(17)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"operator $i diverged between partitionings (${x.length} vs ${y.length} rows)")
+    }
+  }
+
   test("dsir: target-looking docs outscore off-target docs; smoothing covers unseen terms") {
     val sp = spark; import sp.implicits._
     // target docs (flag by id) speak "x y"; off-target speak "p q";
