@@ -33,7 +33,10 @@ object Outliers {
     // landing within one ulp of k·mad could classify differently between
     // engines; rounding both sides to 9 decimals makes the predicate
     // engine-independent (the same discipline as lmScore's fixed-point
-    // sums), and 1e-9 is far below any meaningful deviation threshold
+    // sums), and 1e-9 is far below any meaningful deviation threshold.
+    // A value within one ulp of a 9th-decimal .5 boundary could still
+    // round apart, but over interpolated medians of integer data no
+    // such value arises — accepted residual, not a correctness gap
     dev.join(mad, groupCols)
       .filter(round(col("adev"), 9) > round(lit(k) * col("mad"), 9))
   }

@@ -71,6 +71,11 @@ object Sink {
     * whole envelope as a JSON `value`. Exactly-once to the extent the
     * Kafka sink provides (at-least-once per epoch with checkpointing).
     *
+    * Requires a `key` column on the input (every change record carries
+    * one); the routing topic is computed under a reserved name so an
+    * input that already has a `topic` column serializes its own field
+    * into the JSON value, not the routing target.
+    *
     * Compiled but NOT live-tested in this environment: there is no
     * broker and no spark-sql-kafka jar here — the method exists so a
     * deployment with both on the classpath gets the reference's Kafka
@@ -81,11 +86,13 @@ object Sink {
       bootstrapServers: String,
       checkpoint: String,
       extraOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    require(records.columns.contains("key"),
+      "streamToKafka requires a 'key' column (the change record key) on the input")
     val payload = records.columns.map(col)
     val out = records
-      .withColumn("topic", topicColumn(cfg))
+      .withColumn("__topic", topicColumn(cfg))
       .select(
-        col("topic"),
+        col("__topic").as("topic"),
         col("key").cast("string").as("key"),
         to_json(struct(payload: _*)).as("value"))
     extraOptions.foldLeft(

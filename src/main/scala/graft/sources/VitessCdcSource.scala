@@ -290,10 +290,11 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     case other => throw new IllegalArgumentException(
       s"tablet.type must be MASTER|REPLICA|RDONLY, got $other")
   }
-  // gRPC channel tuning (reference VitessConnectorConfig.java:332-365:
-  // keepalive.interval.ms, grpc.max_inbound_message_size, grpc.headers,
-  // grpc.default.load.balancing.policy): accepted and range-validated for
-  // config parity, consumed by a gRPC VStreamTransport; the file
+  // gRPC channel tuning (reference VitessConnectorConfig.java:332-365):
+  // the numeric options (keepalive.interval.ms,
+  // grpc.max_inbound_message_size) are range-validated; grpc.headers and
+  // grpc.default.load.balancing.policy are free-form strings accepted
+  // as-is. All four are consumed by a gRPC VStreamTransport; the file
   // transport has no channel to apply them to, so like tablet.type they
   // are validation-only here.
   Option(options.get("keepalive.interval.ms")).foreach { v =>
