@@ -1,0 +1,195 @@
+package graft.sources
+
+import graft.core._
+import graft.streaming._
+
+/** Per-shard transaction-safe cursor: everything the streaming offset
+  * carries for one shard, as of a byte position that is NEVER inside a
+  * transaction (so a batch window cut here cannot split a tx).
+  *
+  *  - `pos` — feed byte position at the safe point
+  *  - `sg` — shard GTID (incl. copy-phase lastpk) at the safe point
+  *  - `epoch` — folded transaction epoch (A3/A4/A5)
+  *  - `schemas` — latest FIELD wire line per table (schema checkpoint)
+  *  - `hbMs` — interval-heartbeat baseline (commit-time ms)
+  *  - `admitted` — transactions admitted beyond the fold's start GTID
+  *    (cumulative since the fold was seeded)
+  */
+private[sources] final case class ShardCursor(
+    pos: Long,
+    sg: ShardGtid,
+    epoch: Long,
+    schemas: Map[String, String],
+    hbMs: Long,
+    admitted: Long)
+
+/** The transaction-boundary fold over one shard's wire lines: tracks
+  * BEGIN/COMMIT nesting, folds VGTID position + epoch transitions,
+  * checkpoints FIELD (schema) lines, and mirrors the reader's
+  * interval-heartbeat baseline rule — publishing a [[ShardCursor]] only
+  * at out-of-transaction line boundaries, so any published cursor is a
+  * safe batch cut. Single-threaded use; shared verbatim by the capped
+  * synchronous scan and the background [[ShardTailer]], so the two
+  * admission paths cannot drift.
+  *
+  * Prefix dispatch (only VGTID/FIELD/COMMIT lines are JSON-parsed)
+  * keeps the fold cheap — most lines in a row-heavy stream are ROW
+  * events the fold never parses.
+  */
+private[sources] final class TxBoundaryFold(
+    shard: String,
+    keyspace: String,
+    seed: ShardCursor,
+    startSg: ShardGtid,
+    heartbeatIntervalMs: Long) {
+  private var inTx = false
+  private var txAdmitted = false
+  private var lastSg = seed.sg
+  private var epoch = seed.epoch
+  private var tableSchemas = seed.schemas
+  private var hbMs = seed.hbMs
+  private var admitted = seed.admitted
+  private var safeCursor = seed
+
+  /** Last transaction-safe cursor (== seed until the first safe line). */
+  def safe: ShardCursor = safeCursor
+
+  /** Fold one wire line; `posAfter` is the byte position just after it. */
+  def onLine(line: String, posAfter: Long): Unit = {
+    if (line.startsWith(FeedSlice.BeginPrefix)) { inTx = true; txAdmitted = false }
+    else if (line.startsWith(FeedSlice.CommitPrefix)) {
+      inTx = false
+      if (heartbeatIntervalMs > 0 && txAdmitted) {
+        VEventJson.read(line) match {
+          case c: CommitEvent =>
+            val tsMs = c.timestampSec * 1000L
+            if (hbMs == Long.MinValue || tsMs - hbMs >= heartbeatIntervalMs) hbMs = tsMs
+          case _ =>
+        }
+      }
+      txAdmitted = false
+    } else if (line.startsWith(FeedSlice.FieldPrefix)) {
+      VEventJson.read(line) match {
+        case f: FieldEvent => tableSchemas += (f.table -> line)
+        case _ =>
+      }
+    } else if (line.startsWith(FeedSlice.VgtidPrefix)) {
+      VEventJson.read(line) match {
+        case VgtidEvent(_, v) =>
+          v.shardGtid(shard).foreach { sg =>
+            if (sg != lastSg) {
+              if (CopyProgress.compare(sg, startSg) > 0) { admitted += 1; txAdmitted = true }
+              if (sg.gtid != lastSg.gtid) {
+                if (lastSg.gtid != Vgtid.EmptyGtid && lastSg.gtid != Vgtid.CurrentGtid)
+                  epoch = EpochProvider.epochForGtid(epoch, lastSg.gtid, sg.gtid)
+              }
+              lastSg = sg.copy(keyspace = keyspace, shard = shard)
+            }
+          }
+        case _ =>
+      }
+    }
+    if (!inTx)
+      safeCursor = ShardCursor(posAfter, lastSg, epoch, tableSchemas, hbMs, admitted)
+  }
+}
+
+/** Driver-side background consumer of one shard's stream: continuously
+  * reads new wire lines off the transport and folds them with
+  * [[TxBoundaryFold]], publishing the latest transaction-safe cursor.
+  *
+  * This is what makes `latestOffset` metadata-only: the trigger thread
+  * just snapshots the published cursor — O(1) per shard, no feed I/O —
+  * instead of scanning every new byte itself, and the scan work that
+  * remains runs off the trigger path, one thread per shard (parallel
+  * across shards, where the old synchronous fold was sequential).
+  *
+  * This mirrors the reference's architecture: its gRPC consumer thread
+  * (VitessReplicationConnection.java:107-343) owns the stream and the
+  * poll loop only drains a queue. A live gRPC transport's tailer is the
+  * stream-observer callback itself — and can subscribe to a VGTID-only
+  * filtered stream, making admission metadata-only end-to-end with the
+  * data bytes flowing ONLY to executors.
+  *
+  * Catch-up barrier: `awaitCaughtUp(target)` blocks (bounded) until the
+  * tailer has consumed through `target` — used by `latestOffset` so a
+  * trigger observes data already durable when it fired, which keeps
+  * `processAllAvailable` semantics and batch structure deterministic
+  * for pre-written feeds. `drained` is published via a double-check
+  * (size observed between two consecutive EOF reads) so it never claims
+  * bytes the fold has not consumed.
+  */
+private[sources] final class ShardTailer(
+    transport: VStreamTransport,
+    locator: String,
+    shard: String,
+    keyspace: String,
+    seed: ShardCursor,
+    startSg: ShardGtid,
+    heartbeatIntervalMs: Long,
+    pollMs: Long)
+    extends Thread(s"vitess-cdc-tailer-$shard") {
+  setDaemon(true)
+
+  @volatile private var safeSnap: ShardCursor = seed
+  @volatile private var scanned: Long = seed.pos // consumed through (incl. in-tx lines)
+  @volatile private var drained: Long = -1L // transport size fully consumed (EOF double-check)
+  @volatile private var stopped = false
+  @volatile private var failure: Throwable = null
+
+  def snapshot: ShardCursor = safeSnap
+
+  /** Block until the fold has consumed every complete line below
+    * `target` (or the deadline passes — a torn trailing transaction can
+    * legitimately hold the safe cursor back forever; the next trigger
+    * picks it up once its COMMIT lands). A failed tailer rethrows here
+    * so the query fails the way the old synchronous scan would have. */
+  def awaitCaughtUp(target: Long, timeoutMs: Long): Unit = {
+    if (target < 0) return // transport cannot report a size (push-style)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (scanned < target && drained < target && failure == null &&
+      System.nanoTime() < deadline) Thread.sleep(1)
+    if (failure != null) throw new IllegalStateException(
+      s"vitess-cdc tailer for shard $shard failed", failure)
+  }
+
+  def shutdown(): Unit = {
+    stopped = true
+    interrupt()
+  }
+
+  override def run(): Unit = {
+    try {
+      val slice = transport.open(locator, seed.pos, Long.MaxValue)
+      val fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs)
+      try {
+        while (!stopped) {
+          val line = slice.readLine()
+          if (line != null) {
+            fold.onLine(line, slice.position)
+            scanned = slice.position
+            if (fold.safe ne safeSnap) safeSnap = fold.safe
+          } else {
+            // EOF double-check: only a size observed BETWEEN two EOF
+            // reads is fully consumed (a line appended after the size
+            // probe would surface on the re-read, not fall through)
+            val d = transport.size(locator)
+            val retry = slice.readLine()
+            if (retry != null) {
+              fold.onLine(retry, slice.position)
+              scanned = slice.position
+              if (fold.safe ne safeSnap) safeSnap = fold.safe
+            } else {
+              if (d >= 0) drained = d
+              Thread.sleep(pollMs)
+            }
+          }
+        }
+      } finally slice.close()
+    } catch {
+      case _: InterruptedException => () // shutdown
+      case _: java.nio.channels.ClosedByInterruptException => ()
+      case t: Throwable => failure = t
+    }
+  }
+}

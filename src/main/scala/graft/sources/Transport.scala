@@ -34,6 +34,15 @@ trait VStreamTransport extends Serializable {
 
   /** Open one shard's event stream at `from`, stopping before `to`. */
   def open(locator: String, from: Long, to: Long): VStreamSlice
+
+  /** Current high-water position of one shard's stream, if the
+    * transport can observe it cheaply (file size for the file feed) —
+    * the admission barrier uses it to know when the background tailer
+    * has caught up to "data durable when the trigger fired". Push-style
+    * transports (gRPC: the server streams, there is no pollable size)
+    * return -1 and the barrier is skipped: whatever has arrived is what
+    * the trigger admits. */
+  def size(locator: String): Long = -1L
 }
 
 /** A bounded, positioned slice of one shard's event stream. `position`
@@ -73,4 +82,6 @@ final case class FileFeedTransport(path: String, excludeEmptyShards: Boolean)
 
   override def open(locator: String, from: Long, to: Long): VStreamSlice =
     new FeedSlice(locator, from, to)
+
+  override def size(locator: String): Long = Files.size(Paths.get(locator))
 }

@@ -213,19 +213,21 @@ private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long
     * EOF / the `to` bound. A trailing line without a terminator — a
     * concurrent appender caught mid-write — is NOT returned and does not
     * advance `position`, so byte positions recorded in offsets always
-    * point at a line start; the half-line is picked up whole by the next
-    * trigger's slice. */
+    * point at a line start. The partial bytes stay buffered: a later
+    * `readLine` on the same slice resumes mid-line once the appender
+    * finishes (this is what lets the background tailer hold ONE channel
+    * open across EOFs instead of re-opening per poll), and a slice
+    * closed at EOF leaves the half-line for the next trigger's slice. */
   def readLine(): String =
     if (consumed >= to) null
     else {
-      buf.reset()
       var result: String = null
       var done = false
       while (!done) {
         if (chunkPos >= chunkLen) {
           chunkLen = in.read(chunk)
           chunkPos = 0
-          if (chunkLen <= 0) done = true // EOF: unterminated tail stays unread
+          if (chunkLen <= 0) done = true // EOF: unterminated tail stays buffered
         }
         if (!done) {
           var i = chunkPos
@@ -236,6 +238,7 @@ private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long
             consumed += buf.size() + 1L
             FeedSlice.linesRead.incrementAndGet()
             result = new String(buf.toByteArray, StandardCharsets.UTF_8)
+            buf.reset()
             done = true
           } else chunkPos = chunkLen
         }
@@ -437,6 +440,15 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   private val maxTxsPerTrigger: Long =
     Option(options.get("max.txs.per.trigger")).map(_.toLong).getOrElse(Long.MaxValue)
 
+  // Metadata-only admission (see latestOffset): background per-shard
+  // tailers own the feed scan unless bounded-batch mode caps it anyway.
+  private val useTailers = maxTxsPerTrigger == Long.MaxValue
+  private val tailers = scala.collection.mutable.Map.empty[String, ShardTailer]
+  private val tailPollMs =
+    Option(options.get("tail.poll.ms")).map(_.toLong).getOrElse(2L)
+  private val tailCatchupTimeoutMs =
+    Option(options.get("tail.catchup.timeout.ms")).map(_.toLong).getOrElse(30000L)
+
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Epoch seed for a shard not yet in the map: with inherit.epoch a
@@ -446,24 +458,39 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     epochs.get(shard).getOrElse(
       if (inheritEpoch) ShardLineage.inheritedEpoch(shard, epochs) else 0L)
 
-  /** Advance each shard's position by scanning ONLY the bytes appended
-    * since the previous trigger (the byte position rides the offset), and
-    * fold epoch transitions incrementally along the way. Exactly-once for
-    * the fold holds because the byte position and the folded epochs live
-    * in the same atomic offset JSON: bytes before `feed_positions[shard]`
-    * are already reflected in `transaction_epoch`. A shard with no
-    * recorded position (first trigger, an offset from an explicit `vgtid`
-    * option, or a reshard child appearing now) falls back to the original
-    * whole-file fold from the initial baseline — idempotent, so legacy
-    * restarts can't double-count a host change. A generation change vs
-    * the offset's stored generation bumps every epoch once (A5). With
-    * `max.txs.per.trigger`, the scan stops at the first transaction
-    * boundary after the cap of new positions beyond `start` is reached —
-    * bounded batches; the byte position only ever advances at
-    * out-of-transaction line boundaries so a batch window never splits a
-    * transaction. FIELD (schema) lines encountered by the scan are
-    * checkpointed per (shard, table) so seeked readers can decode without
-    * replaying history. */
+  /** Admission control (S8). Two paths, one fold:
+    *
+    * Default (unbounded admission): METADATA-ONLY on the trigger thread.
+    * Per-shard background [[ShardTailer]] threads own the feed scan —
+    * each continuously folds new wire lines into a transaction-safe
+    * [[ShardCursor]] — and `latestOffset` just snapshots the published
+    * cursors: O(#shards) work regardless of new-byte volume. The scan
+    * itself runs off the trigger path, parallel across shards (the old
+    * inline fold was sequential on one thread), and never re-reads a
+    * byte. A bounded catch-up barrier (`tail.catchup.timeout.ms`) makes
+    * the trigger observe data durable when it fired, keeping
+    * `processAllAvailable` and per-batch record structure deterministic
+    * for settled feeds; a torn trailing transaction simply waits for the
+    * trigger after its COMMIT lands.
+    *
+    * With `max.txs.per.trigger`, the fold runs synchronously on the
+    * trigger thread and stops at the first transaction boundary after
+    * the cap — per-trigger work is O(cap·tx-bytes) by construction
+    * (bounded-batch mode bounds its own admission scan; the tailer path
+    * is the 100×-scale one).
+    *
+    * Shared fold semantics (both paths, [[TxBoundaryFold]]): exactly-once
+    * holds because the byte position and the folded epochs live in the
+    * same atomic offset JSON — bytes before `feed_positions[shard]` are
+    * already reflected in `transaction_epoch`. A shard with no recorded
+    * position (first trigger, explicit-`vgtid` offset, reshard child)
+    * folds the whole file from the initial baseline — idempotent under
+    * the readers' rank-window filter, so legacy restarts can't
+    * double-count a host change. A generation change vs the offset's
+    * stored generation bumps every epoch once (A5). The cursor only
+    * advances at out-of-transaction line boundaries so a batch window
+    * never splits a transaction; FIELD (schema) lines are checkpointed
+    * per (shard, table) so seeked readers decode without history. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VgtidOffset]
     // An explicit shard list narrowed against an existing checkpoint would
@@ -494,102 +521,81 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     val positionsOut = Map.newBuilder[String, Long]
     val schemasOut = Map.newBuilder[String, Map[String, String]]
     val hbMsOut = Map.newBuilder[String, Long]
-    val gtids = shardFiles.map { case (shard, file) =>
-      val startSg = from.vgtid.shardGtid(shard)
-        .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
+    val files = shardFiles
+    if (useTailers) {
+      // retire tailers for shards that left the topology (reshard parents
+      // whose feeds were removed): their state is already in `from`
+      val current = files.map(_._1).toSet
+      tailers.keys.filterNot(current).toSeq.foreach { sh =>
+        tailers.remove(sh).foreach(_.shutdown())
+      }
+    }
+    /** Seed cursor for a shard the fold has no byte position for — the
+      * same branching for both paths. Positions compare by (rank,
+      * copy-phase lastpk progress) so copy batches advance the offset
+      * even while the GTID stays fixed; epoch fallbacks inherit from the
+      * generation-BUMPED map so a reshard child appearing across a
+      * generation-change restart seeds from its parents' post-bump
+      * epochs (the same map the readers see). */
+    def seedCursor(shard: String, startSg: ShardGtid): ShardCursor = {
       val seekFrom = from.positions.get(shard)
-      val fromByte = seekFrom.getOrElse(0L)
-      // positions compare by (rank, copy-phase lastpk progress) so copy
-      // batches advance the offset even while the GTID stays fixed
-      var lastSg = seekFrom match {
+      val sg = seekFrom match {
         case Some(_) => startSg // incremental: fold continues from the offset
         case None => init.vgtid.shardGtid(shard)
           .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
       }
-      var epoch = seekFrom match {
-        // fallbacks inherit from the generation-BUMPED map so a reshard
-        // child appearing across a generation-change restart seeds from
-        // its parents' post-bump epochs (same map the readers see)
+      val epoch = seekFrom match {
         case Some(_) => epochs.get(shard).getOrElse(seedEpoch(shard, epochs))
         case None if from.epochs.get(shard).isDefined => bumpedInit.get(shard).getOrElse(0L)
         case None => seedEpoch(shard, epochs) // reshard child (A4)
       }
-      var tableSchemas = from.schemas.getOrElse(shard, Map.empty[String, String])
-      var admitted = 0L
-      var inTx = false
-      var safePos = fromByte
-      // interval-heartbeat baseline fold: mirrors the reader's per-commit
-      // rule so the offset carries the same baseline the reader ends on
-      var hbMs = from.hbMs.getOrElse(shard, Long.MinValue)
-      var txAdmitted = false
-      // the offset must only carry state as of the last TRANSACTION
-      // boundary: a concurrent appender can tear a tx between its VGTID
-      // and COMMIT lines, and folding that VGTID into the offset while
-      // safePos excludes its bytes would make the next batch's rank
-      // filter skip the tx forever (pos == startSg) — silent loss
-      var safeSg = lastSg
-      var safeEpoch = epoch
-      var safeSchemas = tableSchemas
-      var safeHb = hbMs
-      val slice = transport.open(file, fromByte, Long.MaxValue)
-      try {
-        var line = slice.readLine()
-        var stop = false
-        while (line != null && !stop) {
-          // prefix dispatch: only VGTID/FIELD lines need JSON parsing (the
-          // scan is driver-side and single-threaded — parsing every event
-          // line would dominate trigger latency on large feeds)
-          if (line.startsWith(FeedSlice.BeginPrefix)) { inTx = true; txAdmitted = false }
-          else if (line.startsWith(FeedSlice.CommitPrefix)) {
-            inTx = false
-            if (heartbeatIntervalMs > 0 && txAdmitted) {
-              VEventJson.read(line) match {
-                case c: CommitEvent =>
-                  val tsMs = c.timestampSec * 1000L
-                  if (hbMs == Long.MinValue || tsMs - hbMs >= heartbeatIntervalMs) hbMs = tsMs
-                case _ =>
-              }
+      ShardCursor(
+        seekFrom.getOrElse(0L), sg, epoch,
+        from.schemas.getOrElse(shard, Map.empty[String, String]),
+        from.hbMs.getOrElse(shard, Long.MinValue),
+        admitted = 0L)
+    }
+    val gtids = files.map { case (shard, file) =>
+      val startSg = from.vgtid.shardGtid(shard)
+        .getOrElse(ShardGtid(keyspace, shard, Vgtid.EmptyGtid))
+      val cursor =
+        if (useTailers) {
+          val t = tailers.getOrElseUpdate(shard, {
+            val tailer = new ShardTailer(
+              transport, file, shard, keyspace, seedCursor(shard, startSg),
+              startSg, heartbeatIntervalMs, tailPollMs)
+            tailer.start()
+            tailer
+          })
+          t.awaitCaughtUp(transport.size(file), tailCatchupTimeoutMs)
+          t.snapshot
+        } else {
+          // bounded-batch mode: synchronous fold, stops at the first tx
+          // boundary after the cap — work is O(cap), not O(new bytes)
+          val seed = seedCursor(shard, startSg)
+          val fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs)
+          val slice = transport.open(file, seed.pos, Long.MaxValue)
+          try {
+            var line = slice.readLine()
+            var stop = false
+            while (line != null && !stop) {
+              VitessCdcStream.triggerScanLines.incrementAndGet()
+              fold.onLine(line, slice.position)
+              // a cursor AT the slice position means the fold just
+              // published a safe boundary on this line
+              if (fold.safe.pos == slice.position && fold.safe.admitted >= maxTxsPerTrigger)
+                stop = true
+              if (!stop) line = slice.readLine()
             }
-            txAdmitted = false
-          }
-          else if (line.startsWith(FeedSlice.FieldPrefix)) {
-            VEventJson.read(line) match {
-              case f: FieldEvent => tableSchemas += (f.table -> line)
-              case _ =>
-            }
-          } else if (line.startsWith(FeedSlice.VgtidPrefix)) {
-            VEventJson.read(line) match {
-              case VgtidEvent(_, v) =>
-                v.shardGtid(shard).foreach { sg =>
-                  if (sg != lastSg) {
-                    if (CopyProgress.compare(sg, startSg) > 0) { admitted += 1; txAdmitted = true }
-                    if (sg.gtid != lastSg.gtid) {
-                      if (lastSg.gtid != Vgtid.EmptyGtid && lastSg.gtid != Vgtid.CurrentGtid)
-                        epoch = EpochProvider.epochForGtid(epoch, lastSg.gtid, sg.gtid)
-                    }
-                    lastSg = sg.copy(keyspace = keyspace, shard = shard)
-                  }
-                }
-              case _ =>
-            }
-          }
-          if (!inTx) {
-            safePos = slice.position
-            safeSg = lastSg
-            safeEpoch = epoch
-            safeSchemas = tableSchemas
-            safeHb = hbMs
-            if (admitted >= maxTxsPerTrigger) stop = true
-          }
-          if (!stop) line = slice.readLine()
+          } finally slice.close()
+          fold.safe
         }
-      } finally slice.close()
-      epochs = epochs.put(shard, safeEpoch)
-      positionsOut += shard -> safePos
-      if (safeSchemas.nonEmpty) schemasOut += shard -> safeSchemas
-      if (heartbeatIntervalMs > 0 && safeHb != Long.MinValue) hbMsOut += shard -> safeHb
+      epochs = epochs.put(shard, cursor.epoch)
+      positionsOut += shard -> cursor.pos
+      if (cursor.schemas.nonEmpty) schemasOut += shard -> cursor.schemas
+      if (heartbeatIntervalMs > 0 && cursor.hbMs != Long.MinValue) hbMsOut += shard -> cursor.hbMs
       // never regress behind the committed start position
-      if (CopyProgress.compare(safeSg, startSg) < 0) startSg else safeSg
+      if (CopyProgress.compare(cursor.sg, startSg) < 0) startSg else cursor.sg
     }
     VgtidOffset(
       Vgtid(gtids), epochs, generation,
@@ -646,7 +652,17 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
 
   override def deserializeOffset(json: String): Offset = VgtidOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    tailers.values.foreach(_.shutdown())
+    tailers.clear()
+  }
+}
+
+object VitessCdcStream {
+  /** Test instrumentation: wire lines scanned ON the trigger thread by
+    * `latestOffset` (the synchronous capped path only — the default
+    * tailer path must keep this at zero; specs pin that bound). */
+  val triggerScanLines = new java.util.concurrent.atomic.AtomicLong()
 }
 
 final case class VitessCdcPartition(

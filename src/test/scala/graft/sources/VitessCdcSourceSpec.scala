@@ -846,6 +846,48 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == (1L to 52L)) // and still exactly-once
   }
 
+  test("default admission is metadata-only: zero feed lines scanned on the trigger thread") {
+    val feedDir = Files.createTempDirectory("cdcfeed23")
+    val ckpt = Files.createTempDirectory("cdcckpt23")
+    writeFeed(feedDir, "s0", (1L to 20L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    writeFeed(feedDir, "s1", (1L to 20L).flatMap(i => insertTx("s1", i, 100 + i, s"w$i")))
+    val before = VitessCdcStream.triggerScanLines.get()
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString).load()
+      .writeStream.format("memory").queryName("cdc_meta_only")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      // growth while the query is LIVE: the background tailers (not the
+      // trigger thread) absorb the new bytes before the next cut
+      writeFeed(feedDir, "s0", (21L to 25L).flatMap(i => insertTx("s0", i, i, s"v$i")), append = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VitessCdcStream.triggerScanLines.get() == before,
+      "unbounded admission must not scan feed lines on the trigger thread")
+    val ids = spark.sql("SELECT CAST(get_json_object(after, '$.id') AS LONG) FROM cdc_meta_only")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == ((1L to 25L) ++ (101L to 120L))) // exactly-once, both shards
+  }
+
+  test("capped admission scans synchronously but stays bounded by the cap") {
+    val feedDir = Files.createTempDirectory("cdcfeed24")
+    val ckpt = Files.createTempDirectory("cdcckpt24")
+    writeFeed(feedDir, "s0", (1L to 6L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    val before = VitessCdcStream.triggerScanLines.get()
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("max.txs.per.trigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdc_capped_scan")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(VitessCdcStream.triggerScanLines.get() > before) // the bounded synchronous path
+    val ids = spark.sql("SELECT CAST(get_json_object(after, '$.id') AS LONG) FROM cdc_capped_scan")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == (1L to 6L))
+  }
+
   test("multi-table in-flight copy: restart at every prefix, no loss, no duplicates") {
     val feedDir = Files.createTempDirectory("cdcfeed20")
     val ckpt = Files.createTempDirectory("cdcckpt20")
