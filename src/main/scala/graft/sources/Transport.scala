@@ -43,6 +43,11 @@ trait VStreamTransport extends Serializable {
     * return -1 and the barrier is skipped: whatever has arrived is what
     * the trigger admits. */
   def size(locator: String): Long = -1L
+
+  /** Release any live resources (channels, consumer threads). The file
+    * feed holds none; the gRPC transport closes its channel + staging
+    * writers. Called from the stream's stop(). */
+  def close(): Unit = ()
 }
 
 /** A bounded, positioned slice of one shard's event stream. `position`

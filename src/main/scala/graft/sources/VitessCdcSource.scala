@@ -380,12 +380,53 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     else snapshotTables
 
   /** The transport seam (SURVEY S1): all raw-stream I/O below here goes
-    * through this handle, so a live gRPC VTGate transport is a drop-in
-    * (see graft.sources.VStreamTransport). Only the file feed exists in
-    * this environment. An explicit `shard` list disables the empty-shard
-    * pruning — the list is authoritative. */
+    * through this handle. `transport=file` (default) reads an existing
+    * feed directory; `transport=grpc` stands up a live VTGate VStream
+    * whose driver-side consumer stages events into `path` and the same
+    * file mechanics serve them (see VStreamGrpcTransport — positions,
+    * replay, reshard rules all unchanged). An explicit `shard` list
+    * disables the empty-shard pruning — the list is authoritative. */
   private val transport: VStreamTransport =
-    FileFeedTransport(path, excludeEmptyShards && configuredShards.isEmpty)
+    Option(options.get("transport")).getOrElse("file") match {
+      case "file" => FileFeedTransport(path, excludeEmptyShards && configuredShards.isEmpty)
+      case "grpc" =>
+        val target = opt("vtgate.target")
+          .orElse(opt("vtgate.host", "database.hostname").map { h =>
+            s"$h:${opt("vtgate.port", "database.port").getOrElse("15991")}"
+          })
+          .getOrElse(throw new IllegalArgumentException(
+            "transport=grpc requires vtgate.target or vtgate.host/database.hostname"))
+        VStreamGrpcTransport(path, GrpcConfig(
+          target = target,
+          keyspace = keyspace,
+          shards = configuredShards.getOrElse(throw new IllegalArgumentException(
+            "transport=grpc requires the shard option (explicit shard topology)")),
+          tabletType = Option(options.get("tablet.type")).getOrElse("MASTER"),
+          stopOnReshard = stopOnReshard,
+          streamKeyspaceHeartbeats = streamKeyspaceHeartbeats,
+          heartbeatSeconds = (heartbeatIntervalMs / 1000L).toInt,
+          includeTables = Option(options.get("tables.include"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+          tablesToCopy = Option(options.get("snapshot.tables"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+          initialGtid =
+            if (snapshotMode == "never") Vgtid.CurrentGtid else Vgtid.EmptyGtid,
+          keepaliveMs = Option(options.get("keepalive.interval.ms")).map(_.toLong),
+          maxInboundMessageSize =
+            Option(options.get("grpc.max_inbound_message_size")).map(_.toInt),
+          loadBalancingPolicy = Option(options.get("grpc.default.load.balancing.policy")),
+          // reference format: comma-separated name:value pairs
+          headers = Option(options.get("grpc.headers")).map { csv =>
+            csv.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+              val Array(k, v) = kv.split(":", 2)
+              k.trim -> v.trim
+            }.toMap
+          }.getOrElse(Map.empty),
+          username = opt("vtgate.user", "database.user"),
+          password = opt("vtgate.password", "database.password")))
+      case other => throw new IllegalArgumentException(
+        s"transport must be file|grpc, got $other")
+    }
 
   /** (shard, locator) topology as the transport currently sees it (F5:
     * empty shards already excluded by the file transport), restricted to
@@ -655,6 +696,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = {
     tailers.values.foreach(_.shutdown())
     tailers.clear()
+    transport.close()
   }
 }
 

@@ -1,0 +1,219 @@
+package graft.sources
+
+import graft.core._
+import graft.streaming._
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.sparkproject.connect.grpc.{
+  Metadata, Server, ServerCall, ServerCallHandler, ServerInterceptor, ServerInterceptors,
+  ServerServiceDefinition
+}
+import org.sparkproject.connect.grpc.inprocess.InProcessServerBuilder
+import org.sparkproject.connect.grpc.stub.{ServerCalls, StreamObserver}
+import scala.jdk.CollectionConverters._
+
+/** End-to-end coverage of the gRPC VStream transport against an
+  * in-process mock VTGate: wire-codec round-trips, request construction
+  * (flags / filter rules / vgtid / tablet type, reference
+  * VitessReplicationConnection.java:302-338), channel config consumption
+  * (headers, credentials), staging + resume semantics, and the full
+  * engine path (readStream → grpc transport → staging → DataFrame). */
+class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("grpc-transport-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val t1Fields = Seq(
+    FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
+    FieldDef("v", "VARCHAR", "varchar(32)", 32, 0, 0L))
+
+  private def insertTx(shard: String, seq: Long, id: Long, v: String): Seq[VEvent] = Seq(
+    BeginEvent(shard, "ks"),
+    FieldEvent(shard, "ks", "ks.t1", t1Fields, enumSetStringValues = false),
+    RowEvent(shard, "ks", "ks.t1", Seq(
+      RowChange(None, Some(PackedRow.of(Seq(Some(id.toString), Some(v))))))),
+    VgtidEvent(shard, Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$seq")))),
+    CommitEvent(shard, "ks", 1700000000L + seq))
+
+  /** In-process VTGate double: records decoded requests + call metadata,
+    * serves `script(request)` as one response per transaction. */
+  private final class MockVtgate(
+      name: String,
+      script: VtWire.VStreamRequestModel => Seq[Seq[VEvent]]) {
+    @volatile var requests: Vector[VtWire.VStreamRequestModel] = Vector.empty
+    @volatile var lastHeaders: Map[String, String] = Map.empty
+
+    private val handler = new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+      override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+        val req = VtWire.decodeVStreamRequest(request)
+        requests = requests :+ req
+        script(req).foreach(batch => obs.onNext(VtWire.encodeVStreamResponse(batch)))
+        obs.onCompleted()
+      }
+    }
+    private val headerCapture = new ServerInterceptor {
+      override def interceptCall[ReqT, RespT](
+          call: ServerCall[ReqT, RespT],
+          headers: Metadata,
+          next: ServerCallHandler[ReqT, RespT]): ServerCall.Listener[ReqT] = {
+        lastHeaders = headers.keys().asScala
+          .filterNot(_.endsWith("-bin"))
+          .map(k => k -> headers.get(Metadata.Key.of(k, Metadata.ASCII_STRING_MARSHALLER)))
+          .toMap
+        next.startCall(call, headers)
+      }
+    }
+    val server: Server = InProcessServerBuilder.forName(name).directExecutor()
+      .addService(ServerInterceptors.intercept(
+        ServerServiceDefinition.builder("vtgateservice.Vitess")
+          .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
+          .build(),
+        headerCapture))
+      .build().start()
+    def close(): Unit = { server.shutdownNow(); () }
+  }
+
+  test("wire codec round-trips every event kind, packed rows, and copy lastpk") {
+    val lastPk = TableLastPk(
+      "t1",
+      Seq(PkField("id", "INT64", 63, Some(49667))),
+      Seq(PkRow(Seq("2"), java.util.Base64.getEncoder.encodeToString("42".getBytes))))
+    val events: Seq[VEvent] = Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t1", t1Fields, enumSetStringValues = true),
+      RowEvent("s0", "ks", "ks.t1", Seq(
+        RowChange(None, Some(PackedRow.of(Seq(Some("1"), None)))), // NULL column
+        RowChange(Some(PackedRow.of(Seq(Some("1"), Some("old")))),
+          Some(PackedRow.of(Seq(Some("1"), Some("new"))))),
+        RowChange(Some(PackedRow.of(Seq(Some("9"), Some("gone")))), None))),
+      VgtidEvent("s0", Vgtid(Seq(
+        ShardGtid("ks", "s0", "MySQL56/h:1-5", Seq(lastPk)),
+        ShardGtid("ks", "s1", "MySQL56/h:1-7")))),
+      DdlEvent("s0", "ks", "ALTER TABLE t1 ADD COLUMN c INT", 1700000009L),
+      CommitEvent("s0", "ks", 1700000001L),
+      HeartbeatEvent("s0"),
+      CopyCompletedEvent("s0"),
+      OtherEvent("s0"))
+    val decoded = VtWire.decodeVStreamResponse(VtWire.encodeVStreamResponse(events))
+    assert(decoded == events)
+  }
+
+  test("request carries reference flags, filter rules, tablet type, and initial vgtid") {
+    val srv = new MockVtgate("vt-req", _ => (1L to 2L).map(i => insertTx("s0", i, i, s"v$i")))
+    val staging = Files.createTempDirectory("grpcstage1")
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
+      target = "inprocess:vt-req",
+      keyspace = "ks",
+      shards = Seq("s0"),
+      tabletType = "RDONLY",
+      stopOnReshard = true,
+      streamKeyspaceHeartbeats = true,
+      heartbeatSeconds = 30,
+      includeTables = Seq("t1", "orders"),
+      tablesToCopy = Seq("t1"),
+      headers = Map("x-envoy-upstream" -> "vtgate-1"),
+      username = Some("dbz"),
+      password = Some("secret")))
+    try {
+      transport.listShards() // starts the feeder
+      transport.awaitStreamCompleted(10000)
+      val req = srv.requests.head
+      assert(req.tabletType == VtWire.TabletType.byName("RDONLY"))
+      assert(req.flags.stopOnReshard)
+      assert(req.flags.streamKeyspaceHeartbeats)
+      assert(req.flags.heartbeatIntervalSec == 30)
+      assert(req.flags.tablesToCopy == Seq("t1"))
+      // one rule per included table with the planbuilder select form
+      assert(req.rules == Seq(
+        "t1" -> "select * from `t1`", "orders" -> "select * from `orders`"))
+      // fresh staging: empty gtid → server-side copy phase trigger
+      assert(req.vgtid == Vgtid(Seq(ShardGtid("ks", "s0", ""))))
+      // channel extras arrived: headers interceptor + static auth metadata
+      assert(srv.lastHeaders.get("x-envoy-upstream").contains("vtgate-1"))
+      assert(srv.lastHeaders.get("username").contains("dbz"))
+      assert(srv.lastHeaders.get("password").contains("secret"))
+      // events staged in wire-line form, readable by the file mechanics
+      val slice = transport.open(staging.resolve("s0.jsonl").toString, 0L, Long.MaxValue)
+      val lines = try slice.lines.toVector finally slice.close()
+      assert(lines.size == 10) // 2 transactions × 5 events
+      assert(VEventJson.read(lines.head) == BeginEvent("s0", "ks"))
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("restart resumes the server stream from the last staged vgtid, exactly once") {
+    def txs(from: Long, to: Long) = (from to to).map(i => insertTx("s0", i, i, s"v$i"))
+    val srv = new MockVtgate("vt-resume", req => {
+      val sg = req.vgtid.shardGtid("s0").get
+      if (sg.gtid == Vgtid.EmptyGtid) txs(1, 3)
+      else {
+        assert(sg.gtid == "MySQL56/feed:1-3") // resume carries staged progress
+        txs(4, 5)
+      }
+    })
+    val staging = Files.createTempDirectory("grpcstage2")
+    def cfg = GrpcConfig("inprocess:vt-resume", "ks", Seq("s0"))
+    val first = VStreamGrpcTransport(staging.toString, cfg)
+    try { first.listShards(); first.awaitStreamCompleted(10000) } finally first.close()
+    val second = VStreamGrpcTransport(staging.toString, cfg)
+    try { second.listShards(); second.awaitStreamCompleted(10000) } finally second.close()
+    assert(srv.requests.size == 2)
+    val slice = new FeedSlice(staging.resolve("s0.jsonl").toString, 0L)
+    val lines = try slice.lines.toVector finally slice.close()
+    srv.close()
+    assert(lines.size == 25) // 5 transactions × 5 events, no replay
+    val ids = lines.map(VEventJson.read).collect {
+      case RowEvent(_, _, _, changes) =>
+        new String(changes.head.after.get.slice.head.get, "UTF-8")
+    }
+    assert(ids == Seq("1", "2", "3", "4", "5"))
+  }
+
+  test("full engine path: readStream over the grpc transport, oracle-grade rows") {
+    val srv = new MockVtgate("vt-e2e", req => {
+      val sg = req.vgtid.shardGtid("s0").get
+      if (sg.gtid == Vgtid.EmptyGtid) (1L to 4L).map(i => insertTx("s0", i, i, s"v$i"))
+      else Nil
+    })
+    val staging = Files.createTempDirectory("grpcstage3")
+    val ckpt = Files.createTempDirectory("grpcckpt3")
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", staging.toString)
+      .option("transport", "grpc")
+      .option("vtgate.target", "inprocess:vt-e2e")
+      .option("shard", "s0")
+      .option("keyspace", "ks")
+      .load()
+      .writeStream.format("memory").queryName("grpc_e2e")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      // the feeder stages asynchronously; poll until the sink converges
+      val deadline = System.currentTimeMillis() + 20000
+      var n = -1L
+      while (n != 4L && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM grpc_e2e WHERE op = 'c'").collect()(0).getLong(0)
+        if (n != 4L) Thread.sleep(50)
+      }
+    } finally q.stop()
+    srv.close()
+    val rows = spark.sql(
+      "SELECT CAST(get_json_object(after, '$.id') AS LONG) AS id, vgtid FROM grpc_e2e ORDER BY id")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.last.getString(1).contains("MySQL56/feed:1-4"))
+  }
+}
