@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   * the `noop` DSv2 sink (executes the whole plan, writes nothing) so a
   * timing can't silently skip column evaluation the way `count()` can.
   * A failed query is reported in `"errors"` — never as a fake timing.
+  *
+  * SPARK_GRAFT_BENCH_RUNS=N (default 1) times every query N times and
+  * reports the per-query MEDIAN, plus a `"spread"` map (max-min per
+  * query) so recorded history distinguishes a real regression from
+  * machine contention — round 4 recorded phantom 4-10× "regressions"
+  * that a re-run reproduced at 1× (VERDICT r4 adjudication).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,17 +36,31 @@ object Bench {
       spark.range(100000).selectExpr("sum(id) AS s")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    // run-major order (full sweep, then the next sweep) so repeat runs see
+    // steady-state caches the way round-over-round driver runs do
+    (1 to runs).foreach { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples(name) = samples.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+        }
       }
+    }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val timings = samples.map { case (k, xs) => k -> median(xs) }
+    val spreads = samples.collect {
+      case (k, xs) if xs.size > 1 => k -> (xs.max - xs.min)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -47,10 +68,11 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = timings.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     println(json)
     // The driver captures stdout with a bounded tail that can truncate the
     // early per-query timings; persist the full line (cwd-relative — the

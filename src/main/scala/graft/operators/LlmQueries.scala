@@ -272,18 +272,78 @@ object LlmQueries {
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // ------------------------------------------------------------- ANN PQ
-  /** Product-quantization ANN. Unlike IVF, no exact oracle is
-    * constructible: the codebook sample order is Spark's xxhash64 (no
-    * DuckDB equivalent), and the default trainIters=3 Lloyd refinement
-    * is an iterative dense-array fixpoint with no reasonable SQL
-    * expression — so the gate stays rows-only by contract, with the
-    * recall ≥0.9 spec as the correctness pin. */
+  /** Product-quantization ANN in replay mode (trainIters=0, the same
+    * trick that made ann_ivf exact): codebooks are subspace slices of
+    * the first 32 vectors by id, encoding is per-subspace argmin L2,
+    * candidate selection is top-64 by additive ADC dot-product score,
+    * rescoring is exact cosine — every stage deterministic and
+    * SQL-expressible, so the gate hash-checks a full DuckDB replay. The
+    * production path (trainIters=3 Lloyd) is pinned by the recall ≥0.9
+    * spec instead — an iterative dense-array fixpoint has no SQL form. */
   val qAnnPq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
-    Similarity.pqTopK(emb, queries, k = 5)
+    Similarity.pqTopK(emb, queries, k = 5, trainIters = 0)
+      .withColumn("rk", col("rk").cast("long"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** DuckDB replay of pqTopK with trainIters=0 (m=8 subspaces over the
+    * 64-dim embeddings, 32 codes, 64 ADC candidates): books = codebook
+    * slices, corpus_codes = per-subspace nearest code (argmin L2, ties →
+    * lower code), adc = per-query dot-product tables, approx = additive
+    * ADC scores, cand = top-64, then exact cosine rescoring — stage for
+    * stage the pipeline in Similarity.pqTopK/trainPq. */
+  val qAnnPqSql: String =
+    """WITH params AS (
+      |  SELECT len(embedding) // 8 AS subdim FROM embeddings LIMIT 1
+      |), samp AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |    embedding::DOUBLE[] AS cb
+      |  FROM embeddings ORDER BY vec_id LIMIT 32
+      |), books AS (
+      |  SELECT s.i AS sub, samp.code,
+      |    samp.cb[(s.i * p.subdim + 1):((s.i + 1) * p.subdim)] AS bvec
+      |  FROM samp CROSS JOIN generate_series(0, 7) AS s(i) CROSS JOIN params p
+      |), corpus_codes AS (
+      |  SELECT vec_id AS neighbor_id, sub, code FROM (
+      |    SELECT e.vec_id, b.sub, b.code,
+      |      row_number() OVER (PARTITION BY e.vec_id, b.sub
+      |        ORDER BY list_distance(
+      |          (e.embedding::DOUBLE[])[(b.sub * p.subdim + 1):((b.sub + 1) * p.subdim)],
+      |          b.bvec) ASC, b.code) AS rn
+      |    FROM embeddings e CROSS JOIN books b CROSS JOIN params p
+      |  ) WHERE rn = 1
+      |), adc AS (
+      |  SELECT q.vec_id AS query_id, b.sub, b.code,
+      |    list_inner_product(
+      |      (q.embedding::DOUBLE[])[(b.sub * p.subdim + 1):((b.sub + 1) * p.subdim)],
+      |      b.bvec) AS dp
+      |  FROM embeddings q CROSS JOIN books b CROSS JOIN params p
+      |  WHERE q.vec_id < 10
+      |), approx AS (
+      |  SELECT a.query_id, cc.neighbor_id, sum(a.dp) AS score
+      |  FROM corpus_codes cc JOIN adc a ON a.sub = cc.sub AND a.code = cc.code
+      |  WHERE cc.neighbor_id <> a.query_id
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, neighbor_id) AS crk
+      |    FROM approx
+      |  ) WHERE crk <= 64
+      |)
+      |SELECT query_id, rk, neighbor_id, sim FROM (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+      |               c.neighbor_id) AS rk
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.query_id
+      |  JOIN embeddings n ON n.vec_id = c.neighbor_id
+      |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // -------------------------------------------------------- multimodal
   /** Binary-column plumbing: synthetic media table → batch-shaped stub
@@ -1242,6 +1302,7 @@ object LlmQueries {
     "dedup_simhash"       -> qDedupSimhashSql,
     "ann_topk"            -> qAnnTopkSql,
     "ann_ivf"             -> qAnnIvfSql,
+    "ann_pq"              -> qAnnPqSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
     "multimodal_frames"   -> qMultimodalFramesSql)
 }

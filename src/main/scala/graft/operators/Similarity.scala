@@ -35,10 +35,26 @@ object Similarity {
     * double arithmetic as dot/norm, one pass, no lambda interpretation. */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
+  /** The top-k entry points take a "broadcast-small by contract" query
+    * side (shipped to every executor, and for PQ also collected on the
+    * driver). This makes misuse fail fast with a pointer to the right
+    * operator instead of OOMing the driver: it counts AT MOST
+    * `max`+1 rows (the limit bounds the scan), so the guard is O(max)
+    * regardless of how large the offending query side actually is. */
+  private def requireBroadcastSmall(queries: DataFrame, max: Int, op: String): Unit = {
+    val overflow = queries.limit(max + 1).count() > max
+    require(!overflow,
+      s"$op: the query side is broadcast/collected by contract and must hold at most " +
+        s"$max rows (raise maxQueries explicitly if the memory budget allows). For an " +
+        "all-pairs self-ANN shape use lshTopK or cosineNearDupPairs instead.")
+  }
+
   /** Exact top-k neighbors for each query id (self excluded).
     * `queries` must be broadcast-small (it is sent to every executor). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 10000): DataFrame = {
+    requireBroadcastSmall(queries, maxQueries, "cosineTopK")
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("query_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
@@ -159,7 +175,9 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 32, nProbes: Int = 4, trainIters: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 10000): DataFrame = {
+    requireBroadcastSmall(queries, maxQueries, "ivfTopK")
     // Centroid matrix is bounded by nCentroids (not data size): collect it
     // once (optionally k-means-refined) and ship it in the scoring
     // closures — the coarse quantizer then runs as a tight per-row loop
@@ -216,13 +234,21 @@ object Similarity {
     * `iters` Lloyd rounds run locally — the FAISS-style contract where
     * codebook training is bounded by the sample (trainRows·dim doubles),
     * never by corpus size, so it costs one TakeOrdered job at any scale.
-    * Empty cells keep their previous sub-centroid. */
+    * Empty cells keep their previous sub-centroid.
+    *
+    * `iters = 0` is the REPLAY mode (same trick as ivfTopK's
+    * trainIters=0): the codebooks are slices of the first `codes`
+    * vectors in plain id order, so the whole PQ pipeline is
+    * SQL-expressible and the ann_pq gate hash-checks against a DuckDB
+    * replay; Lloyd refinement (iters > 0) stays the production path,
+    * pinned by the recall spec instead. */
   def trainPq(corpus: DataFrame, m: Int, codes: Int, iters: Int,
       trainRows: Int = 2048,
       idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
-    val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(math.max(codes, trainRows))
-      .select(col(vecCol)).collect()
+    val sample = (
+      if (iters == 0) corpus.orderBy(col(idCol)).limit(codes)
+      else corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(math.max(codes, trainRows))
+    ).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= codes, s"corpus must hold at least $codes vectors")
     val dim = sample.head.length
@@ -261,7 +287,9 @@ object Similarity {
     * oracle. `queries` must be broadcast-small. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, codes: Int = 32, candidates: Int = 64, trainIters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 10000): DataFrame = {
+    requireBroadcastSmall(queries, maxQueries, "pqTopK")
     val model = trainPq(corpus, m, codes, trainIters, idCol = idCol, vecCol = vecCol)
     val subDim = model.subDim
     val frozen = model.codebooks

@@ -33,6 +33,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.rollingHash("abc") >= 0L) // mod 2^61-1 keeps it non-negative
   }
 
+  test("broadcast-small query contract is enforced, not just documented") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // 50 vectors against a cap of 10: every top-k entry point must refuse
+    // BEFORE broadcasting/collecting, with a pointer to the scale path
+    Seq[(String, () => Any)](
+      "cosineTopK" -> (() => Similarity.cosineTopK(emb, emb, k = 1, maxQueries = 10)),
+      "ivfTopK" -> (() => Similarity.ivfTopK(emb, emb, k = 1, maxQueries = 10)),
+      "pqTopK" -> (() => Similarity.pqTopK(emb, emb, k = 1, maxQueries = 10))
+    ).foreach { case (name, run) =>
+      val err = intercept[IllegalArgumentException](run())
+      assert(err.getMessage.contains(name), s"$name: ${err.getMessage}")
+      assert(err.getMessage.contains("lshTopK"))
+    }
+  }
+
   test("ivf ann: top-1 recall >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)
