@@ -253,6 +253,82 @@ object CdcFeed extends Serializable {
     }
   }
 
+  /** Fixture for the batch-backfill gate (S5 at scale): wave 1 inserts
+    * every orders and customer row — the history a parallel batch
+    * snapshot already covers — and wave 2 carries the post-snapshot
+    * changes (orders.o_orderstatus→'X' for key%3==0, customer
+    * .c_mktsegment→'GRAFT' for key%5==0). Per-shard GTID sequence is
+    * strictly monotone across tables and waves, and the returned VGTID
+    * is the exact between-waves position: the handover the paired
+    * stream starts from. Every wave-2 transaction re-carries FIELD —
+    * the way a real VStream re-sends schema to a client attaching at
+    * an arbitrary position — so a stream starting at the handover can
+    * decode without wave-1 context. */
+  def backfillWaves(s: SparkSession, d: String, nShards: Int = DefaultShards)
+      : (Dataset[FeedLine], Vgtid) = {
+    import s.implicits._
+    val B1 = 10000000L // customer history follows orders history
+    val B2 = 20000000L // orders updates (post-snapshot)
+    val B3 = 30000000L // customer updates (post-snapshot)
+    val wOrd = Window.partitionBy("shard").orderBy("o_orderkey")
+    val ord = Tables.orders(s, d)
+      .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
+      .withColumn("tx", row_number().over(wOrd).cast("long"))
+      .select(
+        col("shard"), col("tx"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        col("o_orderpriority"))
+      .as[(String, Long, Long, Long, String, Double, String, String)]
+      .flatMap { case (shard, tx, okey, ckey, status, price, odate, prio) =>
+        val row = Seq(okey.toString, ckey.toString, status, price.toString, odate, prio)
+          .map(Option(_))
+        val insert = feedLines(shard, tx,
+          txEvents(shard, "ks.orders", OrdersFields,
+            RowChange(None, Some(PackedRow.of(row))), tx,
+            vgtidAt(shard, tx, nShards, multiShard = false), withField = tx == 1))
+        val update =
+          if (okey % 3 != 0) Nil
+          else feedLines(shard, B2 + tx,
+            txEvents(shard, "ks.orders", OrdersFields,
+              RowChange(Some(PackedRow.of(row)), Some(PackedRow.of(row.updated(2, Some("X"))))),
+              B2 + tx, vgtidAt(shard, B2 + tx, nShards, multiShard = false)))
+        insert ++ update
+      }
+    val wCust = Window.partitionBy("shard").orderBy("c_custkey")
+    val cust = Tables.customer(s, d)
+      .withColumn("shard", (col("c_custkey") % nShards).cast("string"))
+      .withColumn("tx", row_number().over(wCust).cast("long"))
+      .select(col("shard"), col("tx"), col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .as[(String, Long, Long, String, Int, Double, String)]
+      .flatMap { case (shard, tx, key, name, nation, bal, seg) =>
+        val row = Seq(key.toString, name, nation.toString, bal.toString, seg).map(Option(_))
+        val insert = feedLines(shard, B1 + tx,
+          txEvents(shard, "ks.customer", CustomerFields,
+            RowChange(None, Some(PackedRow.of(row))), B1 + tx,
+            vgtidAt(shard, B1 + tx, nShards, multiShard = false), withField = tx == 1))
+        val update =
+          if (key % 5 != 0) Nil
+          else feedLines(shard, B3 + tx,
+            txEvents(shard, "ks.customer", CustomerFields,
+              RowChange(Some(PackedRow.of(row)), Some(PackedRow.of(row.updated(4, Some("GRAFT"))))),
+              B3 + tx, vgtidAt(shard, B3 + tx, nShards, multiShard = false)))
+        insert ++ update
+      }
+    // the between-waves position: after every shard's last history tx
+    // (customer history has the highest wave-1 sequence numbers)
+    val custCounts = Tables.customer(s, d)
+      .groupBy((col("c_custkey") % nShards).cast("string").as("shard"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val handover = Vgtid((0 until nShards).map { i =>
+      val sh = i.toString
+      ShardGtid("ks", sh, s"MySQL56/feed:1-${B1 + custCounts.getOrElse(sh, 0L)}")
+    })
+    (ord.unionByName(cust), handover)
+  }
+
   /** customer → insert-only feed (used by the extract-new-record-state
     * gate, full typed round-trip). */
   def customer(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {

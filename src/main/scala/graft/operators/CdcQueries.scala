@@ -551,6 +551,52 @@ object CdcQueries {
       |  FROM customer WHERE c_custkey % 4 = 1
       |) ORDER BY tbl, phase""".stripMargin
 
+  // ---------------------------------------------------- batch backfill
+  /** S5 at scale under the oracle: the initial load runs as a PARALLEL
+    * BATCH read (CdcBackfill.snapshotRecords over the parquet tables,
+    * multi-table) while the stream starts exactly at the recorded
+    * handover VGTID — the feed still contains the full pre-snapshot
+    * history, so any handover error shows up as doubled `c` counts
+    * (replay) or missing `u` rows (gap) and fails the hash. */
+  val qCdcCopyBackfill: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = Files.createTempDirectory("graft_feed_bf")
+    val outDir = Files.createTempDirectory("graft_bf_out")
+    val ckpt = Files.createTempDirectory("graft_bf_ckpt")
+    val (feed, handover) = CdcFeed.backfillWaves(s, d)
+    writeFeedFiles(s, feed, feedDir)
+    runStreamOnce(s, feedDir, outDir, ckpt, Map("vgtid" -> handover.json))
+    val snapshot = CdcBackfill.snapshotRecords(
+        graft.Tables.orders(s, d), "ks", "orders", Seq("o_orderkey"),
+        col("o_orderkey") % 4, handover)
+      .unionByName(CdcBackfill.snapshotRecords(
+        graft.Tables.customer(s, d), "ks", "customer", Seq("c_custkey"),
+        col("c_custkey") % 4, handover))
+    val streamed = s.read.parquet(outDir.toString)
+    snapshot.unionByName(streamed.select(snapshot.columns.map(col): _*))
+      .groupBy(col("table").as("tbl"), col("op"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(
+          get_json_object(col("key"), "$.o_orderkey"),
+          get_json_object(col("key"), "$.c_custkey")).cast(LongType)).as("sum_key"))
+      .orderBy(col("tbl"), col("op"))
+  }
+
+  val qCdcCopyBackfillSql: String =
+    """SELECT tbl, op, n, sum_key FROM (
+      |  SELECT 'orders' AS tbl, 'c' AS op, count(*) AS n,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'u', count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 'customer', 'c', count(*), CAST(sum(c_custkey) AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT 'customer', 'u', count(*), CAST(sum(c_custkey) AS BIGINT)
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |) ORDER BY tbl, op""".stripMargin
+
   // ---------------------------------------------------- heartbeats
   /** H1 under the oracle: per-batch liveness heartbeats ride alongside
     * the data — one per shard per (single) batch, while every data row
@@ -1061,6 +1107,7 @@ object CdcQueries {
     "cdc_reshard_epoch"    -> qCdcReshardEpoch,
     "cdc_generation"       -> qCdcGeneration,
     "cdc_copy_phase"       -> qCdcCopyPhase,
+    "cdc_copy_backfill"    -> qCdcCopyBackfill,
     "cdc_heartbeat"        -> qCdcHeartbeat,
     "cdc_heartbeat_tables" -> qCdcHeartbeatTables,
     "cdc_metadata"         -> qCdcMetadata,
@@ -1097,6 +1144,7 @@ object CdcQueries {
     "cdc_reshard_epoch"    -> qCdcReshardEpochSql,
     "cdc_generation"       -> qCdcGenerationSql,
     "cdc_copy_phase"       -> qCdcCopyPhaseSql,
+    "cdc_copy_backfill"    -> qCdcCopyBackfillSql,
     "cdc_heartbeat"        -> qCdcHeartbeatSql,
     "cdc_heartbeat_tables" -> qCdcHeartbeatTablesSql,
     "cdc_metadata"         -> qCdcMetadataSql,

@@ -92,12 +92,21 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Int = 64): DataFrame = {
+    // cached: the raw index feeds BOTH sides of the df-cap join (the
+    // aggregate that finds keepable shingles, and the probe side), and
+    // the tokenize+shingle+explode pass over the corpus is the single
+    // most expensive stage of this operator (profiled at sf0.1: ~4.4 s
+    // of a 12 s query, and it ran twice) — caching it halves the index
+    // build and leaves everything downstream reading columnar cache
     val sh = df
       .select(col(idCol).cast("long").as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-    // persisted: the pruned inverted index feeds the size aggregation and
-    // BOTH sides of the pairing self-join — without the cache the
-    // tokenize+explode over the corpus runs once per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the pruned inverted index feeds the size aggregation
+    // and the pairing stage. The df filter stays a shuffle join keyed on
+    // the shingle (NOT a broadcast anti-join against the hot set): hot
+    // shingles in a zipfian corpus can number in the millions at 100 TB,
+    // while the shuffle join is skew-safe under AQE at any scale.
     val kept = sh.join(
       sh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
         .filter(col("sdf") <= maxShingleDf)
@@ -111,7 +120,8 @@ object Dedup {
     // persist/checkpoint/unpersist discipline as cosineNearDupPairs and
     // connectedComponents). The final containment join below stays lazy.
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      .localCheckpoint()
+      .localCheckpoint() // materializes kept — the raw index can release
+    sh.unpersist()
     // Pairing groups each shingle's (cap-bounded, ≤ maxShingleDf) doc
     // list once and explodes the C(k,2) ordered pairs narrowly — one
     // shuffle of the index instead of the two a self-join needs, with

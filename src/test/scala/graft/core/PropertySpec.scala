@@ -130,4 +130,78 @@ class PropertySpec extends AnyFunSuite {
       assert(GraftType.parseEnumOrSetValues(defn) == values)
     }
   }
+
+  // ---- ShardLineage (A4) over arbitrary keyrange topologies ----------
+  // Vitess shard names are hex keyrange bounds with open extremes
+  // (reference ShardLineage.java:26-44,65-84: lexicographic bounds with
+  // ±∞ sentinels). Fixed-width hex makes lexicographic == numeric, so an
+  // independent INTEGER-interval oracle can check the string-interval
+  // implementation over random reshard chains — not just the fixed
+  // topology the cdc_reshard_epoch gate streams.
+
+  private val KeyspaceEnd = 0x10000
+  private def shardName(lo: Int, hi: Int, upperCase: Boolean): String = {
+    def hex(n: Int) = { val h = f"$n%04x"; if (upperCase) h.toUpperCase else h }
+    (if (lo == 0) "" else hex(lo)) + "-" + (if (hi == KeyspaceEnd) "" else hex(hi))
+  }
+
+  /** Random partition of the keyspace [0, 0x10000) into 1-5 keyranges. */
+  private val genPartition: Gen[Vector[(Int, Int)]] = for {
+    k <- Gen.choose(0, 4)
+    cuts <- Gen.listOfN(k, Gen.choose(1, KeyspaceEnd - 1))
+  } yield {
+    val bounds = (0 +: cuts.distinct.sorted :+ KeyspaceEnd).toVector
+    bounds.zip(bounds.tail)
+  }
+
+  test("epoch inheritance over random reshard chains = max overlapping parent + 1") {
+    val genChain = for {
+      g0 <- genPartition
+      e0 <- Gen.listOfN(g0.size, Gen.choose(0L, 5L))
+      reshards <- Gen.listOfN(3, genPartition)
+      upperCase <- Gen.oneOf(true, false) // reference lowercases shard names
+    } yield (g0.zip(e0), reshards, upperCase)
+    forAll(genChain, cases = 300) { case (gen0, reshards, upperCase) =>
+      var current: Vector[((Int, Int), Long)] = gen0
+      // each reshard is an arbitrary repartition (splits AND merges in
+      // one step); children must inherit max(overlapping parents) + 1
+      reshards.foreach { next =>
+        val parentMap = current.foldLeft(ShardEpochMap.empty) {
+          case (m, ((lo, hi), e)) => m.put(shardName(lo, hi, upperCase), e)
+        }
+        current = next.map { case (lo, hi) =>
+          val expected = current.collect {
+            case ((plo, phi), e) if plo < hi && phi > lo => e
+          }.max + 1 // partitions cover the keyspace: >=1 parent overlaps
+          val got = ShardLineage.inheritedEpoch(shardName(lo, hi, upperCase), parentMap)
+          assert(got == expected,
+            s"child [$lo,$hi) expected $expected got $got from $parentMap")
+          ((lo, hi), got)
+        }
+      }
+    }
+  }
+
+  test("adjacent keyranges do not inherit; disjoint entries never affect the result") {
+    val gen = for {
+      lo <- Gen.choose(0, KeyspaceEnd - 3)
+      mid <- Gen.choose(lo + 1, KeyspaceEnd - 2)
+      hi <- Gen.choose(mid + 1, KeyspaceEnd - 1)
+      e <- Gen.choose(0L, 9L)
+    } yield (lo, mid, hi, e)
+    forAll(gen) { case (lo, mid, hi, e) =>
+      val left = shardName(lo, mid, upperCase = false)
+      val right = shardName(mid, hi, upperCase = false)
+      // [lo,mid) and [mid,hi) share only the boundary point — no overlap,
+      // so neither is the other's parent (epoch seeds at -1 + 1 = 0)
+      assert(ShardLineage.inheritedEpoch(left, ShardEpochMap.empty.put(right, e)) == 0L)
+      assert(ShardLineage.inheritedEpoch(right, ShardEpochMap.empty.put(left, e)) == 0L)
+      // a split child inherits from its parent alone: a hotter epoch on a
+      // disjoint sibling range must not leak in
+      val withNoise = ShardEpochMap.empty
+        .put(shardName(lo, hi, upperCase = false), e)
+        .put(shardName(hi, KeyspaceEnd, upperCase = false), e + 7)
+      assert(ShardLineage.inheritedEpoch(left, withNoise) == e + 1)
+    }
+  }
 }
