@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -263,7 +263,7 @@ private[sources] object FeedSlice {
 }
 
 class VitessCdcStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics {
   private val path = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("vitess-cdc source requires a path"))
   // first present key wins: each option's own name first, then the
@@ -689,6 +689,43 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         new VitessCdcPartitionReader(partition.asInstanceOf[VitessCdcPartition], t)
     }
+  }
+
+  /** Streaming-source metrics surfaced into StreamingQueryProgress
+    * (reference `metrics/VitessStreamingChangeEventSourceMetrics.java:22-30`
+    * — thin wrappers over Debezium's default streaming metrics; the
+    * Spark-native seat for the same numbers is ReportsSourceMetrics,
+    * which lands them in `progress.sources[].metrics` next to Spark's
+    * own rows/sec):
+    *
+    *  - `shards` — current topology size (the reference's task count)
+    *  - `lagBytes` — feed bytes not yet consumed by the query, from the
+    *    transport's high-water positions vs the consumed offset (the
+    *    queue-depth analogue; -1 when the transport can't report sizes)
+    *  - `admittedTransactions` — cumulative transactions admitted since
+    *    stream start (tailer mode; the committed-transactions counter)
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    val files = try shardFiles catch { case _: Exception => Seq.empty[(String, String)] }
+    m.put("shards", files.size.toString)
+    val positions: Map[String, Long] =
+      if (!latestConsumedOffset.isPresent) Map.empty
+      else latestConsumedOffset.get() match {
+        case v: VgtidOffset => v.positions
+        case o => VgtidOffset.fromJson(o.json()).positions // SerializedOffset post-restart
+      }
+    var lag = 0L
+    var sized = true
+    files.foreach { case (sh, loc) =>
+      val size = transport.size(loc)
+      if (size < 0) sized = false
+      else lag += math.max(0L, size - positions.getOrElse(sh, 0L))
+    }
+    m.put("lagBytes", if (sized) lag.toString else "-1")
+    if (useTailers)
+      m.put("admittedTransactions", tailers.values.map(_.snapshot.admitted).sum.toString)
+    m
   }
 
   override def deserializeOffset(json: String): Offset = VgtidOffset.fromJson(json)

@@ -870,6 +870,24 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == ((1L to 25L) ++ (101L to 120L))) // exactly-once, both shards
   }
 
+  test("source metrics ride StreamingQueryProgress: shards, lag, admitted txs") {
+    val feedDir = Files.createTempDirectory("cdcfeed25")
+    val ckpt = Files.createTempDirectory("cdcckpt25")
+    writeFeed(feedDir, "s0", (1L to 7L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    writeFeed(feedDir, "s1", (1L to 4L).flatMap(i => insertTx("s1", i, 100 + i, s"w$i")))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString).load()
+      .writeStream.format("memory").queryName("cdc_metrics")
+      .option("checkpointLocation", ckpt.toString).start()
+    val metrics = try {
+      q.processAllAvailable()
+      q.lastProgress.sources.head.metrics
+    } finally q.stop()
+    assert(metrics.get("shards") == "2")
+    assert(metrics.get("lagBytes") == "0") // fully consumed
+    assert(metrics.get("admittedTransactions") == "11")
+  }
+
   test("capped admission scans synchronously but stays bounded by the cap") {
     val feedDir = Files.createTempDirectory("cdcfeed24")
     val ckpt = Files.createTempDirectory("cdcckpt24")
