@@ -63,6 +63,7 @@ final case class GrpcConfig(
       * connection the regex form expresses the same filter. */
     includeTables: Seq[String] = Nil,
     tablesToCopy: Seq[String] = Nil,
+    excludeKeyspaceFromTableName: Boolean = false,
     initialGtid: String = Vgtid.EmptyGtid, // "" → copy; "current" → skip history
     keepaliveMs: Option[Long] = None,
     maxInboundMessageSize: Option[Int] = None,
@@ -217,6 +218,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
         heartbeatIntervalSec = cfg.heartbeatSeconds,
         stopOnReshard = cfg.stopOnReshard,
         streamKeyspaceHeartbeats = cfg.streamKeyspaceHeartbeats,
+        excludeKeyspaceFromTableName = cfg.excludeKeyspaceFromTableName,
         tablesToCopy = cfg.tablesToCopy))
   }
 

@@ -94,15 +94,14 @@ private[sources] final class TxBoundaryFold(
   }
 }
 
-/** Driver-side background consumer of one shard's stream: continuously
+/** Driver-side background consumer of one shard's stream: incrementally
   * reads new wire lines off the transport and folds them with
   * [[TxBoundaryFold]], publishing the latest transaction-safe cursor.
   *
   * This is what makes `latestOffset` metadata-only: the trigger thread
   * just snapshots the published cursor — O(1) per shard, no feed I/O —
-  * instead of scanning every new byte itself, and the scan work that
-  * remains runs off the trigger path, one thread per shard (parallel
-  * across shards, where the old synchronous fold was sequential).
+  * instead of scanning every new byte itself; the scan work that
+  * remains runs off the trigger path on a bounded [[TailerPool]].
   *
   * This mirrors the reference's architecture: its gRPC consumer thread
   * (VitessReplicationConnection.java:107-343) owns the stream and the
@@ -110,6 +109,10 @@ private[sources] final class TxBoundaryFold(
   * stream-observer callback itself — and can subscribe to a VGTID-only
   * filtered stream, making admission metadata-only end-to-end with the
   * data bytes flowing ONLY to executors.
+  *
+  * Threading: all mutable fold state is touched ONLY by the single pool
+  * worker that owns this tailer (`step` is never called concurrently);
+  * the trigger thread reads the volatile published snapshot.
   *
   * Catch-up barrier: `awaitCaughtUp(target)` blocks (bounded) until the
   * tailer has consumed through `target` — used by `latestOffset` so a
@@ -122,74 +125,146 @@ private[sources] final class TxBoundaryFold(
 private[sources] final class ShardTailer(
     transport: VStreamTransport,
     locator: String,
-    shard: String,
+    val shard: String,
     keyspace: String,
     seed: ShardCursor,
     startSg: ShardGtid,
-    heartbeatIntervalMs: Long,
-    pollMs: Long)
-    extends Thread(s"vitess-cdc-tailer-$shard") {
-  setDaemon(true)
+    heartbeatIntervalMs: Long) {
 
   @volatile private var safeSnap: ShardCursor = seed
   @volatile private var scanned: Long = seed.pos // consumed through (incl. in-tx lines)
   @volatile private var drained: Long = -1L // transport size fully consumed (EOF double-check)
-  @volatile private var stopped = false
+  @volatile private var closed = false
   @volatile private var failure: Throwable = null
 
+  // worker-thread only (lazily opened there, so tailer creation on the
+  // trigger thread does no I/O at all)
+  private var slice: VStreamSlice = null
+  private var fold: TxBoundaryFold = null
+
   def snapshot: ShardCursor = safeSnap
+  def isClosed: Boolean = closed
 
   /** Block until the fold has consumed every complete line below
     * `target` (or the deadline passes — a torn trailing transaction can
     * legitimately hold the safe cursor back forever; the next trigger
     * picks it up once its COMMIT lands). A failed tailer rethrows here
     * so the query fails the way the old synchronous scan would have. */
-  def awaitCaughtUp(target: Long, timeoutMs: Long): Unit = {
+  def awaitCaughtUp(target: Long, timeoutMs: Long, nudge: () => Unit): Unit = {
     if (target < 0) return // transport cannot report a size (push-style)
+    nudge() // wake idle workers out of their backoff sleep
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (scanned < target && drained < target && failure == null &&
+    while (scanned < target && drained < target && failure == null && !closed &&
       System.nanoTime() < deadline) Thread.sleep(1)
     if (failure != null) throw new IllegalStateException(
       s"vitess-cdc tailer for shard $shard failed", failure)
   }
 
-  def shutdown(): Unit = {
-    stopped = true
-    interrupt()
+  /** Stop consuming; the owning worker prunes the tailer and closes its
+    * slice on its own thread (no cross-thread channel close). */
+  def shutdown(): Unit = closed = true
+
+  /** Worker-thread only: consume up to `maxLines` new lines (the budget
+    * keeps one hot shard from starving siblings on the same worker).
+    * Returns whether any line was consumed. */
+  def step(maxLines: Int): Boolean = {
+    if (closed || failure != null) return false
+    try {
+      if (slice == null) {
+        slice = transport.open(locator, seed.pos, Long.MaxValue)
+        fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs)
+      }
+      var n = 0
+      var more = true
+      while (more && n < maxLines) {
+        val line = slice.readLine()
+        if (line != null) { fold.onLine(line, slice.position); n += 1 }
+        else if (n == 0) {
+          // EOF double-check: only a size observed BETWEEN two EOF
+          // reads is fully consumed (a line appended after the size
+          // probe would surface on the re-read, not fall through)
+          val d = transport.size(locator)
+          val retry = slice.readLine()
+          if (retry != null) { fold.onLine(retry, slice.position); n += 1 }
+          else { if (d >= 0) drained = d; more = false }
+        } else more = false
+      }
+      if (n > 0) {
+        scanned = slice.position
+        if (fold.safe ne safeSnap) safeSnap = fold.safe
+      }
+      n > 0
+    } catch {
+      case t: Throwable => if (!closed) failure = t; false
+    }
   }
 
-  override def run(): Unit = {
-    try {
-      val slice = transport.open(locator, seed.pos, Long.MaxValue)
-      val fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs)
-      try {
-        while (!stopped) {
-          val line = slice.readLine()
-          if (line != null) {
-            fold.onLine(line, slice.position)
-            scanned = slice.position
-            if (fold.safe ne safeSnap) safeSnap = fold.safe
-          } else {
-            // EOF double-check: only a size observed BETWEEN two EOF
-            // reads is fully consumed (a line appended after the size
-            // probe would surface on the re-read, not fall through)
-            val d = transport.size(locator)
-            val retry = slice.readLine()
-            if (retry != null) {
-              fold.onLine(retry, slice.position)
-              scanned = slice.position
-              if (fold.safe ne safeSnap) safeSnap = fold.safe
-            } else {
-              if (d >= 0) drained = d
-              Thread.sleep(pollMs)
-            }
-          }
-        }
-      } finally slice.close()
-    } catch {
-      case _: InterruptedException => () // shutdown
-      case _: java.nio.channels.ClosedByInterruptException => ()
-      case t: Throwable => failure = t
+  /** Worker-thread (or post-shutdown pool) only. */
+  private[sources] def closeSlice(): Unit = {
+    if (slice != null) {
+      try slice.close() catch { case _: Exception => () }
+      slice = null
     }
+  }
+}
+
+/** Bounded worker pool multiplexing shard tailers: at most `maxThreads`
+  * daemon threads regardless of shard count (1000 shards must not mean
+  * 1000 driver threads), each worker owning a fixed stripe of tailers —
+  * so every tailer's fold stays single-threaded by construction. Idle
+  * workers back off exponentially (pollMs → 50 ms) and are woken
+  * immediately by `nudgeAll` when a trigger starts waiting, so the idle
+  * cost is near zero without adding admission latency. */
+private[sources] final class TailerPool(maxThreads: Int, pollMs: Long) {
+  require(maxThreads > 0, "tail.threads must be positive")
+  private val workers = scala.collection.mutable.ArrayBuffer.empty[Worker]
+  private var next = 0
+  @volatile private var stopped = false
+
+  private final class Worker(idx: Int) extends Thread(s"vitess-cdc-tailer-$idx") {
+    setDaemon(true)
+    val tailers = new java.util.concurrent.CopyOnWriteArrayList[ShardTailer]()
+    private val lock = new Object
+    @volatile private var nudged = false
+
+    def nudge(): Unit = lock.synchronized { nudged = true; lock.notifyAll() }
+
+    override def run(): Unit = {
+      var idle = pollMs
+      while (!stopped) {
+        var progress = false
+        tailers.forEach { t =>
+          if (t.isClosed) { t.closeSlice(); tailers.remove(t); () }
+          else if (t.step(maxLines = 256)) progress = true
+        }
+        if (progress) idle = pollMs
+        else {
+          // wait(0) would sleep forever — clamp to 1 ms
+          lock.synchronized { if (!nudged && !stopped) lock.wait(math.max(1L, idle)) }
+          nudged = false
+          idle = math.min(math.max(1L, idle * 2), 50L)
+        }
+      }
+      tailers.forEach(_.closeSlice())
+    }
+  }
+
+  def register(t: ShardTailer): Unit = synchronized {
+    if (workers.size < maxThreads) {
+      val w = new Worker(workers.size)
+      w.tailers.add(t)
+      w.start()
+      workers += w
+    } else {
+      workers(next % workers.size).tailers.add(t)
+      next += 1
+    }
+  }
+
+  def nudgeAll(): Unit = synchronized { workers.foreach(_.nudge()) }
+
+  def shutdown(): Unit = synchronized {
+    stopped = true
+    workers.foreach(_.nudge())
   }
 }

@@ -409,6 +409,11 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
           tablesToCopy = Option(options.get("snapshot.tables"))
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+          // reference exclude.keyspace.from.table.name ("boosts VTGate
+          // performance significantly", VitessConnectorConfig.java:237-245);
+          // the decoder already handles bare wire table names either way
+          excludeKeyspaceFromTableName =
+            opt("exclude.keyspace.from.table.name").exists(_.toBoolean),
           initialGtid =
             if (snapshotMode == "never") Vgtid.CurrentGtid else Vgtid.EmptyGtid,
           keepaliveMs = Option(options.get("keepalive.interval.ms")).map(_.toLong),
@@ -483,12 +488,18 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
 
   // Metadata-only admission (see latestOffset): background per-shard
   // tailers own the feed scan unless bounded-batch mode caps it anyway.
+  // The pool bounds driver threads regardless of shard count
+  // (`tail.threads`, default min(#cores, 16)).
   private val useTailers = maxTxsPerTrigger == Long.MaxValue
   private val tailers = scala.collection.mutable.Map.empty[String, ShardTailer]
   private val tailPollMs =
     Option(options.get("tail.poll.ms")).map(_.toLong).getOrElse(2L)
   private val tailCatchupTimeoutMs =
     Option(options.get("tail.catchup.timeout.ms")).map(_.toLong).getOrElse(30000L)
+  private val tailThreads =
+    Option(options.get("tail.threads")).map(_.toInt).getOrElse(
+      math.min(Runtime.getRuntime.availableProcessors(), 16))
+  private lazy val tailerPool = new TailerPool(tailThreads, tailPollMs)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -604,11 +615,11 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           val t = tailers.getOrElseUpdate(shard, {
             val tailer = new ShardTailer(
               transport, file, shard, keyspace, seedCursor(shard, startSg),
-              startSg, heartbeatIntervalMs, tailPollMs)
-            tailer.start()
+              startSg, heartbeatIntervalMs)
+            tailerPool.register(tailer)
             tailer
           })
-          t.awaitCaughtUp(transport.size(file), tailCatchupTimeoutMs)
+          t.awaitCaughtUp(transport.size(file), tailCatchupTimeoutMs, () => tailerPool.nudgeAll())
           t.snapshot
         } else {
           // bounded-batch mode: synchronous fold, stops at the first tx
@@ -733,6 +744,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = {
     tailers.values.foreach(_.shutdown())
     tailers.clear()
+    if (useTailers) tailerPool.shutdown()
     transport.close()
   }
 }

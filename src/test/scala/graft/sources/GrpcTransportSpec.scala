@@ -125,6 +125,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       heartbeatSeconds = 30,
       includeTables = Seq("t1", "orders"),
       tablesToCopy = Seq("t1"),
+      excludeKeyspaceFromTableName = true,
       headers = Map("x-envoy-upstream" -> "vtgate-1"),
       username = Some("dbz"),
       password = Some("secret")))
@@ -137,6 +138,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(req.flags.streamKeyspaceHeartbeats)
       assert(req.flags.heartbeatIntervalSec == 30)
       assert(req.flags.tablesToCopy == Seq("t1"))
+      assert(req.flags.excludeKeyspaceFromTableName)
       // one rule per included table with the planbuilder select form
       assert(req.rules == Seq(
         "t1" -> "select * from `t1`", "orders" -> "select * from `orders`"))

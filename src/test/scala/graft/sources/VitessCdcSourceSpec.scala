@@ -801,6 +801,27 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq("1", "2", "3", "4", "5")) // all copy rows, exactly once, across batches
   }
 
+  test("FeedSlice resumes across EOF: a torn line completes on a later read") {
+    val dir = Files.createTempDirectory("cdcslice")
+    val f = dir.resolve("s0.jsonl")
+    Files.writeString(f, "{\"a\":1}\n{\"b\":")
+    val slice = new FeedSlice(f.toString, 0L)
+    try {
+      assert(slice.readLine() == "{\"a\":1}")
+      val posAfterFirst = slice.position
+      // torn tail: not surfaced, position pinned at the line boundary
+      assert(slice.readLine() == null)
+      assert(slice.position == posAfterFirst)
+      // the appender finishes the line (+ one more); the SAME slice
+      // resumes mid-line without re-opening — the tailer contract
+      Files.writeString(f, "2}\n{\"c\":3}\n", StandardOpenOption.APPEND)
+      assert(slice.readLine() == "{\"b\":2}")
+      assert(slice.readLine() == "{\"c\":3}")
+      assert(slice.readLine() == null)
+      assert(slice.position == Files.size(f))
+    } finally slice.close()
+  }
+
   test("offset json round-trips feed positions and schema checkpoint") {
     val off = VgtidOffset(
       Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/h:1-5"))),
@@ -886,6 +907,31 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.get("shards") == "2")
     assert(metrics.get("lagBytes") == "0") // fully consumed
     assert(metrics.get("admittedTransactions") == "11")
+  }
+
+  test("tailer pool bounds driver threads below shard count, exactly-once intact") {
+    val feedDir = Files.createTempDirectory("cdcfeed26")
+    val ckpt = Files.createTempDirectory("cdcckpt26")
+    val nShards = 24
+    (0 until nShards).foreach { i =>
+      writeFeed(feedDir, f"s$i%02d", (1L to 3L).flatMap(k => insertTx(f"s$i%02d", k, i * 100L + k, s"v$k")))
+    }
+    def tailerThreads(): Int = {
+      val arr = new Array[Thread](Thread.activeCount() + 16)
+      Thread.enumerate(arr)
+      arr.count(t => t != null && t.isAlive && t.getName.startsWith("vitess-cdc-tailer-"))
+    }
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("tail.threads", "3")
+      .load()
+      .writeStream.format("memory").queryName("cdc_pool")
+      .option("checkpointLocation", ckpt.toString).start()
+    val liveThreads = try { q.processAllAvailable(); tailerThreads() } finally q.stop()
+    assert(liveThreads <= 3, s"24 shards must multiplex over <= 3 pool threads, saw $liveThreads")
+    val ids = spark.sql("SELECT CAST(get_json_object(after, '$.id') AS LONG) FROM cdc_pool")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == (0 until nShards).flatMap(i => (1L to 3L).map(i * 100L + _)).sorted)
   }
 
   test("capped admission scans synchronously but stays bounded by the cap") {
