@@ -104,6 +104,53 @@ object LlmQueries {
   val qDedupExactSql: String =
     "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept FROM documents"
 
+  // --------------------------------------------------- streaming dedup
+  /** Streaming exact dedup under the oracle: a REAL multi-batch
+    * file-stream run over the corpus plus whitespace/case-mangled
+    * duplicates written as later files (so dups arrive in later
+    * micro-batches and suppression exercises cross-batch state). The
+    * projection aggregates only text-derived values, so the result is
+    * deterministic no matter which twin of a duplicate pair survives a
+    * batch — a leaked duplicate still fails the count. */
+  val qDedupStreaming: Q = (s, d) => {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sdedup")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.repartition(4).write.mode("append").parquet(dir.toString)
+    docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      .repartition(4).write.mode("append").parquet(dir.toString)
+    val schema = s.read.parquet(dir.toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir.toString)
+    val q = Dedup.streamingExactDedup(stream, "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sdedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val resDf = s.table("graft_sdedup_out")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(length(TextOps.normText(col("text")))).as("sum_norm_len"))
+    val rows = resDf.collect()
+    val outSchema = resDf.schema
+    try {
+      s.catalog.dropTempView("graft_sdedup_out")
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Throwable => () }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+
+  val qDedupStreamingSql: String =
+    """SELECT count(*) AS n_kept,
+      |  CAST(sum(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+      |    AS sum_norm_len
+      |FROM documents""".stripMargin
+
   // --------------------------------------------------------- minhash lsh
   /** Inject near-duplicates (append one token, id+200000 for doc_id%7==0)
     * and verify the detected pair set — found via banded LSH buckets,
@@ -1257,6 +1304,7 @@ object LlmQueries {
     "text_langid"         -> qTextLangid,
     "text_fingerprint"    -> qTextFingerprint,
     "dedup_exact"         -> qDedupExact,
+    "dedup_streaming"     -> qDedupStreaming,
     "dedup_minhash"       -> qDedupMinhash,
     "dedup_minhash_kept"  -> qDedupMinhashSurvivors,
     "dedup_simhash"       -> qDedupSimhash,
@@ -1303,6 +1351,7 @@ object LlmQueries {
     "ann_topk"            -> qAnnTopkSql,
     "ann_ivf"             -> qAnnIvfSql,
     "ann_pq"              -> qAnnPqSql,
+    "dedup_streaming"     -> qDedupStreamingSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
     "multimodal_frames"   -> qMultimodalFramesSql)
 }

@@ -184,6 +184,41 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq("1", "2", "3", "4", "5"))
   }
 
+  test("real socket transport: loopback netty server, tuned channel options consumed") {
+    import org.sparkproject.connect.grpc.netty.NettyServerBuilder
+    @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]
+    val handler = new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+      override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+        requests = requests :+ VtWire.decodeVStreamRequest(request)
+        (1L to 3L).foreach(i => obs.onNext(VtWire.encodeVStreamResponse(insertTx("s0", i, i, s"v$i"))))
+        obs.onCompleted()
+      }
+    }
+    val server = NettyServerBuilder.forPort(0)
+      .addService(ServerServiceDefinition.builder("vtgateservice.Vitess")
+        .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
+        .build())
+      .build().start()
+    val staging = Files.createTempDirectory("grpcstage4")
+    // host:port target exercises the REAL channel builder with the
+    // reference's tuning knobs (keepalive, max inbound, load balancing)
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
+      target = s"127.0.0.1:${server.getPort}",
+      keyspace = "ks",
+      shards = Seq("s0"),
+      keepaliveMs = Some(180000L),
+      maxInboundMessageSize = Some(4194304),
+      loadBalancingPolicy = Some("round_robin")))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(15000)
+      assert(requests.size == 1)
+      val slice = transport.open(staging.resolve("s0.jsonl").toString, 0L, Long.MaxValue)
+      val lines = try slice.lines.toVector finally slice.close()
+      assert(lines.size == 15) // 3 transactions × 5 events over a real socket
+    } finally { transport.close(); server.shutdownNow(); () }
+  }
+
   test("full engine path: readStream over the grpc transport, oracle-grade rows") {
     val srv = new MockVtgate("vt-e2e", req => {
       val sg = req.vgtid.shardGtid("s0").get
