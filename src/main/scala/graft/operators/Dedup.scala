@@ -55,8 +55,51 @@ object Dedup {
   // ----------------------------------------------------------- shingles
   /** Word n-gram shingles of the normalized text (n consecutive tokens,
     * space-joined); texts shorter than n tokens get their whole token
-    * string as one shingle. */
-  def shingles(c: Column, n: Int): Column = {
+    * string as one shingle.
+    *
+    * Runs as a tight scalar loop (same trade as minhashSigUdf):
+    * interpreted higher-order functions evaluate a lambda tree per
+    * token, and shingling is the profiled hot stage of every
+    * inverted-index dedup operator. [[shinglesCatalyst]] is the
+    * built-ins-only twin; a parity spec pins them char-identical
+    * (including Spark's space-only trim, `split`'s kept trailing
+    * empties, and the null/short-text edge cases) so the DuckDB oracle
+    * mirrors stay valid. */
+  def shingles(c: Column, n: Int): Column = shinglesUdf(n)(c)
+
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  private def shinglesUdf(n: Int) = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val collapsed = WsPattern.matcher(text).replaceAll(" ")
+      // Spark's trim strips ' ' only — NOT all <= 0x20 like String.trim
+      var b = 0
+      var e = collapsed.length
+      while (b < e && collapsed.charAt(b) == ' ') b += 1
+      while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
+      val normed = collapsed.substring(b, e).toLowerCase
+      val toks: Array[String] = normed.split(" ", -1) // -1: Spark keeps trailing empties
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else {
+        val out = new Array[String](toks.length - n + 1)
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          out(i) = sb.toString
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+  }
+
+  /** The Catalyst-built-ins shingle pipeline (normText → tokens →
+    * n-gram transform) — retained as the parity reference for the
+    * scalar path above. */
+  private[operators] def shinglesCatalyst(c: Column, n: Int): Column = {
     val toks = TextOps.tokens(c)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(

@@ -33,6 +33,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.rollingHash("abc") >= 0L) // mod 2^61-1 keeps it non-negative
   }
 
+  test("scalar shingles == Catalyst shingles: corpus + whitespace/case/null edges") {
+    val sp = spark
+    import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select(col("text"))
+    val edges = Seq(
+      "", "   ", "one", "one two", "a  b\tc\nd e", " lead and trail  ",
+      "UPPER Case MiXed", "xy tab\there", null
+    ).toDF("text")
+    Seq(2, 3, 5).foreach { n =>
+      val both = docs.unionByName(edges).select(
+        Dedup.shingles(col("text"), n).as("scalar"),
+        Dedup.shinglesCatalyst(col("text"), n).as("catalyst"))
+      val diff = both.filter(not(col("scalar") <=> col("catalyst")))
+      assert(diff.isEmpty, s"n=$n diverged: ${diff.take(3).mkString(";")}")
+    }
+  }
+
   test("broadcast-small query contract is enforced, not just documented") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     // 50 vectors against a cap of 10: every top-k entry point must refuse
