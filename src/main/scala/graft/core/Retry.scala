@@ -13,7 +13,10 @@ object Retry {
     case _: java.io.FileNotFoundException => false // misconfiguration
     case _: java.io.IOException => true
     case _: java.util.concurrent.TimeoutException => true
-    case e: RuntimeException if e.getClass.getName.startsWith("io.grpc.") => true
+    // gRPC status errors, under the stock or Spark-shaded package — the
+    // reference classifies every StatusRuntimeException retriable
+    case e: RuntimeException if e.getClass.getName.startsWith("io.grpc.") ||
+      e.getClass.getName.startsWith("org.sparkproject.connect.grpc.") => true
     case _ => false
   }
 

@@ -138,6 +138,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
   @volatile private var failure: Throwable = null
   private val completed = new CountDownLatch(1)
   @volatile private var started = false
+  @volatile private var closed = false
 
   private val writers: Map[String, java.io.OutputStream] = {
     Files.createDirectories(dir)
@@ -245,6 +246,19 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     if (started) return
     started = true
     channel = buildChannel()
+    subscribe(attempt = 0)
+  }
+
+  private val maxReconnects = 5
+
+  /** One VStream subscription. A retriable failure (every gRPC status
+    * error — the reference's VitessErrorHandler.java:23-30 stance)
+    * re-subscribes after backoff FROM THE LAST STAGED VGTID, so a
+    * VTGate bounce never loses or duplicates staged transactions; the
+    * attempt counter resets whenever a subscription made progress, and
+    * `maxReconnects` consecutive no-progress failures surface as the
+    * stream failure. */
+  private def subscribe(attempt: Int): Unit = {
     // reference startStreaming: headers ride a client interceptor,
     // credentials a CallCredentials (VitessReplicationConnection.java:112-127)
     val ch =
@@ -261,10 +275,27 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
       case _ => CallOptions.DEFAULT
     }
     val observer = new StreamObserver[Array[Byte]] {
+      @volatile private var progressed = false
       override def onNext(responseBytes: Array[Byte]): Unit =
-        try stage(VtWire.decodeVStreamResponse(responseBytes))
+        try { stage(VtWire.decodeVStreamResponse(responseBytes)); progressed = true }
         catch { case t: Throwable => failure = t }
-      override def onError(t: Throwable): Unit = { failure = t; completed.countDown() }
+      override def onError(t: Throwable): Unit = {
+        val retryAttempt = if (progressed) 1 else attempt + 1
+        if (failure == null && !closed && Retry.isRetriable(t) && retryAttempt <= maxReconnects) {
+          val backoffMs = math.min(50L << retryAttempt, 2000L)
+          val reconnector = new Thread(s"vstream-grpc-reconnect") {
+            override def run(): Unit = {
+              Thread.sleep(backoffMs)
+              if (!closed) subscribe(retryAttempt)
+            }
+          }
+          reconnector.setDaemon(true)
+          reconnector.start()
+        } else {
+          if (failure == null && !closed) failure = t
+          completed.countDown()
+        }
+      }
       override def onCompleted(): Unit = completed.countDown()
     }
     ClientCalls.asyncServerStreamingCall(
@@ -311,6 +342,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
   }
 
   def close(): Unit = {
+    closed = true
     if (channel != null) {
       channel.shutdownNow()
       channel.awaitTermination(5, TimeUnit.SECONDS)

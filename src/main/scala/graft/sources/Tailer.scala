@@ -217,11 +217,16 @@ private[sources] final class ShardTailer(
   * cost is near zero without adding admission latency. */
 private[sources] final class TailerPool(maxThreads: Int, pollMs: Long) {
   require(maxThreads > 0, "tail.threads must be positive")
+  // per-pool id in the thread names: concurrently-running streams (and
+  // their specs) can tell their own workers apart
+  private[sources] val poolId: Long = TailerPool.ids.incrementAndGet()
   private val workers = scala.collection.mutable.ArrayBuffer.empty[Worker]
   private var next = 0
   @volatile private var stopped = false
 
-  private final class Worker(idx: Int) extends Thread(s"vitess-cdc-tailer-$idx") {
+  private[sources] def workerCount: Int = synchronized(workers.size)
+
+  private final class Worker(idx: Int) extends Thread(s"vitess-cdc-tailer-$poolId-$idx") {
     setDaemon(true)
     val tailers = new java.util.concurrent.CopyOnWriteArrayList[ShardTailer]()
     private val lock = new Object
@@ -267,4 +272,8 @@ private[sources] final class TailerPool(maxThreads: Int, pollMs: Long) {
     stopped = true
     workers.foreach(_.nudge())
   }
+}
+
+private[sources] object TailerPool {
+  private val ids = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -184,6 +184,48 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq("1", "2", "3", "4", "5"))
   }
 
+  test("retriable stream error: reconnect resumes from last staged vgtid, exactly once") {
+    import org.sparkproject.connect.grpc.Status
+    def txs(from: Long, to: Long) = (from to to).map(i => insertTx("s0", i, i, s"v$i"))
+    // hand-built mock (not MockVtgate): serve 1-2 then die UNAVAILABLE;
+    // on the resumed request serve 3-5 and complete
+    @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]
+    val handler = new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+      override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+        val req = VtWire.decodeVStreamRequest(request)
+        requests = requests :+ req
+        val sg = req.vgtid.shardGtid("s0").get
+        if (sg.gtid == Vgtid.EmptyGtid) {
+          txs(1, 2).foreach(tx => obs.onNext(VtWire.encodeVStreamResponse(tx)))
+          obs.onError(Status.UNAVAILABLE.withDescription("vtgate bounced").asRuntimeException())
+        } else {
+          assert(sg.gtid == "MySQL56/feed:1-2") // resume carries staged progress
+          txs(3, 5).foreach(tx => obs.onNext(VtWire.encodeVStreamResponse(tx)))
+          obs.onCompleted()
+        }
+      }
+    }
+    val server = InProcessServerBuilder.forName("vt-retry2").directExecutor()
+      .addService(ServerServiceDefinition.builder("vtgateservice.Vitess")
+        .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
+        .build())
+      .build().start()
+    val staging = Files.createTempDirectory("grpcstage5")
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-retry2", "ks", Seq("s0")))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(15000)
+      assert(requests.size == 2)
+      val slice = new FeedSlice(staging.resolve("s0.jsonl").toString, 0L)
+      val lines = try slice.lines.toVector finally slice.close()
+      val ids = lines.map(VEventJson.read).collect {
+        case RowEvent(_, _, _, changes) =>
+          new String(changes.head.after.get.slice.head.get, "UTF-8")
+      }
+      assert(ids == Seq("1", "2", "3", "4", "5")) // no loss, no replay
+    } finally { transport.close(); server.shutdownNow(); () }
+  }
+
   test("real socket transport: loopback netty server, tuned channel options consumed") {
     import org.sparkproject.connect.grpc.netty.NettyServerBuilder
     @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]

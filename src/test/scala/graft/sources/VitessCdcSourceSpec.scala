@@ -916,19 +916,37 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 until nShards).foreach { i =>
       writeFeed(feedDir, f"s$i%02d", (1L to 3L).flatMap(k => insertTx(f"s$i%02d", k, i * 100L + k, s"v$k")))
     }
-    def tailerThreads(): Int = {
-      val arr = new Array[Thread](Thread.activeCount() + 16)
+    // thread bound, checked directly on a pool (per-pool thread names —
+    // a JVM-global count would race with concurrently-running suites)
+    val transport = FileFeedTransport(feedDir.toString, excludeEmptyShards = true)
+    val pool = new TailerPool(maxThreads = 3, pollMs = 2)
+    try {
+      val tailers = transport.listShards().map { case (sh, loc) =>
+        val t = new ShardTailer(
+          transport, loc, sh, "ks",
+          ShardCursor(0L, graft.core.ShardGtid("ks", sh, ""), 0L, Map.empty, Long.MinValue, 0L),
+          graft.core.ShardGtid("ks", sh, ""), heartbeatIntervalMs = 0L)
+        pool.register(t)
+        (t, loc)
+      }
+      tailers.foreach { case (t, loc) =>
+        t.awaitCaughtUp(transport.size(loc), 10000, () => pool.nudgeAll())
+      }
+      assert(pool.workerCount <= 3, s"24 shards must multiplex over <= 3 pool threads")
+      val arr = new Array[Thread](Thread.activeCount() + 32)
       Thread.enumerate(arr)
-      arr.count(t => t != null && t.isAlive && t.getName.startsWith("vitess-cdc-tailer-"))
-    }
+      val own = arr.count(t => t != null && t.isAlive &&
+        t.getName.startsWith(s"vitess-cdc-tailer-${pool.poolId}-"))
+      assert(own <= 3, s"saw $own threads for pool ${pool.poolId}")
+    } finally pool.shutdown()
+    // end-to-end over the same feed: exactly-once with a capped pool
     val q = spark.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
       .option("tail.threads", "3")
       .load()
       .writeStream.format("memory").queryName("cdc_pool")
       .option("checkpointLocation", ckpt.toString).start()
-    val liveThreads = try { q.processAllAvailable(); tailerThreads() } finally q.stop()
-    assert(liveThreads <= 3, s"24 shards must multiplex over <= 3 pool threads, saw $liveThreads")
+    try q.processAllAvailable() finally q.stop()
     val ids = spark.sql("SELECT CAST(get_json_object(after, '$.id') AS LONG) FROM cdc_pool")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(ids == (0 until nShards).flatMap(i => (1L to 3L).map(i * 100L + _)).sorted)
