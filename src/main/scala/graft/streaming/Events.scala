@@ -180,6 +180,10 @@ object VEventJson {
   }
 
   def read(line: String): VEvent = {
+    // ROW lines dominate a row-heavy stream (and carry the fattest
+    // payloads); a token-streaming parse skips the per-line tree build —
+    // the same hot-loop trade as SlicePackedRow vs per-row reflection
+    if (line.startsWith("{\"type\":\"ROW\"")) return readRow(line)
     val n = mapper.readTree(line)
     def s(k: String): String = Option(n.get(k)).map(_.asText()).getOrElse("")
     n.get("type").asText() match {
@@ -220,4 +224,54 @@ object VEventJson {
         p.get("lengths").elements().asScala.map(_.asLong()).toVector,
         Base64.getDecoder.decode(Option(p.get("values")).map(_.asText()).getOrElse("")))
     }
+
+  /** Token-streaming parse of a ROW wire line — identical result to the
+    * tree path (the codec round-trip property spec covers ROW events
+    * through write→read, which exercises THIS path). */
+  private def readRow(line: String): RowEvent = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(line)
+    var shard = ""; var ks = ""; var table = ""
+    val changes = Vector.newBuilder[RowChange]
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT, s"bad ROW line: $line")
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        p.currentName() match {
+          case "shard" => p.nextToken(); shard = p.getText
+          case "keyspace" => p.nextToken(); ks = p.getText
+          case "table" => p.nextToken(); table = p.getText
+          case "changes" =>
+            require(p.nextToken() == JsonToken.START_ARRAY, "changes must be an array")
+            while (p.nextToken() != JsonToken.END_ARRAY) { // at one change's START_OBJECT
+              var before: Option[PackedRow] = None
+              var after: Option[PackedRow] = None
+              while (p.nextToken() != JsonToken.END_OBJECT) {
+                val side = p.currentName()
+                require(p.nextToken() == JsonToken.START_OBJECT, s"bad $side row")
+                var lengths = Vector.empty[Long]
+                var values = Array.emptyByteArray
+                while (p.nextToken() != JsonToken.END_OBJECT) {
+                  p.currentName() match {
+                    case "lengths" =>
+                      require(p.nextToken() == JsonToken.START_ARRAY, "lengths must be an array")
+                      val lb = Vector.newBuilder[Long]
+                      while (p.nextToken() != JsonToken.END_ARRAY) lb += p.getLongValue
+                      lengths = lb.result()
+                    case "values" =>
+                      p.nextToken(); values = Base64.getDecoder.decode(p.getText)
+                    case _ => p.nextToken(); p.skipChildren(); ()
+                  }
+                }
+                val row = PackedRow(lengths, values)
+                if (side == "before") before = Some(row)
+                else if (side == "after") after = Some(row)
+              }
+              changes += RowChange(before, after)
+            }
+          case _ => p.nextToken(); p.skipChildren(); ()
+        }
+      }
+    } finally p.close()
+    RowEvent(shard, ks, table, changes.result())
+  }
 }

@@ -170,24 +170,28 @@ final class RecordBuilder(
           throw new IllegalStateException(s"ROW for unknown table $ref (no FIELD seen)"))
         r.changes.foreach { change =>
           // E3 Skip mode drops the record on conversion failure; other
-          // modes are handled per-column inside decodeToJson
+          // modes are handled per-column inside decodeToNode
           val decoded =
             try {
-              val beforeJson = change.before.map(decodeToJson(meta, _))
-              val afterJson = change.after.map(decodeToJson(meta, _))
-              Some((beforeJson, afterJson))
+              val beforeNode = change.before.map(decodeToNode(meta, _))
+              val afterNode = change.after.map(decodeToNode(meta, _))
+              Some((beforeNode, afterNode))
             } catch {
               case e: ConversionFailure if convertFailureMode == ConvertFailureMode.Skip =>
                 None
             }
-          decoded.foreach { case (beforeJson, afterJson) =>
+          decoded.foreach { case (beforeNode, afterNode) =>
             totalOrder += 1
             val collectionOrder = perTableOrder.getOrElse(ref.qualified, 0L) + 1
             perTableOrder += ref.qualified -> collectionOrder
+            // the key extracts from the side already decoded — a row is
+            // never decoded twice (the old shape re-decoded the key side
+            // and re-parsed its JSON, doubling the per-row decode cost)
             out += ChangeRecord(
               tx.shard, keyspace, table, change.op,
-              beforeJson, afterJson,
-              keyJson(meta, change.after.orElse(change.before).get),
+              beforeNode.map(mapper.writeValueAsString),
+              afterNode.map(mapper.writeValueAsString),
+              keyFromNode(meta, afterNode.orElse(beforeNode).get),
               tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, totalOrder, collectionOrder)
           }
         }
@@ -223,7 +227,8 @@ final class RecordBuilder(
   /** Decode one packed row against the table schema into a JSON object
     * keyed by column name. Column-count mismatch = hard error (reference:
     * VStreamOutputMessageDecoder.java:303-309). */
-  private def decodeToJson(meta: TableMeta, row: PackedRow): String = {
+  private def decodeToNode(
+      meta: TableMeta, row: PackedRow): com.fasterxml.jackson.databind.node.ObjectNode = {
     val raw = row.slice
     require(raw.size == meta.columns.size,
       s"row has ${raw.size} columns, schema ${meta.ref} has ${meta.columns.size}")
@@ -283,13 +288,16 @@ final class RecordBuilder(
       }
       }
     }
-    mapper.writeValueAsString(o)
+    o
   }
 
-  private def keyJson(meta: TableMeta, row: PackedRow): Option[String] = {
+  /** Key JSON from the ALREADY-decoded row node (PK columns are never
+    * dropped by the unknown-type rule, see decodeToNode). */
+  private def keyFromNode(
+      meta: TableMeta,
+      full: com.fasterxml.jackson.databind.node.ObjectNode): Option[String] = {
     val keys = meta.keyColumns
     if (keys.isEmpty) return None
-    val full = mapper.readTree(decodeToJson(meta, row))
     val o = mapper.createObjectNode()
     keys.foreach { k => o.set[com.fasterxml.jackson.databind.JsonNode](k, full.get(k)); () }
     Some(mapper.writeValueAsString(o))
