@@ -800,6 +800,29 @@ object LlmQueries {
     * `Sampling.mixtureWeights`, then the actual deterministic sample at
     * those rates — tokens, rate, the binding stratum, and what survived,
     * all hash-checked against the oracle replaying the same arithmetic. */
+  /** Deterministic epoch-shuffle order: the first 20 documents of the
+    * md5-ranked training order, rank included — the oracle recomputes
+    * the identical order, pinning cross-engine reproducibility of the
+    * shuffle itself (the property dataloaders resume on). */
+  val qSampleShuffle: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val top = Sampling.deterministicShuffle(docs, "doc_id", "epoch0").limit(20)
+    // rank recomputed locally over the 20 surviving rows (single
+    // partition by construction — the global probe was TakeOrdered)
+    val h = md5(concat(col("doc_id").cast("string"), lit("epoch0")).cast("binary"))
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(h, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("rank"))
+  }
+
+  val qSampleShuffleSql: String =
+    """SELECT rank, doc_id FROM (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch0'), doc_id) AS rank
+      |  FROM documents
+      |) WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val qSampleMixture: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val weights = docs.select(col("source")).distinct()
@@ -1280,6 +1303,7 @@ object LlmQueries {
     "sample_stratified"   -> qSampleStratified,
     "sample_split"        -> qSampleSplit,
     "sample_mixture"      -> qSampleMixture,
+    "sample_shuffle"      -> qSampleShuffle,
     "sample_source_cap"   -> qSampleSourceCap,
     "text_len_quantiles"  -> qTextLenQuantiles,
     "text_chunks"         -> qTextChunks,
@@ -1321,6 +1345,7 @@ object LlmQueries {
     "sample_stratified"   -> qSampleStratifiedSql,
     "sample_split"        -> qSampleSplitSql,
     "sample_mixture"      -> qSampleMixtureSql,
+    "sample_shuffle"      -> qSampleShuffleSql,
     "sample_source_cap"   -> qSampleSourceCapSql,
     "text_len_quantiles"  -> qTextLenQuantilesSql,
     "text_chunks"         -> qTextChunksSql,

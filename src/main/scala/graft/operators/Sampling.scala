@@ -45,6 +45,19 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: String): DataFrame =
     df.filter(keepPredicate(col(keyCol), rate, seed))
 
+  /** Deterministic global shuffle order (the training-corpus write-order
+    * randomization): rank rows by md5 of (key, seed) with the key as
+    * tiebreak — a pure function of the row key, so the order is
+    * identical across runs, engines, and cluster sizes, a different
+    * `seed` gives an independent epoch order, and any engine with md5
+    * can recompute or resume the order. Scale shape: a range-partitioned
+    * distributed sort when materializing the full corpus; a top-k probe
+    * of the order collapses to TakeOrdered (no global sort). */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.orderBy(
+      md5(concat(col(keyCol).cast("string"), lit(seed)).cast("binary")),
+      col(keyCol))
+
   /** Deterministic train/val/test split: each row gets the label of the
     * cumulative-weight hash range its md5 prefix falls in. A pure
     * narrow map like `hashSample` — the same row lands in the same
