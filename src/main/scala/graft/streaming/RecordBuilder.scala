@@ -170,28 +170,28 @@ final class RecordBuilder(
           throw new IllegalStateException(s"ROW for unknown table $ref (no FIELD seen)"))
         r.changes.foreach { change =>
           // E3 Skip mode drops the record on conversion failure; other
-          // modes are handled per-column inside decodeToNode
+          // modes are handled per-column inside decodeValues
           val decoded =
             try {
-              val beforeNode = change.before.map(decodeToNode(meta, _))
-              val afterNode = change.after.map(decodeToNode(meta, _))
-              Some((beforeNode, afterNode))
+              val beforeVals = change.before.map(decodeValues(meta, _))
+              val afterVals = change.after.map(decodeValues(meta, _))
+              Some((beforeVals, afterVals))
             } catch {
               case e: ConversionFailure if convertFailureMode == ConvertFailureMode.Skip =>
                 None
             }
-          decoded.foreach { case (beforeNode, afterNode) =>
+          decoded.foreach { case (beforeVals, afterVals) =>
             totalOrder += 1
             val collectionOrder = perTableOrder.getOrElse(ref.qualified, 0L) + 1
             perTableOrder += ref.qualified -> collectionOrder
             // the key extracts from the side already decoded — a row is
-            // never decoded twice (the old shape re-decoded the key side
-            // and re-parsed its JSON, doubling the per-row decode cost)
+            // never decoded twice, and both JSONs stream straight out of
+            // a generator with no intermediate tree
             out += ChangeRecord(
               tx.shard, keyspace, table, change.op,
-              beforeNode.map(mapper.writeValueAsString),
-              afterNode.map(mapper.writeValueAsString),
-              keyFromNode(meta, afterNode.orElse(beforeNode).get),
+              beforeVals.map(rowJson(meta, _)),
+              afterVals.map(rowJson(meta, _)),
+              keyFromValues(meta, afterVals.orElse(beforeVals).get),
               tsMs, vgtidJson, restartJson, tx.txId, epoch, rank, totalOrder, collectionOrder)
           }
         }
@@ -224,27 +224,36 @@ final class RecordBuilder(
     out.result()
   }
 
-  /** Decode one packed row against the table schema into a JSON object
-    * keyed by column name. Column-count mismatch = hard error (reference:
-    * VStreamOutputMessageDecoder.java:303-309). */
-  private def decodeToNode(
-      meta: TableMeta, row: PackedRow): com.fasterxml.jackson.databind.node.ObjectNode = {
+  /** Decode one packed row against the table schema into JSON-writable
+    * values, one slot per schema column: a boxed number / Boolean /
+    * String, Scala null for SQL NULL, or the [[RecordBuilder.Dropped]]
+    * sentinel for columns the serializers must omit. Column-count
+    * mismatch = hard error (reference:
+    * VStreamOutputMessageDecoder.java:303-309). Decoding ONCE into a
+    * flat array (instead of a Jackson tree) lets the after JSON and the
+    * key JSON both stream straight out of a generator — the envelope
+    * build is the decode hot path's biggest cost. */
+  private def decodeValues(meta: TableMeta, row: PackedRow): Array[AnyRef] = {
     val raw = row.slice
     require(raw.size == meta.columns.size,
       s"row has ${raw.size} columns, schema ${meta.ref} has ${meta.columns.size}")
-    val o = mapper.createObjectNode()
+    val out = new Array[AnyRef](raw.size)
+    var idx = 0
     meta.columns.zip(raw).foreach { case (col, bytes) =>
       // unknown-typed fields are omitted unless include.unknown.datatypes
       // is set (reference default: resolver drops the field rather than
       // emitting an implementation-defined binary form) — EXCEPT primary
-      // key columns: keyJson reads from this output, and omitting a PK
-      // column would collapse every row of the table to one key (silent
-      // loss through materialize); an opaque-binary key stays distinct
+      // key columns: the key JSON reads from this output, and omitting a
+      // PK column would collapse every row of the table to one key
+      // (silent loss through materialize); an opaque-binary key stays
+      // distinct
       val dropUnknown =
         col.graftType == GraftType.Unknown && !typeModes.includeUnknown &&
           !col.primaryKey
-      if (!dropUnknown &&
-        !columnRules.isExcluded(meta.ref.keyspace, meta.ref.table, col.name)) {
+      if (dropUnknown ||
+        columnRules.isExcluded(meta.ref.keyspace, meta.ref.table, col.name)) {
+        out(idx) = RecordBuilder.Dropped
+      } else {
       val decoded =
         try ValueConversion.decode(
           col.graftType, bytes.orNull,
@@ -267,39 +276,100 @@ final class RecordBuilder(
           !typeModes.datetimeToNullable)
           ValueConversion.epochFallback(col.graftType)
         else decoded
-      withFallback match {
-        case None => o.putNull(col.name)
+      out(idx) = withFallback match {
+        case None => null // SQL NULL
         case Some(v) => v match {
-          case s: Short      => o.put(col.name, s)
-          case i: Int        => o.put(col.name, i)
-          case l: Long       => o.put(col.name, l)
-          case f: Float      => o.put(col.name, f)
-          case d: Double     => o.put(col.name, d)
-          case b: Boolean    => o.put(col.name, b)
-          case bd: BigDecimal => o.put(col.name, bd.bigDecimal)
-          case s: String     =>
-            o.put(col.name,
-              columnRules.transformString(meta.ref.keyspace, meta.ref.table, col.name, s))
-          case b: Array[Byte] => o.put(col.name, Base64.getEncoder.encodeToString(b))
-          case d: java.time.LocalDate => o.put(col.name, d.toString)
-          case dt: java.time.LocalDateTime => o.put(col.name, dt.toString)
-          case other => o.put(col.name, other.toString)
+          case s: String =>
+            columnRules.transformString(meta.ref.keyspace, meta.ref.table, col.name, s)
+          case b: Array[Byte] => Base64.getEncoder.encodeToString(b)
+          case bd: BigDecimal => bd.bigDecimal
+          case s: Short      => java.lang.Short.valueOf(s)
+          case i: Int        => java.lang.Integer.valueOf(i)
+          case l: Long       => java.lang.Long.valueOf(l)
+          case f: Float      => java.lang.Float.valueOf(f)
+          case d: Double     => java.lang.Double.valueOf(d)
+          case b: Boolean    => java.lang.Boolean.valueOf(b)
+          case d: java.time.LocalDate => d.toString
+          case dt: java.time.LocalDateTime => dt.toString
+          case other => other.toString
         }
       }
       }
+      idx += 1
     }
-    o
+    out
   }
 
-  /** Key JSON from the ALREADY-decoded row node (PK columns are never
-    * dropped by the unknown-type rule, see decodeToNode). */
-  private def keyFromNode(
-      meta: TableMeta,
-      full: com.fasterxml.jackson.databind.node.ObjectNode): Option[String] = {
-    val keys = meta.keyColumns
-    if (keys.isEmpty) return None
-    val o = mapper.createObjectNode()
-    keys.foreach { k => o.set[com.fasterxml.jackson.databind.JsonNode](k, full.get(k)); () }
-    Some(mapper.writeValueAsString(o))
+  private def writeField(
+      g: com.fasterxml.jackson.core.JsonGenerator, name: String, v: AnyRef): Unit = v match {
+    // the generator emits byte-identical JSON to Jackson's node
+    // serializers (ShortNode/LongNode/… all call these writeNumber
+    // overloads), so oracle hashes are unaffected by the tree removal
+    case null => g.writeNullField(name)
+    case s: String => g.writeStringField(name, s)
+    case l: java.lang.Long => g.writeNumberField(name, l.longValue())
+    case i: java.lang.Integer => g.writeNumberField(name, i.intValue())
+    case sh: java.lang.Short => g.writeFieldName(name); g.writeNumber(sh.shortValue())
+    case f: java.lang.Float => g.writeNumberField(name, f.floatValue())
+    case d: java.lang.Double => g.writeNumberField(name, d.doubleValue())
+    case b: java.lang.Boolean => g.writeBooleanField(name, b.booleanValue())
+    case bd: java.math.BigDecimal => g.writeNumberField(name, bd)
+    case other => g.writeStringField(name, other.toString)
   }
+
+  /** after/before JSON: every non-dropped column, schema order. */
+  private def rowJson(meta: TableMeta, values: Array[AnyRef]): String = {
+    val sw = new java.io.StringWriter(values.length * 16)
+    val g = mapper.getFactory.createGenerator(sw)
+    g.writeStartObject()
+    var i = 0
+    val cols = meta.columns
+    while (i < values.length) {
+      if (values(i).asInstanceOf[AnyRef] ne RecordBuilder.Dropped)
+        writeField(g, cols(i).name, values(i))
+      i += 1
+    }
+    g.writeEndObject()
+    g.close()
+    sw.toString
+  }
+
+  // key-column indices memoized per schema instance (LWW registry swaps
+  // the TableMeta object on evolution, so identity keying is exact)
+  private val keyIdxCache =
+    new java.util.IdentityHashMap[TableMeta, Array[Int]]()
+  private def keyIndices(meta: TableMeta): Array[Int] = {
+    val cached = keyIdxCache.get(meta)
+    if (cached != null) cached
+    else {
+      val idx = meta.keyColumns.map(k => meta.columns.indexWhere(_.name == k)).toArray
+      keyIdxCache.put(meta, idx)
+      idx
+    }
+  }
+
+  /** Key JSON from the ALREADY-decoded values (PK columns are never
+    * dropped by the unknown-type rule; a rule-excluded key column
+    * serializes as null, as it always has). */
+  private def keyFromValues(meta: TableMeta, values: Array[AnyRef]): Option[String] = {
+    val idx = keyIndices(meta)
+    if (idx.isEmpty) return None
+    val sw = new java.io.StringWriter(32)
+    val g = mapper.getFactory.createGenerator(sw)
+    g.writeStartObject()
+    idx.foreach { i =>
+      val v = values(i)
+      if (v.asInstanceOf[AnyRef] eq RecordBuilder.Dropped)
+        g.writeNullField(meta.columns(i).name)
+      else writeField(g, meta.columns(i).name, v)
+    }
+    g.writeEndObject()
+    g.close()
+    Some(sw.toString)
+  }
+}
+
+object RecordBuilder {
+  /** Column-omitted sentinel inside a decoded values array. */
+  private[streaming] object Dropped
 }
