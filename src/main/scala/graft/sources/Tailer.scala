@@ -244,10 +244,11 @@ private[sources] final class TailerPool(maxThreads: Int, pollMs: Long) {
         }
         if (progress) idle = pollMs
         else {
-          // wait(0) would sleep forever — clamp to 1 ms
+          // wait(0) would sleep forever — clamp to 1 ms; backoff caps at
+          // 50 ms, or the configured poll interval when that is larger
           lock.synchronized { if (!nudged && !stopped) lock.wait(math.max(1L, idle)) }
           nudged = false
-          idle = math.min(math.max(1L, idle * 2), 50L)
+          idle = math.min(math.max(1L, idle * 2), math.max(50L, pollMs))
         }
       }
       tailers.forEach(_.closeSlice())
