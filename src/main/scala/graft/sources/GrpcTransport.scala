@@ -98,9 +98,11 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
 
   // driver-only: executors deserialize this transport and use only
   // open()/size(), which never touch the feeder
+  @transient @volatile private var feederStarted = false
   @transient private lazy val feeder: GrpcFeeder = {
     val f = new GrpcFeeder(stagingDir, cfg)
     f.start()
+    feederStarted = true
     f
   }
 
@@ -114,7 +116,10 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
 
   override def size(locator: String): Long = inner.size(locator)
 
-  override def close(): Unit = feeder.close()
+  /** No-op when the feeder never started — closing a stream that was
+    * stopped before listShards() must not lazily build a channel and
+    * subscribe just to tear it down. */
+  override def close(): Unit = if (feederStarted) feeder.close()
 
   /** Test hook: block until the server completed the stream and all
     * received events are durably staged. */
@@ -145,43 +150,43 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     cfg.shards.map { sh =>
       val p = dir.resolve(s"$sh.jsonl")
       if (!Files.exists(p)) Files.createFile(p)
-      else truncateTornTail(p)
+      else truncateToTxBoundary(p)
       sh -> Files.newOutputStream(p, StandardOpenOption.APPEND)
     }.toMap
   }
 
-  /** A crash can leave a half-written final line; appending after it
-    * would corrupt the feed, so recovery truncates back to the last
-    * newline (the engine never recorded an offset past it — offsets only
-    * ever point at complete-line boundaries). */
-  private def truncateTornTail(p: java.nio.file.Path): Unit = {
-    val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ, StandardOpenOption.WRITE)
+  /** Startup recovery: truncate the staging file back to the last
+    * TRANSACTION-SAFE boundary. A crash can persist (a) a torn final
+    * line and (b) a complete-line prefix of an unfinished transaction
+    * (BEGIN/ROW with no COMMIT — the in-memory tx buffer below prevents
+    * this in normal operation, but an OS-level crash can persist a
+    * prefix of a single multi-line append). Appending a server replay
+    * after either would corrupt the feed (the replayed transaction's
+    * BEGIN arrives while one is open, which TransactionAssembler
+    * rejects). Engine offsets only ever point at transaction-safe
+    * boundaries (TxBoundaryFold publishes nothing inside a tx), so
+    * truncating to the last one never discards admitted bytes.
+    * FeedSlice never surfaces a torn tail line, so one boundary fold
+    * handles both cases. */
+  private def truncateToTxBoundary(p: java.nio.file.Path): Unit = {
+    val total = Files.size(p)
+    if (total == 0) return
+    var safeEnd = 0L
+    var inTx = false
+    val slice = new FeedSlice(p.toString, 0L)
     try {
-      var size = ch.size()
-      if (size > 0) {
-        val one = java.nio.ByteBuffer.allocate(1)
-        ch.read(one, size - 1)
-        if (one.get(0) != '\n') {
-          // walk back to the previous newline
-          var pos = size - 1
-          var found = -1L
-          val buf = java.nio.ByteBuffer.allocate(8192)
-          while (found < 0 && pos > 0) {
-            val readFrom = math.max(0L, pos - buf.capacity())
-            buf.clear()
-            val n = ch.read(buf, readFrom)
-            var i = n - 1
-            while (i >= 0 && found < 0) {
-              if (buf.get(i) == '\n') found = readFrom + i + 1
-              i -= 1
-            }
-            pos = readFrom
-          }
-          size = math.max(0L, found)
-          ch.truncate(size)
-        }
+      var line = slice.readLine()
+      while (line != null) {
+        if (line.startsWith(FeedSlice.BeginPrefix)) inTx = true
+        else if (line.startsWith(FeedSlice.CommitPrefix)) inTx = false
+        if (!inTx) safeEnd = slice.position
+        line = slice.readLine()
       }
-    } finally ch.close()
+    } finally slice.close()
+    if (safeEnd < total) {
+      val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+      try { ch.truncate(safeEnd); () } finally ch.close()
+    }
   }
 
   /** Resume position: last VGTID staged per shard (the stream's own
@@ -259,6 +264,9 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     * `maxReconnects` consecutive no-progress failures surface as the
     * stream failure. */
   private def subscribe(attempt: Int): Unit = {
+    // a reconnect abandons any buffered partial transaction — the
+    // resumed stream replays it from the last STAGED vgtid
+    resetPending()
     // reference startStreaming: headers ride a client interceptor,
     // credentials a CallCredentials (VitessReplicationConnection.java:112-127)
     val ch =
@@ -304,13 +312,34 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
       observer)
   }
 
-  /** Append one response batch to the staging feeds. Events without a
-    * shard attribution (a multi-shard VGTID between transactions) go to
-    * every shard they carry a position for — each shard's fold extracts
-    * only its own entry, mirroring how the engine already treats
-    * multi-shard VGTID lines. */
-  private def stage(events: Seq[VEvent]): Unit = {
-    val touched = scala.collection.mutable.Set[String]()
+  // Per-shard transaction buffer: events accumulate here and reach the
+  // durable staging file only at transaction-safe boundaries — on COMMIT,
+  // or immediately for standalone events while no transaction is open.
+  // This is the reference's buffer-until-commit stance
+  // (VitessReplicationConnection buffers a partial transaction in memory
+  // and reset()s it on error, committing offsets only at boundaries): a
+  // disconnect mid-transaction leaves the staging file at a safe
+  // boundary, so the resumed stream's replay of the open transaction
+  // appends cleanly instead of producing a BEGIN-while-open sequence
+  // that would permanently poison executor reads of that region.
+  // Driver memory is bounded by one in-flight transaction per shard —
+  // the same bound the reference's event buffer has.
+  private val pending = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[String]]()
+  private val inTx = scala.collection.mutable.Set[String]()
+
+  /** Drop buffered partial transactions (reconnect path: the resumed
+    * stream replays them from the last STAGED vgtid). */
+  private def resetPending(): Unit = synchronized {
+    pending.values.foreach(_.clear())
+    inTx.clear()
+  }
+
+  /** Append one response batch to the staging feeds at transaction-safe
+    * boundaries. Events without a shard attribution (a multi-shard VGTID
+    * between transactions) go to every shard they carry a position for —
+    * each shard's fold extracts only its own entry, mirroring how the
+    * engine already treats multi-shard VGTID lines. */
+  private def stage(events: Seq[VEvent]): Unit = synchronized {
     events.foreach { e =>
       val targets: Seq[String] = e match {
         case VgtidEvent(sh, v) if sh.isEmpty =>
@@ -319,19 +348,35 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
         case _ => cfg.shards // shard-less heartbeat: liveness for all
       }
       targets.foreach { sh =>
-        writers.get(sh).foreach { w =>
+        if (writers.contains(sh)) {
           val line = e match {
             case VgtidEvent(s, v) if s.isEmpty => VEventJson.write(VgtidEvent(sh, v))
             case HeartbeatEvent(s) if s.isEmpty => VEventJson.write(HeartbeatEvent(sh))
             case other => VEventJson.write(other)
           }
-          w.write(line.getBytes(StandardCharsets.UTF_8))
-          w.write('\n')
-          touched += sh
+          pending.getOrElseUpdate(sh, scala.collection.mutable.ArrayBuffer[String]()) += line
+          e match {
+            case _: BeginEvent => inTx += sh
+            case _: CommitEvent => inTx -= sh
+            case _ =>
+          }
+          if (!inTx.contains(sh)) flushPending(sh)
         }
       }
     }
-    touched.foreach(sh => writers(sh).flush())
+  }
+
+  private def flushPending(sh: String): Unit = {
+    val buf = pending(sh)
+    if (buf.nonEmpty) {
+      val w = writers(sh)
+      buf.foreach { line =>
+        w.write(line.getBytes(StandardCharsets.UTF_8))
+        w.write('\n')
+      }
+      w.flush()
+      buf.clear()
+    }
   }
 
   def awaitCompleted(timeoutMs: Long): Unit = {

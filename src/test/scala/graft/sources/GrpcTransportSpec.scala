@@ -226,6 +226,108 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { transport.close(); server.shutdownNow(); () }
   }
 
+  /** Assert a staged feed is transaction-well-formed: BEGIN/COMMIT
+    * balanced (no BEGIN-while-open — the sequence TransactionAssembler
+    * rejects permanently) and each insert id staged exactly once. */
+  private def assertWellFormedFeed(lines: Seq[String], expectedIds: Seq[String]): Unit = {
+    var open = false
+    lines.map(VEventJson.read).foreach {
+      case _: BeginEvent =>
+        assert(!open, "BEGIN while a transaction is open — corrupt staging feed")
+        open = true
+      case _: CommitEvent =>
+        assert(open, "COMMIT with no open transaction")
+        open = false
+      case _ =>
+    }
+    assert(!open, "feed ends inside a transaction")
+    val ids = lines.map(VEventJson.read).collect {
+      case RowEvent(_, _, _, changes) =>
+        new String(changes.head.after.get.slice.head.get, "UTF-8")
+    }
+    assert(ids == expectedIds)
+  }
+
+  test("disconnect mid-transaction: partial tx never staged, replay appends cleanly") {
+    import org.sparkproject.connect.grpc.Status
+    // serve tx1 complete, then the FIRST HALF of tx2 (BEGIN/FIELD/ROW,
+    // no VGTID/COMMIT) in its own response, then die UNAVAILABLE; the
+    // resumed request must carry tx1's vgtid (nothing of tx2 staged) and
+    // gets tx2+tx3 complete
+    @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]
+    val handler = new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+      override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+        val req = VtWire.decodeVStreamRequest(request)
+        requests = requests :+ req
+        val sg = req.vgtid.shardGtid("s0").get
+        if (sg.gtid == Vgtid.EmptyGtid) {
+          obs.onNext(VtWire.encodeVStreamResponse(insertTx("s0", 1, 1, "v1")))
+          obs.onNext(VtWire.encodeVStreamResponse(insertTx("s0", 2, 2, "v2").take(3)))
+          obs.onError(Status.UNAVAILABLE.withDescription("vtgate died mid-tx").asRuntimeException())
+        } else {
+          assert(sg.gtid == "MySQL56/feed:1-1",
+            s"resume must not advance past the last COMPLETE transaction, got ${sg.gtid}")
+          obs.onNext(VtWire.encodeVStreamResponse(insertTx("s0", 2, 2, "v2")))
+          obs.onNext(VtWire.encodeVStreamResponse(insertTx("s0", 3, 3, "v3")))
+          obs.onCompleted()
+        }
+      }
+    }
+    val server = InProcessServerBuilder.forName("vt-midtx").directExecutor()
+      .addService(ServerServiceDefinition.builder("vtgateservice.Vitess")
+        .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
+        .build())
+      .build().start()
+    val staging = Files.createTempDirectory("grpcstage6")
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-midtx", "ks", Seq("s0")))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(15000)
+      assert(requests.size == 2)
+      val slice = new FeedSlice(staging.resolve("s0.jsonl").toString, 0L)
+      val lines = try Iterator.continually(slice.readLine()).takeWhile(_ != null).toVector finally slice.close()
+      assert(lines.size == 15) // 3 complete transactions × 5 events; no partial-tx residue
+      assertWellFormedFeed(lines, Seq("1", "2", "3"))
+    } finally { transport.close(); server.shutdownNow(); () }
+  }
+
+  test("restart over a crash-torn staging file truncates back to the last tx boundary") {
+    // simulate an OS-level crash that persisted tx1 complete plus a
+    // complete-LINE prefix of tx2 (BEGIN/FIELD/ROW, no COMMIT): the new
+    // feeder must truncate the partial tx and resume from tx1's vgtid
+    val staging = Files.createTempDirectory("grpcstage7")
+    val torn = (insertTx("s0", 1, 1, "v1") ++ insertTx("s0", 2, 2, "v2").take(3))
+      .map(VEventJson.write).mkString("", "\n", "\n")
+    Files.write(staging.resolve("s0.jsonl"), torn.getBytes("UTF-8"))
+    @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]
+    val srv = new MockVtgate("vt-torn", req => {
+      requests = requests :+ req
+      val sg = req.vgtid.shardGtid("s0").get
+      assert(sg.gtid == "MySQL56/feed:1-1",
+        s"resume must ignore the truncated partial transaction, got ${sg.gtid}")
+      Seq(insertTx("s0", 2, 2, "v2"), insertTx("s0", 3, 3, "v3"))
+    })
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-torn", "ks", Seq("s0")))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(10000)
+      assert(requests.size == 1)
+      val slice = new FeedSlice(staging.resolve("s0.jsonl").toString, 0L)
+      val lines = try Iterator.continually(slice.readLine()).takeWhile(_ != null).toVector finally slice.close()
+      assert(lines.size == 15)
+      assertWellFormedFeed(lines, Seq("1", "2", "3"))
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("close before listShards never starts the feeder") {
+    // target is a name no server listens on: if close() lazily built the
+    // channel and subscribed, the feeder would surface a failure
+    val staging = Files.createTempDirectory("grpcstage8")
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-nobody", "ks", Seq("s0")))
+    transport.close() // must be a no-op
+    assert(Files.list(staging).count() == 0) // no staging files created either
+  }
+
   test("real socket transport: loopback netty server, tuned channel options consumed") {
     import org.sparkproject.connect.grpc.netty.NettyServerBuilder
     @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]
