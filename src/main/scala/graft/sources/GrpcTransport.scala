@@ -5,12 +5,8 @@ import graft.streaming._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.{CountDownLatch, Executor, TimeUnit}
-import org.sparkproject.connect.grpc.{
-  CallCredentials, CallOptions, ClientInterceptors, ManagedChannel, ManagedChannelBuilder,
-  Metadata, MethodDescriptor
-}
-import org.sparkproject.connect.grpc.inprocess.InProcessChannelBuilder
-import org.sparkproject.connect.grpc.stub.{ClientCalls, MetadataUtils, StreamObserver}
+import org.sparkproject.connect.grpc.{CallCredentials, ManagedChannel, Metadata, MethodDescriptor}
+import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
 
 /** gRPC plumbing shared by the client transport and the test server:
   * the VStream method descriptor over raw-bytes marshalling (the
@@ -28,6 +24,14 @@ object VtGrpc {
     MethodDescriptor.newBuilder(BytesMarshaller, BytesMarshaller)
       .setFullMethodName("vtgateservice.Vitess/VStream")
       .setType(MethodDescriptor.MethodType.SERVER_STREAMING)
+      .build()
+
+  /** `vtgateservice.Vitess/Execute` — the unary SQL RPC the reference's
+    * metadata queries ride (VitessReplicationConnection.java:71-95). */
+  val ExecuteMethod: MethodDescriptor[Array[Byte], Array[Byte]] =
+    MethodDescriptor.newBuilder(BytesMarshaller, BytesMarshaller)
+      .setFullMethodName("vtgateservice.Vitess/Execute")
+      .setType(MethodDescriptor.MethodType.UNARY)
       .build()
 
   /** The reference's StaticAuthCredentials (io.vitess.client.grpc):
@@ -51,7 +55,14 @@ object VtGrpc {
 final case class GrpcConfig(
     target: String, // "host:port", or "inprocess:<name>" for tests
     keyspace: String,
-    shards: Seq[String],
+    /** explicit shard topology; empty → discovered from vtgate via
+      * `SHOW VITESS_SHARDS` (or `SHOW VITESS_TABLETS` with
+      * [[excludeEmptyShards]]) over the Execute RPC, like the reference
+      * (VitessMetadata.getShards, java:64-75) */
+    shards: Seq[String] = Nil,
+    /** F5: restrict discovery to shards with a serving tablet
+      * (reference exclude.empty.shards) */
+    excludeEmptyShards: Boolean = false,
     tabletType: String = "MASTER",
     stopOnReshard: Boolean = false,
     streamKeyspaceHeartbeats: Boolean = false,
@@ -108,7 +119,7 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
 
   override def listShards(): Seq[(String, String)] = {
     feeder.ensureRunning()
-    cfg.shards.sorted.map(sh => sh -> Paths.get(stagingDir, s"$sh.jsonl").toString)
+    feeder.shards.map(sh => sh -> Paths.get(stagingDir, s"$sh.jsonl").toString)
   }
 
   override def open(locator: String, from: Long, to: Long): VStreamSlice =
@@ -134,9 +145,6 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
   * only ever sees a torn TAIL line, which both the recovery scan and
   * FeedSlice already tolerate). */
 private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
-  require(cfg.shards.nonEmpty,
-    "grpc transport requires an explicit shard list (the metadata " +
-      "round-trip that discovers shards needs a vtgate SQL connection)")
 
   private val dir = Paths.get(stagingDir)
   @volatile private var channel: ManagedChannel = null
@@ -145,9 +153,47 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
   @volatile private var started = false
   @volatile private var closed = false
 
+  /** Shard topology and the expanded include-table list: an explicit
+    * shard list is authoritative; otherwise discovery runs the
+    * reference's metadata queries over the Execute RPC
+    * (VitessMetadata.getShards). A regex include rule (leading '/') is
+    * expanded to concrete tables via SHOW TABLES before it reaches the
+    * VStream filter, like the reference
+    * (VitessReplicationConnection.java:316-327) — so the server only
+    * ever sees concrete `select * from t` rules. One SQL channel serves
+    * both lookups, then closes. */
+  private[sources] val (shards: Seq[String], includeTables: Seq[String]) = {
+    val needShards = cfg.shards.isEmpty
+    val needTables = cfg.includeTables.exists(_.startsWith("/"))
+    if (!needShards && !needTables) (cfg.shards.sorted, cfg.includeTables)
+    else {
+      val sql = new VtgateSql(cfg)
+      try {
+        val shards =
+          if (!needShards) cfg.shards.sorted
+          else if (cfg.excludeEmptyShards) GrpcMetadata.nonEmptyShards(sql, cfg.keyspace)
+          else GrpcMetadata.shards(sql, cfg.keyspace).sorted
+        val tables =
+          if (!needTables) cfg.includeTables
+          else {
+            val all = GrpcMetadata.tables(sql, cfg.keyspace, cfg.excludeEmptyShards, cfg.shards)
+            cfg.includeTables.flatMap { t =>
+              if (t.startsWith("/")) {
+                // vitess planbuilder regex-rule semantics: unanchored match
+                val re = t.stripPrefix("/").r
+                all.filter(tb => re.findFirstIn(tb).isDefined)
+              } else Seq(t)
+            }.distinct
+          }
+        (shards, tables)
+      } finally sql.close()
+    }
+  }
+  require(shards.nonEmpty, s"no shards for keyspace ${cfg.keyspace}: none configured, none discovered")
+
   private val writers: Map[String, java.io.OutputStream] = {
     Files.createDirectories(dir)
-    cfg.shards.map { sh =>
+    shards.map { sh =>
       val p = dir.resolve(s"$sh.jsonl")
       if (!Files.exists(p)) Files.createFile(p)
       else truncateToTxBoundary(p)
@@ -194,7 +240,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     * full scan of the staging files — at scale this would be a bounded
     * tail scan, but correctness only needs "any staged VGTID at or after
     * the last complete transaction", which the full scan trivially is. */
-  private def resumeVgtid(): Vgtid = Vgtid(cfg.shards.sorted.map { sh =>
+  private def resumeVgtid(): Vgtid = Vgtid(shards.map { sh =>
     val p = dir.resolve(s"$sh.jsonl")
     var last = ShardGtid(cfg.keyspace, sh, cfg.initialGtid)
     if (Files.size(p) > 0) {
@@ -215,11 +261,9 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
       tabletType = VtWire.TabletType.byName.getOrElse(
         cfg.tabletType.toUpperCase(java.util.Locale.ROOT), 1),
       vgtid = resumeVgtid(),
-      // reference :316-327: one rule per included table, filter sql form
-      rules = cfg.includeTables.map { t =>
-        if (t.startsWith("/")) t -> "" // regex rule: server-side match only
-        else t -> s"select * from ${quote(t)}"
-      },
+      // reference :316-327: one rule per included table, filter sql
+      // form; regexes were already expanded to concrete tables above
+      rules = includeTables.map(t => t -> s"select * from ${quote(t)}"),
       flags = VtWire.VStreamFlagsModel(
         heartbeatIntervalSec = cfg.heartbeatSeconds,
         stopOnReshard = cfg.stopOnReshard,
@@ -227,19 +271,6 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
         excludeKeyspaceFromTableName = cfg.excludeKeyspaceFromTableName,
         tablesToCopy = cfg.tablesToCopy))
   }
-
-  private def buildChannel(): ManagedChannel =
-    if (cfg.target.startsWith("inprocess:"))
-      InProcessChannelBuilder.forName(cfg.target.stripPrefix("inprocess:")).build()
-    else {
-      val Array(host, port) = cfg.target.split(":", 2)
-      // reference newChannel(), VitessReplicationConnection.java:374-385
-      val b = ManagedChannelBuilder.forAddress(host, port.toInt).usePlaintext()
-      cfg.loadBalancingPolicy.foreach(b.defaultLoadBalancingPolicy)
-      cfg.maxInboundMessageSize.foreach(b.maxInboundMessageSize)
-      cfg.keepaliveMs.foreach(ms => b.keepAliveTime(ms, TimeUnit.MILLISECONDS))
-      b.build()
-    }
 
   def ensureRunning(): Unit = {
     if (failure != null)
@@ -250,7 +281,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
   def start(): Unit = synchronized {
     if (started) return
     started = true
-    channel = buildChannel()
+    channel = GrpcChannels.build(cfg)
     subscribe(attempt = 0)
   }
 
@@ -269,19 +300,8 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     resetPending()
     // reference startStreaming: headers ride a client interceptor,
     // credentials a CallCredentials (VitessReplicationConnection.java:112-127)
-    val ch =
-      if (cfg.headers.isEmpty) channel
-      else {
-        val md = new Metadata()
-        cfg.headers.foreach { case (k, v) =>
-          md.put(Metadata.Key.of(k, Metadata.ASCII_STRING_MARSHALLER), v)
-        }
-        ClientInterceptors.intercept(channel, MetadataUtils.newAttachHeadersInterceptor(md))
-      }
-    val callOptions = (cfg.username, cfg.password) match {
-      case (Some(u), Some(p)) => CallOptions.DEFAULT.withCallCredentials(new VtGrpc.StaticAuth(u, p))
-      case _ => CallOptions.DEFAULT
-    }
+    val ch = GrpcChannels.decorated(channel, cfg)
+    val callOptions = GrpcChannels.callOptions(cfg)
     val observer = new StreamObserver[Array[Byte]] {
       @volatile private var progressed = false
       override def onNext(responseBytes: Array[Byte]): Unit =
@@ -345,7 +365,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
         case VgtidEvent(sh, v) if sh.isEmpty =>
           v.shardGtids.map(_.shard).filter(writers.contains)
         case _ if e.shard.nonEmpty => Seq(e.shard)
-        case _ => cfg.shards // shard-less heartbeat: liveness for all
+        case _ => shards // shard-less heartbeat: liveness for all
       }
       targets.foreach { sh =>
         if (writers.contains(sh)) {

@@ -399,8 +399,17 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         VStreamGrpcTransport(path, GrpcConfig(
           target = target,
           keyspace = keyspace,
-          shards = configuredShards.getOrElse(throw new IllegalArgumentException(
-            "transport=grpc requires the shard option (explicit shard topology)")),
+          // no explicit shard list → the feeder discovers the topology
+          // from vtgate via SHOW VITESS_SHARDS / VITESS_TABLETS over the
+          // Execute RPC (reference VitessMetadata.getShards)
+          shards = configuredShards.getOrElse(Nil),
+          // reference default FALSE (VitessConnectorConfig.java:296-302):
+          // discovery uses SHOW VITESS_SHARDS unless the user opts into
+          // the VITESS_TABLETS serving-shards scan. (The file transport
+          // defaults the analogous pruning to true because staged feed
+          // dirs routinely hold empty shard files.)
+          excludeEmptyShards =
+            opt("exclude.empty.shards").exists(_.toBoolean),
           tabletType = Option(options.get("tablet.type")).getOrElse("MASTER"),
           stopOnReshard = stopOnReshard,
           streamKeyspaceHeartbeats = streamKeyspaceHeartbeats,

@@ -442,6 +442,101 @@ object VtWire {
     events.result()
   }
 
+  // -- vtgate Execute (metadata SQL round-trip) -------------------------
+  //
+  // The reference runs SHOW VITESS_SHARDS / VITESS_TABLETS / TABLES /
+  // DATABASES over the unary vtgateservice.Vitess/Execute RPC
+  // (VitessReplicationConnection.java:71-95, VitessMetadata.java:64-158).
+  // Field numbers from the public vitess protos:
+  //  - vtgate.ExecuteRequest  (caller_id=1, session=2, query=3)
+  //  - vtgate.ExecuteResponse (error=1, session=2, result=3)
+  //  - vtgate.Session         (autocommit=4, target_string=5)
+  //  - query.BoundQuery       (sql=1, bind_variables=2)
+  //  - vtrpc.RPCError         (message=2, code=3)
+  //  - query.QueryResult      (fields=1, rows=4) — shared with TableLastPK
+
+  /** targetString "" = vtgate default routing; "ks:shard@TABLET" routes
+    * a shard-specific query (reference execute(sql, shard), :82-95). */
+  final case class ExecuteRequestModel(
+      sql: String,
+      targetString: String = "",
+      autocommit: Boolean = false)
+
+  final case class QueryResultModel(fields: Seq[FieldDef], rows: Seq[PackedRow])
+
+  final case class ExecuteResponseModel(
+      error: Option[String],
+      result: Option[QueryResultModel])
+
+  def encodeQueryResult(r: QueryResultModel): Array[Byte] = out { c =>
+    r.fields.foreach(f => c.writeByteArray(1, encodeField(f)))
+    r.rows.foreach(row => c.writeByteArray(4, encodeRow(row)))
+  }
+
+  def decodeQueryResult(bytes: Array[Byte]): QueryResultModel = {
+    val fields = Vector.newBuilder[FieldDef]
+    val rows = Vector.newBuilder[PackedRow]
+    eachField(bytes) {
+      case (1, in) => fields += decodeField(in.readByteArray()); true
+      case (4, in) => rows += decodeRow(in.readByteArray()); true
+      case _ => false
+    }
+    QueryResultModel(fields.result(), rows.result())
+  }
+
+  def encodeExecuteRequest(r: ExecuteRequestModel): Array[Byte] = out { c =>
+    if (r.targetString.nonEmpty || r.autocommit) {
+      val session = out { s =>
+        if (r.autocommit) s.writeBool(4, true)
+        if (r.targetString.nonEmpty) s.writeString(5, r.targetString)
+      }
+      c.writeByteArray(2, session)
+    }
+    c.writeByteArray(3, out(q => q.writeString(1, r.sql)))
+  }
+
+  def decodeExecuteRequest(bytes: Array[Byte]): ExecuteRequestModel = {
+    var sql = ""; var target = ""; var autocommit = false
+    eachField(bytes) {
+      case (2, in) =>
+        eachField(in.readByteArray()) {
+          case (4, s) => autocommit = s.readBool(); true
+          case (5, s) => target = s.readString(); true
+          case _ => false
+        }
+        true
+      case (3, in) =>
+        eachField(in.readByteArray()) {
+          case (1, q) => sql = q.readString(); true
+          case _ => false
+        }
+        true
+      case _ => false
+    }
+    ExecuteRequestModel(sql, target, autocommit)
+  }
+
+  def encodeExecuteResponse(r: ExecuteResponseModel): Array[Byte] = out { c =>
+    r.error.foreach(msg => c.writeByteArray(1, out(e => e.writeString(2, msg))))
+    r.result.foreach(qr => c.writeByteArray(3, encodeQueryResult(qr)))
+  }
+
+  def decodeExecuteResponse(bytes: Array[Byte]): ExecuteResponseModel = {
+    var error: Option[String] = None
+    var result: Option[QueryResultModel] = None
+    eachField(bytes) {
+      case (1, in) =>
+        eachField(in.readByteArray()) {
+          case (2, e) => error = Some(e.readString()); true
+          case _ => false
+        }
+        true
+      case (3, in) => result = Some(decodeQueryResult(in.readByteArray())); true
+      case _ => false
+    }
+    ExecuteResponseModel(error, result)
+  }
+
   def decodeVStreamRequest(bytes: Array[Byte]): VStreamRequestModel = {
     var tabletType = 0
     var vgtid: Vgtid = Vgtid(Nil)

@@ -49,12 +49,30 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     VgtidEvent(shard, Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$seq")))),
     CommitEvent(shard, "ks", 1700000000L + seq))
 
+  /** One-VARCHAR-column QueryResult, the shape vtgate's SHOW commands
+    * return (each row one value). */
+  private def showResult(values: String*): VtWire.QueryResultModel =
+    VtWire.QueryResultModel(
+      Seq(FieldDef("Tables", "VARCHAR", "varchar(255)", 255, 0, 0L)),
+      values.map(v => PackedRow.of(Seq(Some(v)))))
+
+  /** Multi-column QueryResult (SHOW VITESS_TABLETS shape). */
+  private def gridResult(rows: Seq[Seq[String]]): VtWire.QueryResultModel =
+    VtWire.QueryResultModel(
+      rows.headOption.toSeq.flatten.zipWithIndex.map { case (_, i) =>
+        FieldDef(s"c$i", "VARCHAR", "varchar(255)", 255, 0, 0L)
+      },
+      rows.map(r => PackedRow.of(r.map(Option(_)))))
+
   /** In-process VTGate double: records decoded requests + call metadata,
-    * serves `script(request)` as one response per transaction. */
+    * serves `script(request)` as one response per transaction; metadata
+    * SQL over the Execute RPC is answered by `sqlScript`. */
   private final class MockVtgate(
       name: String,
-      script: VtWire.VStreamRequestModel => Seq[Seq[VEvent]]) {
+      script: VtWire.VStreamRequestModel => Seq[Seq[VEvent]],
+      sqlScript: PartialFunction[String, VtWire.QueryResultModel] = PartialFunction.empty) {
     @volatile var requests: Vector[VtWire.VStreamRequestModel] = Vector.empty
+    @volatile var sqlRequests: Vector[VtWire.ExecuteRequestModel] = Vector.empty
     @volatile var lastHeaders: Map[String, String] = Map.empty
 
     private val handler = new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
@@ -62,6 +80,19 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         val req = VtWire.decodeVStreamRequest(request)
         requests = requests :+ req
         script(req).foreach(batch => obs.onNext(VtWire.encodeVStreamResponse(batch)))
+        obs.onCompleted()
+      }
+    }
+    private val executeHandler = new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
+      override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+        val req = VtWire.decodeExecuteRequest(request)
+        sqlRequests = sqlRequests :+ req
+        // strip the workload-name comment the client prepends
+        val sql = req.sql.replaceAll("^/\\*.*?\\*/\\s*", "")
+        val resp =
+          if (sqlScript.isDefinedAt(sql)) VtWire.ExecuteResponseModel(None, Some(sqlScript(sql)))
+          else VtWire.ExecuteResponseModel(Some(s"unsupported query: $sql"), None)
+        obs.onNext(VtWire.encodeExecuteResponse(resp))
         obs.onCompleted()
       }
     }
@@ -81,6 +112,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .addService(ServerInterceptors.intercept(
         ServerServiceDefinition.builder("vtgateservice.Vitess")
           .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
+          .addMethod(VtGrpc.ExecuteMethod, ServerCalls.asyncUnaryCall(executeHandler))
           .build(),
         headerCapture))
       .build().start()
@@ -326,6 +358,146 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-nobody", "ks", Seq("s0")))
     transport.close() // must be a no-op
     assert(Files.list(staging).count() == 0) // no staging files created either
+  }
+
+  test("execute wire codec round-trips request, query result, and error response") {
+    val req = VtWire.ExecuteRequestModel("SHOW TABLES", "ks:-80@RDONLY", autocommit = true)
+    assert(VtWire.decodeExecuteRequest(VtWire.encodeExecuteRequest(req)) == req)
+    val plain = VtWire.ExecuteRequestModel("SHOW DATABASES")
+    assert(VtWire.decodeExecuteRequest(VtWire.encodeExecuteRequest(plain)) == plain)
+    val result = VtWire.QueryResultModel(
+      Seq(FieldDef("Tables_in_ks", "VARCHAR", "varchar(255)", 255, 0, 0L)),
+      Seq(PackedRow.of(Seq(Some("t1"))), PackedRow.of(Seq(None)))) // incl. NULL
+    val ok = VtWire.ExecuteResponseModel(None, Some(result))
+    assert(VtWire.decodeExecuteResponse(VtWire.encodeExecuteResponse(ok)) == ok)
+    val err = VtWire.ExecuteResponseModel(Some("target: ks.-80: vttablet down"), None)
+    assert(VtWire.decodeExecuteResponse(VtWire.encodeExecuteResponse(err)) == err)
+  }
+
+  test("no shard list: topology discovered via SHOW VITESS_SHARDS over Execute") {
+    val srv = new MockVtgate(
+      "vt-discover",
+      req => {
+        // each discovered shard streams one insert
+        req.vgtid.shardGtids.map(_.shard).sorted.zipWithIndex.map {
+          case (sh, i) => insertTx(sh, i + 1L, i + 1L, s"v$sh")
+        }
+      },
+      { case "SHOW VITESS_SHARDS LIKE 'ks/%'" => showResult("ks/-80", "ks/80-") })
+    val staging = Files.createTempDirectory("grpcstage9")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-discover", "ks")) // no shards configured
+    try {
+      val shards = transport.listShards().map(_._1)
+      assert(shards == Seq("-80", "80-"))
+      transport.awaitStreamCompleted(10000)
+      // the stream request subscribed BOTH discovered shards from empty gtids
+      assert(srv.requests.head.vgtid == Vgtid(Seq(
+        ShardGtid("ks", "-80", ""), ShardGtid("ks", "80-", ""))))
+      // one staging file per discovered shard, 5 events each
+      Seq("-80", "80-").foreach { sh =>
+        val slice = new FeedSlice(staging.resolve(s"$sh.jsonl").toString, 0L)
+        val lines = try Iterator.continually(slice.readLine()).takeWhile(_ != null).toVector finally slice.close()
+        assert(lines.size == 5, s"shard $sh")
+      }
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("exclude.empty.shards: discovery via SHOW VITESS_TABLETS serving rows") {
+    val srv = new MockVtgate(
+      "vt-tablets",
+      req => Seq(insertTx("-80", 1, 1, "v1")),
+      {
+        case "SHOW VITESS_TABLETS" => gridResult(Seq(
+          Seq("cell1", "ks", "-80", "PRIMARY", "SERVING", "alias1", "host1", "[]"),
+          Seq("cell1", "other_ks", "80-", "PRIMARY", "SERVING", "alias2", "host2", "[]")))
+      })
+    val staging = Files.createTempDirectory("grpcstage10")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-tablets", "ks", excludeEmptyShards = true))
+    try {
+      // only the tablet row of THIS keyspace counts (reference
+      // getNonEmptyShards filters on the keyspace column)
+      assert(transport.listShards().map(_._1) == Seq("-80"))
+      transport.awaitStreamCompleted(10000)
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("regex include rules expand to concrete tables via SHOW TABLES") {
+    val srv = new MockVtgate(
+      "vt-regex",
+      req => Seq(insertTx("s0", 1, 1, "v1")),
+      { case "SHOW TABLES FROM `ks`" => showResult("orders", "orderlines", "t1", "customers") })
+    val staging = Files.createTempDirectory("grpcstage11")
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
+      "inprocess:vt-regex", "ks", shards = Seq("s0"),
+      includeTables = Seq("/order.*", "t1")))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(10000)
+      // reference VitessReplicationConnection.java:316-327: the server
+      // sees one concrete select-rule per matched table, no regex rules
+      assert(srv.requests.head.rules == Seq(
+        "orders" -> "select * from `orders`",
+        "orderlines" -> "select * from `orderlines`",
+        "t1" -> "select * from `t1`"))
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("shard-targeted SHOW TABLES rides a session target with autocommit") {
+    val srv = new MockVtgate(
+      "vt-target",
+      req => Seq(insertTx("-80", 1, 1, "v1")),
+      {
+        case "SHOW VITESS_TABLETS" => gridResult(Seq(
+          Seq("cell1", "ks", "-80", "PRIMARY", "SERVING", "a", "h", "[]")))
+        case "SHOW TABLES" => showResult("orders", "t1")
+      })
+    val staging = Files.createTempDirectory("grpcstage12")
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
+      "inprocess:vt-target", "ks", excludeEmptyShards = true,
+      includeTables = Seq("/^t.*")))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(10000)
+      assert(srv.requests.head.rules == Seq("t1" -> "select * from `t1`"))
+      // the SHOW TABLES call targeted the discovered non-empty shard
+      // (reference execute(query, shard): target string + autocommit)
+      val showTables = srv.sqlRequests.find(_.sql.endsWith("SHOW TABLES")).get
+      assert(showTables.targetString == "ks:-80@MASTER")
+      assert(showTables.autocommit)
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("readStream with transport=grpc and no shard option self-discovers") {
+    val srv = new MockVtgate(
+      "vt-e2e-disc",
+      req => {
+        val sg = req.vgtid.shardGtid("s0").get
+        if (sg.gtid == Vgtid.EmptyGtid) (1L to 3L).map(i => insertTx("s0", i, i, s"v$i"))
+        else Nil
+      },
+      { case "SHOW VITESS_SHARDS LIKE 'ks/%'" => showResult("ks/s0") })
+    val staging = Files.createTempDirectory("grpcstage13")
+    val ckpt = Files.createTempDirectory("grpcckpt13")
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", staging.toString)
+      .option("transport", "grpc")
+      .option("vtgate.target", "inprocess:vt-e2e-disc")
+      .option("keyspace", "ks")
+      .load()
+      .writeStream.format("memory").queryName("grpc_e2e_disc")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var n = -1L
+      while (n != 3L && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM grpc_e2e_disc WHERE op = 'c'").collect()(0).getLong(0)
+        if (n != 3L) Thread.sleep(50)
+      }
+      assert(n == 3L)
+    } finally { q.stop(); srv.close() }
   }
 
   test("real socket transport: loopback netty server, tuned channel options consumed") {
