@@ -63,6 +63,12 @@ final case class GrpcConfig(
     /** F5: restrict discovery to shards with a serving tablet
       * (reference exclude.empty.shards) */
     excludeEmptyShards: Boolean = false,
+    /** ingest parallelism: the feeder runs min(maxStreams, #shards)
+      * concurrent VStreams over round-robin shard groups — the
+      * reference's task planning (VitessConnector.java:87-156: tasks.max
+      * tasks, shard i → task i mod numTasks, each task its own VStream).
+      * 1 = the single-stream path. */
+    maxStreams: Int = 1,
     tabletType: String = "MASTER",
     stopOnReshard: Boolean = false,
     streamKeyspaceHeartbeats: Boolean = false,
@@ -83,20 +89,22 @@ final case class GrpcConfig(
     username: Option[String] = None,
     password: Option[String] = None) extends Serializable
 
-/** Live VTGate transport: a driver-side gRPC consumer stages the VStream
+/** Live VTGate transport: driver-side gRPC consumers stage the VStream
   * into the same durable per-shard JSONL feed the file transport reads.
   *
-  * Architecture (SURVEY S1 at scale): ONE VStream per engine instance
-  * lands events into shared storage; executors read the staging files in
+  * Architecture (SURVEY S1 at scale): min(maxStreams, #shards)
+  * concurrent VStreams — one per round-robin shard group, the
+  * reference's task planning (VitessConnector.java:87-156) — land
+  * events into shared storage; executors read the staging files in
   * parallel exactly like any file feed (`open`/`size` delegate to the
   * file mechanics, so positions stay byte offsets and every existing
-  * offset/replay/reshard rule applies unchanged). The gRPC consumer is
-  * the same role as the reference's stream-observer thread
+  * offset/replay/reshard rule applies unchanged). Each consumer is the
+  * same role as the reference's per-task stream-observer thread
   * (VitessReplicationConnection.java:107-343) — but here it ONLY stages
-  * bytes; decode runs distributed. On restart the feeder resumes the
-  * server stream from the last STAGED VGTID per shard, so the staging
-  * log never loses or duplicates server transactions; engine offsets
-  * into the staging log are an independent (checkpointed) layer.
+  * bytes; decode runs distributed. On restart each stream resumes from
+  * the last STAGED VGTID of its own shards, so the staging log never
+  * loses or duplicates server transactions; engine offsets into the
+  * staging log are an independent (checkpointed) layer.
   *
   * The staging directory must be shared storage in a multi-node
   * deployment (executors open it by path, like any Spark checkpoint or
@@ -138,12 +146,11 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
     feeder.awaitCompleted(timeoutMs)
 }
 
-/** The driver-side VStream consumer: builds the channel with the
-  * reference's tuning knobs, constructs the VStreamRequest the way the
-  * reference does, and appends each received event as a VEventJson line
-  * to its shard's staging file (fsynced per response batch so recovery
-  * only ever sees a torn TAIL line, which both the recovery scan and
-  * FeedSlice already tolerate). */
+/** The driver-side VStream consumer pool: resolves the shard topology
+  * (explicit or discovered over the Execute RPC), builds one shared
+  * channel with the reference's tuning knobs, and runs one
+  * [[StreamWorker]] per round-robin shard group, each staging VEventJson
+  * lines into its shards' feed files at transaction-safe boundaries. */
 private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
 
   private val dir = Paths.get(stagingDir)
@@ -235,42 +242,18 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     }
   }
 
-  /** Resume position: last VGTID staged per shard (the stream's own
-    * progress marker), else the configured initial position. Startup-only
-    * full scan of the staging files — at scale this would be a bounded
-    * tail scan, but correctness only needs "any staged VGTID at or after
-    * the last complete transaction", which the full scan trivially is. */
-  private def resumeVgtid(): Vgtid = Vgtid(shards.map { sh =>
-    val p = dir.resolve(s"$sh.jsonl")
-    var last = ShardGtid(cfg.keyspace, sh, cfg.initialGtid)
-    if (Files.size(p) > 0) {
-      val slice = new FeedSlice(p.toString, 0L)
-      try slice.lines.foreach { line =>
-        if (line.startsWith(FeedSlice.VgtidPrefix)) VEventJson.read(line) match {
-          case VgtidEvent(_, v) => v.shardGtid(sh).foreach(sg => last = sg)
-          case _ =>
-        }
-      } finally slice.close()
-    }
-    last
-  })
-
-  def buildRequest(): VtWire.VStreamRequestModel = {
-    def quote(id: String) = "`" + id.replace("`", "``") + "`"
-    VtWire.VStreamRequestModel(
-      tabletType = VtWire.TabletType.byName.getOrElse(
-        cfg.tabletType.toUpperCase(java.util.Locale.ROOT), 1),
-      vgtid = resumeVgtid(),
-      // reference :316-327: one rule per included table, filter sql
-      // form; regexes were already expanded to concrete tables above
-      rules = includeTables.map(t => t -> s"select * from ${quote(t)}"),
-      flags = VtWire.VStreamFlagsModel(
-        heartbeatIntervalSec = cfg.heartbeatSeconds,
-        stopOnReshard = cfg.stopOnReshard,
-        streamKeyspaceHeartbeats = cfg.streamKeyspaceHeartbeats,
-        excludeKeyspaceFromTableName = cfg.excludeKeyspaceFromTableName,
-        tablesToCopy = cfg.tablesToCopy))
+  /** Round-robin shard groups — the reference's task planning
+    * (VitessConnector.java:87-156: numTasks = min(tasks.max, #shards),
+    * shard i → task i mod numTasks). Each group gets its OWN VStream,
+    * so ingest bandwidth scales with streams instead of being ceilinged
+    * by one server stream + one writer thread; streams multiplex over
+    * one shared HTTP/2 channel. */
+  private[sources] val shardGroups: Seq[Seq[String]] = {
+    val n = math.max(1, math.min(cfg.maxStreams, shards.size))
+    shards.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1).map(_._2.map(_._1))
   }
+
+  private val workers: Seq[StreamWorker] = shardGroups.map(new StreamWorker(_))
 
   def ensureRunning(): Unit = {
     if (failure != null)
@@ -282,126 +265,16 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     if (started) return
     started = true
     channel = GrpcChannels.build(cfg)
-    subscribe(attempt = 0)
-  }
-
-  private val maxReconnects = 5
-
-  /** One VStream subscription. A retriable failure (every gRPC status
-    * error — the reference's VitessErrorHandler.java:23-30 stance)
-    * re-subscribes after backoff FROM THE LAST STAGED VGTID, so a
-    * VTGate bounce never loses or duplicates staged transactions; the
-    * attempt counter resets whenever a subscription made progress, and
-    * `maxReconnects` consecutive no-progress failures surface as the
-    * stream failure. */
-  private def subscribe(attempt: Int): Unit = {
-    // a reconnect abandons any buffered partial transaction — the
-    // resumed stream replays it from the last STAGED vgtid
-    resetPending()
-    // reference startStreaming: headers ride a client interceptor,
-    // credentials a CallCredentials (VitessReplicationConnection.java:112-127)
-    val ch = GrpcChannels.decorated(channel, cfg)
-    val callOptions = GrpcChannels.callOptions(cfg)
-    val observer = new StreamObserver[Array[Byte]] {
-      @volatile private var progressed = false
-      override def onNext(responseBytes: Array[Byte]): Unit =
-        try { stage(VtWire.decodeVStreamResponse(responseBytes)); progressed = true }
-        catch { case t: Throwable => failure = t }
-      override def onError(t: Throwable): Unit = {
-        val retryAttempt = if (progressed) 1 else attempt + 1
-        if (failure == null && !closed && Retry.isRetriable(t) && retryAttempt <= maxReconnects) {
-          val backoffMs = math.min(50L << retryAttempt, 2000L)
-          val reconnector = new Thread(s"vstream-grpc-reconnect") {
-            override def run(): Unit = {
-              Thread.sleep(backoffMs)
-              if (!closed) subscribe(retryAttempt)
-            }
-          }
-          reconnector.setDaemon(true)
-          reconnector.start()
-        } else {
-          if (failure == null && !closed) failure = t
-          completed.countDown()
-        }
-      }
-      override def onCompleted(): Unit = completed.countDown()
-    }
-    ClientCalls.asyncServerStreamingCall(
-      ch.newCall(VtGrpc.VStreamMethod, callOptions),
-      VtWire.encodeVStreamRequest(buildRequest()),
-      observer)
-  }
-
-  // Per-shard transaction buffer: events accumulate here and reach the
-  // durable staging file only at transaction-safe boundaries — on COMMIT,
-  // or immediately for standalone events while no transaction is open.
-  // This is the reference's buffer-until-commit stance
-  // (VitessReplicationConnection buffers a partial transaction in memory
-  // and reset()s it on error, committing offsets only at boundaries): a
-  // disconnect mid-transaction leaves the staging file at a safe
-  // boundary, so the resumed stream's replay of the open transaction
-  // appends cleanly instead of producing a BEGIN-while-open sequence
-  // that would permanently poison executor reads of that region.
-  // Driver memory is bounded by one in-flight transaction per shard —
-  // the same bound the reference's event buffer has.
-  private val pending = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[String]]()
-  private val inTx = scala.collection.mutable.Set[String]()
-
-  /** Drop buffered partial transactions (reconnect path: the resumed
-    * stream replays them from the last STAGED vgtid). */
-  private def resetPending(): Unit = synchronized {
-    pending.values.foreach(_.clear())
-    inTx.clear()
-  }
-
-  /** Append one response batch to the staging feeds at transaction-safe
-    * boundaries. Events without a shard attribution (a multi-shard VGTID
-    * between transactions) go to every shard they carry a position for —
-    * each shard's fold extracts only its own entry, mirroring how the
-    * engine already treats multi-shard VGTID lines. */
-  private def stage(events: Seq[VEvent]): Unit = synchronized {
-    events.foreach { e =>
-      val targets: Seq[String] = e match {
-        case VgtidEvent(sh, v) if sh.isEmpty =>
-          v.shardGtids.map(_.shard).filter(writers.contains)
-        case _ if e.shard.nonEmpty => Seq(e.shard)
-        case _ => shards // shard-less heartbeat: liveness for all
-      }
-      targets.foreach { sh =>
-        if (writers.contains(sh)) {
-          val line = e match {
-            case VgtidEvent(s, v) if s.isEmpty => VEventJson.write(VgtidEvent(sh, v))
-            case HeartbeatEvent(s) if s.isEmpty => VEventJson.write(HeartbeatEvent(sh))
-            case other => VEventJson.write(other)
-          }
-          pending.getOrElseUpdate(sh, scala.collection.mutable.ArrayBuffer[String]()) += line
-          e match {
-            case _: BeginEvent => inTx += sh
-            case _: CommitEvent => inTx -= sh
-            case _ =>
-          }
-          if (!inTx.contains(sh)) flushPending(sh)
-        }
-      }
-    }
-  }
-
-  private def flushPending(sh: String): Unit = {
-    val buf = pending(sh)
-    if (buf.nonEmpty) {
-      val w = writers(sh)
-      buf.foreach { line =>
-        w.write(line.getBytes(StandardCharsets.UTF_8))
-        w.write('\n')
-      }
-      w.flush()
-      buf.clear()
-    }
+    workers.foreach(_.subscribe(attempt = 0))
   }
 
   def awaitCompleted(timeoutMs: Long): Unit = {
-    if (!completed.await(timeoutMs, TimeUnit.MILLISECONDS))
-      throw new IllegalStateException("vstream did not complete in time")
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    workers.foreach { w =>
+      val left = (deadline - System.nanoTime()) / 1000000L
+      if (!w.completed.await(math.max(1L, left), TimeUnit.MILLISECONDS))
+        throw new IllegalStateException("vstream did not complete in time")
+    }
     if (failure != null)
       throw new IllegalStateException("vstream grpc feeder failed", failure)
   }
@@ -413,5 +286,171 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
       channel.awaitTermination(5, TimeUnit.SECONDS)
     }
     writers.values.foreach(w => try w.close() catch { case _: Exception => () })
+  }
+
+  private val maxReconnects = 5
+
+  /** One shard-group's VStream: its own subscription, resume position,
+    * reconnect state, and transaction buffers. Workers never share a
+    * shard (round-robin partition), so each staging file has exactly one
+    * writer and no cross-worker synchronization is needed on the hot
+    * path. This is the reference's per-task VitessReplicationConnection
+    * (VitessConnector plans one connection per task over its shard
+    * group). */
+  private final class StreamWorker(groupShards: Seq[String]) {
+
+    private[GrpcFeeder] val completed = new CountDownLatch(1)
+
+    /** Resume position: last VGTID staged per group shard (the stream's
+      * own progress marker), else the configured initial position.
+      * Startup-only full scan of the staging files — at scale this would
+      * be a bounded tail scan, but correctness only needs "any staged
+      * VGTID at or after the last complete transaction", which the full
+      * scan trivially is. */
+    private def resumeVgtid(): Vgtid = Vgtid(groupShards.map { sh =>
+      val p = dir.resolve(s"$sh.jsonl")
+      var last = ShardGtid(cfg.keyspace, sh, cfg.initialGtid)
+      if (Files.size(p) > 0) {
+        val slice = new FeedSlice(p.toString, 0L)
+        try slice.lines.foreach { line =>
+          if (line.startsWith(FeedSlice.VgtidPrefix)) VEventJson.read(line) match {
+            case VgtidEvent(_, v) => v.shardGtid(sh).foreach(sg => last = sg)
+            case _ =>
+          }
+        } finally slice.close()
+      }
+      last
+    })
+
+    private def buildRequest(): VtWire.VStreamRequestModel = {
+      def quote(id: String) = "`" + id.replace("`", "``") + "`"
+      VtWire.VStreamRequestModel(
+        tabletType = VtWire.TabletType.byName.getOrElse(
+          cfg.tabletType.toUpperCase(java.util.Locale.ROOT), 1),
+        vgtid = resumeVgtid(),
+        // reference :316-327: one rule per included table, filter sql
+        // form; regexes were already expanded to concrete tables above
+        rules = includeTables.map(t => t -> s"select * from ${quote(t)}"),
+        flags = VtWire.VStreamFlagsModel(
+          heartbeatIntervalSec = cfg.heartbeatSeconds,
+          stopOnReshard = cfg.stopOnReshard,
+          streamKeyspaceHeartbeats = cfg.streamKeyspaceHeartbeats,
+          excludeKeyspaceFromTableName = cfg.excludeKeyspaceFromTableName,
+          tablesToCopy = cfg.tablesToCopy))
+    }
+
+    /** One VStream subscription. A retriable failure (every gRPC status
+      * error — the reference's VitessErrorHandler.java:23-30 stance)
+      * re-subscribes after backoff FROM THE LAST STAGED VGTID, so a
+      * VTGate bounce never loses or duplicates staged transactions; the
+      * attempt counter resets whenever a subscription made progress, and
+      * `maxReconnects` consecutive no-progress failures surface as the
+      * stream failure. Reconnects are per-worker: one group's bounce
+      * never disturbs the other streams. */
+    private[GrpcFeeder] def subscribe(attempt: Int): Unit = {
+      // a reconnect abandons any buffered partial transaction — the
+      // resumed stream replays it from the last STAGED vgtid
+      resetPending()
+      // reference startStreaming: headers ride a client interceptor,
+      // credentials a CallCredentials (VitessReplicationConnection.java:112-127)
+      val ch = GrpcChannels.decorated(channel, cfg)
+      val callOptions = GrpcChannels.callOptions(cfg)
+      val observer = new StreamObserver[Array[Byte]] {
+        @volatile private var progressed = false
+        override def onNext(responseBytes: Array[Byte]): Unit =
+          try { stage(VtWire.decodeVStreamResponse(responseBytes)); progressed = true }
+          catch { case t: Throwable => failure = t }
+        override def onError(t: Throwable): Unit = {
+          val retryAttempt = if (progressed) 1 else attempt + 1
+          if (failure == null && !closed && Retry.isRetriable(t) && retryAttempt <= maxReconnects) {
+            val backoffMs = math.min(50L << retryAttempt, 2000L)
+            val reconnector = new Thread(s"vstream-grpc-reconnect") {
+              override def run(): Unit = {
+                Thread.sleep(backoffMs)
+                if (!closed) subscribe(retryAttempt)
+              }
+            }
+            reconnector.setDaemon(true)
+            reconnector.start()
+          } else {
+            if (failure == null && !closed) failure = t
+            completed.countDown()
+          }
+        }
+        override def onCompleted(): Unit = completed.countDown()
+      }
+      ClientCalls.asyncServerStreamingCall(
+        ch.newCall(VtGrpc.VStreamMethod, callOptions),
+        VtWire.encodeVStreamRequest(buildRequest()),
+        observer)
+    }
+
+    // Per-shard transaction buffer: events accumulate here and reach the
+    // durable staging file only at transaction-safe boundaries — on
+    // COMMIT, or immediately for standalone events while no transaction
+    // is open. This is the reference's buffer-until-commit stance
+    // (VitessReplicationConnection buffers a partial transaction in
+    // memory and reset()s it on error, committing offsets only at
+    // boundaries): a disconnect mid-transaction leaves the staging file
+    // at a safe boundary, so the resumed stream's replay of the open
+    // transaction appends cleanly instead of producing a BEGIN-while-open
+    // sequence that would permanently poison executor reads of that
+    // region. Driver memory is bounded by one in-flight transaction per
+    // shard — the same bound the reference's event buffer has.
+    private val pending = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[String]]()
+    private val inTx = scala.collection.mutable.Set[String]()
+
+    /** Drop buffered partial transactions (reconnect path: the resumed
+      * stream replays them from the last STAGED vgtid). */
+    private def resetPending(): Unit = synchronized {
+      pending.values.foreach(_.clear())
+      inTx.clear()
+    }
+
+    /** Append one response batch to this group's staging feeds at
+      * transaction-safe boundaries. Events without a shard attribution
+      * (a multi-shard VGTID between transactions) go to every group
+      * shard they carry a position for — each shard's fold extracts only
+      * its own entry, mirroring how the engine already treats
+      * multi-shard VGTID lines. */
+    private def stage(events: Seq[VEvent]): Unit = synchronized {
+      events.foreach { e =>
+        val targets: Seq[String] = e match {
+          case VgtidEvent(sh, v) if sh.isEmpty =>
+            v.shardGtids.map(_.shard).filter(groupShards.contains)
+          case _ if e.shard.nonEmpty => Seq(e.shard)
+          case _ => groupShards // shard-less heartbeat: liveness for the group
+        }
+        targets.foreach { sh =>
+          if (groupShards.contains(sh)) {
+            val line = e match {
+              case VgtidEvent(s, v) if s.isEmpty => VEventJson.write(VgtidEvent(sh, v))
+              case HeartbeatEvent(s) if s.isEmpty => VEventJson.write(HeartbeatEvent(sh))
+              case other => VEventJson.write(other)
+            }
+            pending.getOrElseUpdate(sh, scala.collection.mutable.ArrayBuffer[String]()) += line
+            e match {
+              case _: BeginEvent => inTx += sh
+              case _: CommitEvent => inTx -= sh
+              case _ =>
+            }
+            if (!inTx.contains(sh)) flushPending(sh)
+          }
+        }
+      }
+    }
+
+    private def flushPending(sh: String): Unit = {
+      val buf = pending(sh)
+      if (buf.nonEmpty) {
+        val w = writers(sh)
+        buf.foreach { line =>
+          w.write(line.getBytes(StandardCharsets.UTF_8))
+          w.write('\n')
+        }
+        w.flush()
+        buf.clear()
+      }
+    }
   }
 }

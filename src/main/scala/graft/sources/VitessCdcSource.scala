@@ -410,6 +410,10 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           // dirs routinely hold empty shard files.)
           excludeEmptyShards =
             opt("exclude.empty.shards").exists(_.toBoolean),
+          // reference tasks.max: min(tasks.max, #shards) concurrent
+          // VStreams over round-robin shard groups (VitessConnector
+          // .java:87-156) — the ingest scale-out axis
+          maxStreams = opt("vstream.count", "tasks.max").map(_.toInt).getOrElse(1),
           tabletType = Option(options.get("tablet.type")).getOrElse("MASTER"),
           stopOnReshard = stopOnReshard,
           streamKeyspaceHeartbeats = streamKeyspaceHeartbeats,

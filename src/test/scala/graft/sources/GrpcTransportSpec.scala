@@ -500,6 +500,66 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); srv.close() }
   }
 
+  test("multi-stream ingest: one VStream per shard group, per-stream resume after a kill") {
+    import org.sparkproject.connect.grpc.Status
+    // 4 shards, maxStreams=2 → round-robin groups (s0,s2) and (s1,s3),
+    // each subscribed by its OWN concurrent VStream. The (s1,s3) stream
+    // dies UNAVAILABLE after one tx per shard; its reconnect must carry
+    // ONLY that group's staged vgtids and must not disturb the other
+    // stream's subscription.
+    @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]
+    val handler = new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+      override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+        val req = VtWire.decodeVStreamRequest(request)
+        synchronized { requests = requests :+ req }
+        val group = req.vgtid.shardGtids.map(_.shard).sorted
+        group match {
+          case Seq("s0", "s2") =>
+            Seq("s0", "s2").foreach { sh =>
+              (1L to 2L).foreach(i => obs.onNext(VtWire.encodeVStreamResponse(insertTx(sh, i, i, s"$sh-v$i"))))
+            }
+            obs.onCompleted()
+          case Seq("s1", "s3") if req.vgtid.shardGtids.forall(_.gtid == Vgtid.EmptyGtid) =>
+            Seq("s1", "s3").foreach { sh =>
+              obs.onNext(VtWire.encodeVStreamResponse(insertTx(sh, 1, 1, s"$sh-v1")))
+            }
+            obs.onError(Status.UNAVAILABLE.withDescription("group stream died").asRuntimeException())
+          case Seq("s1", "s3") =>
+            // resumed request: exactly this group's staged progress
+            assert(req.vgtid.shardGtids.map(sg => sg.shard -> sg.gtid).toMap ==
+              Map("s1" -> "MySQL56/feed:1-1", "s3" -> "MySQL56/feed:1-1"))
+            Seq("s1", "s3").foreach { sh =>
+              obs.onNext(VtWire.encodeVStreamResponse(insertTx(sh, 2, 2, s"$sh-v2")))
+            }
+            obs.onCompleted()
+          case other => fail(s"unexpected stream group: $other")
+        }
+      }
+    }
+    val server = InProcessServerBuilder.forName("vt-multi").directExecutor()
+      .addService(ServerServiceDefinition.builder("vtgateservice.Vitess")
+        .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
+        .build())
+      .build().start()
+    val staging = Files.createTempDirectory("grpcstage14")
+    val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
+      "inprocess:vt-multi", "ks", shards = Seq("s0", "s1", "s2", "s3"), maxStreams = 2))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(15000)
+      assert(requests.size == 3) // 2 initial streams + 1 per-group reconnect
+      // every stream request covered exactly its round-robin group
+      assert(requests.map(_.vgtid.shardGtids.map(_.shard).sorted).toSet ==
+        Set(Seq("s0", "s2"), Seq("s1", "s3")))
+      Seq("s0" -> 2, "s1" -> 2, "s2" -> 2, "s3" -> 2).foreach { case (sh, txs) =>
+        val slice = new FeedSlice(staging.resolve(s"$sh.jsonl").toString, 0L)
+        val lines = try Iterator.continually(slice.readLine()).takeWhile(_ != null).toVector finally slice.close()
+        assert(lines.size == txs * 5, s"shard $sh")
+        assertWellFormedFeed(lines, (1 to txs).map(_.toString))
+      }
+    } finally { transport.close(); server.shutdownNow(); () }
+  }
+
   test("real socket transport: loopback netty server, tuned channel options consumed") {
     import org.sparkproject.connect.grpc.netty.NettyServerBuilder
     @volatile var requests = Vector.empty[VtWire.VStreamRequestModel]
