@@ -49,6 +49,10 @@ object Bench {
             samples(name) = samples.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
           } catch {
             case e: Throwable =>
+              // a query that succeeded in an earlier run but fails now must
+              // show up ONLY as a failure — keeping its earlier samples
+              // would count it in both the total and n_failed
+              samples.remove(name)
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           }
         }

@@ -69,6 +69,31 @@ object Dedup {
 
   private val WsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  /** Lowercase with Spark's exact `lower()` semantics (UTF8String
+    * .toLowerCase): full-ASCII strings take a locale-independent ASCII
+    * fast path — so a Turkish-type default locale can never turn ASCII
+    * 'I' into U+0131 — while strings containing any non-ASCII char fall
+    * through to `String.toLowerCase()` (default locale), which is
+    * verbatim what Spark's `toLowerCaseSlow` does. Matching the branch,
+    * not imposing Locale.ROOT everywhere, is what keeps the scalar path
+    * char-identical to [[shinglesCatalyst]] under EVERY default locale. */
+  private[operators] def sparkLower(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase()
+    else {
+      val out = new Array[Char](s.length)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        out(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        j += 1
+      }
+      new String(out)
+    }
+  }
+
   private def shinglesUdf(n: Int) = udf { (text: String) =>
     if (text == null) null
     else {
@@ -78,7 +103,7 @@ object Dedup {
       var e = collapsed.length
       while (b < e && collapsed.charAt(b) == ' ') b += 1
       while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
-      val normed = collapsed.substring(b, e).toLowerCase
+      val normed = sparkLower(collapsed.substring(b, e))
       val toks: Array[String] = normed.split(" ", -1) // -1: Spark keeps trailing empties
       if (toks.length < n) Seq(toks.mkString(" "))
       else {

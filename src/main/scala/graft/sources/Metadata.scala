@@ -47,9 +47,44 @@ object Metadata {
       .distinct().collect().toSeq.sorted
   }
 
+  /** SHOW TABLES served from a checkpointed offset: the offset's
+    * `schemas` map already holds the latest FIELD line per
+    * (shard, table), so the checkpointed prefix of the feed contributes
+    * its table list in O(#tables) with ZERO feed bytes read. Only bytes
+    * PAST the checkpointed safe positions can name a table the
+    * checkpoint has not seen, so the tail — the same O(new bytes) a
+    * single micro-batch admits — is the only part scanned; a current
+    * offset (positions at end-of-feed) turns the whole call into pure
+    * file-size metadata. Tail reads run on the driver like the capped
+    * admission fold: bounded by bytes-since-checkpoint, not feed size. */
+  def tables(feedDir: String, offset: VgtidOffset): Seq[String] = {
+    val fromCheckpoint: Set[String] =
+      offset.schemas.valuesIterator.flatMap(_.keysIterator).toSet
+    val tail = Set.newBuilder[String]
+    shards(feedDir).foreach { sh =>
+      val p = Paths.get(feedDir, s"$sh.jsonl")
+      val from = offset.positions.getOrElse(sh, 0L)
+      if (Files.size(p) > from) {
+        val slice = new FeedSlice(p.toString, from)
+        try slice.lines.foreach { line =>
+          if (line.contains("\"FIELD\"")) VEventJson.read(line) match {
+            case f: FieldEvent => tail += f.table
+            case _ =>
+          }
+        } finally slice.close()
+      }
+    }
+    (fromCheckpoint ++ tail.result()).toSeq.sorted
+  }
+
   /** Distinct keyspaces (SHOW DATABASES). */
   def keyspaces(spark: SparkSession, feedDir: String): Seq[String] =
     tables(spark, feedDir).map(_.split("\\.")(0)).distinct.sorted
+
+  /** SHOW DATABASES from a checkpointed offset — same contract as the
+    * checkpointed [[tables]] overload. */
+  def keyspaces(feedDir: String, offset: VgtidOffset): Seq[String] =
+    tables(feedDir, offset).map(_.split("\\.")(0)).distinct.sorted
 
   /** LIKE-pattern escape for metadata queries (reference:
     * VitessMetadata.java:43-57). */

@@ -50,6 +50,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sparkLower matches Spark lower() branch under a Turkish default locale") {
+    val tr = new java.util.Locale("tr", "TR")
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(tr)
+    try {
+      // full-ASCII: the ASCII fast path must win — 'I' -> 'i', never U+0131
+      assert(Dedup.sparkLower("TITLE IV") == "title iv")
+      // plain String.toLowerCase under tr_TR would have produced dotless i:
+      assert("TITLE IV".toLowerCase() != "title iv")
+      // non-ASCII present: Spark's toLowerCaseSlow is String.toLowerCase()
+      // (default locale) — parity means matching that verbatim
+      assert(Dedup.sparkLower("İSTANBUL I") == "İSTANBUL I".toLowerCase())
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("broadcast-small query contract is enforced, not just documented") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     // 50 vectors against a cap of 10: every top-k entry point must refuse

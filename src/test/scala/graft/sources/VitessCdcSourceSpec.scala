@@ -420,6 +420,39 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Metadata.escapeLike("a_b%c") == "a\\_b\\%c")
   }
 
+  test("checkpointed SHOW TABLES/DATABASES reads zero feed bytes behind the offset") {
+    val feedDir = Files.createTempDirectory("cdcfeed9b")
+    val ckpt = Files.createTempDirectory("cdcckpt9b")
+    writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
+    runToCompletion(feedDir, ckpt, "cdc_meta_ckpt")
+    // the checkpointed offset: Spark's OffsetSeqLog stores "v1", the batch
+    // metadata line, then one offset JSON line per source
+    val offsetsDir = ckpt.resolve("offsets")
+    val latest = Files.list(offsetsDir).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    val off = VgtidOffset.fromJson(Files.readAllLines(latest).asScala.last)
+    assert(off.positions.nonEmpty && off.schemas.nonEmpty)
+    // overwrite the feed with SAME-LENGTH garbage: if the checkpointed
+    // path read any byte behind the offset it would now throw or return
+    // junk — correct answers prove the call is pure checkpoint + size
+    // metadata
+    val feed = feedDir.resolve("s0.jsonl")
+    val size = Files.size(feed).toInt
+    Files.write(feed, Array.fill[Byte](size)('x'))
+    assert(Metadata.tables(feedDir.toString, off) == Seq("ks.t1"))
+    assert(Metadata.keyspaces(feedDir.toString, off) == Seq("ks"))
+    // bytes past the checkpointed position ARE scanned: a new table's
+    // FIELD event appended after the offset must surface in the list
+    writeFeed(feedDir, "s0", Seq(
+      BeginEvent("s0", "ks"),
+      FieldEvent("s0", "ks", "ks.t2", t1Fields, enumSetStringValues = false),
+      RowEvent("s0", "ks", "ks.t2", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("9"), Some("z"))))))),
+      VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-2")))),
+      CommitEvent("s0", "ks", 1700000099L)), append = true)
+    assert(Metadata.tables(feedDir.toString, off) == Seq("ks.t1", "ks.t2"))
+  }
+
   test("copy phase: enum/set decode as labels, lastpk rides the offset, seamless switch (S5)") {
     val feedDir = Files.createTempDirectory("cdcfeed10")
     val ckpt = Files.createTempDirectory("cdcckpt10")
