@@ -386,7 +386,14 @@ object Dedup {
     * throws — silently returning half-propagated labels would be a wrong
     * answer, not a degraded one.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    ccWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * round count is the scale contract (≤ ⌈log₂ diameter⌉ + c thanks to
+    * the pointer-jumping hop) and the property spec pins it directly. */
+  private[operators] def ccWithRounds(
+      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
@@ -431,7 +438,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    (labels.select(col("id"), col("label").as("cluster_id")), iter)
   }
 
   /** One-survivor-per-cluster dedup: connected components over the

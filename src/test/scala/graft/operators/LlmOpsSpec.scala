@@ -282,6 +282,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("connected components: 10k-node path converges in ≤ ⌈log₂ n⌉ + 3 rounds") {
+    val sp = spark; import sp.implicits._
+    // adversarial worst case: one chain-shaped component of diameter
+    // 10_000. Pure min-label propagation would need ~10_000 rounds; the
+    // pointer-jumping hop doubles label reach per round, so the bound is
+    // logarithmic in n — the property that makes CC viable at corpus
+    // scale where a pathological dup chain can be arbitrarily long
+    val n = 10000
+    val pairs = sp.range(n - 1).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val bound = (math.log(n) / math.log(2)).ceil.toInt + 3 // 14 + 3
+    val (labels, rounds) = Dedup.ccWithRounds(pairs, maxIter = bound)
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
   test("connected components match an in-memory union-find on random graphs") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(42)
