@@ -125,6 +125,21 @@ object Similarity {
     * scans ~12% of the corpus, and the fraction shrinks as C grows with
     * corpus size — the 100 TB scale path for low-similarity embedding
     * spaces where hyperplane LSH has no gap to exploit. */
+  private def toD(v: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](v.length)
+    var i = 0; while (i < v.length) { a(i) = v(i).toDouble; i += 1 }
+    a
+  }
+
+  private def cosD(c: Array[Double], v: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < c.length) {
+      val x = c(i); val y = v(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private def cosTo(c: Array[Double], v: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < c.length) {
@@ -132,6 +147,15 @@ object Similarity {
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def nearestCentroidD(cent: Array[(Long, Array[Double])], v: Array[Double]): Long = {
+    var best = 0L; var bestSim = Double.MinValue
+    cent.foreach { case (cid, c) =>
+      val s = cosD(c, v)
+      if (s > bestSim || (s == bestSim && cid < best)) { best = cid; bestSim = s }
+    }
+    best
   }
 
   private def nearestCentroid(cent: Array[(Long, Array[Double])], v: Seq[Float]): Long = {
@@ -251,6 +275,14 @@ object Similarity {
     ).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= codes, s"corpus must hold at least $codes vectors")
+    lloydPq(sample, m, codes, iters)
+  }
+
+  /** Local Lloyd rounds over an in-memory sample: books init to the
+    * first `codes` sample slices, then assign→mean refinement per
+    * subspace. Shared by trainPq (raw vectors) and ivfPqTopK
+    * (residuals); cost is bounded by the sample, never the corpus. */
+  private def lloydPq(sample: Array[Array[Double]], m: Int, codes: Int, iters: Int): PqModel = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
@@ -318,13 +350,6 @@ object Similarity {
     // selection per partition is exact, not approximate.
     val ss = corpus.sparkSession
     import ss.implicits._
-    // dequeues the WORST kept candidate: lowest score first, highest id on ties
-    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
-    }
     val localTop = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), encodeU(col(vecCol)).as("cs"))
       .as[(Long, Seq[Int])]
@@ -349,6 +374,25 @@ object Similarity {
         heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
       }
       .toDF("query_id", "neighbor_id", "approx")
+    adcRescore(corpus, queries, localTop, candidates, k, idCol, vecCol)
+  }
+
+  /** Dequeues the WORST kept candidate: lowest score first, highest id on
+    * ties — a total order, so per-partition bounded-heap selection merged
+    * by the downstream rank is exact, not approximate. */
+  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  /** Shared ADC tail: global top-`candidates` per query by approx score
+    * (the window input is the per-partition heap output — at most
+    * partitions·|q|·candidates rows), then exact cosine rescoring of the
+    * survivors against the joined-back vectors, top-k. */
+  private def adcRescore(corpus: DataFrame, queries: DataFrame, localTop: DataFrame,
+      candidates: Int, k: Int, idCol: String, vecCol: String): DataFrame = {
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
     val cand = localTop.withColumn("crk", row_number().over(wA))
