@@ -21,15 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark only reads via
-    * the nanosAsLong legacy flag (set in `session`); convert to a real
-    * microsecond timestamp here so queries and the DuckDB oracle agree. */
+  /** `events.ts` arrives in whatever physical type the generator chose
+    * for that round — TIMESTAMP(NANOS) (read as LONG via the nanosAsLong
+    * legacy flag set in `session`) or TIMESTAMP(MICROS) without UTC
+    * adjustment (read as TIMESTAMP_NTZ). Normalize both to a plain
+    * microsecond TIMESTAMP interpreting the raw value as a UTC instant
+    * (session tz is UTC), so downstream `unix_micros`/window arithmetic
+    * and the DuckDB oracle (which reads naive timestamps) agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df.withColumn("ts", col("ts"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
