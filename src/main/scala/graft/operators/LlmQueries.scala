@@ -392,24 +392,163 @@ object LlmQueries {
       |  JOIN embeddings n ON n.vec_id = c.neighbor_id
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // --------------------------------------------------------- ANN IVF×PQ
+  /** The composed scale shape (IVF cells prune, PQ residual codes
+    * compress) in replay mode: centroids = first 32 vectors by id,
+    * codebooks = subspace slices of the first 32 RESIDUALS by id,
+    * probes = top-4 cells, ADC score = dot(q, centroid) + Σ table
+    * lookups over probed cells only, top-64 candidates, exact cosine
+    * rescore. Deterministic stage for stage, so the oracle replays the
+    * whole pipeline in SQL; the Lloyd path is pinned by the
+    * recall-at-scan-fraction spec instead. */
+  val qAnnIvfPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.ivfPqTopK(emb, queries, k = 5, trainIters = 0)
+      .withColumn("rk", col("rk").cast("long"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** DuckDB replay of ivfPqTopK with trainIters=0: cent/assigned replay
+    * the IVF coarse stage (= qAnnIvfSql), resid subtracts the assigned
+    * centroid element-wise, books slice the first-32 residuals (= the
+    * qAnnPqSql codebook trick, but over residuals), corpus_codes is
+    * per-subspace argmin L2 of the residual, and approx adds the
+    * per-probed-cell dot(q, centroid) to the summed ADC lookups before
+    * the top-64 cut and exact rescore. */
+  val qAnnIvfPqSql: String =
+    """WITH params AS (
+      |  SELECT len(embedding) // 8 AS subdim FROM embeddings LIMIT 1
+      |), cent AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      |  FROM embeddings ORDER BY vec_id LIMIT 32
+      |), assigned AS (
+      |  SELECT vec_id, embedding, cid, cvec FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid, c.cvec,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.cvec, e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM embeddings e CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |), resid AS (
+      |  SELECT vec_id, cid,
+      |    list_transform(generate_series(1, len(embedding)),
+      |      i -> embedding[i]::DOUBLE - cvec[i]) AS rvec
+      |  FROM assigned
+      |), samp AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rvec AS cb
+      |  FROM resid ORDER BY vec_id LIMIT 32
+      |), books AS (
+      |  SELECT s.i AS sub, samp.code,
+      |    samp.cb[(s.i * p.subdim + 1):((s.i + 1) * p.subdim)] AS bvec
+      |  FROM samp CROSS JOIN generate_series(0, 7) AS s(i) CROSS JOIN params p
+      |), corpus_codes AS (
+      |  SELECT vec_id AS neighbor_id, cid, sub, code FROM (
+      |    SELECT r.vec_id, r.cid, b.sub, b.code,
+      |      row_number() OVER (PARTITION BY r.vec_id, b.sub
+      |        ORDER BY list_distance(
+      |          r.rvec[(b.sub * p.subdim + 1):((b.sub + 1) * p.subdim)],
+      |          b.bvec) ASC, b.code) AS rn
+      |    FROM resid r CROSS JOIN books b CROSS JOIN params p
+      |  ) WHERE rn = 1
+      |), probes AS (
+      |  SELECT query_id, cid, cdot FROM (
+      |    SELECT q.vec_id AS query_id, c.cid,
+      |      list_inner_product(q.embedding::DOUBLE[], c.cvec) AS cdot,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(c.cvec, q.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+      |  ) WHERE prn <= 4
+      |), adc AS (
+      |  SELECT q.vec_id AS query_id, b.sub, b.code,
+      |    list_inner_product(
+      |      (q.embedding::DOUBLE[])[(b.sub * p.subdim + 1):((b.sub + 1) * p.subdim)],
+      |      b.bvec) AS dp
+      |  FROM embeddings q CROSS JOIN books b CROSS JOIN params p
+      |  WHERE q.vec_id < 10
+      |), approx AS (
+      |  SELECT pr.query_id, cc.neighbor_id, pr.cdot + sum(a.dp) AS score
+      |  FROM corpus_codes cc
+      |  JOIN probes pr ON pr.cid = cc.cid
+      |  JOIN adc a ON a.query_id = pr.query_id AND a.sub = cc.sub AND a.code = cc.code
+      |  WHERE cc.neighbor_id <> pr.query_id
+      |  GROUP BY pr.query_id, cc.neighbor_id, pr.cdot
+      |), cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, neighbor_id) AS crk
+      |    FROM approx
+      |  ) WHERE crk <= 64
+      |)
+      |SELECT query_id, rk, neighbor_id, sim FROM (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+      |               c.neighbor_id) AS rk
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.query_id
+      |  JOIN embeddings n ON n.vec_id = c.neighbor_id
+      |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   // -------------------------------------------------------- multimodal
-  /** Binary-column plumbing: synthetic media table → batch-shaped stub
-    * feature extraction; byte length + format are decoder-independent
-    * and oracle-checkable. */
+  /** REAL image decode: the media table holds genuine 24bpp BMP files
+    * (header + bottom-up padded rows); decodeBmpFeatures parses the
+    * bytes alone — dims from the header, channel means from the pixel
+    * array. The oracle recomputes every feature from the pixel formula
+    * the encoder used, so a decoder that misread stride padding, row
+    * order, or BGR layout hash-mismatches. */
   val qMultimodalFeatures: Q = (s, d) => {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-    Multimodal.extractFeatures(s, media)
-      .filter(size(col("features")) === 4) // plumbing check: dim is fixed
-      .select(
-        col("media_id"),
-        col("byte_len"),
-        col("format"))
+    val media = Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))
+    Multimodal.decodeBmpFeatures(media).orderBy(col("media_id"))
   }
 
   val qMultimodalFeaturesSql: String =
-    """SELECT doc_id AS media_id, strlen(text)::BIGINT AS byte_len,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-      |FROM documents""".stripMargin
+    """WITH px AS (
+      |  SELECT doc_id, (doc_id % 13 + 3)::INT AS w, (doc_id % 7 + 2)::INT AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  (54 + ((w * 3 + 3) // 4) * 4 * h)::BIGINT AS byte_len,
+      |  w AS width, h AS height,
+      |  round(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+      |    list_transform(generate_series(0, w - 1), x ->
+      |      (doc_id * 3 + y * 23 + x * 29) % 256)))) / (w * h), 6) AS mean_r,
+      |  round(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+      |    list_transform(generate_series(0, w - 1), x ->
+      |      (doc_id * 11 + y * 17 + x * 5) % 256)))) / (w * h), 6) AS mean_g,
+      |  round(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+      |    list_transform(generate_series(0, w - 1), x ->
+      |      (doc_id * 7 + y * 31 + x * 13) % 256)))) / (w * h), 6) AS mean_b
+      |FROM px ORDER BY media_id""".stripMargin
+
+  /** REAL audio decode: genuine PCM16 mono RIFF/WAV payloads (with a
+    * JUNK chunk so the chunk walk is exercised); features come from the
+    * parsed fmt header + data samples alone, oracle-recomputed from the
+    * sample formula. */
+  val qMultimodalWav: Q = (s, d) => {
+    val media = Multimodal.wavMediaFromDocuments(Tables.documents(s, d))
+    Multimodal.decodeWavFeatures(media).orderBy(col("media_id"))
+  }
+
+  val qMultimodalWavSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, (doc_id % 50 + 10)::INT AS n,
+      |    (8000 + (doc_id % 3) * 4000)::INT AS sr,
+      |    list_transform(generate_series(0, (doc_id % 50 + 10)::INT - 1),
+      |      i -> (doc_id * 131 + i * 37) % 65536 - 32768) AS s
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  (56 + n * 2)::BIGINT AS byte_len,
+      |  n AS n_samples, sr AS sample_rate,
+      |  round(list_sum(s) / n, 6) AS mean_amp,
+      |  round(sqrt(list_sum(list_transform(s, v -> v * v)) / n), 6) AS rms,
+      |  list_sum(list_transform(generate_series(2, n), i ->
+      |    CASE WHEN (s[i - 1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END))::INT AS zero_crossings
+      |FROM p ORDER BY media_id""".stripMargin
 
   // frame sampling: total reassembled bytes must equal the payload
   val qMultimodalFrames: Q = (s, d) => {
@@ -1335,7 +1474,9 @@ object LlmQueries {
     "ann_topk"            -> qAnnTopk,
     "ann_pq"              -> qAnnPq,
     "ann_ivf"             -> qAnnIvf,
+    "ann_ivfpq"           -> qAnnIvfPq,
     "multimodal_features" -> qMultimodalFeatures,
+    "multimodal_wav"      -> qMultimodalWav,
     "multimodal_frames"   -> qMultimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
@@ -1376,7 +1517,9 @@ object LlmQueries {
     "ann_topk"            -> qAnnTopkSql,
     "ann_ivf"             -> qAnnIvfSql,
     "ann_pq"              -> qAnnPqSql,
+    "ann_ivfpq"           -> qAnnIvfPqSql,
     "dedup_streaming"     -> qDedupStreamingSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
+    "multimodal_wav"      -> qMultimodalWavSql,
     "multimodal_frames"   -> qMultimodalFramesSql)
 }

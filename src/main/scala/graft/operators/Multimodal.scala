@@ -10,11 +10,11 @@ import org.apache.spark.sql.types._
   * `mapInPandas` — one iterator of rows per partition, vectorizable
   * batch boundary, no per-row driver involvement).
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the
-  * payload bytes. The Spark-side plumbing — schema, partitioning, batch
-  * shape, UDF signature — is real and oracle-tested on payload length +
-  * md5, which any real decoder swap-in preserves.
+  * Two modalities have REAL pure-JVM codecs (no native deps): BMP 24bpp
+  * image decode (header parse, bottom-up rows, stride padding, channel
+  * means) and PCM16 RIFF/WAV audio decode (chunk walk, sample stats).
+  * Heavier formats (JPEG/MP3/H.264) would slot into the same
+  * partition-iterator boundary with a library decoder.
   */
 object Multimodal {
 
@@ -39,49 +39,237 @@ object Multimodal {
         (col("doc_id") % 64 + 16).cast("int").as("width"),
         (col("doc_id") % 48 + 16).cast("int").as("height")).as("meta"))
 
-  private val FeatureDim = 4
+  // ----------------------------------------------------- real codecs
+  // Pure-JVM decoders for two modalities (BMP 24bpp images, PCM16 WAV
+  // audio) — no native libraries, so they run in this sandbox and on any
+  // executor. The encoders below build REAL files (a saved payload opens
+  // in an image viewer / audio player); pixel/sample content is a
+  // deterministic formula of media_id so the DuckDB oracle can recompute
+  // the decoded features independently from the same definition, while
+  // the decoder itself sees only the bytes (dims come from the parsed
+  // header, samples from the parsed data chunk — never from metadata).
 
-  /** STUB decoder: a real implementation would decode the image and
-    * pool pixel regions; this derives `FeatureDim` deterministic floats
-    * from byte-range sums so the distributed plumbing (schema in/out,
-    * batch iteration, null payloads) is fully exercised. */
-  private def fakeFeatures(payload: Array[Byte]): Array[Double] = {
-    val out = new Array[Double](FeatureDim)
-    if (payload == null || payload.isEmpty) return out
-    val chunk = math.max(1, payload.length / FeatureDim)
-    var i = 0
-    while (i < payload.length) {
-      out(math.min(i / chunk, FeatureDim - 1)) += (payload(i) & 0xff)
-      i += 1
+  private def mod256(v: Long): Int = (v % 256).toInt
+
+  /** Bottom-up 24bpp BI_RGB BMP with 4-byte row padding — the standard
+    * uncompressed layout (14-byte file header + 40-byte info header). */
+  private[operators] def encodeBmp(docId: Long): Array[Byte] = {
+    val w = (docId % 13).toInt + 3
+    val h = (docId % 7).toInt + 2
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // rows stored bottom-up: storage row r holds logical row h-1-r
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r
+      var x = 0
+      while (x < w) {
+        buf.put(mod256(docId * 7 + y * 31L + x * 13L).toByte)  // B
+        buf.put(mod256(docId * 11 + y * 17L + x * 5L).toByte)  // G
+        buf.put(mod256(docId * 3 + y * 23L + x * 29L).toByte)  // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      r += 1
     }
-    var f = 0
-    while (f < FeatureDim) { out(f) = out(f) / payload.length; f += 1 }
-    out
+    buf.array()
   }
 
-  val FeaturesSchema: StructType = StructType(Seq(
+  /** Parsed BMP features: (width, height, mean_b, mean_g, mean_r) from
+    * the header + pixel array alone. Returns None on anything that is
+    * not an uncompressed 24bpp BMP (wrong magic, short file, compressed,
+    * other depth) — the null-safe plumbing path. Handles both bottom-up
+    * (height > 0) and top-down (height < 0) layouts and row padding. */
+  private[operators] def decodeBmp(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (payload == null || payload.length < 54) return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (buf.get(0) != 'B'.toByte || buf.get(1) != 'M'.toByte) return None
+    val dataOff = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    if (hdrSize < 40) return None
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val h = math.abs(hRaw)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff.toLong + stride.toLong * h > payload.length) return None
+    var sumB = 0L; var sumG = 0L; var sumR = 0L
+    var r = 0
+    while (r < h) {
+      var off = dataOff + r * stride
+      var x = 0
+      while (x < w) {
+        sumB += payload(off) & 0xff
+        sumG += payload(off + 1) & 0xff
+        sumR += payload(off + 2) & 0xff
+        off += 3; x += 1
+      }
+      r += 1
+    }
+    val n = w.toLong * h
+    Some((w, h, sumB.toDouble / n, sumG.toDouble / n, sumR.toDouble / n))
+  }
+
+  /** PCM16 mono RIFF/WAVE with a JUNK chunk between fmt and data (odd
+    * payload size, so the decoder's even-alignment chunk walk is
+    * genuinely exercised). */
+  private[operators] def encodeWav(docId: Long): Array[Byte] = {
+    val n = (docId % 50).toInt + 10
+    val sampleRate = 8000 + (docId % 3).toInt * 4000
+    val dataSize = n * 2
+    // RIFF size = WAVE + (fmt hdr 8 + 16) + (JUNK hdr 8 + 3 + pad 1) + (data hdr 8 + dataSize)
+    val riffSize = 4 + 24 + 12 + 8 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("JUNK".getBytes("US-ASCII")).putInt(3).put(Array[Byte](7, 7, 7, 0))
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((docId * 131 + i * 37L) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Parsed WAV features: (n_samples, sample_rate, mean, rms,
+    * zero_crossings) from the chunk walk alone — fmt and data located by
+    * iterating the chunk list with even-size alignment, unknown chunks
+    * skipped. None unless uncompressed PCM16 mono. */
+  private[operators] def decodeWav(payload: Array[Byte]): Option[(Int, Int, Double, Double, Int)] = {
+    if (payload == null || payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1; var fmtOk = false
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= payload.length && (dataOff < 0 || !fmtOk)) {
+      val id = tag(off)
+      val len = buf.getInt(off + 4)
+      if (len < 0 || off + 8 + len > payload.length) return None
+      if (id == "fmt " && len >= 16) {
+        val audioFormat = buf.getShort(off + 8).toInt
+        val channels = buf.getShort(off + 10).toInt
+        sampleRate = buf.getInt(off + 12)
+        val bits = buf.getShort(off + 22).toInt
+        fmtOk = audioFormat == 1 && channels == 1 && bits == 16
+      } else if (id == "data") {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len & 1) // RIFF chunks align to even offsets
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2) return None
+    val n = dataLen / 2
+    var sum = 0L; var sumSq = 0L; var crossings = 0
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val s = buf.getShort(dataOff + i * 2).toLong
+      sum += s; sumSq += s * s
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      i += 1
+    }
+    Some((n, sampleRate, sum.toDouble / n, math.sqrt(sumSq.toDouble / n), crossings))
+  }
+
+  /** Media table with REAL BMP payloads (one image per document id). */
+  def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = udf { (id: Long) => encodeBmp(id) }
+    docs.select(
+      col("doc_id").as("media_id"),
+      enc(col("doc_id")).as("payload"),
+      struct(
+        lit("bmp").as("format"),
+        (col("doc_id") % 13 + 3).cast("int").as("width"),
+        (col("doc_id") % 7 + 2).cast("int").as("height")).as("meta"))
+  }
+
+  /** Media table with REAL PCM16 WAV payloads. */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = udf { (id: Long) => encodeWav(id) }
+    docs.select(
+      col("doc_id").as("media_id"),
+      enc(col("doc_id")).as("payload"),
+      struct(
+        lit("wav").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("meta"))
+  }
+
+  val BmpFeaturesSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
-    StructField("format", StringType),
-    StructField("features", ArrayType(DoubleType))))
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
 
-  /** Batch-shaped feature extraction: one partition-iterator pass, the
-    * mapInPandas-equivalent boundary where a vectorized decoder would
-    * plug in. Output partitioning follows the input (no shuffle). */
-  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(FeaturesSchema)
-    media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
+  /** Real image feature extraction at the batch-iterator boundary: each
+    * partition decodes its payloads with the header-driven BMP parser
+    * (dims and channel means come from the bytes; undecodable payloads
+    * yield null features, the row is kept). No shuffle — output
+    * partitioning follows the input. */
+  def decodeBmpFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(BmpFeaturesSchema)
+    media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(
-            r.getAs[Long]("media_id"),
-            if (payload == null) 0L else payload.length.toLong,
-            r.getAs[String]("format"),
-            fakeFeatures(payload).toSeq)
+          val len = if (payload == null) 0L else payload.length.toLong
+          decodeBmp(payload) match {
+            case Some((w, h, mb, mg, mr)) =>
+              Row(r.getAs[Long]("media_id"), len, w, h,
+                round6(mr), round6(mg), round6(mb))
+            case None =>
+              Row(r.getAs[Long]("media_id"), len, null, null, null, null, null)
+          }
         }
       }(enc)
   }
+
+  val WavFeaturesSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("mean_amp", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("zero_crossings", IntegerType)))
+
+  /** Real audio feature extraction: RIFF chunk walk + PCM16 decode per
+    * payload at the same batch-iterator boundary. */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(WavFeaturesSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val len = if (payload == null) 0L else payload.length.toLong
+          decodeWav(payload) match {
+            case Some((n, sr, mean, rms, zc)) =>
+              Row(r.getAs[Long]("media_id"), len, n, sr, round6(mean), round6(rms), zc)
+            case None =>
+              Row(r.getAs[Long]("media_id"), len, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** "Frame sampling" for video-like payloads: split the payload into
     * `frames` equal byte ranges and emit one row per sampled frame —

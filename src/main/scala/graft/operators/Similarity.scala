@@ -149,6 +149,20 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** (assigned cell, residual = v − centroid) — the IVFADC corpus-side
+    * decomposition. Object-level (not a local def) so UDF closures that
+    * call it stay serializable: a lifted local def is an instance method
+    * and would capture the enclosing object. */
+  private def residualOf(cent: Array[(Long, Array[Double])],
+      centMap: Map[Long, Array[Double]], v: Seq[Float]): (Long, Array[Double]) = {
+    val arr = toD(v)
+    val cid = nearestCentroidD(cent, arr)
+    val c = centMap(cid)
+    val r = new Array[Double](arr.length)
+    var i = 0; while (i < arr.length) { r(i) = arr(i) - c(i); i += 1 }
+    (cid, r)
+  }
+
   private def nearestCentroidD(cent: Array[(Long, Array[Double])], v: Array[Double]): Long = {
     var best = 0L; var bestSim = Double.MinValue
     cent.foreach { case (cid, c) =>
@@ -363,6 +377,106 @@ object Similarity {
             val (qid, table) = qrows(qi)
             if (nid != qid) {
               var s = 0.0; var sub = 0
+              while (sub < cs.length) { s += table(sub)(cs(sub)); sub += 1 }
+              val h = heaps(qi)._2
+              if (h.size < candidates) h.enqueue((s, nid))
+              else if (worstFirst.gt(h.head, (s, nid))) { h.dequeue(); h.enqueue((s, nid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, nid) => (qid, nid, s) } }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    adcRescore(corpus, queries, localTop, candidates, k, idCol, vecCol)
+  }
+
+  /** IVF×PQ — the composed 100 TB ANN shape: coarse IVF cells prune the
+    * scan (only `nProbes` of `nCentroids` cells are visited per query)
+    * and PQ compresses what remains (the visited rows are read as `m`
+    * small ints, not dim floats). Codebooks are trained on RESIDUALS
+    * (vec − assigned centroid), the FAISS IVFADC layout: residuals are
+    * centered near zero so a shared codebook quantizes them far better
+    * than raw vectors, and the ADC score decomposes exactly as
+    * dot(q, v) ≈ dot(q, centroid) + Σ_sub dot(q_sub, book_sub(code)) —
+    * the first term is per probed cell, the second is the per-query
+    * table lookup. Candidate selection reuses the per-partition bounded
+    * heap (exchange carries ≤ partitions·|q|·candidates rows) and the
+    * survivors get the exact-cosine rescore.
+    *
+    * `trainIters = 0` is the REPLAY mode (same contract as ivfTopK /
+    * trainPq): centroids are the first `nCentroids` vectors by id and
+    * codebooks are subspace slices of the first `codes` RESIDUALS by id,
+    * so every stage is SQL-expressible and the ann_ivfpq gate
+    * hash-checks a full DuckDB replay. Lloyd refinement (iters > 0) is
+    * the production path, pinned by the recall-at-scan-fraction spec. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 32, nProbes: Int = 4,
+      m: Int = 8, codes: Int = 32, candidates: Int = 64, trainIters: Int = 3,
+      trainRows: Int = 2048,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 10000): DataFrame = {
+    requireBroadcastSmall(queries, maxQueries, "ivfPqTopK")
+    // coarse quantizer: bounded by nCentroids, same contract as ivfTopK
+    val centroids: Array[(Long, Array[Double])] =
+      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+      else corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val centMap: Map[Long, Array[Double]] = centroids.toMap
+    // PQ books over residuals, trained on a deterministic bounded sample
+    // (trainRows·dim doubles — never corpus-sized; see trainPq)
+    val sample = (
+      if (trainIters == 0) corpus.orderBy(col(idCol)).limit(codes)
+      else corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(math.max(codes, trainRows))
+    ).select(col(vecCol)).collect()
+      .map(r => residualOf(centroids, centMap, r.getSeq[Float](0))._2)
+    require(sample.length >= codes, s"corpus must hold at least $codes vectors")
+    val model = lloydPq(sample, m, codes, trainIters)
+    val subDim = model.subDim
+    val books = model.codebooks
+    val encodeU = udf { (v: Seq[Float]) =>
+      val (cid, r) = residualOf(centroids, centMap, v)
+      (cid, (0 until books.length).map(sub => nearestCode(books(sub), r, sub * subDim)).toArray)
+    }
+    // per-query probe sets + ADC tables: bounded by |q|·(nProbes + m·codes)
+    val qrows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val probeIds: Array[Long] = centroids.map { case (cid, c) => (cosD(c, qv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nProbes).map(_._2)
+      val centDot: Map[Long, Double] = probeIds.map { cid =>
+        val c = centMap(cid); var dp = 0.0; var i = 0
+        while (i < c.length) { dp += qv(i) * c(i); i += 1 }
+        cid -> dp
+      }.toMap
+      val table = Array.tabulate(books.length, codes) { (sub, c) =>
+        val cb = books(sub)(c); var dp = 0.0; var i = 0
+        while (i < cb.length) { dp += qv(sub * subDim + i) * cb(i); i += 1 }
+        dp
+      }
+      (qid, centDot, table)
+    }
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val localTop = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), encodeU(col(vecCol)).as("enc"))
+      .select(col("neighbor_id"), col("enc._1").as("cid"), col("enc._2").as("cs"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val heaps = qrows.map { case (qid, _, _) =>
+          qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+        }
+        it.foreach { case (nid, cid, cs) =>
+          var qi = 0
+          while (qi < qrows.length) {
+            val (qid, centDot, table) = qrows(qi)
+            // the IVF pruning: rows outside this query's probed cells are
+            // skipped entirely — the scan fraction is Σ|probed cells| / N
+            if (nid != qid && centDot.contains(cid)) {
+              var s = centDot(cid); var sub = 0
               while (sub < cs.length) { s += table(sub)(cs(sub)); sub += 1 }
               val h = heaps(qi)._2
               if (h.size < candidates) h.enqueue((s, nid))

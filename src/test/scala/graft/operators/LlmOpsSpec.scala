@@ -72,7 +72,8 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq[(String, () => Any)](
       "cosineTopK" -> (() => Similarity.cosineTopK(emb, emb, k = 1, maxQueries = 10)),
       "ivfTopK" -> (() => Similarity.ivfTopK(emb, emb, k = 1, maxQueries = 10)),
-      "pqTopK" -> (() => Similarity.pqTopK(emb, emb, k = 1, maxQueries = 10))
+      "pqTopK" -> (() => Similarity.pqTopK(emb, emb, k = 1, maxQueries = 10)),
+      "ivfPqTopK" -> (() => Similarity.ivfPqTopK(emb, emb, k = 1, maxQueries = 10))
     ).foreach { case (name, run) =>
       val err = intercept[IllegalArgumentException](run())
       assert(err.getMessage.contains(name), s"$name: ${err.getMessage}")
@@ -175,6 +176,49 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toDouble / n >= 0.9, s"trained IVF top-1 recall $hits/$n")
   }
 
+  test("ivf-pq ann: top-1 recall >= 0.9 at a <= 5% candidate scan (sf0.1)") {
+    // the composed scale shape on the largest local corpus (2000 vectors):
+    // Lloyd-trained coarse cells + residual-PQ ADC within probed cells.
+    // Both halves of the contract are asserted — recall vs brute force AND
+    // the actual scanned fraction (probed-cell sizes, not the even-cell
+    // idealization), so the spec can't pass by quietly scanning everything.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val queries = emb.filter(col("vec_id") < 20)
+    val (nCent, nProbes) = (96, 4)
+    val brute = Similarity.cosineTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("expected"))
+    val got = Similarity.ivfPqTopK(emb, queries, k = 1,
+        nCentroids = nCent, nProbes = nProbes, candidates = 128, trainIters = 2)
+      .select(col("query_id"), col("neighbor_id").as("got"))
+    val joined = brute.join(got, Seq("query_id"), "left")
+    val n = joined.count()
+    val hits = joined.filter(col("got") === col("expected")).count()
+    assert(n > 0)
+    assert(hits.toDouble / n >= 0.9, s"IVF-PQ top-1 recall $hits/$n")
+
+    // measured scan fraction: trainCentroids is deterministic, so the spec
+    // re-derives the same cells and counts the rows each query's probed
+    // cells actually contain
+    val cents = Similarity.trainCentroids(emb, nCent, iters = 2)
+    val corpus = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def nearest(v: Array[Double]): Long =
+      cents.map { case (cid, c) => (cos(c, v), cid) }.maxBy { case (s, cid) => (s, -cid) }._2
+    val cellSize = corpus.groupBy { case (_, v) => nearest(v) }.map { case (c, xs) => c -> xs.length.toLong }
+    val scanned = corpus.filter(_._1 < 20).map { case (_, qv) =>
+      cents.map { case (cid, c) => (cos(c, qv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(nProbes)
+        .map { case (_, cid) => cellSize.getOrElse(cid, 0L) }.sum
+    }.sum
+    val frac = scanned.toDouble / (corpus.length.toLong * 20)
+    assert(frac <= 0.05, f"IVF-PQ scanned fraction $frac%.4f exceeds 5%%")
+  }
+
   test("cosine near-dup pairs finds duplicated embeddings") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir).limit(50).cache()
@@ -244,15 +288,40 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 1000L)) // min of the cluster + the distinct doc
   }
 
-  test("multimodal stub features: deterministic, 4-dim, mean of byte chunks") {
-    val media = Multimodal.mediaFromDocuments(graft.Tables.documents(spark, sfDir))
-    val feats = Multimodal.extractFeatures(spark, media)
-    val row = feats.orderBy("media_id").first()
-    val fs = row.getSeq[Double](row.fieldIndex("features"))
-    assert(fs.size == 4)
-    assert(row.getAs[Long]("byte_len") > 0)
-    // features are averages of byte values → within [0, 255]
-    assert(fs.forall(f => f >= 0 && f <= 255))
+  test("bmp codec: encode/decode round-trip, padding-sensitive, rejects junk") {
+    // exhaustive over the width range 3..15 → strides with 0–3 pad bytes:
+    // a decoder that ignored row padding or row order would fail some width
+    (0L until 91L).foreach { id =>
+      val bytes = Multimodal.encodeBmp(id)
+      val Some((w, h, mb, mg, mr)) = Multimodal.decodeBmp(bytes)
+      assert(w == (id % 13 + 3).toInt && h == (id % 7 + 2).toInt, s"dims for $id")
+      // recompute means from the pixel formula (decoder never saw it)
+      val n = w * h
+      def mean(f: (Int, Int) => Long): Double =
+        (for { y <- 0 until h; x <- 0 until w } yield f(x, y) % 256).sum.toDouble / n
+      assert(mb == mean((x, y) => id * 7 + y * 31 + x * 13), s"mean_b for $id")
+      assert(mg == mean((x, y) => id * 11 + y * 17 + x * 5), s"mean_g for $id")
+      assert(mr == mean((x, y) => id * 3 + y * 23 + x * 29), s"mean_r for $id")
+    }
+    assert(Multimodal.decodeBmp(null).isEmpty)
+    assert(Multimodal.decodeBmp("not a bmp at all, just text padding here to pass 54".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp(Multimodal.encodeBmp(5L).take(53)).isEmpty) // truncated
+  }
+
+  test("wav codec: chunk walk finds fmt+data past JUNK, stats match the sample formula") {
+    (0L until 150L).foreach { id =>
+      val bytes = Multimodal.encodeWav(id)
+      val Some((n, sr, mean, rms, zc)) = Multimodal.decodeWav(bytes)
+      val samples = (0 until (id % 50 + 10).toInt)
+        .map(i => ((id * 131 + i * 37L) % 65536 - 32768).toInt)
+      assert(n == samples.length && sr == 8000 + (id % 3).toInt * 4000, s"header for $id")
+      assert(mean == samples.map(_.toLong).sum.toDouble / n, s"mean for $id")
+      assert(rms == math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / n), s"rms for $id")
+      val expZc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(zc == expZc, s"crossings for $id")
+    }
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
   }
 
   test("frame sampling reassembles the payload exactly") {
