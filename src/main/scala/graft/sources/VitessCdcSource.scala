@@ -499,11 +499,23 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   private val maxTxsPerTrigger: Long =
     Option(options.get("max.txs.per.trigger")).map(_.toLong).getOrElse(Long.MaxValue)
 
+  // Byte-based twin of the tx cap: the tx cap alone cannot bound batch
+  // MEMORY (one trigger can admit `cap` arbitrarily fat transactions), so
+  // this bounds admitted bytes per shard per trigger. Both caps compose —
+  // admission stops at the first transaction-safe boundary past EITHER
+  // limit. A single transaction larger than the byte cap is still
+  // admitted whole (boundaries are the correctness floor: a batch window
+  // must never split a transaction), so the true bound per shard is
+  // max(cap, largest-single-tx).
+  private val maxBytesPerTrigger: Long =
+    Option(options.get("max.bytes.per.trigger")).map(_.toLong).getOrElse(Long.MaxValue)
+
   // Metadata-only admission (see latestOffset): background per-shard
   // tailers own the feed scan unless bounded-batch mode caps it anyway.
   // The pool bounds driver threads regardless of shard count
   // (`tail.threads`, default min(#cores, 16)).
-  private val useTailers = maxTxsPerTrigger == Long.MaxValue
+  private val useTailers =
+    maxTxsPerTrigger == Long.MaxValue && maxBytesPerTrigger == Long.MaxValue
   private val tailers = scala.collection.mutable.Map.empty[String, ShardTailer]
   private val tailPollMs =
     Option(options.get("tail.poll.ms")).map(_.toLong).getOrElse(2L)
@@ -514,7 +526,20 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       math.min(Runtime.getRuntime.availableProcessors(), 16))
   private lazy val tailerPool = new TailerPool(tailThreads, tailPollMs)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Surface the configured caps through the public admission-control
+    * API (the engine hands this back to `latestOffset`; the fold reads
+    * the same option-derived values, so the two always agree). */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option.when(maxTxsPerTrigger != Long.MaxValue)(ReadLimit.maxRows(maxTxsPerTrigger)),
+      Option.when(maxBytesPerTrigger != Long.MaxValue)(ReadLimit.maxBytes(maxBytesPerTrigger))
+    ).flatten
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** Epoch seed for a shard not yet in the map: with inherit.epoch a
     * reshard child starts at max(overlapping parents) + 1 (A4,
@@ -538,11 +563,11 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     * for settled feeds; a torn trailing transaction simply waits for the
     * trigger after its COMMIT lands.
     *
-    * With `max.txs.per.trigger`, the fold runs synchronously on the
-    * trigger thread and stops at the first transaction boundary after
-    * the cap — per-trigger work is O(cap·tx-bytes) by construction
-    * (bounded-batch mode bounds its own admission scan; the tailer path
-    * is the 100×-scale one).
+    * With `max.txs.per.trigger` and/or `max.bytes.per.trigger`, the
+    * fold runs synchronously on the trigger thread and stops at the
+    * first transaction boundary past either cap — per-trigger work is
+    * O(cap) by construction (bounded-batch mode bounds its own
+    * admission scan; the tailer path is the 100×-scale one).
     *
     * Shared fold semantics (both paths, [[TxBoundaryFold]]): exactly-once
     * holds because the byte position and the folded epochs live in the
@@ -636,7 +661,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           t.snapshot
         } else {
           // bounded-batch mode: synchronous fold, stops at the first tx
-          // boundary after the cap — work is O(cap), not O(new bytes)
+          // boundary past either cap — work is O(cap), not O(new bytes)
           val seed = seedCursor(shard, startSg)
           val fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs)
           val slice = transport.open(file, seed.pos, Long.MaxValue)
@@ -648,7 +673,9 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
               fold.onLine(line, slice.position)
               // a cursor AT the slice position means the fold just
               // published a safe boundary on this line
-              if (fold.safe.pos == slice.position && fold.safe.admitted >= maxTxsPerTrigger)
+              if (fold.safe.pos == slice.position &&
+                  (fold.safe.admitted >= maxTxsPerTrigger ||
+                   fold.safe.pos - seed.pos >= maxBytesPerTrigger))
                 stop = true
               if (!stop) line = slice.readLine()
             }

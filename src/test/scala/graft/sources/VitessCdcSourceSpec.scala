@@ -586,6 +586,35 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches == 5) // one position per tx, regardless of batching
   }
 
+  test("max.bytes.per.trigger bounds batch bytes even with a fat transaction") {
+    val feedDir = Files.createTempDirectory("cdcfeed13b")
+    val ckpt = Files.createTempDirectory("cdcckpt13b")
+    // tx 3 is ~20x fatter than the rest (a bulk-load transaction); the
+    // byte cap cannot split it, but must (a) stop admitting right after
+    // it and (b) keep every OTHER batch at one small tx
+    val fat = "x" * 4000
+    writeFeed(feedDir, "s0", (1L to 5L).flatMap(i =>
+      insertTx("s0", i, i, if (i == 3) fat else s"v$i")))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("max.bytes.per.trigger", "200")
+      .load()
+      .writeStream.format("memory").queryName("cdc_byte_bounded")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    // all 5 transactions exactly once
+    val ids = spark.sql(
+      "SELECT get_json_object(after, '$.id') FROM cdc_byte_bounded ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("1", "2", "3", "4", "5"))
+    // each micro-batch admitted exactly ONE tx (the 200-byte cap is below
+    // any single tx size, so every safe boundary past the cap is the first
+    // one; the fat tx rides alone, whole): the offset log must show at
+    // least 5 committed batches
+    val batches = Files.list(ckpt.resolve("offsets")).count()
+    assert(batches >= 5, s"expected >= 5 single-tx micro-batches, got $batches")
+  }
+
   test("reshard: a new shard appearing mid-stream inherits max(parent)+1 epoch (A4)") {
     val feedDir = Files.createTempDirectory("cdcfeed14")
     val ckpt = Files.createTempDirectory("cdcckpt14")
