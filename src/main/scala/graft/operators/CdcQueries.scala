@@ -372,12 +372,49 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[java.nio.file.Path]]()
   private def stageWaves(key: String, s: SparkSession)(
       waves: => Seq[org.apache.spark.sql.Dataset[graft.streaming.FeedLine]]): Seq[java.nio.file.Path] =
-    stagedWaveDirs.computeIfAbsent(key, _ =>
-      waves.zipWithIndex.map { case (w, i) =>
-        val dir = java.nio.file.Files.createTempDirectory(s"graft_stage_$i")
-        writeFeedFiles(s, w, dir)
+    stagedWaveDirs.computeIfAbsent(key, _ => {
+      // ALL waves ride ONE sort+write job (partitioned by wave, then
+      // shard) — the first invocation pays a single staging job instead
+      // of one per wave
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val ws = waves
+      val tagged = ws.zipWithIndex
+        .map { case (w, i) => w.withColumn("wave", lit(i)) }
+        .reduce(_ unionByName _)
+      val tmp = Files.createTempDirectory("graft_stage_tmp")
+      tagged
+        .repartition(CdcFeed.DefaultShards, col("shard"))
+        // leading (wave, shard) satisfies the dynamic-partition writer's
+        // required ordering exactly, so no extra (order-destroying) sort
+        // is injected and each (wave, shard) file stays seq-ordered
+        .sortWithinPartitions(col("wave"), col("shard"), col("seq"))
+        .select(col("line"), col("wave"), col("shard"))
+        .write.partitionBy("wave", "shard").mode("overwrite").text(tmp.toString)
+      ws.indices.map { i =>
+        val dir = Files.createTempDirectory(s"graft_stage_$i")
+        val waveDir = tmp.resolve(s"wave=$i")
+        if (Files.exists(waveDir)) {
+          val shardListing = Files.list(waveDir)
+          val shardDirs =
+            try shardListing.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+            finally shardListing.close()
+          shardDirs.foreach { shardDir =>
+            val shard = shardDir.getFileName.toString.stripPrefix("shard=")
+            val listing = Files.list(shardDir)
+            val parts =
+              try listing.iterator().asScala
+                .filter(_.getFileName.toString.startsWith("part-")).toSeq
+              finally listing.close()
+            require(parts.size == 1, s"expected one ordered part per (wave, shard), got ${parts.size}")
+            Files.move(parts.head, dir.resolve(s"$shard.jsonl"))
+            ()
+          }
+        }
         dir
-      })
+      }
+    })
   /** Append (or create) every staged `<shard>.jsonl` into `feedDir` —
     * the byte-level replay of what writeFeedFiles(append=...) produced. */
   private def copyWave(src: java.nio.file.Path, feedDir: java.nio.file.Path): Unit = {

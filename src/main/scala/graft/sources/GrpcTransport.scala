@@ -303,24 +303,17 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
 
     /** Resume position: last VGTID staged per group shard (the stream's
       * own progress marker), else the configured initial position.
-      * Startup-only full scan of the staging files — at scale this would
-      * be a bounded tail scan, but correctness only needs "any staged
-      * VGTID at or after the last complete transaction", which the full
-      * scan trivially is. */
-    private def resumeVgtid(): Vgtid = Vgtid(groupShards.map { sh =>
-      val p = dir.resolve(s"$sh.jsonl")
-      var last = ShardGtid(cfg.keyspace, sh, cfg.initialGtid)
-      if (Files.size(p) > 0) {
-        val slice = new FeedSlice(p.toString, 0L)
-        try slice.lines.foreach { line =>
-          if (line.startsWith(FeedSlice.VgtidPrefix)) VEventJson.read(line) match {
-            case VgtidEvent(_, v) => v.shardGtid(sh).foreach(sg => last = sg)
-            case _ =>
-          }
-        } finally slice.close()
-      }
-      last
-    })
+      * Reconnects read the in-memory flush marker (O(1) — a reconnect
+      * after hours of staging must not re-scan the file); only the
+      * startup call, before anything was flushed, falls back to the
+      * bounded BACKWARD tail scan of the staging file. */
+    private def resumeVgtid(): Vgtid = synchronized {
+      Vgtid(groupShards.map { sh =>
+        lastStaged.get(sh)
+          .orElse(GrpcFeeder.lastStagedVgtid(dir.resolve(s"$sh.jsonl"), sh))
+          .getOrElse(ShardGtid(cfg.keyspace, sh, cfg.initialGtid))
+      })
+    }
 
     private def buildRequest(): VtWire.VStreamRequestModel = {
       def quote(id: String) = "`" + id.replace("`", "``") + "`"
@@ -399,11 +392,17 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     // shard — the same bound the reference's event buffer has.
     private val pending = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[String]]()
     private val inTx = scala.collection.mutable.Set[String]()
+    // resume markers: `lastStaged` only ever reflects FLUSHED bytes (the
+    // durable resume floor); `pendingVgtid` rides the tx buffer and is
+    // promoted on flush, dropped with the buffer on reconnect
+    private val lastStaged = scala.collection.mutable.Map[String, ShardGtid]()
+    private val pendingVgtid = scala.collection.mutable.Map[String, ShardGtid]()
 
     /** Drop buffered partial transactions (reconnect path: the resumed
       * stream replays them from the last STAGED vgtid). */
     private def resetPending(): Unit = synchronized {
       pending.values.foreach(_.clear())
+      pendingVgtid.clear()
       inTx.clear()
     }
 
@@ -432,6 +431,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
             e match {
               case _: BeginEvent => inTx += sh
               case _: CommitEvent => inTx -= sh
+              case VgtidEvent(_, v) => v.shardGtid(sh).foreach(sg => pendingVgtid(sh) = sg)
               case _ =>
             }
             if (!inTx.contains(sh)) flushPending(sh)
@@ -450,7 +450,59 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
         }
         w.flush()
         buf.clear()
+        // the buffered VGTID is durable now — it becomes the resume floor
+        pendingVgtid.remove(sh).foreach(sg => lastStaged(sh) = sg)
       }
     }
+  }
+}
+
+private[sources] object GrpcFeeder {
+  /** Last staged VGTID for `shard`, via a bounded BACKWARD window scan
+    * (64 KiB, quadrupling until a hit or file start) instead of a
+    * forward full scan — staging files grow without bound at scale, but
+    * a VGTID line lands every transaction, so the first window nearly
+    * always suffices. Only complete lines count: a window not starting
+    * at 0 skips its first (partial) line, and bytes after the last
+    * newline (a crash-torn tail) are ignored. */
+  private[sources] def lastStagedVgtid(
+      p: java.nio.file.Path, shard: String): Option[ShardGtid] = {
+    val total = if (Files.exists(p)) Files.size(p) else 0L
+    if (total == 0) return None
+    val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+    try {
+      var window = 64L * 1024
+      var done = false
+      while (!done) {
+        val start = math.max(0L, total - window)
+        val len = (total - start).toInt
+        val buf = java.nio.ByteBuffer.allocate(len)
+        ch.position(start)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        require(!buf.hasRemaining, s"short read of $p")
+        val text = new String(buf.array(), StandardCharsets.UTF_8)
+        val from = if (start == 0) 0 else text.indexOf('\n') + 1 // 0 if none: scan nothing below
+        val lastNl = text.lastIndexOf('\n')
+        if (lastNl >= from && (start == 0 || from > 0)) {
+          val lines = text.substring(from, lastNl).split("\n", -1)
+          var i = lines.length - 1
+          while (i >= 0) {
+            val line = lines(i)
+            if (line.startsWith(FeedSlice.VgtidPrefix)) VEventJson.read(line) match {
+              case VgtidEvent(_, v) =>
+                v.shardGtid(shard) match {
+                  case found @ Some(_) => return found
+                  case None =>
+                }
+              case _ =>
+            }
+            i -= 1
+          }
+        }
+        done = start == 0
+        window *= 4
+      }
+      None
+    } finally ch.close()
   }
 }

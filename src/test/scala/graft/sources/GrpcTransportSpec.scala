@@ -351,6 +351,44 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { transport.close(); srv.close() }
   }
 
+  test("bounded backward tail scan finds the last staged vgtid without a full read") {
+    val dir = Files.createTempDirectory("tailscan")
+    def vl(shard: String, seq: Long): String =
+      VEventJson.write(VgtidEvent(shard, Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$seq")))))
+    def rl(shard: String, i: Long): String =
+      VEventJson.write(HeartbeatEvent(shard))
+
+    // dense vgtids: the answer sits in the first 64 KiB window
+    val dense = dir.resolve("dense.jsonl")
+    Files.writeString(dense,
+      (1L to 500L).flatMap(i => Seq(vl("s0", i), rl("s0", i))).mkString("", "\n", "\n"))
+    assert(GrpcFeeder.lastStagedVgtid(dense, "s0")
+      .contains(ShardGtid("ks", "s0", "MySQL56/feed:1-500")))
+
+    // sparse: ONE vgtid at the head, then >256 KiB of other lines — the
+    // scan must widen past several windows and still find it
+    val sparse = dir.resolve("sparse.jsonl")
+    val filler = (1L to 4000L).map(i => rl("s0", i) + "x" * 80)
+    Files.writeString(sparse, (vl("s0", 7) +: filler).mkString("", "\n", "\n"))
+    assert(Files.size(sparse) > 256L * 1024)
+    assert(GrpcFeeder.lastStagedVgtid(sparse, "s0")
+      .contains(ShardGtid("ks", "s0", "MySQL56/feed:1-7")))
+
+    // torn tail: bytes after the last newline must be ignored
+    val torn = dir.resolve("torn.jsonl")
+    Files.writeString(torn, vl("s0", 3) + "\n" + vl("s0", 9).dropRight(5))
+    assert(GrpcFeeder.lastStagedVgtid(torn, "s0")
+      .contains(ShardGtid("ks", "s0", "MySQL56/feed:1-3")))
+
+    // a vgtid for ANOTHER shard only → None for s0; empty file → None
+    val other = dir.resolve("other.jsonl")
+    Files.writeString(other, vl("s1", 4) + "\n")
+    assert(GrpcFeeder.lastStagedVgtid(other, "s0").isEmpty)
+    val empty = dir.resolve("empty.jsonl")
+    Files.createFile(empty)
+    assert(GrpcFeeder.lastStagedVgtid(empty, "s0").isEmpty)
+  }
+
   test("close before listShards never starts the feeder") {
     // target is a name no server listens on: if close() lazily built the
     // channel and subscribed, the feeder would surface a failure
