@@ -162,4 +162,19 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"),
       s"ann_pq: final candidate rank should keep the partial WindowGroupLimit:\n$p")
   }
+
+  test("ivf-pq ann: same bounded-candidate shape — heap stage, no explode, partial rank") {
+    // the composed operator inherits both contracts: the IVF prune and the
+    // PQ ADC scan happen inside one mapPartitions pass over (cid, codes)
+    // rows, so the only exchange ahead of the final rank carries at most
+    // partitions·|queries|·candidates rows
+    val p = plan(LlmQueries.queries("ann_ivfpq")(spark, sfDir))
+    assert(p.contains("MapPartitions"),
+      s"ann_ivfpq: expected the bounded-heap candidate stage:\n$p")
+    assert(!p.contains("Generate"),
+      s"ann_ivfpq: candidate scoring must not explode per-query pairs into the shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"ann_ivfpq: final candidate rank should keep the partial WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ann_ivfpq: no cartesian allowed:\n$p")
+  }
 }
