@@ -610,7 +610,7 @@ object CdcQueries {
     val feedDir = Files.createTempDirectory("graft_feed_cp")
     val outDir = Files.createTempDirectory("graft_cp_out")
     val ckpt = Files.createTempDirectory("graft_cp_ckpt")
-    writeFeedFiles(s, CdcFeed.copyPhase(s, d), feedDir)
+    copyWave(stageWaves(s"cp:$d", s)(Seq(CdcFeed.copyPhase(s, d))).head, feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt, Map("snapshot.tables" -> "ks\\.orders"))
     s.read.parquet(outDir.toString)
       .filter(col("op") === "c")
@@ -651,8 +651,10 @@ object CdcQueries {
     val feedDir = Files.createTempDirectory("graft_feed_bf")
     val outDir = Files.createTempDirectory("graft_bf_out")
     val ckpt = Files.createTempDirectory("graft_bf_ckpt")
+    // the feed dataset is lazy — only the tiny handover job runs per
+    // call; the staged bytes are memoized like the restart-gate waves
     val (feed, handover) = CdcFeed.backfillWaves(s, d)
-    writeFeedFiles(s, feed, feedDir)
+    copyWave(stageWaves(s"bf:$d", s)(Seq(feed)).head, feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt, Map("vgtid" -> handover.json))
     val snapshot = CdcBackfill.snapshotRecords(
         graft.Tables.orders(s, d), "ks", "orders", Seq("o_orderkey"),
@@ -750,7 +752,7 @@ object CdcQueries {
     import java.nio.file.Files
     import graft.sources.Metadata
     val feedDir = Files.createTempDirectory("graft_feed_meta")
-    writeFeedFiles(s, CdcFeed.twoTables(s, d), feedDir)
+    copyWave(stageWaves(s"meta:$d", s)(Seq(CdcFeed.twoTables(s, d))).head, feedDir)
     Files.writeString(feedDir.resolve("9.jsonl"), "") // empty shard
     val sp = s; import sp.implicits._
     val dir = feedDir.toString

@@ -1282,6 +1282,17 @@ object LlmQueries {
       |SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination: identical result to
+    * text_decontaminate (same oracle SQL), but the corpus grams pass an
+    * executor-side Bloom filter before the exact confirming semi-join —
+    * the shape that survives a benchmark set too large to broadcast. */
+  val qTextDecontaminateBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+    TextOps.contaminatedIdsBloom(docs, bench, "text", "doc_id", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ tf-idf
   /** Top-3 TF-IDF terms per document; `rk` is cast to long because Spark
     * row_number is INTEGER while DuckDB's is BIGINT. */
@@ -1452,6 +1463,7 @@ object LlmQueries {
     "text_quality_filter" -> qTextQualityFilter,
     "text_winnow"         -> qTextWinnow,
     "text_decontaminate"  -> qTextDecontaminate,
+    "text_decontaminate_bloom" -> qTextDecontaminateBloom,
     "text_tfidf"          -> qTextTfidf,
     "text_lm_score"       -> qTextLmScore,
     "text_dsir"           -> qTextDsir,
@@ -1496,6 +1508,7 @@ object LlmQueries {
     "text_quality_filter" -> qTextQualityFilterSql,
     "text_winnow"         -> qTextWinnowSql,
     "text_decontaminate"  -> qTextDecontaminateSql,
+    "text_decontaminate_bloom" -> qTextDecontaminateSql,
     "text_tfidf"          -> qTextTfidfSql,
     "text_lm_score"       -> qTextLmScoreSql,
     "text_dsir"           -> qTextDsirSql,

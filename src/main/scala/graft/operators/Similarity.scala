@@ -181,32 +181,42 @@ object Similarity {
     best
   }
 
-  /** Lloyd's iterations for the IVF coarse quantizer: deterministic
-    * sample init, then `iters` rounds of assign (per-row closure, no
-    * shuffle beyond the per-dimension mean agg) → recompute means. The
-    * centroid matrix (C×dim) is collected per round — bounded by C, not
-    * data. Empty clusters keep their previous centroid. */
+  /** Lloyd's iterations for the IVF coarse quantizer, trained on a
+    * deterministic BOUNDED sample — the same contract as [[trainPq]] and
+    * the FAISS stance: quantizer training costs one TakeOrdered job
+    * (trainRows·dim doubles collected once) at ANY corpus size, never a
+    * per-round corpus-wide shuffle. Init is the first `nCentroids`
+    * sample vectors in plain id order (reproducible across runs and
+    * partitionings); refinement is `iters` local rounds of cosine
+    * assignment (identical semantics to the scoring-side
+    * nearestCentroid: argmax cosine, ties → lower cid) → mean. Empty
+    * clusters keep their previous centroid. */
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
-    var cent: Array[(Long, Array[Double])] =
-      corpus.orderBy(col(idCol)).limit(nCentroids)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainRows: Int = 4096): Array[(Long, Array[Double])] = {
+    val sample: Array[(Long, Array[Double])] =
+      corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(math.max(nCentroids, trainRows))
         .select(col(idCol), col(vecCol))
         .collect()
-        .zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray) }
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(sample.length >= nCentroids, s"corpus must hold at least $nCentroids vectors")
+    var cent: Array[(Long, Array[Double])] =
+      sample.sortBy(_._1).take(nCentroids).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
     (1 to iters).foreach { _ =>
-      val frozen = cent
-      val assignU = udf { (v: Seq[Float]) => nearestCentroid(frozen, v) }
-      val means = corpus
-        .select(assignU(col(vecCol)).as("cid"), posexplode(col(vecCol)))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        }
-      cent = cent.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      val sums = Array.fill(nCentroids, cent(0)._2.length)(0.0)
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { case (_, v) =>
+        val cid = nearestCentroidD(cent, v).toInt
+        counts(cid) += 1
+        val s = sums(cid); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+      }
+      cent = cent.map { case (cid, old) =>
+        val c = cid.toInt
+        if (counts(c) == 0) (cid, old)
+        else (cid, sums(c).map(_ / counts(c)))
+      }
     }
     cent
   }

@@ -111,6 +111,48 @@ object TextOps {
       .distinct()
   }
 
+  /** Same RESULT as [[contaminatedIds]], through a Bloom prefilter — the
+    * 100 TB shape when the benchmark set outgrows a comfortable
+    * broadcast. A Bloom filter over the benchmark k-grams (built with one
+    * aggregate, O(bits) driver memory) prefilters the corpus (doc, gram)
+    * pairs executor-side; only bloom HITS reach the exact semi-join
+    * against the true gram set, so the join's left side shrinks from
+    * every corpus gram to roughly the contaminated ones (+fpp noise).
+    * Exact by construction: Bloom filters have no false negatives, and
+    * false positives are removed by the confirming semi-join — which is
+    * deliberately NOT hint-broadcast here, because this variant exists
+    * for the regime where the gram set is too big to broadcast (AQE may
+    * still choose a broadcast when it is small). */
+  def contaminatedIdsBloom(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val benchGrams = bench
+      .select(explode(kgrams(col(textCol), k)).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // expectedNumItems: one count job over the (cached) distinct grams —
+      // the filter is sized to the true cardinality, never guessed
+      val n = math.max(1L, benchGrams.count())
+      val bloom = benchGrams.stat.bloomFilter("gram", n, fpp)
+      val ss = docs.sparkSession
+      val bloomB = ss.sparkContext.broadcast(bloom)
+      val mightContain = udf { (g: String) => g != null && bloomB.value.mightContain(g) }
+      docs
+        .select(col(idCol), explode(kgrams(col(textCol), k)).as("gram"))
+        .filter(mightContain(col("gram")))
+        .join(benchGrams, Seq("gram"), "left_semi")
+        .select(col(idCol))
+        .distinct()
+        // materialized before unpersist: the caller gets a stable result
+        .localCheckpoint()
+    } finally { benchGrams.unpersist(); () }
+  }
+
   // ------------------------------------------------------------ chunking
   /** Context-length chunking: the token stream of each document split
     * into windows of `size` tokens every `stride` tokens (overlapping

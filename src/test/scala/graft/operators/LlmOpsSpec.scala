@@ -334,6 +334,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(check.count() == 0)
   }
 
+  test("bloom-prefiltered decontamination is exact at any fpp") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+    val expected = TextOps.contaminatedIds(docs, bench, "text", "doc_id", k = 8)
+      .as[Long].collect().sorted.toSeq
+    // a sloppy filter (fpp=0.5) floods the confirm join with false
+    // positives; the result must still be exactly the broadcast-join one
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = TextOps.contaminatedIdsBloom(docs, bench, "text", "doc_id", k = 8, fpp = fpp)
+        .as[Long].collect().sorted.toSeq
+      assert(got == expected, s"fpp=$fpp diverged")
+    }
+  }
+
   test("connected components: path graph + separate component + singleton edge") {
     val sp = spark; import sp.implicits._
     // 1-2-3-4 is a path (needs >1 propagation round), 10-11 is separate
