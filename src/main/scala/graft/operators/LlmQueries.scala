@@ -550,6 +550,37 @@ object LlmQueries {
       |    CASE WHEN (s[i - 1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END))::INT AS zero_crossings
       |FROM p ORDER BY media_id""".stripMargin
 
+  /** REAL image resize: every BMP payload is nearest-neighbor resized to
+    * 8×5 (both down- and up-sampling across the 3..15 × 2..8 source dims)
+    * and RE-ENCODED as a valid BMP, then decoded again for features. The
+    * oracle replays the sampling rule (sx = x·w/8, sy = y·h/5, integer
+    * floor) over the pixel formula — wrong row order, stride handling, or
+    * floor arithmetic in either codec direction hash-mismatches. */
+  val qMultimodalResize: Q = (s, d) => {
+    val media = Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))
+    Multimodal.decodeBmpFeatures(Multimodal.resizeBmpMedia(media, tw = 8, th = 5))
+      .orderBy(col("media_id"))
+  }
+
+  val qMultimodalResizeSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, (doc_id % 13 + 3)::INT AS w, (doc_id % 7 + 2)::INT AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(174 AS BIGINT) AS byte_len,
+      |  8 AS width, 5 AS height,
+      |  round(list_sum(flatten(list_transform(generate_series(0, 4), y ->
+      |    list_transform(generate_series(0, 7), x ->
+      |      (doc_id * 3 + ((y * h) // 5) * 23 + ((x * w) // 8) * 29) % 256)))) / 40, 6) AS mean_r,
+      |  round(list_sum(flatten(list_transform(generate_series(0, 4), y ->
+      |    list_transform(generate_series(0, 7), x ->
+      |      (doc_id * 11 + ((y * h) // 5) * 17 + ((x * w) // 8) * 5) % 256)))) / 40, 6) AS mean_g,
+      |  round(list_sum(flatten(list_transform(generate_series(0, 4), y ->
+      |    list_transform(generate_series(0, 7), x ->
+      |      (doc_id * 7 + ((y * h) // 5) * 31 + ((x * w) // 8) * 13) % 256)))) / 40, 6) AS mean_b
+      |FROM px ORDER BY media_id""".stripMargin
+
   // frame sampling: total reassembled bytes must equal the payload
   val qMultimodalFrames: Q = (s, d) => {
     val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
@@ -1489,6 +1520,7 @@ object LlmQueries {
     "ann_ivfpq"           -> qAnnIvfPq,
     "multimodal_features" -> qMultimodalFeatures,
     "multimodal_wav"      -> qMultimodalWav,
+    "multimodal_resize"   -> qMultimodalResize,
     "multimodal_frames"   -> qMultimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
@@ -1534,5 +1566,6 @@ object LlmQueries {
     "dedup_streaming"     -> qDedupStreamingSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
     "multimodal_wav"      -> qMultimodalWavSql,
+    "multimodal_resize"   -> qMultimodalResizeSql,
     "multimodal_frames"   -> qMultimodalFramesSql)
 }

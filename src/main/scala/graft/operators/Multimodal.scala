@@ -52,10 +52,11 @@ object Multimodal {
   private def mod256(v: Long): Int = (v % 256).toInt
 
   /** Bottom-up 24bpp BI_RGB BMP with 4-byte row padding — the standard
-    * uncompressed layout (14-byte file header + 40-byte info header). */
-  private[operators] def encodeBmp(docId: Long): Array[Byte] = {
-    val w = (docId % 13).toInt + 3
-    val h = (docId % 7).toInt + 2
+    * uncompressed layout (14-byte file header + 40-byte info header).
+    * `pixels` is the LOGICAL image top-row-first, 3 bytes BGR per
+    * pixel. */
+  private[operators] def encodeBmpPixels(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3, s"expected ${w * h * 3} BGR bytes, got ${pixels.length}")
     val stride = ((w * 3 + 3) / 4) * 4
     val size = 54 + stride * h
     val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -66,18 +67,92 @@ object Multimodal {
     var r = 0
     while (r < h) {
       val y = h - 1 - r
-      var x = 0
-      while (x < w) {
-        buf.put(mod256(docId * 7 + y * 31L + x * 13L).toByte)  // B
-        buf.put(mod256(docId * 11 + y * 17L + x * 5L).toByte)  // G
-        buf.put(mod256(docId * 3 + y * 23L + x * 29L).toByte)  // R
-        x += 1
-      }
+      buf.put(pixels, y * w * 3, w * 3)
       var p = w * 3
       while (p < stride) { buf.put(0.toByte); p += 1 }
       r += 1
     }
     buf.array()
+  }
+
+  private[operators] def encodeBmp(docId: Long): Array[Byte] = {
+    val w = (docId % 13).toInt + 3
+    val h = (docId % 7).toInt + 2
+    val pixels = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        pixels(o) = mod256(docId * 7 + y * 31L + x * 13L).toByte      // B
+        pixels(o + 1) = mod256(docId * 11 + y * 17L + x * 5L).toByte  // G
+        pixels(o + 2) = mod256(docId * 3 + y * 23L + x * 29L).toByte  // R
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmpPixels(w, h, pixels)
+  }
+
+  /** Header-driven decode to the logical pixel array (top-row-first
+    * BGR), undoing bottom-up row order and stride padding. Same
+    * validation set as [[decodeBmp]]. */
+  private[operators] def decodeBmpPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 54) return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (buf.get(0) != 'B'.toByte || buf.get(1) != 'M'.toByte) return None
+    val dataOff = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    if (hdrSize < 40) return None
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val h = math.abs(hRaw)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff.toLong + stride.toLong * h > payload.length) return None
+    val pixels = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val y = if (hRaw > 0) h - 1 - r else r // bottom-up vs top-down storage
+      System.arraycopy(payload, dataOff + r * stride, pixels, y * w * 3, w * 3)
+      r += 1
+    }
+    Some((w, h, pixels))
+  }
+
+  /** Nearest-neighbor resize of a 24bpp BMP to (tw, th), re-encoded as
+    * a valid BMP: output pixel (x, y) samples source pixel
+    * (x·sw/tw, y·sh/th) (integer floor — the replayable nearest
+    * neighbor). None when the payload is not a decodable BMP. */
+  private[operators] def resizeBmp(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    decodeBmpPixels(payload).map { case (sw, sh, src) =>
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = y * sh / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * sw / tw
+          System.arraycopy(src, (sy * sw + sx) * 3, out, (y * tw + x) * 3, 3)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmpPixels(tw, th, out)
+    }
+  }
+
+  /** Resize every media payload to (tw, th) at the partition-iterator
+    * boundary; undecodable payloads pass through as null (row kept). */
+  def resizeBmpMedia(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val resizeU = udf { (payload: Array[Byte]) => resizeBmp(payload, tw, th).orNull }
+    media.withColumn("payload", resizeU(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.format").as("format"),
+        lit(tw).as("width"), lit(th).as("height")))
   }
 
   /** Parsed BMP features: (width, height, mean_b, mean_g, mean_r) from

@@ -70,7 +70,11 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (hash-derived, no RNG
-    * state). */
+    * state). This is the Catalyst REFERENCE form — the scoring paths use
+    * [[hyperplaneSignatureScalar]], whose bit-identical parity to this
+    * expression is pinned by spec (the shingle/minhash trade: `bits`
+    * interpreted higher-order aggregates per row lose to one tight loop
+    * over a precomputed sign matrix). */
   def hyperplaneSignature(vec: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { b =>
       // hyperplane component j of plane b: in {-1,+1} from xxhash64(b,j)
@@ -87,6 +91,37 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** Scalar twin of [[hyperplaneSignature]]: same xxhash64(b, j) parity
+    * sign (XXH64.hashInt chain, seed 42 — exactly what the Catalyst
+    * XxHash64 expression computes over two int children), same
+    * left-to-right double accumulation, same >= 0 threshold. The sign
+    * matrix depends only on (bits, dim), so it is memoized per task and
+    * each row costs one bits×dim multiply-add loop. */
+  private[operators] def hyperplaneSignatureScalar(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new (Seq[Float] => Long) with Serializable {
+      @transient private var signs: Array[Array[Double]] = _
+      def apply(v: Seq[Float]): Long = {
+        if (signs == null || signs.length == 0 || signs(0).length < v.length) {
+          signs = Array.tabulate(bits, v.length) { (b, j) =>
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashInt(j, org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L))
+            if (h % 2 == 0) 1.0 else -1.0
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          val row = signs(b)
+          var proj = 0.0
+          var j = 0
+          while (j < v.length) { proj += v(j).toDouble * row(j); j += 1 }
+          if (proj >= 0) sig |= 1L << b
+          b += 1
+        }
+        sig
+      }
+    })
+
   /** ANN top-k via LSH buckets: queries meet only corpus vectors in the
     * same bucket (plus multi-probe buckets within Hamming distance
     * `probeHamming` for recall), then exact cosine rescoring within the
@@ -96,13 +131,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       probeHamming: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigU = hyperplaneSignatureScalar(bits)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-      .withColumn("bucket", hyperplaneSignature(col("vec"), bits))
+      .withColumn("bucket", sigU(col("vec")))
     val masks: Seq[Long] =
       (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= probeHamming)
     val probes = array(masks.map(lit(_)): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .withColumn("sig", hyperplaneSignature(col("query_vec"), bits))
+      .withColumn("sig", sigU(col("query_vec")))
       .select(col("query_id"), col("query_vec"),
         explode(transform(probes, m => col("sig").bitwiseXOR(m))).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
@@ -606,7 +642,7 @@ object Similarity {
         math.min(24, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(target)))
       }
     val bucketed = src
-      .withColumn("bucket", hyperplaneSignature(col("vec"), useBits))
+      .withColumn("bucket", hyperplaneSignatureScalar(useBits)(col("vec")))
       .select(col("bucket"), col("id"))
     val w = Window.partitionBy(col("bucket"))
     val sized = bucketed

@@ -81,6 +81,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hyperplane signature: scalar twin is bit-identical to the Catalyst form") {
+    // the scoring paths run the tight-loop UDF; this pins it char-for-char
+    // against the Catalyst xxhash64/zip_with reference at several widths,
+    // including the adaptive-bits ceiling (24)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    for (bits <- Seq(1, 8, 13, 24)) {
+      val both = emb.select(
+        Similarity.hyperplaneSignature(col("embedding"), bits).as("ref"),
+        Similarity.hyperplaneSignatureScalar(bits)(col("embedding")).as("got"))
+      val diverged = both.filter(col("ref") =!= col("got")).count()
+      assert(diverged == 0, s"bits=$bits: $diverged rows diverged")
+    }
+  }
+
   test("ivf ann: top-1 recall >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)
@@ -306,6 +320,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeBmp(null).isEmpty)
     assert(Multimodal.decodeBmp("not a bmp at all, just text padding here to pass 54".getBytes).isEmpty)
     assert(Multimodal.decodeBmp(Multimodal.encodeBmp(5L).take(53)).isEmpty) // truncated
+  }
+
+  test("bmp resize: nearest-neighbor down/up-sample re-encodes a valid bmp") {
+    (0L until 91L).foreach { id =>
+      val src = Multimodal.encodeBmp(id)
+      val Some((sw, sh, _)) = Multimodal.decodeBmpPixels(src)
+      for ((tw, th) <- Seq((8, 5), (2, 2), (20, 11))) { // down, tiny, up
+        val out = Multimodal.resizeBmp(src, tw, th).get
+        val Some((w2, h2, px)) = Multimodal.decodeBmpPixels(out)
+        assert((w2, h2) == (tw, th), s"dims for $id -> ${(tw, th)}")
+        // spot-check corners against the sampling rule over the source
+        val Some((_, _, spx)) = Multimodal.decodeBmpPixels(src)
+        for ((x, y) <- Seq((0, 0), (tw - 1, th - 1))) {
+          val (sx, sy) = (x * sw / tw, y * sh / th)
+          (0 until 3).foreach { c =>
+            assert(px((y * tw + x) * 3 + c) == spx((sy * sw + sx) * 3 + c),
+              s"pixel ($x,$y) channel $c for $id")
+          }
+        }
+      }
+    }
+    assert(Multimodal.resizeBmp("garbage".getBytes, 4, 4).isEmpty)
+    assert(Multimodal.resizeBmp(null, 4, 4).isEmpty)
   }
 
   test("wav codec: chunk walk finds fmt+data past JUNK, stats match the sample formula") {
