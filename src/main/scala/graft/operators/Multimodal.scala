@@ -94,33 +94,45 @@ object Multimodal {
     encodeBmpPixels(w, h, pixels)
   }
 
-  /** Header-driven decode to the logical pixel array (top-row-first
-    * BGR), undoing bottom-up row order and stride padding. Same
-    * validation set as [[decodeBmp]]. */
-  private[operators] def decodeBmpPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  /** Shared header parse + validation for the 24bpp decoders:
+    * (w, h, hRaw, dataOff, stride), or None for anything that is not a
+    * well-formed uncompressed 24bpp BMP. All arithmetic that a hostile
+    * header could overflow (w·3, stride·h, w·h·3) runs in Long, and
+    * dataOff is bounds-checked on BOTH ends — a malformed payload must
+    * yield None, never an executor-killing exception. */
+  private def parseBmpHeader(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (payload == null || payload.length < 54) return None
     val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (buf.get(0) != 'B'.toByte || buf.get(1) != 'M'.toByte) return None
     val dataOff = buf.getInt(10)
     val hdrSize = buf.getInt(14)
-    if (hdrSize < 40) return None
+    if (hdrSize < 40 || dataOff < 54) return None
     val w = buf.getInt(18)
     val hRaw = buf.getInt(22)
+    if (hRaw == Int.MinValue) return None // abs() would overflow
     val h = math.abs(hRaw)
     val bpp = buf.getShort(28).toInt
     val compression = buf.getInt(30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff.toLong + stride.toLong * h > payload.length) return None
-    val pixels = new Array[Byte](w * h * 3)
-    var r = 0
-    while (r < h) {
-      val y = if (hRaw > 0) h - 1 - r else r // bottom-up vs top-down storage
-      System.arraycopy(payload, dataOff + r * stride, pixels, y * w * 3, w * 3)
-      r += 1
-    }
-    Some((w, h, pixels))
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff.toLong + strideL * h > payload.length) return None
+    if (w.toLong * h * 3 > Int.MaxValue) return None // pixel array must fit
+    Some((w, h, hRaw, dataOff, strideL.toInt))
   }
+
+  /** Header-driven decode to the logical pixel array (top-row-first
+    * BGR), undoing bottom-up row order and stride padding. */
+  private[operators] def decodeBmpPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseBmpHeader(payload).map { case (w, h, hRaw, dataOff, stride) =>
+      val pixels = new Array[Byte](w * h * 3)
+      var r = 0
+      while (r < h) {
+        val y = if (hRaw > 0) h - 1 - r else r // bottom-up vs top-down storage
+        System.arraycopy(payload, dataOff + r * stride, pixels, y * w * 3, w * 3)
+        r += 1
+      }
+      (w, h, pixels)
+    }
 
   /** Nearest-neighbor resize of a 24bpp BMP to (tw, th), re-encoded as
     * a valid BMP: output pixel (x, y) samples source pixel
@@ -146,51 +158,42 @@ object Multimodal {
   }
 
   /** Resize every media payload to (tw, th) at the partition-iterator
-    * boundary; undecodable payloads pass through as null (row kept). */
+    * boundary; undecodable payloads pass through as null (row kept),
+    * and only rows that actually resized get the new dims stamped into
+    * meta — a null payload must not carry metadata claiming an image
+    * exists. */
   def resizeBmpMedia(media: DataFrame, tw: Int, th: Int): DataFrame = {
     val resizeU = udf { (payload: Array[Byte]) => resizeBmp(payload, tw, th).orNull }
     media.withColumn("payload", resizeU(col("payload")))
-      .withColumn("meta", struct(
+      .withColumn("meta", when(col("payload").isNotNull, struct(
         col("meta.format").as("format"),
-        lit(tw).as("width"), lit(th).as("height")))
+        lit(tw).as("width"), lit(th).as("height"))).otherwise(lit(null)))
   }
 
   /** Parsed BMP features: (width, height, mean_b, mean_g, mean_r) from
-    * the header + pixel array alone. Returns None on anything that is
-    * not an uncompressed 24bpp BMP (wrong magic, short file, compressed,
-    * other depth) — the null-safe plumbing path. Handles both bottom-up
-    * (height > 0) and top-down (height < 0) layouts and row padding. */
-  private[operators] def decodeBmp(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
-    if (payload == null || payload.length < 54) return None
-    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    if (buf.get(0) != 'B'.toByte || buf.get(1) != 'M'.toByte) return None
-    val dataOff = buf.getInt(10)
-    val hdrSize = buf.getInt(14)
-    if (hdrSize < 40) return None
-    val w = buf.getInt(18)
-    val hRaw = buf.getInt(22)
-    val h = math.abs(hRaw)
-    val bpp = buf.getShort(28).toInt
-    val compression = buf.getInt(30)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff.toLong + stride.toLong * h > payload.length) return None
-    var sumB = 0L; var sumG = 0L; var sumR = 0L
-    var r = 0
-    while (r < h) {
-      var off = dataOff + r * stride
-      var x = 0
-      while (x < w) {
-        sumB += payload(off) & 0xff
-        sumG += payload(off + 1) & 0xff
-        sumR += payload(off + 2) & 0xff
-        off += 3; x += 1
+    * the header + pixel array alone (shared [[parseBmpHeader]]
+    * validation — None on anything malformed, never an exception; means
+    * stream over the padded rows without materializing the pixel
+    * array). Handles both bottom-up (height > 0) and top-down
+    * (height < 0) layouts and row padding. */
+  private[operators] def decodeBmp(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    parseBmpHeader(payload).map { case (w, h, _, dataOff, stride) =>
+      var sumB = 0L; var sumG = 0L; var sumR = 0L
+      var r = 0
+      while (r < h) {
+        var off = dataOff + r * stride
+        var x = 0
+        while (x < w) {
+          sumB += payload(off) & 0xff
+          sumG += payload(off + 1) & 0xff
+          sumR += payload(off + 2) & 0xff
+          off += 3; x += 1
+        }
+        r += 1
       }
-      r += 1
+      val n = w.toLong * h
+      (w, h, sumB.toDouble / n, sumG.toDouble / n, sumR.toDouble / n)
     }
-    val n = w.toLong * h
-    Some((w, h, sumB.toDouble / n, sumG.toDouble / n, sumR.toDouble / n))
-  }
 
   /** PCM16 mono RIFF/WAVE with a JUNK chunk between fmt and data (odd
     * payload size, so the decoder's even-alignment chunk walk is
@@ -225,23 +228,26 @@ object Multimodal {
     def tag(off: Int): String =
       new String(payload, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // the walk cursor runs in Long: a hostile 32-bit chunk length must
+    // fail the bounds check, not wrap the arithmetic and crash a read
+    var off = 12L
     var sampleRate = -1; var fmtOk = false
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= payload.length && (dataOff < 0 || !fmtOk)) {
-      val id = tag(off)
-      val len = buf.getInt(off + 4)
-      if (len < 0 || off + 8 + len > payload.length) return None
+      val o = off.toInt
+      val id = tag(o)
+      val len = buf.getInt(o + 4)
+      if (len < 0 || off + 8 + len.toLong > payload.length) return None
       if (id == "fmt " && len >= 16) {
-        val audioFormat = buf.getShort(off + 8).toInt
-        val channels = buf.getShort(off + 10).toInt
-        sampleRate = buf.getInt(off + 12)
-        val bits = buf.getShort(off + 22).toInt
+        val audioFormat = buf.getShort(o + 8).toInt
+        val channels = buf.getShort(o + 10).toInt
+        sampleRate = buf.getInt(o + 12)
+        val bits = buf.getShort(o + 22).toInt
         fmtOk = audioFormat == 1 && channels == 1 && bits == 16
       } else if (id == "data") {
-        dataOff = off + 8; dataLen = len
+        dataOff = o + 8; dataLen = len
       }
-      off += 8 + len + (len & 1) // RIFF chunks align to even offsets
+      off += 8L + len + (len & 1) // RIFF chunks align to even offsets
     }
     if (!fmtOk || dataOff < 0 || dataLen < 2) return None
     val n = dataLen / 2

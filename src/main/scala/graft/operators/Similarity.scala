@@ -101,6 +101,9 @@ object Similarity {
     udf(new (Seq[Float] => Long) with Serializable {
       @transient private var signs: Array[Array[Double]] = _
       def apply(v: Seq[Float]): Long = {
+        // Catalyst parity for a NULL vector: zip_with yields null, every
+        // per-bit `when` falls to otherwise(0) — signature 0, row kept
+        if (v == null) return 0L
         if (signs == null || signs.length == 0 || signs(0).length < v.length) {
           signs = Array.tabulate(bits, v.length) { (b, j) =>
             val h = org.apache.spark.sql.catalyst.expressions.XXH64
@@ -260,14 +263,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 32, nProbes: Int = 4, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxQueries: Int = 10000): DataFrame = {
+      maxQueries: Int = 10000, trainRows: Int = 4096): DataFrame = {
     requireBroadcastSmall(queries, maxQueries, "ivfTopK")
     // Centroid matrix is bounded by nCentroids (not data size): collect it
     // once (optionally k-means-refined) and ship it in the scoring
     // closures — the coarse quantizer then runs as a tight per-row loop
     // with no join or shuffle at all.
     val centroids: Array[(Long, Array[Double])] =
-      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
       else corpus.orderBy(col(idCol)).limit(nCentroids)
         .select(col(idCol), col(vecCol))
         .collect()
@@ -465,7 +468,7 @@ object Similarity {
     requireBroadcastSmall(queries, maxQueries, "ivfPqTopK")
     // coarse quantizer: bounded by nCentroids, same contract as ivfTopK
     val centroids: Array[(Long, Array[Double])] =
-      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
       else corpus.orderBy(col(idCol)).limit(nCentroids)
         .select(col(idCol), col(vecCol))
         .collect()

@@ -465,6 +465,8 @@ private[sources] object GrpcFeeder {
     * always suffices. Only complete lines count: a window not starting
     * at 0 skips its first (partial) line, and bytes after the last
     * newline (a crash-torn tail) are ignored. */
+  private[sources] val TailScanMaxWindow: Long = 16L * 1024 * 1024
+
   private[sources] def lastStagedVgtid(
       p: java.nio.file.Path, shard: String): Option[ShardGtid] = {
     val total = if (Files.exists(p)) Files.size(p) else 0L
@@ -473,9 +475,9 @@ private[sources] object GrpcFeeder {
     try {
       var window = 64L * 1024
       var done = false
-      while (!done) {
+      while (!done && window <= TailScanMaxWindow) {
         val start = math.max(0L, total - window)
-        val len = (total - start).toInt
+        val len = (total - start).toInt // window cap keeps this in Int range
         val buf = java.nio.ByteBuffer.allocate(len)
         ch.position(start)
         while (buf.hasRemaining && ch.read(buf) >= 0) {}
@@ -502,7 +504,22 @@ private[sources] object GrpcFeeder {
         done = start == 0
         window *= 4
       }
-      None
+      if (done) None
+      else {
+        // pathological tail (no vgtid in the last TailScanMaxWindow
+        // bytes): fall back to the O(1)-memory forward streaming scan —
+        // bounded heap beats bounded time here, a giant window buffer
+        // must never OOM the driver
+        var last: Option[ShardGtid] = None
+        val slice = new FeedSlice(p.toString, 0L)
+        try slice.lines.foreach { line =>
+          if (line.startsWith(FeedSlice.VgtidPrefix)) VEventJson.read(line) match {
+            case VgtidEvent(_, v) => v.shardGtid(shard).foreach(sg => last = Some(sg))
+            case _ =>
+          }
+        } finally slice.close()
+        last
+      }
     } finally ch.close()
   }
 }

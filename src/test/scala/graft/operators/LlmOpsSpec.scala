@@ -93,6 +93,18 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val diverged = both.filter(col("ref") =!= col("got")).count()
       assert(diverged == 0, s"bits=$bits: $diverged rows diverged")
     }
+    // null-vector parity: the Catalyst form folds a null zip_with into
+    // otherwise(0) per bit → signature 0; the scalar twin must match
+    // instead of NPE-ing the task
+    val sp = spark; import sp.implicits._
+    val withNull = Seq(Some(Seq(1.0f, -2.0f)), None).toDF("embedding")
+    val rows = withNull.select(
+      Similarity.hyperplaneSignature(col("embedding"), 8).as("ref"),
+      Similarity.hyperplaneSignatureScalar(8)(col("embedding")).as("got")).collect()
+    rows.foreach { r =>
+      val ref = if (r.isNullAt(0)) 0L else r.getLong(0)
+      assert(r.getLong(1) == ref, s"null-vector parity: ${r.mkString(",")}")
+    }
   }
 
   test("ivf ann: top-1 recall >= 0.9 vs brute force") {
@@ -213,7 +225,9 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // measured scan fraction: trainCentroids is deterministic, so the spec
     // re-derives the same cells and counts the rows each query's probed
     // cells actually contain
-    val cents = Similarity.trainCentroids(emb, nCent, iters = 2)
+    // trainRows pinned to ivfPqTopK's default so the re-derived cells are
+    // the operator's cells even when the corpus outgrows one sample size
+    val cents = Similarity.trainCentroids(emb, nCent, iters = 2, trainRows = 2048)
     val corpus = emb.select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -320,6 +334,18 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeBmp(null).isEmpty)
     assert(Multimodal.decodeBmp("not a bmp at all, just text padding here to pass 54".getBytes).isEmpty)
     assert(Multimodal.decodeBmp(Multimodal.encodeBmp(5L).take(53)).isEmpty) // truncated
+    // hostile headers must yield None, never an executor-killing throw:
+    // negative pixel-data offset, and a width whose w*3 overflows Int
+    def hostile(mutate: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = Multimodal.encodeBmp(5L)
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      mutate(bb); b
+    }
+    assert(Multimodal.decodeBmp(hostile(_.putInt(10, -1000))).isEmpty)
+    assert(Multimodal.decodeBmpPixels(hostile(_.putInt(10, -1000))).isEmpty)
+    assert(Multimodal.decodeBmp(hostile(_.putInt(18, 0x2AAAAAAB))).isEmpty)
+    assert(Multimodal.decodeBmpPixels(hostile(_.putInt(18, 0x2AAAAAAB))).isEmpty)
+    assert(Multimodal.decodeBmp(hostile(_.putInt(22, Int.MinValue))).isEmpty)
   }
 
   test("bmp resize: nearest-neighbor down/up-sample re-encodes a valid bmp") {
@@ -359,6 +385,12 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(Multimodal.decodeWav(null).isEmpty)
     assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
+    // a chunk length near Int.MaxValue must fail the bounds check, not
+    // wrap the walk cursor and crash a read
+    val huge = Multimodal.encodeWav(5L)
+    val hb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(40, 0x7FFFFF00) // JUNK chunk claims ~2 GiB
+    assert(Multimodal.decodeWav(huge).isEmpty)
   }
 
   test("frame sampling reassembles the payload exactly") {
