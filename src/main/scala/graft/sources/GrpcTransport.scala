@@ -183,7 +183,19 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
         val tables =
           if (!needTables) cfg.includeTables
           else {
-            val all = GrpcMetadata.tables(sql, cfg.keyspace, cfg.excludeEmptyShards, cfg.shards)
+            // target SHOW TABLES with the JUST-computed shard set (not
+            // cfg.shards, which is empty when discovery ran): one
+            // VITESS_TABLETS round-trip, and the expansion shard can
+            // never diverge from the subscribed topology
+            val all = GrpcMetadata.tables(sql, cfg.keyspace, cfg.excludeEmptyShards, shards)
+            // An include list that expands to ZERO tables produces zero
+            // rules, and zero rules means NO VStream filter — the server
+            // then streams every table (reference parity:
+            // VitessReplicationConnection.java:336 only sets the filter
+            // when getRulesCount() > 0). Correctness is preserved because
+            // the engine-side include/exclude filters (F1/F2) still drop
+            // non-included tables from the decoded records; the cost is
+            // staging bandwidth, the same trade the reference makes.
             cfg.includeTables.flatMap { t =>
               if (t.startsWith("/")) {
                 // vitess planbuilder regex-rule semantics: unanchored match

@@ -33,7 +33,12 @@ object Metadata {
       .map(_.getFileName.toString.stripSuffix(".jsonl"))
       .toSeq.sorted)
 
-  /** Distinct `keyspace.table` names seen in FIELD events (SHOW TABLES). */
+  /** Distinct `keyspace.table` names seen in FIELD events (SHOW
+    * TABLES), by distributed full-feed scan — the cold-start form when
+    * no checkpoint exists yet. A query that HAS a checkpoint should use
+    * the [[tables(feedDir:String,offset:VgtidOffset)*]] overload, which
+    * answers from the offset's schemas map plus only post-checkpoint
+    * bytes. */
   def tables(spark: SparkSession, feedDir: String): Seq[String] = {
     import spark.implicits._
     spark.read.textFile(s"$feedDir/*.jsonl")

@@ -124,9 +124,12 @@ private[sources] object GrpcMetadata {
     }
   }
 
-  /** SHOW VITESS_TABLETS → shards of this keyspace with a serving
-    * tablet (reference getVitessShardsFromTablets + getNonEmptyShards,
-    * :127-134, :201-215: col 1 = keyspace, col 2 = shard). */
+  /** SHOW VITESS_TABLETS → shards of this keyspace that have ANY
+    * tablet row (reference getVitessShardsFromTablets +
+    * getNonEmptyShards, :127-134, :201-215: col 1 = keyspace, col 2 =
+    * shard — the reference deliberately does NOT filter on the tablet
+    * state column, so a NOT_SERVING tablet still marks its shard
+    * non-empty; parity kept here). */
   def nonEmptyShards(sql: VtgateSql, keyspace: String): Seq[String] =
     rows(sql.execute(s"${Workload}SHOW VITESS_TABLETS"))
       .collect { case row if row.size >= 3 && row(1).contains(keyspace) => row(2) }
