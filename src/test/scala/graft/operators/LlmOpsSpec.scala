@@ -348,6 +348,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeBmp(hostile(_.putInt(22, Int.MinValue))).isEmpty)
   }
 
+  test("bmp pixel round-trip holds for arbitrary dims and content") {
+    // wider than the gate formula's 3..15 × 2..8: arbitrary dims hit every
+    // stride-padding residue with arbitrary (not formula-derived) bytes
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { _ =>
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(30) + 1
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val Some((w2, h2, out)) = Multimodal.decodeBmpPixels(Multimodal.encodeBmpPixels(w, h, px))
+      assert(w2 == w && h2 == h, s"dims for ${w}x$h")
+      assert(java.util.Arrays.equals(out, px), s"pixels for ${w}x$h")
+    }
+  }
+
   test("bmp resize: nearest-neighbor down/up-sample re-encodes a valid bmp") {
     (0L until 91L).foreach { id =>
       val src = Multimodal.encodeBmp(id)

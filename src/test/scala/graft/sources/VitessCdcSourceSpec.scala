@@ -615,6 +615,28 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 5, s"expected >= 5 single-tx micro-batches, got $batches")
   }
 
+  test("tx and byte caps compose: the tighter cap binds admission") {
+    val feedDir = Files.createTempDirectory("cdcfeed13c")
+    val ckpt = Files.createTempDirectory("cdcckpt13c")
+    writeFeed(feedDir, "s0", (1L to 6L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    // tx cap would allow 10 per batch; the 200-byte cap (below any single
+    // tx) forces one tx per batch — the byte limit must bind
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("max.txs.per.trigger", "10")
+      .option("max.bytes.per.trigger", "200")
+      .load()
+      .writeStream.format("memory").queryName("cdc_both_caps")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.sql(
+      "SELECT get_json_object(after, '$.id') FROM cdc_both_caps ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == (1 to 6).map(_.toString))
+    val batches = Files.list(ckpt.resolve("offsets")).count()
+    assert(batches >= 6, s"byte cap should bind over the loose tx cap, got $batches batches")
+  }
+
   test("reshard: a new shard appearing mid-stream inherits max(parent)+1 epoch (A4)") {
     val feedDir = Files.createTempDirectory("cdcfeed14")
     val ckpt = Files.createTempDirectory("cdcckpt14")
