@@ -377,7 +377,7 @@ object LlmQueries {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT query_id, neighbor_id,
       |      row_number() OVER (PARTITION BY query_id
-      |        ORDER BY score DESC, neighbor_id) AS crk
+      |        ORDER BY round(score, 9) DESC, neighbor_id) AS crk
       |    FROM approx
       |  ) WHERE crk <= 64
       |)
@@ -478,7 +478,7 @@ object LlmQueries {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT query_id, neighbor_id,
       |      row_number() OVER (PARTITION BY query_id
-      |        ORDER BY score DESC, neighbor_id) AS crk
+      |        ORDER BY round(score, 9) DESC, neighbor_id) AS crk
       |    FROM approx
       |  ) WHERE crk <= 64
       |)

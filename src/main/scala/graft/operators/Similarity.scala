@@ -330,7 +330,7 @@ object Similarity {
     * replay; Lloyd refinement (iters > 0) stays the production path,
     * pinned by the recall spec instead. */
   def trainPq(corpus: DataFrame, m: Int, codes: Int, iters: Int,
-      trainRows: Int = 2048,
+      trainRows: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
     val sample = (
       if (iters == 0) corpus.orderBy(col(idCol)).limit(codes)
@@ -462,7 +462,7 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 32, nProbes: Int = 4,
       m: Int = 8, codes: Int = 32, candidates: Int = 64, trainIters: Int = 3,
-      trainRows: Int = 2048,
+      trainRows: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxQueries: Int = 10000): DataFrame = {
     requireBroadcastSmall(queries, maxQueries, "ivfPqTopK")
@@ -556,9 +556,15 @@ object Similarity {
     * survivors against the joined-back vectors, top-k. */
   private def adcRescore(corpus: DataFrame, queries: DataFrame, localTop: DataFrame,
       candidates: Int, k: Int, idCol: String, vecCol: String): DataFrame = {
+    // Round the ADC score to 9 decimals before the candidate rank: the
+    // oracle's SQL SUM adds the subspace lookups in an unspecified order,
+    // so near-equal candidates could otherwise flip ranks across engines
+    // on float non-associativity. Spark's round and DuckDB's round both
+    // round half away from zero, so the grids agree.
+    val roundedTop = localTop.withColumn("approx", round(col("approx"), 9))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = localTop.withColumn("crk", row_number().over(wA))
+    val cand = roundedTop.withColumn("crk", row_number().over(wA))
       .filter(col("crk") <= candidates)
       .select(col("query_id"), col("neighbor_id"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))

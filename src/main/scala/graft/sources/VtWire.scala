@@ -102,7 +102,10 @@ object VtWire {
       heartbeatIntervalSec: Int = 0,
       stopOnReshard: Boolean = false,
       cells: String = "",
+      cellPreference: String = "",
+      tabletOrder: String = "",
       streamKeyspaceHeartbeats: Boolean = false,
+      includeReshardJournalEvents: Boolean = false,
       excludeKeyspaceFromTableName: Boolean = false,
       tablesToCopy: Seq[String] = Nil)
 
@@ -257,7 +260,10 @@ object VtWire {
       if (fl.heartbeatIntervalSec != 0) f.writeUInt32(2, fl.heartbeatIntervalSec)
       if (fl.stopOnReshard) f.writeBool(3, true)
       if (fl.cells.nonEmpty) f.writeString(4, fl.cells)
+      if (fl.cellPreference.nonEmpty) f.writeString(5, fl.cellPreference)
+      if (fl.tabletOrder.nonEmpty) f.writeString(6, fl.tabletOrder)
       if (fl.streamKeyspaceHeartbeats) f.writeBool(7, true)
+      if (fl.includeReshardJournalEvents) f.writeBool(8, true)
       if (fl.excludeKeyspaceFromTableName) f.writeBool(ExcludeKeyspaceFld, true)
       fl.tablesToCopy.foreach(t => f.writeString(TablesToCopyFld, t))
     }
@@ -565,7 +571,10 @@ object VtWire {
           case (2, f) => flags = flags.copy(heartbeatIntervalSec = f.readUInt32()); true
           case (3, f) => flags = flags.copy(stopOnReshard = f.readBool()); true
           case (4, f) => flags = flags.copy(cells = f.readString()); true
+          case (5, f) => flags = flags.copy(cellPreference = f.readString()); true
+          case (6, f) => flags = flags.copy(tabletOrder = f.readString()); true
           case (7, f) => flags = flags.copy(streamKeyspaceHeartbeats = f.readBool()); true
+          case (8, f) => flags = flags.copy(includeReshardJournalEvents = f.readBool()); true
           case (ExcludeKeyspaceFld, f) =>
             flags = flags.copy(excludeKeyspaceFromTableName = f.readBool()); true
           case (TablesToCopyFld, f) =>
