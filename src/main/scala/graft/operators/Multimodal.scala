@@ -114,9 +114,12 @@ object Multimodal {
     val bpp = buf.getShort(28).toInt
     val compression = buf.getInt(30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    // Pixel-fit check FIRST: w.toLong*h tops out near 4.6e18 so it cannot
+    // overflow Long, whereas strideL*h (and w*h*3) can wrap negative for
+    // w=h≈Int.MaxValue and would defeat the bounds check below.
+    if (w.toLong * h > Int.MaxValue / 3) return None // pixel array must fit
     val strideL = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOff.toLong + strideL * h > payload.length) return None
-    if (w.toLong * h * 3 > Int.MaxValue) return None // pixel array must fit
     Some((w, h, hRaw, dataOff, strideL.toInt))
   }
 
@@ -134,27 +137,133 @@ object Multimodal {
       (w, h, pixels)
     }
 
+  /** Shared nearest-neighbor core over a logical BGR pixel array:
+    * output pixel (x, y) samples source pixel (x·sw/tw, y·sh/th)
+    * (integer floor — the replayable nearest neighbor). */
+  private def resizePixels(
+      sw: Int, sh: Int, src: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * sh / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * sw / tw
+        System.arraycopy(src, (sy * sw + sx) * 3, out, (y * tw + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resize of a 24bpp BMP to (tw, th), re-encoded as
-    * a valid BMP: output pixel (x, y) samples source pixel
-    * (x·sw/tw, y·sh/th) (integer floor — the replayable nearest
-    * neighbor). None when the payload is not a decodable BMP. */
+    * a valid BMP. None when the payload is not a decodable BMP. */
   private[operators] def resizeBmp(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
     require(tw > 0 && th > 0, "target dims must be positive")
     decodeBmpPixels(payload).map { case (sw, sh, src) =>
-      val out = new Array[Byte](tw * th * 3)
+      encodeBmpPixels(tw, th, resizePixels(sw, sh, src, tw, th))
+    }
+  }
+
+  // ------------------------------------------------------------- PNG
+  // The second real image codec, via the JDK's own javax.imageio
+  // (pure-JVM, ships with the JRE). BMP stays the oracle-replayable
+  // gate format — its pixel layout can be recomputed in SQL — while
+  // PNG is pinned by spec: lossless encode→decode round-trip and
+  // feature/resize parity with the BMP path on identical pixels.
+
+  /** Encode a top-row-first BGR pixel array as PNG. */
+  private[operators] def encodePng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h * 3,
+      s"pixel array must be w*h*3 bytes, got ${pixels.length} for ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(pixels, 0, raster, 0, pixels.length)
+    val bos = new java.io.ByteArrayOutputStream(pixels.length / 2 + 64)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG decode to the same logical (w, h, top-row-first BGR) shape as
+    * [[decodeBmpPixels]]. Hostile-input stance matches the BMP parser:
+    * anything that is not a decodable PNG yields None, never an
+    * executor-killing exception (the signature fast-path avoids handing
+    * arbitrary junk to ImageIO at all). */
+  private[operators] def decodePngPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 8) return None
+    if ((payload(0) & 0xFF) != 0x89 || payload(1) != 'P' ||
+      payload(2) != 'N' || payload(3) != 'G') return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 3) return None
+      val out = new Array[Byte](w * h * 3)
       var y = 0
-      while (y < th) {
-        val sy = y * sh / th
+      while (y < h) {
         var x = 0
-        while (x < tw) {
-          val sx = x * sw / tw
-          System.arraycopy(src, (sy * sw + sx) * 3, out, (y * tw + x) * 3, 3)
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          out(o) = (rgb & 0xFF).toByte // B
+          out(o + 1) = ((rgb >> 8) & 0xFF).toByte // G
+          out(o + 2) = ((rgb >> 16) & 0xFF).toByte // R
           x += 1
         }
         y += 1
       }
-      encodeBmpPixels(tw, th, out)
+      Some((w, h, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Nearest-neighbor resize of a PNG, re-encoded as PNG — same core as
+    * the BMP path, so both formats resample identically. */
+  private[operators] def resizePng(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    decodePngPixels(payload).map { case (sw, sh, src) =>
+      encodePng(tw, th, resizePixels(sw, sh, src, tw, th))
     }
+  }
+
+  /** Format-dispatching pixel decode: BMP by its "BM" magic, PNG by its
+    * signature — one entry point for mixed-format media tables. */
+  private[operators] def decodeImagePixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 2) None
+    else if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) decodeBmpPixels(payload)
+    else decodePngPixels(payload)
+  }
+
+  /** Format-agnostic image features over a mixed BMP/PNG media table:
+    * the same (dims, per-channel means) surface as [[decodeBmpFeatures]]
+    * but dispatching per payload — the shape a real multi-format corpus
+    * needs. Undecodable payloads keep the row with null features. */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(BmpFeaturesSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val len = if (payload == null) 0L else payload.length.toLong
+          decodeImagePixels(payload) match {
+            case Some((w, h, px)) =>
+              var sb = 0L; var sg = 0L; var sr = 0L
+              var i = 0
+              while (i < px.length) {
+                sb += px(i) & 0xff; sg += px(i + 1) & 0xff; sr += px(i + 2) & 0xff
+                i += 3
+              }
+              val n = w.toLong * h
+              Row(r.getAs[Long]("media_id"), len, w, h,
+                round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n))
+            case None =>
+              Row(r.getAs[Long]("media_id"), len, null, null, null, null, null)
+          }
+        }
+      }(enc)
   }
 
   /** Resize every media payload to (tw, th) at the partition-iterator

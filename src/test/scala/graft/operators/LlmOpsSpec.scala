@@ -225,9 +225,9 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // measured scan fraction: trainCentroids is deterministic, so the spec
     // re-derives the same cells and counts the rows each query's probed
     // cells actually contain
-    // trainRows pinned to ivfPqTopK's default so the re-derived cells are
-    // the operator's cells even when the corpus outgrows one sample size
-    val cents = Similarity.trainCentroids(emb, nCent, iters = 2, trainRows = 2048)
+    // trainRows defaults are unified across trainCentroids/ivfTopK/ivfPqTopK,
+    // so re-deriving cells with default args reproduces the operator's quantizer
+    val cents = Similarity.trainCentroids(emb, nCent, iters = 2)
     val corpus = emb.select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -346,6 +346,63 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeBmp(hostile(_.putInt(18, 0x2AAAAAAB))).isEmpty)
     assert(Multimodal.decodeBmpPixels(hostile(_.putInt(18, 0x2AAAAAAB))).isEmpty)
     assert(Multimodal.decodeBmp(hostile(_.putInt(22, Int.MinValue))).isEmpty)
+    // w=h=Int.MaxValue: stride*h and w*h*3 both wrap negative in Long; the
+    // pixel-fit check must run first (on w*h, which cannot overflow) so the
+    // wrapped values never defeat the bounds checks.
+    val maxDims = hostile { bb => bb.putInt(18, Int.MaxValue); bb.putInt(22, Int.MaxValue) }
+    assert(Multimodal.decodeBmp(maxDims).isEmpty)
+    assert(Multimodal.decodeBmpPixels(maxDims).isEmpty)
+  }
+
+  test("png codec: lossless round-trip, feature and resize parity with bmp") {
+    val rnd = new scala.util.Random(41)
+    (1 to 20).foreach { trial =>
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(16)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      // PNG is lossless: decode(encode(px)) == px, dims preserved
+      val png = Multimodal.encodePng(w, h, px)
+      val Some((w2, h2, out)) = Multimodal.decodePngPixels(png)
+      assert((w2, h2) == (w, h), s"trial $trial dims")
+      assert(out.toSeq == px.toSeq, s"trial $trial pixels")
+      // identical pixels through either codec produce identical features
+      val bmp = Multimodal.encodeBmpPixels(w, h, px)
+      val viaBmp = Multimodal.decodeImagePixels(bmp)
+      val viaPng = Multimodal.decodeImagePixels(png)
+      assert(viaBmp.map(_._3.toSeq) == viaPng.map(_._3.toSeq), s"trial $trial dispatch")
+      // and identical resize output pixels (same nearest-neighbor core)
+      val (tw, th) = (1 + rnd.nextInt(12), 1 + rnd.nextInt(12))
+      val rb = Multimodal.resizeBmp(bmp, tw, th).flatMap(Multimodal.decodeBmpPixels)
+      val rp = Multimodal.resizePng(png, tw, th).flatMap(Multimodal.decodePngPixels)
+      assert(rb.map(_._3.toSeq) == rp.map(_._3.toSeq), s"trial $trial resize")
+    }
+    // hostile-input stance matches the BMP parser: None, never a throw
+    assert(Multimodal.decodePngPixels(null).isEmpty)
+    assert(Multimodal.decodePngPixels("not a png".getBytes).isEmpty)
+    val truncated = Multimodal.encodePng(4, 4, new Array[Byte](48)).take(20)
+    assert(Multimodal.decodePngPixels(truncated).isEmpty)
+    // png signature with garbage after it: ImageIO throws internally -> None
+    val sigJunk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.fill(40)(0x5A.toByte)
+    assert(Multimodal.decodePngPixels(sigJunk).isEmpty)
+  }
+
+  test("mixed-format media table: decodeImageFeatures dispatches per payload") {
+    val sp = spark; import sp.implicits._
+    val px = Array.tabulate(6 * 4 * 3)(i => (i * 7 % 256).toByte)
+    val rows = Seq(
+      (1L, Multimodal.encodeBmpPixels(6, 4, px)),
+      (2L, Multimodal.encodePng(6, 4, px)),
+      (3L, "junk payload".getBytes))
+    val media = rows.toDF("media_id", "payload")
+    val got = Multimodal.decodeImageFeatures(media)
+      .orderBy("media_id").collect()
+    assert(got(0).getInt(2) == 6 && got(1).getInt(2) == 6)
+    // identical pixels => identical means across formats
+    assert(got(0).getDouble(4) == got(1).getDouble(4)) // mean_r
+    assert(got(0).getDouble(5) == got(1).getDouble(5)) // mean_g
+    assert(got(0).getDouble(6) == got(1).getDouble(6)) // mean_b
+    assert(got(2).isNullAt(2) && got(2).isNullAt(4)) // junk: row kept, null features
   }
 
   test("bmp pixel round-trip holds for arbitrary dims and content") {
