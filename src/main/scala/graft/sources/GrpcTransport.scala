@@ -73,6 +73,18 @@ final case class GrpcConfig(
     stopOnReshard: Boolean = false,
     streamKeyspaceHeartbeats: Boolean = false,
     heartbeatSeconds: Int = 0,
+    /** VStreamFlags.cells (vtgate.proto field 4): restrict the serving
+      * tablets the server streams from to these cells. */
+    cells: Seq[String] = Nil,
+    /** VStreamFlags.cell_preference (field 5): `preferred` (fall back to
+      * other cells) vs `onlyspecified`. Empty → server default. */
+    cellPreference: String = "",
+    /** VStreamFlags.tablet_order (field 6): comma-separated tablet-type
+      * preference order within a cell. Empty → server default. */
+    tabletOrder: String = "",
+    /** VStreamFlags.include_reshard_journal_events (field 8): surface
+      * reshard journal events in the stream. */
+    includeReshardJournalEvents: Boolean = false,
     /** include-table filter rules; a leading '/' makes the match a
       * regex, vitess planbuilder semantics — the reference expands
       * regexes to concrete tables via SHOW TABLES first
@@ -82,12 +94,95 @@ final case class GrpcConfig(
     tablesToCopy: Seq[String] = Nil,
     excludeKeyspaceFromTableName: Boolean = false,
     initialGtid: String = Vgtid.EmptyGtid, // "" → copy; "current" → skip history
+    /** Feeder placement — the reference's scale-out axis is connector
+      * tasks spread across Kafka Connect worker PROCESSES on different
+      * hosts (VitessConnector.java:87-156 over Connect's distributed
+      * runtime); a single-JVM thread pool ceilings ingest at one host's
+      * NIC. `driver` (default) runs the worker pool in the engine JVM;
+      * `executors` launches each shard-group worker as a long-running
+      * task of a background Spark job, so ingest bandwidth scales with
+      * executor hosts (staging dir must be shared storage). A third
+      * deployment shape needs no mode at all: run [[GrpcFeederMain]] as
+      * explicit per-host processes over disjoint shard groups against
+      * the same staging dir, and read it with `transport=file`. */
+    feederMode: String = "driver",
+    /** Bound on the feeder-JVM memory one in-flight transaction may
+      * occupy: past this many buffered bytes the open transaction
+      * spills to a `<shard>.spill` temp file next to the staging file
+      * and is streamed into the feed on COMMIT — a pathological
+      * multi-GB transaction costs disk, never feeder heap. */
+    maxBufferedTxBytes: Long = 64L * 1024 * 1024,
     keepaliveMs: Option[Long] = None,
     maxInboundMessageSize: Option[Int] = None,
     loadBalancingPolicy: Option[String] = None,
     headers: Map[String, String] = Map.empty,
     username: Option[String] = None,
     password: Option[String] = None) extends Serializable
+
+/** Shard-topology + include-rule resolution shared by every feeder
+  * placement (driver pool, executor-resident workers, external per-host
+  * processes): an explicit shard list is authoritative; otherwise
+  * discovery runs the reference's metadata queries over the Execute RPC
+  * (VitessMetadata.getShards). A regex include rule (leading '/') is
+  * expanded to concrete tables via SHOW TABLES before it reaches the
+  * VStream filter, like the reference
+  * (VitessReplicationConnection.java:316-327) — so the server only ever
+  * sees concrete `select * from t` rules. One SQL channel serves both
+  * lookups, then closes. */
+private[sources] object GrpcTopology {
+
+  def resolve(cfg: GrpcConfig): (Seq[String], Seq[String]) = {
+    val needShards = cfg.shards.isEmpty
+    val needTables = cfg.includeTables.exists(_.startsWith("/"))
+    val resolved =
+      if (!needShards && !needTables) (cfg.shards.sorted, cfg.includeTables)
+      else {
+        val sql = new VtgateSql(cfg)
+        try {
+          val shards =
+            if (!needShards) cfg.shards.sorted
+            else if (cfg.excludeEmptyShards) GrpcMetadata.nonEmptyShards(sql, cfg.keyspace)
+            else GrpcMetadata.shards(sql, cfg.keyspace).sorted
+          val tables =
+            if (!needTables) cfg.includeTables
+            else {
+              // target SHOW TABLES with the JUST-computed shard set (not
+              // cfg.shards, which is empty when discovery ran): one
+              // VITESS_TABLETS round-trip, and the expansion shard can
+              // never diverge from the subscribed topology
+              val all = GrpcMetadata.tables(sql, cfg.keyspace, cfg.excludeEmptyShards, shards)
+              // An include list that expands to ZERO tables produces zero
+              // rules, and zero rules means NO VStream filter — the server
+              // then streams every table (reference parity:
+              // VitessReplicationConnection.java:336 only sets the filter
+              // when getRulesCount() > 0). Correctness is preserved because
+              // the engine-side include/exclude filters (F1/F2) still drop
+              // non-included tables from the decoded records; the cost is
+              // staging bandwidth, the same trade the reference makes.
+              cfg.includeTables.flatMap { t =>
+                if (t.startsWith("/")) {
+                  // vitess planbuilder regex-rule semantics: unanchored match
+                  val re = t.stripPrefix("/").r
+                  all.filter(tb => re.findFirstIn(tb).isDefined)
+                } else Seq(t)
+              }.distinct
+            }
+          (shards, tables)
+        } finally sql.close()
+      }
+    require(resolved._1.nonEmpty,
+      s"no shards for keyspace ${cfg.keyspace}: none configured, none discovered")
+    resolved
+  }
+
+  /** Round-robin shard groups — the reference's task planning
+    * (VitessConnector.java:87-156: numTasks = min(tasks.max, #shards),
+    * shard i → task i mod numTasks). */
+  def shardGroups(shards: Seq[String], maxStreams: Int): Seq[Seq[String]] = {
+    val n = math.max(1, math.min(maxStreams, shards.size))
+    shards.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1).map(_._2.map(_._1))
+  }
+}
 
 /** Live VTGate transport: driver-side gRPC consumers stage the VStream
   * into the same durable per-shard JSONL feed the file transport reads.
@@ -118,16 +213,26 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
   // driver-only: executors deserialize this transport and use only
   // open()/size(), which never touch the feeder
   @transient @volatile private var feederStarted = false
-  @transient private lazy val feeder: GrpcFeeder = {
-    val f = new GrpcFeeder(stagingDir, cfg)
-    f.start()
+  @transient private lazy val feeder: FeederHandle = {
+    val f = cfg.feederMode match {
+      case "driver" => new GrpcFeeder(stagingDir, cfg)
+      case "executors" => new ExecutorFeeders(stagingDir, cfg)
+      case other => throw new IllegalArgumentException(
+        s"feeder.mode must be driver|executors, got $other")
+    }
+    f.ensureRunning()
     feederStarted = true
     f
   }
 
+  /** Topology as currently staged: the startup shard set plus any shard
+    * a live reshard adopted mid-stream (its feed file appears the
+    * moment the owning worker adopts it, so reading-side planning picks
+    * children up on the next micro-batch — same contract as the file
+    * transport). */
   override def listShards(): Seq[(String, String)] = {
     feeder.ensureRunning()
-    feeder.shards.map(sh => sh -> Paths.get(stagingDir, s"$sh.jsonl").toString)
+    feeder.currentShards.map(sh => sh -> Paths.get(stagingDir, s"$sh.jsonl").toString)
   }
 
   override def open(locator: String, from: Long, to: Long): VStreamSlice =
@@ -146,12 +251,109 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
     feeder.awaitCompleted(timeoutMs)
 }
 
+/** What the transport needs from a feeder, independent of placement:
+  * the driver-JVM worker pool ([[GrpcFeeder]]) and the executor-resident
+  * job ([[ExecutorFeeders]]) both satisfy it. */
+private[sources] trait FeederHandle {
+  def ensureRunning(): Unit
+  def currentShards: Seq[String]
+  def awaitCompleted(timeoutMs: Long): Unit
+  def close(): Unit
+}
+
+/** Executor-resident feeder placement: each round-robin shard group's
+  * StreamWorker pool runs as one long-running task of a background
+  * Spark job (one task per group, `groups.size` tasks), staging into
+  * the SHARED staging directory — so ingest bandwidth scales with
+  * executor hosts instead of one driver NIC, the reference's
+  * distributed-task model (VitessConnector.java:87-156 over Kafka
+  * Connect's multi-host runtime). The driver resolves topology once
+  * (one Execute-RPC exchange), pre-creates the staging files so
+  * read-side planning can size them immediately, and signals shutdown
+  * through a `_STOP` marker file in the staging dir (shared storage —
+  * the same channel the workers' staged bytes ride). Each task runs
+  * the SAME worker code as driver mode, so per-worker resume from the
+  * last staged VGTID, tx-boundary staging, and reshard adoption hold
+  * unchanged; a task that dies is re-run by Spark's task retry and
+  * resumes exactly-once from its group's staged positions. */
+private[sources] final class ExecutorFeeders(stagingDir: String, cfg: GrpcConfig)
+    extends FeederHandle {
+
+  private val (discoveredShards, expandedTables) = GrpcTopology.resolve(cfg)
+  private val groups = GrpcTopology.shardGroups(discoveredShards, cfg.maxStreams)
+  @volatile private var started = false
+  @volatile private var jobThread: Thread = null
+  @volatile private var jobFailure: Throwable = null
+
+  override def ensureRunning(): Unit = synchronized {
+    if (jobFailure != null)
+      throw new IllegalStateException("executor-resident feeder job failed", jobFailure)
+    if (started) return
+    started = true
+    val dir = Paths.get(stagingDir)
+    Files.createDirectories(dir)
+    Files.deleteIfExists(dir.resolve(GrpcFeederMain.StopMarker))
+    discoveredShards.foreach { sh =>
+      val p = dir.resolve(s"$sh.jsonl")
+      if (!Files.exists(p)) Files.createFile(p)
+    }
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    // shards are assigned per task; regex include rules were expanded
+    // ONCE on the driver so workers never repeat the metadata queries
+    val workerCfg = cfg.copy(includeTables = expandedTables, feederMode = "driver")
+    val tasks: Seq[(String, GrpcConfig)] =
+      groups.map(g => (stagingDir, workerCfg.copy(shards = g, maxStreams = 1)))
+    jobThread = new Thread("graft-executor-feeders") {
+      override def run(): Unit =
+        try ExecutorFeeders.runJob(sc, tasks)
+        catch { case t: Throwable => jobFailure = t }
+    }
+    jobThread.setDaemon(true)
+    jobThread.start()
+  }
+
+  /** Discovered topology plus any feed file an executor-side worker has
+    * created since (reshard adoption happens inside the workers; the
+    * staging dir is the shared-state channel the driver observes). */
+  override def currentShards: Seq[String] = {
+    val staged = FileFeedTransport(stagingDir, excludeEmptyShards = false)
+      .listShards().map(_._1)
+    (discoveredShards ++ staged).distinct.sorted
+  }
+
+  override def awaitCompleted(timeoutMs: Long): Unit = {
+    if (jobThread != null) jobThread.join(timeoutMs)
+    if (jobFailure != null)
+      throw new IllegalStateException("executor-resident feeder job failed", jobFailure)
+    if (jobThread != null && jobThread.isAlive)
+      throw new IllegalStateException("executor feeders did not complete in time")
+  }
+
+  override def close(): Unit = if (started) {
+    Files.createDirectories(Paths.get(stagingDir))
+    val marker = Paths.get(stagingDir, GrpcFeederMain.StopMarker)
+    if (!Files.exists(marker)) Files.createFile(marker)
+    if (jobThread != null) jobThread.join(30000)
+  }
+}
+
+private[sources] object ExecutorFeeders {
+  /** One long-running task per shard group; the closure captures only
+    * the serializable (stagingDir, config) pairs. */
+  private def runJob(
+      sc: org.apache.spark.SparkContext, tasks: Seq[(String, GrpcConfig)]): Unit =
+    sc.parallelize(tasks, tasks.size).foreach { case (dir, c) =>
+      GrpcFeederMain.run(dir, c)
+    }
+}
+
 /** The driver-side VStream consumer pool: resolves the shard topology
   * (explicit or discovered over the Execute RPC), builds one shared
   * channel with the reference's tuning knobs, and runs one
   * [[StreamWorker]] per round-robin shard group, each staging VEventJson
   * lines into its shards' feed files at transaction-safe boundaries. */
-private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
+private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
+    extends FeederHandle {
 
   private val dir = Paths.get(stagingDir)
   @volatile private var channel: ManagedChannel = null
@@ -160,65 +362,40 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
   @volatile private var started = false
   @volatile private var closed = false
 
-  /** Shard topology and the expanded include-table list: an explicit
-    * shard list is authoritative; otherwise discovery runs the
-    * reference's metadata queries over the Execute RPC
-    * (VitessMetadata.getShards). A regex include rule (leading '/') is
-    * expanded to concrete tables via SHOW TABLES before it reaches the
-    * VStream filter, like the reference
-    * (VitessReplicationConnection.java:316-327) — so the server only
-    * ever sees concrete `select * from t` rules. One SQL channel serves
-    * both lookups, then closes. */
-  private[sources] val (shards: Seq[String], includeTables: Seq[String]) = {
-    val needShards = cfg.shards.isEmpty
-    val needTables = cfg.includeTables.exists(_.startsWith("/"))
-    if (!needShards && !needTables) (cfg.shards.sorted, cfg.includeTables)
-    else {
-      val sql = new VtgateSql(cfg)
-      try {
-        val shards =
-          if (!needShards) cfg.shards.sorted
-          else if (cfg.excludeEmptyShards) GrpcMetadata.nonEmptyShards(sql, cfg.keyspace)
-          else GrpcMetadata.shards(sql, cfg.keyspace).sorted
-        val tables =
-          if (!needTables) cfg.includeTables
-          else {
-            // target SHOW TABLES with the JUST-computed shard set (not
-            // cfg.shards, which is empty when discovery ran): one
-            // VITESS_TABLETS round-trip, and the expansion shard can
-            // never diverge from the subscribed topology
-            val all = GrpcMetadata.tables(sql, cfg.keyspace, cfg.excludeEmptyShards, shards)
-            // An include list that expands to ZERO tables produces zero
-            // rules, and zero rules means NO VStream filter — the server
-            // then streams every table (reference parity:
-            // VitessReplicationConnection.java:336 only sets the filter
-            // when getRulesCount() > 0). Correctness is preserved because
-            // the engine-side include/exclude filters (F1/F2) still drop
-            // non-included tables from the decoded records; the cost is
-            // staging bandwidth, the same trade the reference makes.
-            cfg.includeTables.flatMap { t =>
-              if (t.startsWith("/")) {
-                // vitess planbuilder regex-rule semantics: unanchored match
-                val re = t.stripPrefix("/").r
-                all.filter(tb => re.findFirstIn(tb).isDefined)
-              } else Seq(t)
-            }.distinct
-          }
-        (shards, tables)
-      } finally sql.close()
-    }
-  }
-  require(shards.nonEmpty, s"no shards for keyspace ${cfg.keyspace}: none configured, none discovered")
+  private[sources] val (shards: Seq[String], includeTables: Seq[String]) =
+    GrpcTopology.resolve(cfg)
 
-  private val writers: Map[String, java.io.OutputStream] = {
-    Files.createDirectories(dir)
-    shards.map { sh =>
+  /** Staging writers, created on demand so a shard ADOPTED mid-stream
+    * (live reshard: a child shard the startup topology never saw) gets
+    * a feed file exactly like a startup shard — existing files are
+    * truncated back to their last transaction-safe boundary first.
+    * Guarded by the feeder lock; each shard still has exactly one
+    * writing worker (the adopting stream), so the hot path stays
+    * synchronization-free. */
+  private val writers = scala.collection.mutable.Map[String, java.io.OutputStream]()
+
+  private def writerFor(sh: String): java.io.OutputStream = synchronized {
+    writers.getOrElseUpdate(sh, {
       val p = dir.resolve(s"$sh.jsonl")
       if (!Files.exists(p)) Files.createFile(p)
       else truncateToTxBoundary(p)
-      sh -> Files.newOutputStream(p, StandardOpenOption.APPEND)
-    }.toMap
+      // a stray spill file is a crash leftover; its transaction was
+      // never committed to the feed, so the resumed stream replays it
+      Files.deleteIfExists(dir.resolve(s"$sh.spill"))
+      Files.newOutputStream(p, StandardOpenOption.APPEND)
+    })
   }
+
+  /** shard → owning worker: startup shards are claimed when their group
+    * worker first stages; a shard seen by a SECOND worker is a server
+    * misroute and fails loudly (never silently dropped). */
+  private val owners = new java.util.concurrent.ConcurrentHashMap[String, StreamWorker]()
+
+  /** Shards currently being staged — startup topology plus any adopted
+    * mid-stream by a live reshard. */
+  @volatile var currentShards: Seq[String] = shards
+
+  { Files.createDirectories(dir); shards.foreach(writerFor) }
 
   /** Startup recovery: truncate the staging file back to the last
     * TRANSACTION-SAFE boundary. A crash can persist (a) a torn final
@@ -254,24 +431,27 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     }
   }
 
-  /** Round-robin shard groups — the reference's task planning
-    * (VitessConnector.java:87-156: numTasks = min(tasks.max, #shards),
-    * shard i → task i mod numTasks). Each group gets its OWN VStream,
-    * so ingest bandwidth scales with streams instead of being ceilinged
-    * by one server stream + one writer thread; streams multiplex over
-    * one shared HTTP/2 channel. */
-  private[sources] val shardGroups: Seq[Seq[String]] = {
-    val n = math.max(1, math.min(cfg.maxStreams, shards.size))
-    shards.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1).map(_._2.map(_._1))
-  }
+  /** Round-robin shard groups (see [[GrpcTopology.shardGroups]]). Each
+    * group gets its OWN VStream, so ingest bandwidth scales with streams
+    * instead of being ceilinged by one server stream + one writer
+    * thread; streams multiplex over one shared HTTP/2 channel. */
+  private[sources] val shardGroups: Seq[Seq[String]] =
+    GrpcTopology.shardGroups(shards, cfg.maxStreams)
 
   private val workers: Seq[StreamWorker] = shardGroups.map(new StreamWorker(_))
 
-  def ensureRunning(): Unit = {
+  override def ensureRunning(): Unit = {
     if (failure != null)
       throw new IllegalStateException("vstream grpc feeder failed", failure)
     if (!started) start()
   }
+
+  /** Non-throwing completion poll for [[GrpcFeederMain]]'s run loop:
+    * true once every worker's stream has terminated. */
+  private[sources] def isCompleted(timeoutMs: Long): Boolean =
+    workers.forall(_.completed.await(timeoutMs, TimeUnit.MILLISECONDS))
+
+  private[sources] def failureOption: Option[Throwable] = Option(failure)
 
   def start(): Unit = synchronized {
     if (started) return
@@ -309,7 +489,13 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     * path. This is the reference's per-task VitessReplicationConnection
     * (VitessConnector plans one connection per task over its shard
     * group). */
-  private final class StreamWorker(groupShards: Seq[String]) {
+  private final class StreamWorker(initialShards: Seq[String]) {
+
+    /** This worker's shard set: the startup round-robin group, plus any
+      * shard ADOPTED mid-stream when a live reshard streams children on
+      * the subscription that held their parent. */
+    @volatile private var group: Vector[String] = initialShards.toVector
+    initialShards.foreach(sh => owners.put(sh, this))
 
     private[GrpcFeeder] val completed = new CountDownLatch(1)
 
@@ -320,11 +506,44 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
       * startup call, before anything was flushed, falls back to the
       * bounded BACKWARD tail scan of the staging file. */
     private def resumeVgtid(): Vgtid = synchronized {
-      Vgtid(groupShards.map { sh =>
+      Vgtid(group.map { sh =>
         lastStaged.get(sh)
           .orElse(GrpcFeeder.lastStagedVgtid(dir.resolve(s"$sh.jsonl"), sh))
           .getOrElse(ShardGtid(cfg.keyspace, sh, cfg.initialGtid))
       })
+    }
+
+    /** Live-reshard handling (the reference's continued-streaming path,
+      * VitessEpochProvider.java:167-191): an event for a shard OUTSIDE
+      * the startup topology means a reshard created it mid-stream — the
+      * server streams children on the subscription that held the parent,
+      * so the receiving worker adopts it: claims ownership, opens its
+      * staging feed (truncated to a tx boundary if a file already
+      * exists), and extends its group so reconnect resume positions
+      * carry the child. Downstream, the reading engine's existing
+      * epoch-inheritance machinery (TxMetadata) handles the rest, same
+      * as the file transport. Two failure modes are LOUD, never a
+      * silent drop: a shard already owned by another worker (server
+      * misroute — each subscription must only stream its own shards),
+      * and a new shard under stopOnReshard=true (the server was asked
+      * to end the stream at the reshard instead). */
+    private def ensureOwned(sh: String): Unit = {
+      val owner = owners.computeIfAbsent(sh, _ => this)
+      if (owner ne this)
+        throw new IllegalStateException(
+          s"shard $sh arrived on a VStream subscription that does not own it " +
+            "(another worker's group) — server misroute, refusing to stage")
+      if (!group.contains(sh)) {
+        if (cfg.stopOnReshard)
+          throw new IllegalStateException(
+            s"new shard $sh appeared mid-stream with stop.on.reshard=true — " +
+              "expected the server to end the stream at the reshard boundary")
+        writerFor(sh)
+        group = group :+ sh
+        GrpcFeeder.this.synchronized {
+          if (!currentShards.contains(sh)) currentShards = (currentShards :+ sh).sorted
+        }
+      }
     }
 
     private def buildRequest(): VtWire.VStreamRequestModel = {
@@ -339,7 +558,11 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
         flags = VtWire.VStreamFlagsModel(
           heartbeatIntervalSec = cfg.heartbeatSeconds,
           stopOnReshard = cfg.stopOnReshard,
+          cells = cfg.cells.mkString(","),
+          cellPreference = cfg.cellPreference,
+          tabletOrder = cfg.tabletOrder,
           streamKeyspaceHeartbeats = cfg.streamKeyspaceHeartbeats,
+          includeReshardJournalEvents = cfg.includeReshardJournalEvents,
           excludeKeyspaceFromTableName = cfg.excludeKeyspaceFromTableName,
           tablesToCopy = cfg.tablesToCopy))
     }
@@ -400,9 +623,14 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     // at a safe boundary, so the resumed stream's replay of the open
     // transaction appends cleanly instead of producing a BEGIN-while-open
     // sequence that would permanently poison executor reads of that
-    // region. Driver memory is bounded by one in-flight transaction per
-    // shard — the same bound the reference's event buffer has.
-    private val pending = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[String]]()
+    // region. Feeder memory is bounded by cfg.maxBufferedTxBytes per
+    // shard: past that, the open transaction spills to a temp file next
+    // to the staging file (TxBuffer) — a pathological multi-GB
+    // transaction costs disk, never heap.
+    private val pending = scala.collection.mutable.Map[String, GrpcFeeder.TxBuffer]()
+    private def bufferFor(sh: String): GrpcFeeder.TxBuffer =
+      pending.getOrElseUpdate(sh,
+        new GrpcFeeder.TxBuffer(dir.resolve(s"$sh.spill"), cfg.maxBufferedTxBytes))
     private val inTx = scala.collection.mutable.Set[String]()
     // resume markers: `lastStaged` only ever reflects FLUSHED bytes (the
     // durable resume floor); `pendingVgtid` rides the tx buffer and is
@@ -413,7 +641,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
     /** Drop buffered partial transactions (reconnect path: the resumed
       * stream replays them from the last STAGED vgtid). */
     private def resetPending(): Unit = synchronized {
-      pending.values.foreach(_.clear())
+      pending.values.foreach(_.reset())
       pendingVgtid.clear()
       inTx.clear()
     }
@@ -428,40 +656,41 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
       events.foreach { e =>
         val targets: Seq[String] = e match {
           case VgtidEvent(sh, v) if sh.isEmpty =>
-            v.shardGtids.map(_.shard).filter(groupShards.contains)
-          case _ if e.shard.nonEmpty => Seq(e.shard)
-          case _ => groupShards // shard-less heartbeat: liveness for the group
+            // a subscription's VGTID covers exactly its own shards — a
+            // shard this worker has never seen is either a reshard child
+            // (adopted) or a misroute (loud failure), never dropped
+            val mentioned = v.shardGtids.map(_.shard)
+            mentioned.foreach(ensureOwned)
+            mentioned
+          case _ if e.shard.nonEmpty =>
+            ensureOwned(e.shard)
+            Seq(e.shard)
+          case _ => group // shard-less heartbeat: liveness for the group
         }
         targets.foreach { sh =>
-          if (groupShards.contains(sh)) {
-            val line = e match {
-              case VgtidEvent(s, v) if s.isEmpty => VEventJson.write(VgtidEvent(sh, v))
-              case HeartbeatEvent(s) if s.isEmpty => VEventJson.write(HeartbeatEvent(sh))
-              case other => VEventJson.write(other)
-            }
-            pending.getOrElseUpdate(sh, scala.collection.mutable.ArrayBuffer[String]()) += line
-            e match {
-              case _: BeginEvent => inTx += sh
-              case _: CommitEvent => inTx -= sh
-              case VgtidEvent(_, v) => v.shardGtid(sh).foreach(sg => pendingVgtid(sh) = sg)
-              case _ =>
-            }
-            if (!inTx.contains(sh)) flushPending(sh)
+          val line = e match {
+            case VgtidEvent(s, v) if s.isEmpty => VEventJson.write(VgtidEvent(sh, v))
+            case HeartbeatEvent(s) if s.isEmpty => VEventJson.write(HeartbeatEvent(sh))
+            case other => VEventJson.write(other)
           }
+          bufferFor(sh).add(line)
+          e match {
+            case _: BeginEvent => inTx += sh
+            case _: CommitEvent => inTx -= sh
+            case VgtidEvent(_, v) => v.shardGtid(sh).foreach(sg => pendingVgtid(sh) = sg)
+            case _ =>
+          }
+          if (!inTx.contains(sh)) flushPending(sh)
         }
       }
     }
 
     private def flushPending(sh: String): Unit = {
       val buf = pending(sh)
-      if (buf.nonEmpty) {
-        val w = writers(sh)
-        buf.foreach { line =>
-          w.write(line.getBytes(StandardCharsets.UTF_8))
-          w.write('\n')
-        }
+      if (!buf.isEmpty) {
+        val w = writerFor(sh)
+        buf.flushInto(w)
         w.flush()
-        buf.clear()
         // the buffered VGTID is durable now — it becomes the resume floor
         pendingVgtid.remove(sh).foreach(sg => lastStaged(sh) = sg)
       }
@@ -470,6 +699,74 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig) {
 }
 
 private[sources] object GrpcFeeder {
+
+  /** One shard's not-yet-committed staging lines, heap-bounded: lines
+    * buffer in memory up to `capBytes`, then the WHOLE buffer spills to
+    * `spillPath` (same volume as the staging file) and subsequent lines
+    * append there — so a transaction of any size costs at most
+    * `capBytes` of feeder heap plus disk. `flushInto` streams the spill
+    * file into the staging writer in bounded chunks (never re-buffering
+    * it), `reset` discards buffer and spill (reconnect path — the
+    * resumed stream replays the open transaction). A crash between
+    * spill and flush leaves a stray `.spill` file; startup deletes it
+    * (writerFor), because its transaction was never committed to the
+    * feed and will be replayed. */
+  private[sources] final class TxBuffer(
+      spillPath: java.nio.file.Path, capBytes: Long) {
+    private val mem = scala.collection.mutable.ArrayBuffer[String]()
+    private var memBytes = 0L
+    private var spill: java.io.OutputStream = null
+
+    def isEmpty: Boolean = mem.isEmpty && spill == null
+
+    /** True iff the buffer has gone through the spill path (test hook). */
+    def spilled: Boolean = spill != null
+
+    def add(line: String): Unit = {
+      if (spill != null) writeLine(spill, line)
+      else {
+        mem += line
+        memBytes += line.length.toLong + 1
+        if (memBytes > capBytes) {
+          spill = Files.newOutputStream(spillPath,
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+            StandardOpenOption.WRITE)
+          mem.foreach(l => writeLine(spill, l))
+          mem.clear()
+          memBytes = 0L
+        }
+      }
+    }
+
+    def flushInto(w: java.io.OutputStream): Unit = {
+      if (spill != null) {
+        spill.flush(); spill.close(); spill = null
+        val in = Files.newInputStream(spillPath)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) w.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        Files.deleteIfExists(spillPath)
+      }
+      mem.foreach(l => writeLine(w, l))
+      mem.clear()
+      memBytes = 0L
+    }
+
+    def reset(): Unit = {
+      if (spill != null) { spill.close(); spill = null }
+      Files.deleteIfExists(spillPath)
+      mem.clear()
+      memBytes = 0L
+    }
+
+    private def writeLine(w: java.io.OutputStream, line: String): Unit = {
+      w.write(line.getBytes(StandardCharsets.UTF_8))
+      w.write('\n')
+    }
+  }
+
   /** Last staged VGTID for `shard`, via a bounded BACKWARD window scan
     * (64 KiB, quadrupling until a hit or file start) instead of a
     * forward full scan — staging files grow without bound at scale, but

@@ -418,6 +418,14 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           stopOnReshard = stopOnReshard,
           streamKeyspaceHeartbeats = streamKeyspaceHeartbeats,
           heartbeatSeconds = (heartbeatIntervalMs / 1000L).toInt,
+          // VStreamFlags tablet-selection surface (vtgate.proto fields
+          // 4/5/6/8) — pass-through options, applied server-side
+          cells = Option(options.get("vstream.cells"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+          cellPreference = Option(options.get("vstream.cell.preference")).getOrElse(""),
+          tabletOrder = Option(options.get("vstream.tablet.order")).getOrElse(""),
+          includeReshardJournalEvents =
+            opt("vstream.include.reshard.journal.events").exists(_.toBoolean),
           includeTables = Option(options.get("tables.include"))
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
           tablesToCopy = Option(options.get("snapshot.tables"))
@@ -429,6 +437,12 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
             opt("exclude.keyspace.from.table.name").exists(_.toBoolean),
           initialGtid =
             if (snapshotMode == "never") Vgtid.CurrentGtid else Vgtid.EmptyGtid,
+          // feeder placement (driver | executors) — see GrpcConfig; a
+          // third shape, external per-host GrpcFeederMain processes,
+          // pairs with transport=file reads and needs no option here
+          feederMode = Option(options.get("feeder.mode")).getOrElse("driver"),
+          maxBufferedTxBytes = Option(options.get("max.buffered.tx.bytes"))
+            .map(_.toLong).getOrElse(64L * 1024 * 1024),
           keepaliveMs = Option(options.get("keepalive.interval.ms")).map(_.toLong),
           maxInboundMessageSize =
             Option(options.get("grpc.max_inbound_message_size")).map(_.toInt),

@@ -3,6 +3,7 @@ package graft.sources
 import graft.core._
 import graft.streaming._
 import java.nio.file.Files
+import java.util.concurrent.TimeUnit
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -155,6 +156,10 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       stopOnReshard = true,
       streamKeyspaceHeartbeats = true,
       heartbeatSeconds = 30,
+      cells = Seq("zone1", "zone2"),
+      cellPreference = "preferred",
+      tabletOrder = "REPLICA,RDONLY",
+      includeReshardJournalEvents = true,
       includeTables = Seq("t1", "orders"),
       tablesToCopy = Seq("t1"),
       excludeKeyspaceFromTableName = true,
@@ -171,6 +176,11 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(req.flags.heartbeatIntervalSec == 30)
       assert(req.flags.tablesToCopy == Seq("t1"))
       assert(req.flags.excludeKeyspaceFromTableName)
+      // tablet-selection flags reach the wire (vtgate.proto fields 4/5/6/8)
+      assert(req.flags.cells == "zone1,zone2")
+      assert(req.flags.cellPreference == "preferred")
+      assert(req.flags.tabletOrder == "REPLICA,RDONLY")
+      assert(req.flags.includeReshardJournalEvents)
       // one rule per included table with the planbuilder select form
       assert(req.rules == Seq(
         "t1" -> "select * from `t1`", "orders" -> "select * from `orders`"))
@@ -631,6 +641,221 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       val lines = try slice.lines.toVector finally slice.close()
       assert(lines.size == 15) // 3 transactions × 5 events over a real socket
     } finally { transport.close(); server.shutdownNow(); () }
+  }
+
+  test("live reshard: child shards adopted mid-stream, nothing dropped") {
+    // parent "-" streams 2 txs, then a reshard happens server-side: the
+    // SAME subscription starts streaming children "-80" / "80-" (their
+    // own txs plus a multi-shard VGTID naming both). The worker must
+    // adopt the children — open feed files, stage every event, extend
+    // its resume set — never silently drop them (the pre-round-7 bug).
+    val childVgtid = Vgtid(Seq(
+      ShardGtid("ks", "-80", "MySQL56/feed:1-3"),
+      ShardGtid("ks", "80-", "MySQL56/feed:1-3")))
+    val srv = new MockVtgate("vt-reshard", _ => Seq(
+      insertTx("-", 1, 1, "p1"),
+      insertTx("-", 2, 2, "p2"),
+      insertTx("-80", 3, 3, "c1"),
+      insertTx("80-", 3, 4, "c2"),
+      Seq(VgtidEvent("", childVgtid)))) // shard-less multi-shard VGTID path
+    val staging = Files.createTempDirectory("grpcreshard")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-reshard", "ks", Seq("-")))
+    try {
+      transport.listShards() // starts the feeder on the parent-only topology
+      transport.awaitStreamCompleted(10000)
+      // topology now includes the adopted children
+      assert(transport.listShards().map(_._1) == Seq("-", "-80", "80-"))
+      def feedLines(sh: String): Vector[String] = {
+        val slice = new FeedSlice(staging.resolve(s"$sh.jsonl").toString, 0L)
+        try slice.lines.toVector finally slice.close()
+      }
+      assertWellFormedFeed(feedLines("-"), Seq("1", "2"))
+      assertWellFormedFeed(feedLines("-80"), Seq("3"))
+      assertWellFormedFeed(feedLines("80-"), Seq("4"))
+      // the shard-less VGTID was staged per-shard into both children
+      assert(feedLines("-80").count(_.contains("feed:1-3")) == 2) // tx vgtid + broadcast
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("live reshard under stop.on.reshard fails loudly, never drops") {
+    val srv = new MockVtgate("vt-reshard-stop", _ => Seq(
+      insertTx("-", 1, 1, "p1"),
+      insertTx("-80", 2, 2, "c1"))) // server SHOULD have stopped instead
+    val staging = Files.createTempDirectory("grpcreshardstop")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-reshard-stop", "ks", Seq("-"), stopOnReshard = true))
+    try {
+      // with a direct-executor server the failure can surface during
+      // the feeder-starting listShards call itself
+      val err = intercept[IllegalStateException] {
+        transport.listShards()
+        transport.awaitStreamCompleted(10000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(err).exists(_.contains("stop.on.reshard")))
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("a shard owned by another worker is a misroute: loud failure, no drop") {
+    // two workers (one per shard); s0's subscription serves an s1 event
+    val srv = new MockVtgate("vt-misroute", req => {
+      val mine = req.vgtid.shardGtids.map(_.shard)
+      if (mine == Seq("s0")) Seq(insertTx("s1", 1, 1, "bad"))
+      else Seq(insertTx("s1", 1, 1, "ok"))
+    })
+    val staging = Files.createTempDirectory("grpcmisroute")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-misroute", "ks", Seq("s0", "s1"), maxStreams = 2))
+    try {
+      val err = intercept[IllegalStateException] {
+        transport.listShards()
+        transport.awaitStreamCompleted(10000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(err).exists(_.contains("misroute")))
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("tx buffer spills past the cap and streams back byte-identical") {
+    val dir = Files.createTempDirectory("txspill")
+    val spill = dir.resolve("s0.spill")
+    val buf = new GrpcFeeder.TxBuffer(spill, capBytes = 64)
+    val lines = (1 to 50).map(i => s"""{"k":"line-$i","pad":"${"x" * 20}"}""")
+    lines.foreach(buf.add)
+    assert(buf.spilled, "a 50-line buffer over a 64-byte cap must spill")
+    assert(Files.exists(spill))
+    val out = new java.io.ByteArrayOutputStream()
+    buf.flushInto(out)
+    assert(out.toString("UTF-8") == lines.mkString("", "\n", "\n"))
+    assert(!Files.exists(spill), "flush must reclaim the spill file")
+    assert(buf.isEmpty)
+    // reset path: spill again, then drop (reconnect) — file reclaimed
+    lines.foreach(buf.add)
+    assert(buf.spilled)
+    buf.reset()
+    assert(!Files.exists(spill) && buf.isEmpty)
+  }
+
+  test("a transaction larger than the buffer cap stages intact via spill") {
+    val big = "v" * 300
+    val srv = new MockVtgate("vt-spill", _ =>
+      (1L to 3L).map(i => insertTx("s0", i, i, big)))
+    val staging = Files.createTempDirectory("grpcspill")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-spill", "ks", Seq("s0"), maxBufferedTxBytes = 256))
+    try {
+      transport.listShards()
+      transport.awaitStreamCompleted(10000)
+      val slice = new FeedSlice(staging.resolve("s0.jsonl").toString, 0L)
+      val lines = try slice.lines.toVector finally slice.close()
+      assertWellFormedFeed(lines, Seq("1", "2", "3"))
+      assert(!Files.exists(staging.resolve("s0.spill")), "spill reclaimed on flush")
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("feeder.mode=executors: workers run as spark tasks over shared staging") {
+    val srv = new MockVtgate("vt-exec", req => {
+      val mine = req.vgtid.shardGtids.map(_.shard)
+      mine.flatMap(sh => (1L to 2L).map(i => insertTx(sh, i, i, s"$sh-$i")))
+    })
+    val staging = Files.createTempDirectory("grpcexec")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-exec", "ks", Seq("s0", "s1"),
+        maxStreams = 2, feederMode = "executors"))
+    try {
+      // starts the background job: one long-running task per shard group
+      assert(transport.listShards().map(_._1) == Seq("s0", "s1"))
+      transport.awaitStreamCompleted(30000)
+      Seq("s0", "s1").foreach { sh =>
+        val slice = new FeedSlice(staging.resolve(s"$sh.jsonl").toString, 0L)
+        val lines = try slice.lines.toVector finally slice.close()
+        assertWellFormedFeed(lines, Seq("1", "2"))
+      }
+    } finally { transport.close(); srv.close() }
+    // close() leaves the stop marker; a fresh transport clears it on start
+    assert(Files.exists(staging.resolve(GrpcFeederMain.StopMarker)))
+  }
+
+  test("external per-host feeder processes: two JVMs, kill + restart, exactly once") {
+    import org.sparkproject.connect.grpc.netty.NettyServerBuilder
+    // a REAL socket server so separate JVMs can reach it; the s1 script
+    // stalls after 3 txs (stream held open) so the kill lands mid-stream
+    val handler = new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+      override def invoke(request: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+        val req = VtWire.decodeVStreamRequest(request)
+        val sg = req.vgtid.shardGtids.head
+        sg.shard match {
+          case "s0" =>
+            (1L to 2L).foreach(i => obs.onNext(VtWire.encodeVStreamResponse(insertTx("s0", i, i, s"a$i"))))
+            obs.onCompleted()
+          case "s1" if sg.gtid == Vgtid.EmptyGtid =>
+            (1L to 3L).foreach(i => obs.onNext(VtWire.encodeVStreamResponse(insertTx("s1", i, i, s"b$i"))))
+          // no onCompleted: stream stays open until the process is killed
+          case "s1" =>
+            assert(sg.gtid == "MySQL56/feed:1-3", s"resume carried ${sg.gtid}")
+            (4L to 5L).foreach(i => obs.onNext(VtWire.encodeVStreamResponse(insertTx("s1", i, i, s"b$i"))))
+            obs.onCompleted()
+          case other => fail(s"unexpected shard $other")
+        }
+      }
+    }
+    val server = NettyServerBuilder.forPort(0)
+      .addService(ServerServiceDefinition.builder("vtgateservice.Vitess")
+        .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
+        .build())
+      .build().start()
+    val staging = Files.createTempDirectory("grpcext")
+    def props(shard: String): String = {
+      val p = Files.createTempFile("feeder", ".properties")
+      Files.writeString(p,
+        s"vtgate.target=127.0.0.1:${server.getPort}\nkeyspace=ks\nshards=$shard\n")
+      p.toString
+    }
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(propsFile: String): Process = {
+      val log = Files.createTempFile("feeder", ".log").toFile
+      new ProcessBuilder(java, "-cp", cp, "graft.sources.GrpcFeederMain",
+        staging.toString, propsFile)
+        .redirectOutput(log).redirectErrorStream(true)
+        .start()
+    }
+    def stagedIds(sh: String): Seq[String] = {
+      val p = staging.resolve(s"$sh.jsonl")
+      if (!Files.exists(p)) return Nil
+      val slice = new FeedSlice(p.toString, 0L)
+      try slice.lines.toVector.map(VEventJson.read).collect {
+        case RowEvent(_, _, _, changes) =>
+          new String(changes.head.after.get.slice.head.get, "UTF-8")
+      } finally slice.close()
+    }
+    try {
+      val pA = spawn(props("s0"))
+      val pB = spawn(props("s1"))
+      // worker A (own JVM) completes its stream and exits clean
+      assert(pA.waitFor(60, TimeUnit.SECONDS) && pA.exitValue() == 0,
+        "feeder process A should complete")
+      // worker B staged its 3 txs and is stalled mid-stream: kill -9 it
+      val deadline = System.currentTimeMillis() + 60000
+      while (stagedIds("s1") != Seq("1", "2", "3") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(stagedIds("s1") == Seq("1", "2", "3"), "B staged its first wave")
+      pB.destroyForcibly()
+      pB.waitFor(30, TimeUnit.SECONDS)
+      // restart B: it must resume FROM ITS OWN STAGED VGTID (the server
+      // asserts the carried gtid) and complete — exactly-once end to end
+      val pB2 = spawn(props("s1"))
+      assert(pB2.waitFor(60, TimeUnit.SECONDS) && pB2.exitValue() == 0,
+        "restarted feeder process B should complete")
+      assert(stagedIds("s0") == Seq("1", "2"))
+      assert(stagedIds("s1") == Seq("1", "2", "3", "4", "5")) // no loss, no replay
+      val slice = new FeedSlice(staging.resolve("s1.jsonl").toString, 0L)
+      val lines = try slice.lines.toVector finally slice.close()
+      assertWellFormedFeed(lines, Seq("1", "2", "3", "4", "5"))
+    } finally { server.shutdownNow(); () }
   }
 
   test("full engine path: readStream over the grpc transport, oracle-grade rows") {
