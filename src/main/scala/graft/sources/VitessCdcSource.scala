@@ -808,6 +808,11 @@ object VitessCdcStream {
     * `latestOffset` (the synchronous capped path only — the default
     * tailer path must keep this at zero; specs pin that bound). */
   val triggerScanLines = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Test instrumentation: lines JSON-decoded by partition readers —
+    * the cold-start history skip must keep pre-position transactions
+    * out of this count (specs pin the bound). */
+  val readerDecodedLines = new java.util.concurrent.atomic.AtomicLong()
 }
 
 final case class VitessCdcPartition(
@@ -856,6 +861,55 @@ class VitessCdcPartitionReader(
   private val slice =
     Retry.withRetries(maxAttempts = 3)(transport.open(p.file, p.startByte, p.endByte))
 
+  /** See the call site: line-level skip of transactions wholly before
+    * `startSg`. Buffers at most one transaction's lines (the same bound
+    * the feeder's tx buffer has); parses ONLY VGTID-prefixed lines while
+    * skipping. Conservative by construction: standalone lines (DDL /
+    * heartbeat / broadcast VGTID between transactions) and transactions
+    * carrying no VGTID forward to the real decoder untouched. */
+  private def skipColdHistory(lines: Iterator[String]): Iterator[String] =
+    new Iterator[String] {
+      private val out = scala.collection.mutable.Queue[String]()
+      private val buf = scala.collection.mutable.ArrayBuffer[String]()
+      private var passed = false
+      private var inTx = false
+      private var txPasses = false
+      private var txSawVgtid = false
+
+      private def fill(): Unit = {
+        while (out.isEmpty && lines.hasNext) {
+          val line = lines.next()
+          if (passed) out += line
+          else if (line.startsWith(FeedSlice.BeginPrefix)) {
+            inTx = true; txPasses = false; txSawVgtid = false
+            buf.clear(); buf += line
+          } else if (!inTx) out += line // standalone: window semantics intact
+          else {
+            buf += line
+            if (line.startsWith(FeedSlice.VgtidPrefix)) {
+              VEventJson.read(line) match {
+                case VgtidEvent(_, v) =>
+                  v.shardGtid(p.shard).foreach { pos =>
+                    txSawVgtid = true
+                    if (CopyProgress.compare(pos, startSg) > 0) txPasses = true
+                  }
+                case _ =>
+              }
+            }
+            if (line.startsWith(FeedSlice.CommitPrefix)) {
+              inTx = false
+              if (txPasses) { passed = true; out ++= buf }
+              else if (!txSawVgtid) out ++= buf // no position: let the filter decide
+              buf.clear()
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { fill(); out.nonEmpty }
+      override def next(): String = { fill(); out.dequeue() }
+    }
+
   private val rows: Iterator[InternalRow] = {
     val registry = new SchemaRegistry(p.typeModes)
     // replay the checkpointed schema lines (a real VStream re-sends FIELD
@@ -866,9 +920,25 @@ class VitessCdcPartitionReader(
         case _ =>
       }
     }
-    val events = slice.lines.map(VEventJson.read)
     val fresh = (startSg.gtid == Vgtid.EmptyGtid || startSg.gtid == Vgtid.CurrentGtid) &&
       startSg.tablePKs.isEmpty
+    // Cold-start resume at an explicit VGTID over a feed that still holds
+    // the history BEFORE that position (no checkpointed byte progress →
+    // startByte 0): drop pre-position transactions at the LINE level — a
+    // prefix check plus one VGTID parse per transaction — instead of
+    // JSON-decoding and assembling history just to filter it. At scale
+    // this is the batch-backfill handover shape: the snapshot covers
+    // history, and the stream must not pay O(history) decode to start.
+    // The downstream position filter still applies, so the skip only has
+    // to be conservative (standalone lines and no-VGTID transactions
+    // forward unchanged; everything forwards after the first passing
+    // transaction — per-shard positions are monotone).
+    val lineIter =
+      if (p.startByte == 0L && !fresh) skipColdHistory(slice.lines) else slice.lines
+    val events = lineIter.map { line =>
+      VitessCdcStream.readerDecodedLines.incrementAndGet()
+      VEventJson.read(line)
+    }
     val startVgtid = if (fresh) None else Some(Vgtid(Seq(startSg)))
     // Seeding previousVgtid with the batch-start position makes a host-set
     // change at a batch boundary bump the epoch exactly like the driver's

@@ -62,6 +62,37 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally q.stop()
   }
 
+  test("explicit-vgtid cold start skips history at the line level, not by decode") {
+    // 40 history txs BEFORE the requested position, 10 after. The proof
+    // that history is never JSON-decoded: every history ROW line is
+    // corrupted into invalid JSON (prefixes intact, so the driver fold —
+    // which only parses FIELD/VGTID/COMMIT lines — and the reader's
+    // line-level skip both pass over them). A reader that still decoded
+    // history to filter it would throw; the skip path must deliver the
+    // 10 post-position transactions exactly.
+    val feedDir = Files.createTempDirectory("cdccoldskip")
+    val all = (1L to 50L).flatMap { i =>
+      insertTx("s0", i, i, s"v$i").map {
+        case r: RowEvent if i <= 40 => VEventJson.write(r).dropRight(10) + "~corrupt~"
+        case e => VEventJson.write(e)
+      }
+    }
+    Files.writeString(feedDir.resolve("s0.jsonl"), all.mkString("", "\n", "\n"))
+    val q = spark.readStream.format("vitess-cdc")
+      .option("path", feedDir.toString)
+      .option("shard", "s0")
+      .option("vgtid", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-40"))).json)
+      .load()
+      .writeStream.format("memory").queryName("cdc_cold_skip")
+      .option("checkpointLocation", Files.createTempDirectory("cdccoldskipckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.sql(
+      "SELECT CAST(get_json_object(after, '$.id') AS LONG) FROM cdc_cold_skip " +
+        "WHERE op = 'c' ORDER BY 1").collect().map(_.getLong(0)).toSeq
+    assert(ids == (41L to 50L))
+  }
+
   test("offset json round-trips the reference offset-map shape") {
     val off = VgtidOffset(
       Vgtid(Seq(ShardGtid("ks", "-80", "MySQL56/h:1-5"), ShardGtid("ks", "80-", "MySQL56/h:1-9"))),
