@@ -506,6 +506,34 @@ object CdcQueries {
       .orderBy(col("shard"))
   }
 
+  // ------------------------------------------- intra-shard splitting
+  /** S9 at scale under the oracle: the same orders feed streamed with
+    * `split.partition.bytes` small enough that every shard's window is
+    * fanned into many transaction-safe segments (one reader task each —
+    * per-shard parallelism no longer ceilinged at 1). The aggregate must
+    * hash-match the oracle computed from the table directly, so any
+    * segment-seed error (position, GTID window, epoch, schema
+    * checkpoint) — a lost, doubled, or misdecoded transaction — fails
+    * the gate. */
+  val qCdcSplitPartitions: Q = (s, d) => {
+    import java.nio.file.Files
+    val feedDir = ordersFeedDir(s, d)
+    val outDir = Files.createTempDirectory("graft_split_out")
+    val ckpt = Files.createTempDirectory("graft_split_ckpt")
+    runStreamOnce(s, feedDir, outDir, ckpt, Map("split.partition.bytes" -> "65536"))
+    s.read.parquet(outDir.toString)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("after"), "$.o_orderkey").cast(LongType)).as("sum_key"))
+      .orderBy(col("shard"))
+  }
+
+  val qCdcSplitPartitionsSql: String =
+    """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin
+
   val qCdcRestartReplaySql: String =
     """SELECT CAST(o_orderkey % 4 AS VARCHAR) AS shard, count(*) AS n,
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
@@ -1176,6 +1204,7 @@ object CdcQueries {
   val queries: Map[String, Q] = Map(
     "cdc_stream_source"    -> qCdcStreamSource,
     "cdc_shard_option"     -> qCdcShardOption,
+    "cdc_split_partitions" -> qCdcSplitPartitions,
     "cdc_restart_replay"   -> qCdcRestartReplay,
     "cdc_sql_decode"       -> qCdcSqlDecode,
     "cdc_decimal_extract"  -> qCdcDecimalExtract,
@@ -1213,6 +1242,7 @@ object CdcQueries {
   val oracleSql: Map[String, String] = Map(
     "cdc_stream_source"    -> qCdcStreamSourceSql,
     "cdc_shard_option"     -> qCdcShardOptionSql,
+    "cdc_split_partitions" -> qCdcSplitPartitionsSql,
     "cdc_restart_replay"   -> qCdcRestartReplaySql,
     "cdc_sql_decode"       -> qCdcSqlDecodeSql,
     "cdc_decimal_extract"  -> qCdcDecimalExtractSql,

@@ -41,7 +41,8 @@ private[sources] final class TxBoundaryFold(
     keyspace: String,
     seed: ShardCursor,
     startSg: ShardGtid,
-    heartbeatIntervalMs: Long) {
+    heartbeatIntervalMs: Long,
+    splitBytes: Long = Long.MaxValue) {
   private var inTx = false
   private var txAdmitted = false
   private var lastSg = seed.sg
@@ -50,9 +51,24 @@ private[sources] final class TxBoundaryFold(
   private var hbMs = seed.hbMs
   private var admitted = seed.admitted
   private var safeCursor = seed
+  private var lastSplitPos = seed.pos
+  private var splitAcc = Vector.empty[ShardCursor]
 
   /** Last transaction-safe cursor (== seed until the first safe line). */
   def safe: ShardCursor = safeCursor
+
+  /** Intra-shard split cursors accrued since the last drain: one full
+    * [[ShardCursor]] roughly every `splitBytes` of folded bytes, always
+    * at a transaction-safe boundary — everything a partition reader
+    * needs to start mid-shard (position, GTID, epoch, schema
+    * checkpoint, heartbeat baseline), the exact contract a batch
+    * boundary already has. Dropping a split cursor is always safe
+    * (fewer, larger partitions), so consumers may filter freely. */
+  def drainSplits(): Vector[ShardCursor] = {
+    val out = splitAcc
+    splitAcc = Vector.empty
+    out
+  }
 
   /** Fold one wire line; `posAfter` is the byte position just after it. */
   def onLine(line: String, posAfter: Long): Unit = {
@@ -89,8 +105,13 @@ private[sources] final class TxBoundaryFold(
         case _ =>
       }
     }
-    if (!inTx)
+    if (!inTx) {
       safeCursor = ShardCursor(posAfter, lastSg, epoch, tableSchemas, hbMs, admitted)
+      if (safeCursor.pos - lastSplitPos >= splitBytes) {
+        splitAcc :+= safeCursor
+        lastSplitPos = safeCursor.pos
+      }
+    }
   }
 }
 
@@ -129,9 +150,13 @@ private[sources] final class ShardTailer(
     keyspace: String,
     seed: ShardCursor,
     startSg: ShardGtid,
-    heartbeatIntervalMs: Long) {
+    heartbeatIntervalMs: Long,
+    splitBytes: Long = Long.MaxValue) {
 
   @volatile private var safeSnap: ShardCursor = seed
+  // split cursors published by the worker BEFORE the snapshot they
+  // precede, so a drain at snapshot time sees every split below it
+  private val splitQueue = new java.util.concurrent.ConcurrentLinkedQueue[ShardCursor]()
   @volatile private var scanned: Long = seed.pos // consumed through (incl. in-tx lines)
   @volatile private var drained: Long = -1L // transport size fully consumed (EOF double-check)
   @volatile private var closed = false
@@ -144,6 +169,19 @@ private[sources] final class ShardTailer(
 
   def snapshot: ShardCursor = safeSnap
   def isClosed: Boolean = closed
+
+  /** Drain split cursors strictly below `endPos` (this batch's window);
+    * anything at/after it is discarded — the worker may have folded past
+    * the snapshot, and dropping a split is always safe. */
+  def drainSplits(endPos: Long): Seq[ShardCursor] = {
+    val out = Vector.newBuilder[ShardCursor]
+    var c = splitQueue.poll()
+    while (c != null) {
+      if (c.pos < endPos) out += c
+      c = splitQueue.poll()
+    }
+    out.result()
+  }
 
   /** Block until the fold has consumed every complete line below
     * `target` (or the deadline passes — a torn trailing transaction can
@@ -172,7 +210,7 @@ private[sources] final class ShardTailer(
     try {
       if (slice == null) {
         slice = transport.open(locator, seed.pos, Long.MaxValue)
-        fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs)
+        fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs, splitBytes)
       }
       var n = 0
       var more = true
@@ -190,8 +228,12 @@ private[sources] final class ShardTailer(
         } else more = false
       }
       if (n > 0) {
-        scanned = slice.position
+        // publish order matters: `scanned` is the awaitCaughtUp gate, so
+        // splits and the snapshot must be visible BEFORE it advances — a
+        // trigger released by `scanned` must see everything below it
+        fold.drainSplits().foreach(splitQueue.add)
         if (fold.safe ne safeSnap) safeSnap = fold.safe
+        scanned = slice.position
       }
       n > 0
     } catch {

@@ -128,7 +128,13 @@ final case class VgtidOffset(
     // the checkpoint so the cadence survives batch boundaries — a
     // per-reader baseline would reset every micro-batch and never fire
     // under bounded triggers
-    hbMs: Map[String, Long] = Map.empty)
+    hbMs: Map[String, Long] = Map.empty,
+    // intra-shard split cursors for THIS batch's window (only with
+    // `split.partition.bytes` set): transaction-safe mid-shard seeds the
+    // planner fans one shard's byte range out to — per-shard read
+    // parallelism stops being ceilinged at one task per batch. Carried
+    // in the offset so a recovered batch replans the identical segments.
+    splits: Map[String, Seq[ShardCursor]] = Map.empty)
     extends Offset {
   override def json(): String = {
     val m = new ObjectMapper()
@@ -152,6 +158,26 @@ final case class VgtidOffset(
     if (hbMs.nonEmpty) {
       val h = o.putObject("heartbeat_ms")
       hbMs.toSeq.sortBy(_._1).foreach { case (sh, t) => h.put(sh, t) }
+    }
+    if (splits.exists(_._2.nonEmpty)) {
+      val sp = o.putObject("feed_splits")
+      splits.toSeq.sortBy(_._1).foreach { case (sh, cs) =>
+        if (cs.nonEmpty) {
+          val arr = sp.putArray(sh)
+          cs.sortBy(_.pos).foreach { c =>
+            val n = arr.addObject()
+            n.put("pos", c.pos)
+            n.set[com.fasterxml.jackson.databind.JsonNode](
+              "gtid", m.readTree(Vgtid(Seq(c.sg)).json))
+            n.put("epoch", c.epoch)
+            if (c.hbMs != Long.MinValue) n.put("hb", c.hbMs)
+            if (c.schemas.nonEmpty) {
+              val t = n.putObject("schemas")
+              c.schemas.toSeq.sortBy(_._1).foreach { case (tbl, line) => t.put(tbl, line) }
+            }
+          }
+        }
+      }
     }
     m.writeValueAsString(o)
   }
@@ -180,7 +206,22 @@ object VgtidOffset {
       schemas,
       Option(n.get("heartbeat_ms")).map { h =>
         h.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-      }.getOrElse(Map.empty[String, Long]))
+      }.getOrElse(Map.empty[String, Long]),
+      Option(n.get("feed_splits")).map { sp =>
+        sp.fields().asScala.map { e =>
+          e.getKey -> e.getValue.elements().asScala.map { c =>
+            ShardCursor(
+              c.get("pos").asLong(),
+              Vgtid.of(m.writeValueAsString(c.get("gtid"))).shardGtids.head,
+              c.get("epoch").asLong(),
+              Option(c.get("schemas")).map(_.fields().asScala
+                .map(t => t.getKey -> t.getValue.asText()).toMap)
+                .getOrElse(Map.empty[String, String]),
+              Option(c.get("hb")).map(_.asLong()).getOrElse(Long.MinValue),
+              admitted = 0L)
+          }.toSeq
+        }.toMap
+      }.getOrElse(Map.empty[String, Seq[ShardCursor]]))
   }
 }
 
@@ -524,6 +565,18 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   private val maxBytesPerTrigger: Long =
     Option(options.get("max.bytes.per.trigger")).map(_.toLong).getOrElse(Long.MaxValue)
 
+  // Intra-shard read parallelism: with `split.partition.bytes` set, the
+  // offset fold records a full transaction-safe cursor (position, GTID,
+  // epoch, schema checkpoint, heartbeat baseline) about every that-many
+  // bytes, the offset carries them, and planInputPartitions fans one
+  // shard's batch window into one partition per segment — a fat shard is
+  // no longer ceilinged at one reader task per batch. Mid-shard seeds
+  // have exactly the contract batch boundaries already have, so
+  // correctness machinery is unchanged; default off (one partition per
+  // shard, the reference's shape).
+  private val splitPartitionBytes: Long =
+    Option(options.get("split.partition.bytes")).map(_.toLong).getOrElse(Long.MaxValue)
+
   // Metadata-only admission (see latestOffset): background per-shard
   // tailers own the feed scan unless bounded-batch mode caps it anyway.
   // The pool bounds driver threads regardless of shard count
@@ -625,6 +678,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     val positionsOut = Map.newBuilder[String, Long]
     val schemasOut = Map.newBuilder[String, Map[String, String]]
     val hbMsOut = Map.newBuilder[String, Long]
+    val splitsOut = Map.newBuilder[String, Seq[ShardCursor]]
     val files = shardFiles
     if (useTailers) {
       // retire tailers for shards that left the topology (reshard parents
@@ -667,17 +721,23 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           val t = tailers.getOrElseUpdate(shard, {
             val tailer = new ShardTailer(
               transport, file, shard, keyspace, seedCursor(shard, startSg),
-              startSg, heartbeatIntervalMs)
+              startSg, heartbeatIntervalMs, splitPartitionBytes)
             tailerPool.register(tailer)
             tailer
           })
           t.awaitCaughtUp(transport.size(file), tailCatchupTimeoutMs, () => tailerPool.nudgeAll())
-          t.snapshot
+          val snap = t.snapshot
+          // admitted is fold-internal progress, meaningless to readers —
+          // zero it so offset JSON round-trips compare equal
+          val shardSplits = t.drainSplits(snap.pos).map(_.copy(admitted = 0L))
+          if (shardSplits.nonEmpty) splitsOut += shard -> shardSplits
+          snap
         } else {
           // bounded-batch mode: synchronous fold, stops at the first tx
           // boundary past either cap — work is O(cap), not O(new bytes)
           val seed = seedCursor(shard, startSg)
-          val fold = new TxBoundaryFold(shard, keyspace, seed, startSg, heartbeatIntervalMs)
+          val fold = new TxBoundaryFold(
+            shard, keyspace, seed, startSg, heartbeatIntervalMs, splitPartitionBytes)
           val slice = transport.open(file, seed.pos, Long.MaxValue)
           try {
             var line = slice.readLine()
@@ -694,6 +754,9 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
               if (!stop) line = slice.readLine()
             }
           } finally slice.close()
+          val shardSplits = fold.drainSplits().filter(_.pos < fold.safe.pos)
+            .map(_.copy(admitted = 0L))
+          if (shardSplits.nonEmpty) splitsOut += shard -> shardSplits
           fold.safe
         }
       epochs = epochs.put(shard, cursor.epoch)
@@ -705,7 +768,8 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     }
     VgtidOffset(
       Vgtid(gtids), epochs, generation,
-      positionsOut.result(), schemasOut.result(), hbMsOut.result())
+      positionsOut.result(), schemasOut.result(), hbMsOut.result(),
+      splitsOut.result())
   }
 
   override def latestOffset(): Offset =
@@ -730,19 +794,44 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       // nothing new on this shard: no position progress (incl. copy
       // progress) AND no new bytes (standalone DDL/schema lines advance
       // bytes without advancing the VGTID)
-      if (startSg == endSg && (endByte == Long.MaxValue || startByte >= endByte)) None
-      else Some(VitessCdcPartition(
-        shard, keyspace, file,
-        Vgtid(Seq(startSg)).json, Vgtid(Seq(endSg)).json,
-        seedEpoch(shard, startEpochs), emitBoundaries, tableFilter,
-        heartbeatPerBatch, inheritEpoch, effectiveSnapshotTables,
-        typeModes, heartbeatIntervalMs,
-        s.hbMs.getOrElse(shard, Long.MinValue),
-        includeSchemaChanges,
-        startByte, endByte,
-        // schema checkpoint as of batch start (in-window FIELD lines are
-        // read by the reader itself); sorted for determinism
-        s.schemas.getOrElse(shard, Map.empty).toSeq.sortBy(_._1).map(_._2)): InputPartition)
+      if (startSg == endSg && (endByte == Long.MaxValue || startByte >= endByte)) Nil
+      else {
+        // Intra-shard fan-out: the end offset may carry split cursors —
+        // transaction-safe mid-shard seeds recorded by the fold (see
+        // `split.partition.bytes`). Each segment's reader seeds exactly
+        // like a batch boundary (position, GTID, epoch, schema
+        // checkpoint, heartbeat baseline all from its cursor), so the
+        // single-partition case is just the zero-splits instance.
+        val cuts = e.splits.getOrElse(shard, Nil)
+          .filter(c => c.pos > startByte && c.pos < endByte)
+          .sortBy(_.pos)
+        val batchStart = ShardCursor(
+          startByte, startSg, seedEpoch(shard, startEpochs),
+          s.schemas.getOrElse(shard, Map.empty),
+          s.hbMs.getOrElse(shard, Long.MinValue), 0L)
+        val seeds = batchStart +: cuts
+        seeds.zipWithIndex.map { case (seed, i) =>
+          val isLast = i == seeds.length - 1
+          val segEndSg = if (isLast) endSg else cuts(i).sg
+          val segEndByte = if (isLast) endByte else cuts(i).pos
+          VitessCdcPartition(
+            shard, keyspace, file,
+            Vgtid(Seq(seed.sg)).json, Vgtid(Seq(segEndSg)).json,
+            seed.epoch, emitBoundaries, tableFilter,
+            // per-batch (not per-segment) liveness: only the first
+            // segment emits the batch heartbeat for its shard
+            heartbeatPerBatch && i == 0,
+            inheritEpoch, effectiveSnapshotTables,
+            typeModes, heartbeatIntervalMs,
+            seed.hbMs,
+            includeSchemaChanges,
+            seed.pos, segEndByte,
+            // schema checkpoint as of the SEGMENT start (in-segment
+            // FIELD lines are read by the reader itself); sorted for
+            // determinism
+            seed.schemas.toSeq.sortBy(_._1).map(_._2)): InputPartition
+        }
+      }
     }.toArray
   }
 

@@ -3,7 +3,7 @@ package graft.sources
 import graft.core._
 import graft.streaming._
 import java.nio.file.{Files, Path, StandardOpenOption}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import scala.jdk.CollectionConverters._
@@ -91,6 +91,94 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT CAST(get_json_object(after, '$.id') AS LONG) FROM cdc_cold_skip " +
         "WHERE op = 'c' ORDER BY 1").collect().map(_.getLong(0)).toSeq
     assert(ids == (41L to 50L))
+  }
+
+  test("split.partition.bytes fans one shard's window into tx-safe segments") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val feedDir = Files.createTempDirectory("cdcsplitplan")
+    writeFeed(feedDir, "s0", (1L to 30L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", feedDir.toString)
+    opts.put("split.partition.bytes", "2000")
+    val stream = new VitessCdcStream(new CaseInsensitiveStringMap(opts))
+    try {
+      val start = stream.initialOffset()
+      val end = stream.latestOffset(start, ReadLimit.allAvailable()).asInstanceOf[VgtidOffset]
+      val cuts = end.splits.getOrElse("s0", Nil)
+      assert(cuts.nonEmpty, "the fold must record split cursors on a multi-KB window")
+      // every cut is a transaction-safe boundary: the line AT the cut
+      // position begins a BEGIN (or is feed end)
+      val bytes = Files.readAllBytes(feedDir.resolve("s0.jsonl"))
+      cuts.foreach { c =>
+        val next = new String(bytes, c.pos.toInt, math.min(20L, bytes.length - c.pos).toInt, "UTF-8")
+        assert(next.startsWith("{\"type\":\"BEGIN\""), s"cut at ${c.pos} lands mid-transaction: $next")
+      }
+      // offset JSON round-trips the split cursors (recovery replans the
+      // identical segments)
+      assert(VgtidOffset.fromJson(end.json()) == end)
+      // planner: one partition per segment, tiling the window exactly
+      val parts = stream.planInputPartitions(start, end)
+        .map(_.asInstanceOf[VitessCdcPartition]).sortBy(_.startByte)
+      assert(parts.length == cuts.size + 1)
+      assert(parts.head.startByte == 0L)
+      parts.sliding(2).foreach {
+        case Array(a, b) => assert(a.endByte == b.startByte, "segments must tile")
+        case _ =>
+      }
+      assert(parts.last.endByte == bytes.length.toLong)
+      // each mid-shard segment seeds from its cursor: real GTID + schema
+      parts.tail.foreach { p =>
+        assert(p.startPosJson.contains("MySQL56/feed"))
+        assert(p.schemaLines.nonEmpty, "segment seed must carry the schema checkpoint")
+      }
+    } finally stream.stop()
+  }
+
+  test("intra-shard split partitions produce identical output: epochs, evolved schema") {
+    // txs 1-10 on host A (2 columns); the schema evolves to 3 columns
+    // inside tx 11 and the GTID host flips (epoch 0 → 1) for txs 11-20.
+    // A tiny split target forces many mid-shard segments; their seeds
+    // must carry the right GTID, epoch, and schema checkpoint or the
+    // output diverges from the unsplit run.
+    val f3 = t1Fields :+ FieldDef("extra", "VARCHAR", "varchar(32)", 32, 0, 0L)
+    def tx3(shard: String, seq: Long, id: Long, v: String, x: String): Seq[VEvent] = Seq(
+      BeginEvent(shard, "ks"),
+      FieldEvent(shard, "ks", "ks.t1", f3, enumSetStringValues = false),
+      RowEvent(shard, "ks", "ks.t1", Seq(
+        RowChange(None, Some(PackedRow.of(Seq(Some(id.toString), Some(v), Some(x))))))),
+      VgtidEvent(shard, Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/hostB:1-$seq")))),
+      CommitEvent(shard, "ks", 1700000000L + seq))
+    val feedDir = Files.createTempDirectory("cdcsplite2e")
+    writeFeed(feedDir, "s0",
+      (1L to 10L).flatMap(i => insertTx("s0", i, i, s"a$i", host = "hostA")))
+    Files.writeString(feedDir.resolve("s0.jsonl"),
+      (11L to 20L).flatMap(i => tx3("s0", i, i, s"b$i", s"x$i"))
+        .map(VEventJson.write).mkString("", "\n", "\n"),
+      StandardOpenOption.APPEND)
+    def run(sink: String, opts: Map[String, String]): (Seq[Row], Path) = {
+      val ckpt = Files.createTempDirectory("cdcsplitckpt")
+      val b0 = spark.readStream.format("vitess-cdc").option("path", feedDir.toString)
+      val q = opts.foldLeft(b0) { case (b, (k, v)) => b.option(k, v) }.load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.sql(
+        s"SELECT CAST(get_json_object(after, '$$.id') AS LONG) AS id, after, epoch, " +
+          s"vgtid, restart_vgtid, rank, total_order FROM $sink WHERE op = 'c' ORDER BY id")
+        .collect().toSeq
+      (rows, ckpt)
+    }
+    val (plain, _) = run("cdc_split_off", Map.empty)
+    val (split, splitCkpt) = run("cdc_split_on", Map("split.partition.bytes" -> "1500"))
+    assert(split == plain, "split run must be row-identical to the unsplit run")
+    assert(plain.size == 20)
+    assert(plain.take(10).forall(_.getLong(2) == 0L)) // host A epoch
+    assert(plain.drop(10).forall(_.getLong(2) == 1L)) // flip folded into seeds
+    assert(plain.last.getString(1).contains("x20")) // evolved column decoded
+    // and the split run REALLY split: its committed offset carries cuts
+    val offsetJson = Files.readString(splitCkpt.resolve("offsets").resolve("0"))
+    assert(offsetJson.contains("\"feed_splits\""), "expected feed_splits in the offset log")
   }
 
   test("offset json round-trips the reference offset-map shape") {
