@@ -88,8 +88,12 @@ object Bench {
     // early per-query timings; persist the full line (cwd-relative — the
     // repo root under sbt) so round-over-round comparison always covers
     // every query. A failed write must not fail the bench, but say so.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json not written: $e") }
+    // A BENCH_ONLY-filtered run is local iteration — it must never
+    // clobber the recorded full-sweep medians.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] bench_full.json not written: $e") }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -142,6 +142,10 @@ object Multimodal {
     * (integer floor — the replayable nearest neighbor). */
   private def resizePixels(
       sw: Int, sh: Int, src: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    // caller-config dims, not payload data — but tw*th*3 must still fit
+    // an Int or the allocation overflows to NegativeArraySizeException
+    require(tw.toLong * th <= Int.MaxValue / 3,
+      s"target ${tw}x$th exceeds the pixel-array bound")
     val out = new Array[Byte](tw * th * 3)
     var y = 0
     while (y < th) {
@@ -237,6 +241,25 @@ object Multimodal {
     else decodePngPixels(payload)
   }
 
+  /** Per-payload image features, dispatching by magic bytes: BMP rides
+    * the streaming header parser (no pixel-array materialization), PNG
+    * decodes via ImageIO then sums channels. Same (w, h, means-BGR)
+    * tuple shape as [[decodeBmp]]. */
+  private def imageFeatures(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (payload != null && payload.length >= 2 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) decodeBmp(payload)
+    else decodePngPixels(payload).map { case (w, h, px) =>
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var i = 0
+      while (i < px.length) {
+        sb += px(i) & 0xff; sg += px(i + 1) & 0xff; sr += px(i + 2) & 0xff
+        i += 3
+      }
+      val n = w.toLong * h
+      (w, h, sb.toDouble / n, sg.toDouble / n, sr.toDouble / n)
+    }
+  }
+
   /** Format-agnostic image features over a mixed BMP/PNG media table:
     * the same (dims, per-channel means) surface as [[decodeBmpFeatures]]
     * but dispatching per payload — the shape a real multi-format corpus
@@ -248,17 +271,10 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val len = if (payload == null) 0L else payload.length.toLong
-          decodeImagePixels(payload) match {
-            case Some((w, h, px)) =>
-              var sb = 0L; var sg = 0L; var sr = 0L
-              var i = 0
-              while (i < px.length) {
-                sb += px(i) & 0xff; sg += px(i + 1) & 0xff; sr += px(i + 2) & 0xff
-                i += 3
-              }
-              val n = w.toLong * h
+          imageFeatures(payload) match {
+            case Some((w, h, mb, mg, mr)) =>
               Row(r.getAs[Long]("media_id"), len, w, h,
-                round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n))
+                round6(mr), round6(mg), round6(mb))
             case None =>
               Row(r.getAs[Long]("media_id"), len, null, null, null, null, null)
           }

@@ -98,13 +98,20 @@ object GrpcFeederMain {
     * or the stop marker appears; rethrows any feeder failure so the
     * process exits non-zero (and a supervisor — or Spark's task retry
     * in executors mode — restarts it to resume exactly-once). */
-  def run(stagingDir: String, cfg: GrpcConfig): Unit = {
+  def run(stagingDir: String, cfg: GrpcConfig, clearStopMarker: Boolean = true): Unit = {
+    // a stale marker from a previous shutdown must not make a restarted
+    // EXTERNAL feeder exit instantly — starting one means "run".
+    // Executors-mode tasks pass clearStopMarker=false: there the driver
+    // owns the marker (deleted at launch, written at close), and a
+    // Spark-retried task must still honor an in-progress shutdown.
+    val stop = Paths.get(stagingDir, StopMarker)
+    if (clearStopMarker) Files.deleteIfExists(stop)
     val feeder = new GrpcFeeder(stagingDir, cfg)
     feeder.start()
-    val stop = Paths.get(stagingDir, StopMarker)
     try {
       var done = false
-      while (!done && !Files.exists(stop)) done = feeder.isCompleted(200)
+      while (!done && !Files.exists(stop) && feeder.failureOption.isEmpty)
+        done = feeder.isCompleted(200)
       feeder.failureOption.foreach(t =>
         throw new IllegalStateException("vstream feeder failed", t))
     } finally feeder.close()

@@ -343,7 +343,7 @@ private[sources] object ExecutorFeeders {
   private def runJob(
       sc: org.apache.spark.SparkContext, tasks: Seq[(String, GrpcConfig)]): Unit =
     sc.parallelize(tasks, tasks.size).foreach { case (dir, c) =>
-      GrpcFeederMain.run(dir, c)
+      GrpcFeederMain.run(dir, c, clearStopMarker = false)
     }
 }
 
@@ -463,6 +463,8 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
   def awaitCompleted(timeoutMs: Long): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     workers.foreach { w =>
+      if (failure != null) // fail fast: don't wait out the timeout on a dead stream
+        throw new IllegalStateException("vstream grpc feeder failed", failure)
       val left = (deadline - System.nanoTime()) / 1000000L
       if (!w.completed.await(math.max(1L, left), TimeUnit.MILLISECONDS))
         throw new IllegalStateException("vstream did not complete in time")
@@ -477,6 +479,10 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
       channel.shutdownNow()
       channel.awaitTermination(5, TimeUnit.SECONDS)
     }
+    // discard in-flight transaction buffers: closes any open spill
+    // stream and reclaims its file (a resumed feeder replays the open
+    // transaction from the last staged VGTID anyway)
+    workers.foreach(w => try w.discardPending() catch { case _: Exception => () })
     writers.values.foreach(w => try w.close() catch { case _: Exception => () })
   }
 
@@ -586,8 +592,18 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
       val observer = new StreamObserver[Array[Byte]] {
         @volatile private var progressed = false
         override def onNext(responseBytes: Array[Byte]): Unit =
-          try { stage(VtWire.decodeVStreamResponse(responseBytes)); progressed = true }
-          catch { case t: Throwable => failure = t }
+          // once failed, stage NOTHING more: a staging failure mid-
+          // transaction must not let a later COMMIT flush a partial
+          // transaction into the durable feed (the buffer holding the
+          // interrupted tx is simply never flushed)
+          if (failure == null && !closed) {
+            try { stage(VtWire.decodeVStreamResponse(responseBytes)); progressed = true }
+            catch {
+              case t: Throwable =>
+                failure = t
+                completed.countDown() // waiters must see the failure now
+            }
+          }
         override def onError(t: Throwable): Unit = {
           val retryAttempt = if (progressed) 1 else attempt + 1
           if (failure == null && !closed && Retry.isRetriable(t) && retryAttempt <= maxReconnects) {
@@ -637,6 +653,8 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
     // promoted on flush, dropped with the buffer on reconnect
     private val lastStaged = scala.collection.mutable.Map[String, ShardGtid]()
     private val pendingVgtid = scala.collection.mutable.Map[String, ShardGtid]()
+
+    private[GrpcFeeder] def discardPending(): Unit = resetPending()
 
     /** Drop buffered partial transactions (reconnect path: the resumed
       * stream replays them from the last STAGED vgtid). */

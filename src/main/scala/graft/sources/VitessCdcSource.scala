@@ -577,6 +577,18 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
   private val splitPartitionBytes: Long =
     Option(options.get("split.partition.bytes")).map(_.toLong).getOrElse(Long.MaxValue)
 
+  // Floor on split granularity: one allAvailable batch over a huge
+  // backlog could otherwise accrue unbounded cursors — each carried in
+  // the checkpointed offset JSON (with its schema checkpoint) and each
+  // becoming a task. Cap per shard per batch and THIN evenly (dropping
+  // split cursors is always safe — segments just get larger).
+  private val splitMaxPerShard: Int =
+    Option(options.get("split.partitions.max.per.shard")).map(_.toInt).getOrElse(128)
+
+  private def thinSplits(xs: Seq[ShardCursor]): Seq[ShardCursor] =
+    if (xs.size <= splitMaxPerShard) xs
+    else (1 to splitMaxPerShard).map(j => xs(j * xs.size / splitMaxPerShard - 1))
+
   // Metadata-only admission (see latestOffset): background per-shard
   // tailers own the feed scan unless bounded-batch mode caps it anyway.
   // The pool bounds driver threads regardless of shard count
@@ -729,7 +741,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           val snap = t.snapshot
           // admitted is fold-internal progress, meaningless to readers —
           // zero it so offset JSON round-trips compare equal
-          val shardSplits = t.drainSplits(snap.pos).map(_.copy(admitted = 0L))
+          val shardSplits = thinSplits(t.drainSplits(snap.pos)).map(_.copy(admitted = 0L))
           if (shardSplits.nonEmpty) splitsOut += shard -> shardSplits
           snap
         } else {
@@ -754,7 +766,7 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
               if (!stop) line = slice.readLine()
             }
           } finally slice.close()
-          val shardSplits = fold.drainSplits().filter(_.pos < fold.safe.pos)
+          val shardSplits = thinSplits(fold.drainSplits().filter(_.pos < fold.safe.pos))
             .map(_.copy(admitted = 0L))
           if (shardSplits.nonEmpty) splitsOut += shard -> shardSplits
           fold.safe
@@ -766,10 +778,18 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
       // never regress behind the committed start position
       if (CopyProgress.compare(cursor.sg, startSg) < 0) startSg else cursor.sg
     }
-    VgtidOffset(
+    val built = VgtidOffset(
       Vgtid(gtids), epochs, generation,
       positionsOut.result(), schemasOut.result(), hbMsOut.result(),
       splitsOut.result())
+    // Spark detects "no new data" by offset-JSON equality. `from` may
+    // carry the previous batch's split cursors; a no-progress rebuild
+    // (same vgtid/positions, no new splits) must return `from` verbatim
+    // or the json difference schedules one spurious empty batch after
+    // every split-carrying batch.
+    if (built.splits.isEmpty && from.splits.nonEmpty &&
+      built.copy(splits = from.splits).json() == from.json()) from
+    else built
   }
 
   override def latestOffset(): Offset =
@@ -804,6 +824,12 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
         // single-partition case is just the zero-splits instance.
         val cuts = e.splits.getOrElse(shard, Nil)
           .filter(c => c.pos > startByte && c.pos < endByte)
+          // a cursor recorded in the PRE-START history region (explicit-
+          // vgtid cold start over a feed that still holds history) has a
+          // GTID behind the batch start; seeding a segment from it would
+          // re-admit history the position filter is there to skip — drop
+          // it (dropping a split is always safe)
+          .filter(c => CopyProgress.compare(c.sg, startSg) > 0)
           .sortBy(_.pos)
         val batchStart = ShardCursor(
           startByte, startSg, seedEpoch(shard, startEpochs),
@@ -898,10 +924,6 @@ object VitessCdcStream {
     * tailer path must keep this at zero; specs pin that bound). */
   val triggerScanLines = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Test instrumentation: lines JSON-decoded by partition readers —
-    * the cold-start history skip must keep pre-position transactions
-    * out of this count (specs pin the bound). */
-  val readerDecodedLines = new java.util.concurrent.atomic.AtomicLong()
 }
 
 final case class VitessCdcPartition(
@@ -1024,10 +1046,7 @@ class VitessCdcPartitionReader(
     // transaction — per-shard positions are monotone).
     val lineIter =
       if (p.startByte == 0L && !fresh) skipColdHistory(slice.lines) else slice.lines
-    val events = lineIter.map { line =>
-      VitessCdcStream.readerDecodedLines.incrementAndGet()
-      VEventJson.read(line)
-    }
+    val events = lineIter.map(VEventJson.read)
     val startVgtid = if (fresh) None else Some(Vgtid(Seq(startSg)))
     // Seeding previousVgtid with the batch-start position makes a host-set
     // change at a batch boundary bump the epoch exactly like the driver's

@@ -699,10 +699,15 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("a shard owned by another worker is a misroute: loud failure, no drop") {
-    // two workers (one per shard); s0's subscription serves an s1 event
+    // two workers (one per shard); s0's subscription serves one good tx,
+    // then a misrouted s1 event, then MORE s0 txs — nothing after the
+    // failure may reach the durable feed (a later COMMIT must not flush
+    // a partial transaction)
     val srv = new MockVtgate("vt-misroute", req => {
       val mine = req.vgtid.shardGtids.map(_.shard)
-      if (mine == Seq("s0")) Seq(insertTx("s1", 1, 1, "bad"))
+      if (mine == Seq("s0"))
+        Seq(insertTx("s0", 1, 1, "good"), insertTx("s1", 1, 1, "bad"),
+          insertTx("s0", 2, 2, "after-failure"))
       else Seq(insertTx("s1", 1, 1, "ok"))
     })
     val staging = Files.createTempDirectory("grpcmisroute")
@@ -716,6 +721,11 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       def messages(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
       assert(messages(err).exists(_.contains("misroute")))
+      // pre-failure tx staged whole; post-failure txs never staged
+      val slice = new FeedSlice(staging.resolve("s0.jsonl").toString, 0L)
+      val lines = try slice.lines.toVector finally slice.close()
+      assertWellFormedFeed(lines, Seq("1"))
+      assert(!lines.exists(_.contains("after-failure")))
     } finally { transport.close(); srv.close() }
   }
 
