@@ -141,6 +141,13 @@ class VtWireFuzzSpec extends AnyFunSuite {
   private val requestNode = Node(
     Set(1, 2, 3, 4, 5),
     Map(3 -> vgtidNode, 4 -> filterNode, 5 -> flagsNode))
+  private val sessionNode = Node(Set(4, 5), Map.empty)
+  private val boundQueryNode = Node(Set(1), Map.empty)
+  private val executeRequestNode = Node(
+    Set(1, 2, 3), Map(2 -> sessionNode, 3 -> boundQueryNode))
+  private val rpcErrorNode = Node(Set(1, 2), Map.empty)
+  private val executeResponseNode = Node(
+    Set(1, 2, 3), Map(1 -> rpcErrorNode, 3 -> queryResultNode))
 
   private def mangle(bytes: Array[Byte], node: Node, rnd: Random): Array[Byte] = {
     val recursed = parseChunks(bytes).map {
@@ -246,6 +253,30 @@ class VtWireFuzzSpec extends AnyFunSuite {
       assert(VtWire.decodeVStreamRequest(mangled) == VtWire.decodeVStreamRequest(clean),
         s"trial $trial diverged")
       assert(VtWire.decodeVStreamRequest(clean) == model, s"trial $trial round-trip broke")
+    }
+  }
+
+  test("decode is invariant under field reordering + unknown fields: Execute RPC") {
+    val rnd = new Random(0xE8EC47EL)
+    (1 to 400).foreach { trial =>
+      val req = VtWire.ExecuteRequestModel(
+        sql = s"SHOW TABLES /* ${word(rnd)} */",
+        targetString = if (rnd.nextBoolean()) s"ks:s${rnd.nextInt(4)}@replica" else "",
+        autocommit = rnd.nextBoolean())
+      val cleanReq = VtWire.encodeExecuteRequest(req)
+      assert(VtWire.decodeExecuteRequest(mangle(cleanReq, executeRequestNode, rnd)) ==
+        VtWire.decodeExecuteRequest(cleanReq), s"trial $trial request diverged")
+      assert(VtWire.decodeExecuteRequest(cleanReq) == req, s"trial $trial request round-trip")
+
+      val resp = VtWire.ExecuteResponseModel(
+        error = if (rnd.nextInt(4) == 0) Some(s"err ${word(rnd)}") else None,
+        result = if (rnd.nextInt(4) == 0) None else Some(VtWire.QueryResultModel(
+          randomFields(rnd),
+          (0 until rnd.nextInt(4)).map(_ => randomRow(rnd)))))
+      val cleanResp = VtWire.encodeExecuteResponse(resp)
+      assert(VtWire.decodeExecuteResponse(mangle(cleanResp, executeResponseNode, rnd)) ==
+        VtWire.decodeExecuteResponse(cleanResp), s"trial $trial response diverged")
+      assert(VtWire.decodeExecuteResponse(cleanResp) == resp, s"trial $trial response round-trip")
     }
   }
 }
