@@ -140,6 +140,45 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(p.schemaLines.nonEmpty, "segment seed must carry the schema checkpoint")
       }
     } finally stream.stop()
+
+    // the per-shard cap bounds cursors (offset size and task count) by
+    // thinning evenly — the window still tiles, just coarser
+    val optsCapped = new java.util.HashMap[String, String]()
+    optsCapped.put("path", feedDir.toString)
+    optsCapped.put("split.partition.bytes", "500")
+    optsCapped.put("split.partitions.max.per.shard", "3")
+    val capped = new VitessCdcStream(new CaseInsensitiveStringMap(optsCapped))
+    try {
+      val start = capped.initialOffset()
+      val end = capped.latestOffset(start, ReadLimit.allAvailable()).asInstanceOf[VgtidOffset]
+      val cuts = end.splits.getOrElse("s0", Nil)
+      assert(cuts.size == 3, s"cap must thin to 3, got ${cuts.size}")
+      assert(cuts.map(_.pos) == cuts.map(_.pos).sorted)
+      val parts = capped.planInputPartitions(start, end)
+      assert(parts.length == 4)
+    } finally capped.stop()
+  }
+
+  test("no spurious empty batch after a split-carrying batch") {
+    // Spark detects progress by offset-JSON equality; a rebuild that
+    // loses feed_splits while nothing else changed must return the start
+    // offset verbatim, or every split batch is followed by an empty one
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val feedDir = Files.createTempDirectory("cdcsplitnospur")
+    writeFeed(feedDir, "s0", (1L to 20L).flatMap(i => insertTx("s0", i, i, s"v$i")))
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", feedDir.toString)
+    opts.put("split.partition.bytes", "1500")
+    val stream = new VitessCdcStream(new CaseInsensitiveStringMap(opts))
+    try {
+      val start = stream.initialOffset()
+      val batch1 = stream.latestOffset(start, ReadLimit.allAvailable()).asInstanceOf[VgtidOffset]
+      assert(batch1.splits.getOrElse("s0", Nil).nonEmpty)
+      val batch2 = stream.latestOffset(batch1, ReadLimit.allAvailable())
+      assert(batch2.json() == batch1.json(),
+        "a no-progress trigger must be offset-identical to the split batch")
+    } finally stream.stop()
   }
 
   test("intra-shard split partitions produce identical output: epochs, evolved schema") {
