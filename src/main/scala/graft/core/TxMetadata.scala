@@ -104,6 +104,20 @@ object ShardLineage {
     }
     parentMax + 1
   }
+
+  private val KeyRangePattern = "^[0-9a-fA-F]*-[0-9a-fA-F]*$".r
+
+  /** True iff `outer`'s keyrange PROPERLY contains `inner`'s — i.e.
+    * `inner` is a reshard descendant of `outer`. Only meaningful for
+    * keyrange-named shards ("-", "-80", "40-c0"); names without a
+    * keyrange shape ("0", "s1") cannot stand in a reshard lineage and
+    * always answer false. */
+  def properlyContains(outer: String, inner: String): Boolean =
+    KeyRangePattern.matches(outer) && KeyRangePattern.matches(inner) && {
+      val o = rangeOf(outer)
+      val i = rangeOf(inner)
+      o.lower <= i.lower && i.upper <= o.upper && o != i
+    }
 }
 
 /** Epoch state machine. An epoch increments when the GTID host set is not

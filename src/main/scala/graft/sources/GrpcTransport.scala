@@ -182,6 +182,30 @@ private[sources] object GrpcTopology {
     val n = math.max(1, math.min(maxStreams, shards.size))
     shards.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1).map(_._2.map(_._1))
   }
+
+  /** Fail-fast guard against a PRE-RESHARD topology: a feed staged by a
+    * previous run for a keyrange shard properly contained by a shard
+    * this feeder is about to subscribe means the child was adopted from
+    * a live reshard and the configured list predates it — subscribing
+    * the parent would make the server replay the child's history (via
+    * the reshard journal) into a feed that already holds it. Disjoint or
+    * CONTAINING staged shards (retired parents) are fine: no worker
+    * subscribes to them, and the transport still lists their feeds for
+    * read continuity. */
+  def requireNoStaleParentConfig(stagingDir: String, shards: Seq[String]): Unit = {
+    if (!Files.exists(Paths.get(stagingDir))) return
+    val staged = FileFeedTransport(stagingDir, excludeEmptyShards = false)
+      .listShards().map(_._1)
+    val conflicts = for {
+      st <- staged if !shards.contains(st)
+      parent <- shards if ShardLineage.properlyContains(parent, st)
+    } yield s"$st (child of configured $parent)"
+    require(conflicts.isEmpty,
+      s"staging dir $stagingDir holds feeds for reshard child shard(s) " +
+        s"${conflicts.mkString(", ")} — the configured topology predates a " +
+        "reshard; update (or drop, for discovery) the shard list so the " +
+        "children resume from their own staged positions instead of replaying")
+  }
 }
 
 /** Live VTGate transport: driver-side gRPC consumers stage the VStream
@@ -232,7 +256,14 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
     * transport). */
   override def listShards(): Seq[(String, String)] = {
     feeder.ensureRunning()
-    feeder.currentShards.map(sh => sh -> Paths.get(stagingDir, s"$sh.jsonl").toString)
+    val live = feeder.currentShards
+      .map(sh => sh -> Paths.get(stagingDir, s"$sh.jsonl").toString)
+    // retired shards (reshard parents from a previous run) keep their
+    // staged history readable even though no worker subscribes to them —
+    // the reading engine's reshard machinery needs parent feeds next to
+    // the children's, exactly like the file transport lists them
+    val retired = inner.listShards().filterNot(s => live.exists(_._1 == s._1))
+    (live ++ retired).sortBy(_._1)
   }
 
   override def open(locator: String, from: Long, to: Long): VStreamSlice =
@@ -364,6 +395,7 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
 
   private[sources] val (shards: Seq[String], includeTables: Seq[String]) =
     GrpcTopology.resolve(cfg)
+  GrpcTopology.requireNoStaleParentConfig(stagingDir, shards)
 
   /** Staging writers, created on demand so a shard ADOPTED mid-stream
     * (live reshard: a child shard the startup topology never saw) gets

@@ -678,6 +678,51 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { transport.close(); srv.close() }
   }
 
+  test("restart with a pre-reshard shard list fails fast, never replays children") {
+    // a previous run adopted child "-80"; restarting with the stale
+    // parent-only list would make the server replay the child's history
+    // (via the reshard journal) into a feed that already holds it
+    val staging = Files.createTempDirectory("grpcstale")
+    Files.writeString(staging.resolve("-80.jsonl"),
+      insertTx("-80", 1, 1, "c1").map(VEventJson.write).mkString("", "\n", "\n"))
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-stale-unused", "ks", Seq("-")))
+    val err = intercept[IllegalArgumentException] { transport.listShards() }
+    assert(err.getMessage.contains("reshard child"))
+    // a DISJOINT extra staged shard is not a conflict (non-keyrange
+    // names can't stand in a reshard lineage at all)
+    val staging2 = Files.createTempDirectory("grpcstale2")
+    Files.createFile(staging2.resolve("s9.jsonl"))
+    GrpcTopology.requireNoStaleParentConfig(staging2.toString, Seq("s0"))
+  }
+
+  test("retired reshard parents stay listed for read continuity") {
+    // post-reshard restart: children configured (as discovery would
+    // return), the parent's staged history still on disk — listShards
+    // must surface ALL THREE files (the reading engine's reshard
+    // machinery needs parent history next to the children), while the
+    // feeder only subscribes to the children
+    val srv = new MockVtgate("vt-retired", req => {
+      val mine = req.vgtid.shardGtids.map(_.shard)
+      assert(mine.sorted == Seq("-80", "80-"), s"must not subscribe the parent: $mine")
+      mine.map(sh => insertTx(sh, 2, 2, s"$sh-new"))
+    })
+    val staging = Files.createTempDirectory("grpcretired")
+    Files.writeString(staging.resolve("-.jsonl"),
+      insertTx("-", 1, 1, "old").map(VEventJson.write).mkString("", "\n", "\n"))
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-retired", "ks", Seq("-80", "80-")))
+    try {
+      val listed = transport.listShards()
+      assert(listed.map(_._1) == Seq("-", "-80", "80-"))
+      transport.awaitStreamCompleted(10000)
+      // parent feed untouched, children staged fresh
+      val slice = new FeedSlice(staging.resolve("-.jsonl").toString, 0L)
+      val parentLines = try slice.lines.toVector finally slice.close()
+      assertWellFormedFeed(parentLines, Seq("1"))
+    } finally { transport.close(); srv.close() }
+  }
+
   test("live reshard under stop.on.reshard fails loudly, never drops") {
     val srv = new MockVtgate("vt-reshard-stop", _ => Seq(
       insertTx("-", 1, 1, "p1"),
