@@ -182,6 +182,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("properlyContains matches the integer-interval oracle; non-keyranges never") {
+    val genRange = for {
+      lo <- Gen.choose(0, KeyspaceEnd - 1)
+      hi <- Gen.choose(lo + 1, KeyspaceEnd)
+    } yield (lo, hi)
+    forAll(genRange, genRange, Gen.oneOf(true, false)) { case ((alo, ahi), (blo, bhi), uc) =>
+      val expected = alo <= blo && bhi <= ahi && (alo, ahi) != (blo, bhi)
+      val got = ShardLineage.properlyContains(
+        shardName(alo, ahi, uc), shardName(blo, bhi, uc))
+      assert(got == expected,
+        s"[$alo,$ahi) contains [$blo,$bhi): expected $expected got $got")
+      // never reflexive
+      assert(!ShardLineage.properlyContains(shardName(alo, ahi, uc), shardName(alo, ahi, uc)))
+    }
+    // names without a keyrange shape cannot stand in a reshard lineage
+    assert(!ShardLineage.properlyContains("s0", "s1"))
+    assert(!ShardLineage.properlyContains("-", "s1"))
+    assert(!ShardLineage.properlyContains("0", "1"))
+    // the full range properly contains every strict sub-range
+    assert(ShardLineage.properlyContains("-", "-80"))
+    assert(ShardLineage.properlyContains("-", "80-"))
+    assert(!ShardLineage.properlyContains("-80", "-"))
+  }
+
   test("adjacent keyranges do not inherit; disjoint entries never affect the result") {
     val gen = for {
       lo <- Gen.choose(0, KeyspaceEnd - 3)
