@@ -332,12 +332,24 @@ object CdcQueries {
     }
   }
 
+  /** Opt-in harness profiling (-Dgraft.profile): prints per-step wall
+    * time for the checkpointed gates so bench hygiene work measures
+    * instead of guessing. Zero cost when unset. */
+  private def timed[T](label: String)(f: => T): T =
+    if (!sys.props.contains("graft.profile")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE-STEP $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private def runStreamOnce(
       s: SparkSession,
       feedDir: java.nio.file.Path,
       outDir: java.nio.file.Path,
       ckpt: java.nio.file.Path,
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty): Unit = timed(s"stream:$feedDir") {
     val q = s.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
       .options(options)
@@ -494,10 +506,11 @@ object CdcQueries {
       val feed = CdcFeed.orders(s, d)
       Seq(feed.filter(col("seq") < 800), feed.filter(col("seq") >= 800))
     }
+    val split = Map("split.partition.bytes" -> "4194304")
     copyWave(waves(0), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt) // run 1, then stop ("kill")
+    runStreamOnce(s, feedDir, outDir, ckpt, split) // run 1, then stop ("kill")
     copyWave(waves(1), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt) // resume from checkpoint
+    runStreamOnce(s, feedDir, outDir, ckpt, split) // resume from checkpoint
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -550,7 +563,9 @@ object CdcQueries {
     val feedDir = Files.createTempDirectory("graft_feed_rs")
     val outDir = Files.createTempDirectory("graft_rs_out")
     val ckpt = Files.createTempDirectory("graft_rs_ckpt")
-    val opts = Map("inherit.epoch" -> "true")
+    // fan each shard's ~25 MB window across decode tasks (the at-scale
+    // reader config; cdc_split_partitions pins hash-identity under it)
+    val opts = Map("inherit.epoch" -> "true", "split.partition.bytes" -> "4194304")
     val waves = stageWaves(s"rs:$d", s) {
       Seq(
         CdcFeed.orders(s, d, nShards = 2, hostFlip = true, shardNames = Seq("-80", "80-")),
@@ -602,10 +617,11 @@ object CdcQueries {
       val waveBoundary = 8L * 10000000L // feed seq = txSeq*8+i; wave 2 starts at W2
       Seq(all.filter(col("seq") < waveBoundary), all.filter(col("seq") >= waveBoundary))
     }
+    val split = Map("split.partition.bytes" -> "4194304")
     copyWave(waves(0), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt)
+    runStreamOnce(s, feedDir, outDir, ckpt, split)
     copyWave(waves(1), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, Map("generation" -> "2"))
+    runStreamOnce(s, feedDir, outDir, ckpt, split + ("generation" -> "2"))
     s.read.parquet(outDir.toString)
       .groupBy(col("op"), col("epoch").cast(LongType).as("epoch"))
       .agg(
@@ -639,7 +655,8 @@ object CdcQueries {
     val outDir = Files.createTempDirectory("graft_cp_out")
     val ckpt = Files.createTempDirectory("graft_cp_ckpt")
     copyWave(stageWaves(s"cp:$d", s)(Seq(CdcFeed.copyPhase(s, d))).head, feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, Map("snapshot.tables" -> "ks\\.orders"))
+    runStreamOnce(s, feedDir, outDir, ckpt,
+      Map("snapshot.tables" -> "ks\\.orders", "split.partition.bytes" -> "4194304"))
     s.read.parquet(outDir.toString)
       .filter(col("op") === "c")
       // copy positions carry a lastpk object; streaming ones serialize
@@ -683,7 +700,8 @@ object CdcQueries {
     // call; the staged bytes are memoized like the restart-gate waves
     val (feed, handover) = CdcFeed.backfillWaves(s, d)
     copyWave(stageWaves(s"bf:$d", s)(Seq(feed)).head, feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, Map("vgtid" -> handover.json))
+    runStreamOnce(s, feedDir, outDir, ckpt,
+      Map("vgtid" -> handover.json, "split.partition.bytes" -> "4194304"))
     val snapshot = CdcBackfill.snapshotRecords(
         graft.Tables.orders(s, d), "ks", "orders", Seq("o_orderkey"),
         col("o_orderkey") % 4, handover)
