@@ -282,7 +282,12 @@ object Dedup {
     * hash); pairs are formed only within buckets. Returns distinct
     * (id_a < id_b) candidate pairs with their shingle arrays for
     * verification. */
-  def lshCandidatePairs(
+  /** The LSH banding itself: one `(id, band, band_hash)` row per (doc,
+    * band). This IS the persistable dedup index — band rows carry no
+    * text, so a corpus's index is O(docs·bands) longs and can be stored
+    * once and probed by every later ingest batch (see
+    * [[incrementalNearDupPairs]]). */
+  def minhashIndex(
       df: DataFrame,
       textCol: String,
       idCol: String,
@@ -290,14 +295,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withShingles = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    // band rows carry ONLY (band, band_hash, id): the heavy shingle
-    // arrays are not replicated through the bands×N explosion or its
-    // shuffle — they are joined back per candidate pair afterwards
-    val banded = df
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("sig", minhashSigUdf(shingleN, numHashes)(col("toks")))
       .select(
         col("id"),
@@ -307,6 +305,22 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  def lshCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val withShingles = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    // band rows carry ONLY (band, band_hash, id): the heavy shingle
+    // arrays are not replicated through the bands×N explosion or its
+    // shuffle — they are joined back per candidate pair afterwards
+    val banded = minhashIndex(df, textCol, idCol, shingleN, numHashes, bands)
     // bucket self-join: only rows sharing (band, band_hash) ever meet —
     // the shuffle key is the bucket, never a cartesian. Hot buckets (at
     // 100 TB a near-dup cluster can put millions of docs in one bucket,
@@ -364,6 +378,76 @@ object Dedup {
     val drop = minhashNearDupPairs(df, textCol, idCol, threshold, shingleN, numHashes, bands)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------- incremental dedup
+  /** Incremental near-dup detection for a continuously-ingested corpus:
+    * verified pairs (exact Jaccard ≥ threshold) in which at least one
+    * side belongs to the NEW batch — new-vs-corpus and new-vs-new, never
+    * corpus-vs-corpus. Per-ingest cost scales with the BATCH, not the
+    * corpus:
+    *
+    *  - the corpus is represented by its persisted [[minhashIndex]]
+    *    (O(docs·bands) longs, built once); its text is only re-read for
+    *    docs that actually become candidates;
+    *  - corpus index rows are semi-joined down to buckets the new batch
+    *    touches BEFORE any pairing, so untouched corpus buckets never
+    *    enter a shuffle;
+    *  - a corpus-hot bucket (a huge same-content cluster) pairs each new
+    *    doc against the bucket minimum only — O(new) pairs, the same
+    *    star bound as the batch path.
+    *
+    * `corpus` must be the docs the index was built from (same id/text
+    * columns); signature parameters must match the index build. */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      corpusIndex: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.6,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      hotBucketThreshold: Int = 64): DataFrame = {
+    val newIndex = minhashIndex(newDocs, textCol, idCol, shingleN, numHashes, bands)
+    val newBuckets = newIndex.select(col("band"), col("band_hash")).distinct()
+    val probedCorpus = corpusIndex
+      .join(newBuckets, Seq("band", "band_hash"), "left_semi")
+    val probed = probedCorpus.withColumn("is_new", lit(false))
+      .unionByName(newIndex.withColumn("is_new", lit(true)))
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    val sized = probed
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min(col("id")).over(w))
+    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
+    val a = small.select(col("band"), col("band_hash"), col("id").as("id_a"), col("is_new").as("new_a"))
+    val b = small.select(col("band"), col("band_hash"), col("id").as("id_b"), col("is_new").as("new_b"))
+    val smallPairs = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
+      .select(col("id_a"), col("id_b"))
+    // hot buckets: every member pairs with the bucket minimum; keep the
+    // pair only when a new doc is involved (the min may be a corpus doc)
+    val hot = sized.filter(col("bucket_n") > hotBucketThreshold)
+    val hotPairs = hot
+      .withColumn("min_is_new",
+        max(when(col("id") === col("bucket_min"), col("is_new").cast("int"))
+          .otherwise(lit(0))).over(w) === 1)
+      .filter(col("id") =!= col("bucket_min") && (col("is_new") || col("min_is_new")))
+      .select(col("bucket_min").as("id_a"), col("id").as("id_b"))
+    val pairs = smallPairs.unionByName(hotPairs).distinct()
+    // re-shingle ONLY candidate docs: semi-joins keep this batch-sized
+    val allDocs = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
+      .unionByName(newDocs.select(col(idCol).as("id"), col(textCol).as("t")))
+    def shingleSide(side: String) =
+      allDocs.join(pairs.select(col(side).as("id")).distinct(), Seq("id"), "left_semi")
+        .select(col("id").as(side), shingles(col("t"), shingleN).as(s"sh_$side"))
+    pairs
+      .join(shingleSide("id_a"), Seq("id_a"))
+      .join(shingleSide("id_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_id_a"), col("sh_id_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ----------------------------------------------- duplicate clustering
@@ -548,5 +632,74 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // --------------------------------------------- exact substring spans
+  /** Exact substring deduplication stats (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * ExactSubstr criterion): any k-character window of normalized text
+    * that occurs MORE THAN ONCE anywhere in the corpus (another document
+    * or elsewhere in the same one) is a duplicated span; a document's
+    * duplicated coverage is the character length of the UNION of its
+    * duplicated windows.
+    *
+    * Returns one row per input document:
+    * `(doc_id, n_dup_windows, covered_chars, dup_frac)` where
+    * `dup_frac = covered_chars / length(normalized text)` rounded to 6
+    * decimals (0 for documents shorter than k).
+    *
+    * Shape at scale: windows are generated with built-in expressions
+    * (`sequence`/`transform`/`substr` + `posexplode` — whole-stage
+    * codegen, no UDF) so the explode is a narrow map; the duplicate
+    * test is ONE groupBy on the window text (map-side partial agg —
+    * corpus-bytes sized, the inherent cost of ExactSubstr, same as the
+    * paper's suffix-array pass) followed by a semi-join of positions
+    * against the duplicated window set and a per-document window
+    * function for the interval union. Grouping is on the literal window
+    * text, not a hash, so an external engine can replay the exact
+    * result; swap the key to `xxhash64(win)` to shrink shuffle bytes
+    * ~k× when replayability is not needed. */
+  def substringDupStats(
+      df: DataFrame, textCol: String, idCol: String, k: Int = 30): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      TextOps.normText(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), length(col("t")).as("len"))
+    val wins = base.filter(col("len") >= k)
+      .select(
+        col("doc_id"), col("len"),
+        posexplode(transform(
+          sequence(lit(1), col("len") - (k - 1)),
+          i => col("t").substr(i, lit(k)))).as(Seq("off", "win")))
+      .select(col("doc_id"), col("len"), (col("off") + 1).as("pos"), col("win"))
+    // windows whose text occurs >= 2 times corpus-wide (any location)
+    val dupWins = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("win"))
+    val dupPos = wins.join(dupWins, Seq("win"), "left_semi")
+    // union length of fixed-k intervals at sorted positions:
+    // k for the first + min(k, gap) for each subsequent one
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cover = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(k))
+          .otherwise(least(lit(k), col("pos") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(col("contrib")).as("covered_chars"))
+    base.select(col("doc_id"), col("len"))
+      .join(cover, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        round(
+          when(col("len") > 0,
+            coalesce(col("covered_chars"), lit(0L)).cast("double") / col("len"))
+            .otherwise(lit(0.0)), 6).as("dup_frac"))
   }
 }

@@ -1477,7 +1477,223 @@ object LlmQueries {
       |  FROM documents
       |) WHERE term <> '' GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  // ------------------------------------------- exact substring spans
+  /** ExactSubstr dedup (Lee et al. ACL'22) under the oracle: the same
+    * injected-duplicate corpus as the minhash gates, so cross-document
+    * duplicated spans exist by construction (each +200000 copy shares
+    * its whole text with the original except the appended token); the
+    * oracle recomputes window generation, the >=2-occurrence test, and
+    * the fixed-k interval-union coverage in SQL. */
+  val qDedupSubstring: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val union = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zzzz")).as("text")))
+    Dedup.substringDupStats(union, "text", "doc_id", k = 30)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSubstringSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zzzz' FROM documents WHERE doc_id % 7 = 0
+      |), docs AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+      |    length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS nch
+      |  FROM all_docs
+      |), wins AS (
+      |  SELECT doc_id, u.pos AS pos, u.win AS win FROM (
+      |    SELECT doc_id,
+      |      unnest([{'pos': i, 'win': substr(t, i, 30)}
+      |              FOR i IN generate_series(1, nch - 29)]) AS u
+      |    FROM docs WHERE nch >= 30)
+      |), dup AS (
+      |  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+      |), dpos AS (
+      |  SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM wins WHERE win IN (SELECT win FROM dup)
+      |), cov AS (
+      |  SELECT doc_id, count(*) AS n_dup,
+      |    sum(CASE WHEN prev IS NULL THEN 30 ELSE least(30, pos - prev) END) AS covered
+      |  FROM dpos GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_windows,
+      |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars,
+      |  round(CASE WHEN d.nch > 0 THEN COALESCE(c.covered, 0)::DOUBLE / d.nch
+      |             ELSE 0.0 END, 6) AS dup_frac
+      |FROM docs d LEFT JOIN cov c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- repetition (Gopher)
+  /** Gopher repetition rules under the oracle: per-doc heaviest-2/3-gram
+    * character mass and duplicated-5-gram character mass over normalized
+    * length, recomputed by the oracle from the same n-gram definition. */
+  val qTextRepetition: Q = (s, d) =>
+    TextOps.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qTextRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS nch,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, 2 AS n,
+      |    unnest([array_to_string(toks[i:i+1], ' ')
+      |            FOR i IN generate_series(1, len(toks) - 1)]) AS g
+      |  FROM tok WHERE len(toks) >= 2
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    unnest([array_to_string(toks[i:i+2], ' ')
+      |            FOR i IN generate_series(1, len(toks) - 2)])
+      |  FROM tok WHERE len(toks) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, 5,
+      |    unnest([array_to_string(toks[i:i+4], ' ')
+      |            FOR i IN generate_series(1, len(toks) - 4)])
+      |  FROM tok WHERE len(toks) >= 5
+      |), pg AS (
+      |  SELECT doc_id, n, g, count(*) AS cnt, count(*) * length(g) AS mass
+      |  FROM grams GROUP BY doc_id, n, g
+      |), per_doc AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN n = 2 THEN mass END) AS top2_chars,
+      |    max(CASE WHEN n = 3 THEN mass END) AS top3_chars,
+      |    sum(CASE WHEN n = 5 AND cnt > 1 THEN mass END) AS dup5_chars
+      |  FROM pg GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |  round(CASE WHEN t.nch > 0 THEN COALESCE(p.top2_chars, 0)::DOUBLE / t.nch ELSE 0.0 END, 6) AS top2_frac,
+      |  round(CASE WHEN t.nch > 0 THEN COALESCE(p.top3_chars, 0)::DOUBLE / t.nch ELSE 0.0 END, 6) AS top3_frac,
+      |  round(CASE WHEN t.nch > 0 THEN COALESCE(p.dup5_chars, 0)::DOUBLE / t.nch ELSE 0.0 END, 6) AS dup5_frac
+      |FROM tok t LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- BPE statistics
+  /** BPE round-0 merge statistic under the oracle: histogram-weighted
+    * adjacent character-pair counts, top 20 (count desc, pair asc — a
+    * total order since pairs are unique). The full merge loop and
+    * tokenization are pinned by BpeSpec (not SQL-expressible). */
+  val qTextBpePairs: Q = (s, d) =>
+    Bpe.pairCounts(Bpe.wordHistogram(Tables.documents(s, d), "text"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  val qTextBpePairsSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |  FROM documents
+      |), hist AS (
+      |  SELECT w, count(*) AS cnt FROM words WHERE w <> '' GROUP BY w
+      |), pairs AS (
+      |  SELECT unnest([substr(w, i, 2) FOR i IN generate_series(1, length(w) - 1)]) AS pair, cnt
+      |  FROM hist WHERE length(w) >= 2
+      |)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ incremental dedup
+  /** Ingest-time dedup under the oracle: the corpus (doc_id % 3 != 0) is
+    * represented only by its persisted minhash band index; the new batch
+    * (doc_id % 3 == 0, plus injected near-copies of BOTH partitions)
+    * probes it. Detected pairs must equal the exact all-pairs Jaccard
+    * pairs that involve at least one new doc — and never a
+    * corpus-vs-corpus pair, which the incremental path must not
+    * recompute. */
+  val qDedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzzz")).as("text")))
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id",
+      shingleN = 3, numHashes = 64, bands = 16)
+    Dedup.incrementalNearDupPairs(fresh, corpus, index, "text", "doc_id",
+      threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text, doc_id % 3 = 0 AS is_new FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zzzz', TRUE
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), tok AS (
+      |  SELECT doc_id, is_new,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM all_docs
+      |), shingle_sets AS (
+      |  SELECT doc_id, is_new, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+      |  FROM tok WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      |WHERE (a.is_new OR b.is_new)
+      |  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+      |      / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------- perceptual hash
+  /** Image near-dup by perceptual aHash under the oracle: real BMP
+    * payloads (plus injected byte-identical copies), hashed by decode →
+    * 8×8 nearest-neighbor resample → integer gray-vs-mean bits, paired
+    * through 4×16-bit band buckets, filtered at exact Hamming ≤ 3
+    * (banding guarantees recall to 3 by pigeonhole). The oracle replays
+    * the whole chain — pixel formula, the x·w/8 floor sampling rule,
+    * strict 64·gray > Σgray bits, all-pairs Hamming — in SQL. */
+  val qMultimodalPhash: Q = (s, d) => {
+    val media = Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))
+      .select(col("media_id"), col("payload"))
+    val withCopies = media.unionByName(
+      media.filter(col("media_id") % 7 === 0)
+        .select((col("media_id") + 200000).as("media_id"), col("payload")))
+    Multimodal.phashNearDupPairs(Multimodal.imagePHash(withCopies))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qMultimodalPhashSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, doc_id FROM documents WHERE doc_id % 7 = 0
+      |), dims AS (
+      |  SELECT media_id, src, (src % 13 + 3)::BIGINT AS w, (src % 7 + 2)::BIGINT AS h
+      |  FROM media
+      |), grays AS (
+      |  SELECT media_id,
+      |    flatten(list_transform(generate_series(0, 7), y ->
+      |      list_transform(generate_series(0, 7), x ->
+      |          (src * 3 + ((y * h) // 8) * 23 + ((x * w) // 8) * 29) % 256
+      |        + (src * 11 + ((y * h) // 8) * 17 + ((x * w) // 8) * 5) % 256
+      |        + (src * 7 + ((y * h) // 8) * 31 + ((x * w) // 8) * 13) % 256))) AS g
+      |  FROM dims
+      |), hashes AS (
+      |  SELECT media_id,
+      |    array_to_string(list_transform(g,
+      |      v -> CASE WHEN v * 64 > list_sum(g) THEN '1' ELSE '0' END), '') AS phash
+      |  FROM grays
+      |)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |    CAST(len(list_filter(generate_series(1, 64),
+      |      i -> a.phash[i] <> b.phash[i])) AS INT) AS hamming
+      |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |) WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring"     -> qDedupSubstring,
+    "text_repetition"     -> qTextRepetition,
+    "text_bpe_pairs"      -> qTextBpePairs,
+    "dedup_incremental"   -> qDedupIncremental,
+    "multimodal_phash"    -> qMultimodalPhash,
     "dedup_clusters"      -> qDedupClusters,
     "dedup_containment"   -> qDedupContainment,
     "dedup_cluster_reps"  -> qDedupClusterReps,
@@ -1524,6 +1740,11 @@ object LlmQueries {
     "multimodal_frames"   -> qMultimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_substring"     -> qDedupSubstringSql,
+    "text_repetition"     -> qTextRepetitionSql,
+    "text_bpe_pairs"      -> qTextBpePairsSql,
+    "dedup_incremental"   -> qDedupIncrementalSql,
+    "multimodal_phash"    -> qMultimodalPhashSql,
     "dedup_clusters"      -> qDedupClustersSql,
     "dedup_containment"   -> qDedupContainmentSql,
     "dedup_cluster_reps"  -> qDedupClusterRepsSql,

@@ -295,6 +295,74 @@ object Multimodal {
         lit(tw).as("width"), lit(th).as("height"))).otherwise(lit(null)))
   }
 
+  // ------------------------------------------------- perceptual hash
+  /** Average-hash (aHash) perceptual fingerprint of an image payload:
+    * nearest-neighbor resample to 8×8 (the shared [[resizePixels]]
+    * rule), per-cell gray = B+G+R (a positive scaling of luma — the /3
+    * is dropped so every comparison stays in exact integer arithmetic),
+    * bit = strictly-greater-than-mean via `64·gray > Σgray`. Returned
+    * as a 64-char '0'/'1' string in row-major order — engine-portable
+    * and sign-safe (a packed int64 with bit 63 set would overflow a
+    * replaying engine's BIGINT). None on undecodable payloads. */
+  private[operators] def aHashBits(payload: Array[Byte]): Option[String] =
+    decodeImagePixels(payload).map { case (w, h, px) =>
+      val small = resizePixels(w, h, px, 8, 8)
+      val gray = Array.tabulate(64) { i =>
+        (small(i * 3) & 0xff) + (small(i * 3 + 1) & 0xff) + (small(i * 3 + 2) & 0xff)
+      }
+      var total = 0L
+      gray.foreach(total += _)
+      val sb = new StringBuilder(64)
+      var i = 0
+      while (i < 64) { sb.append(if (gray(i) * 64L > total) '1' else '0'); i += 1 }
+      sb.toString()
+    }
+
+  /** Per-media perceptual hash column — a narrow map (decode + 8×8
+    * resample per row, no shuffle). Undecodable payloads yield null. */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val hashU = udf { (payload: Array[Byte]) => aHashBits(payload).orNull }
+    media.select(col("media_id"), hashU(col("payload")).as("phash"))
+  }
+
+  /** Perceptual near-dup pairs over hashed media: the 64-bit hash is
+    * banded into 4×16-bit chunks, candidates form only inside equal
+    * (band, chunk) buckets (by pigeonhole, Hamming ≤ 3 GUARANTEES a
+    * shared band — recall is exact, same scheme as [[Dedup.simhash]]
+    * banding), then the exact Hamming distance filters. The distance is
+    * pure Catalyst (`zip_with` over the bit chars). A bucket larger
+    * than `hotBucketThreshold` is a same-image cluster at corpus scale;
+    * pass a lower threshold to switch those to star pairing via
+    * [[Dedup]]'s policy — the default keeps the pair set exactly
+    * replayable as all-pairs-within-bucket. */
+  def phashNearDupPairs(
+      hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding only guarantees recall to Hamming 3, got $maxHamming")
+    val withBands = hashed.filter(col("phash").isNotNull)
+      .select(
+        col("media_id"), col("phash"),
+        posexplode(transform(
+          sequence(lit(0), lit(3)),
+          b => col("phash").substr(b * 16 + 1, lit(16)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val a = withBands.select(
+      col("band"), col("chunk"), col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val b = withBands.select(
+      col("band"), col("chunk"), col("media_id").as("id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        size(filter(
+          zip_with(split(col("ph_a"), ""), split(col("ph_b"), ""), (x, y) => x =!= y),
+          d => d)))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Parsed BMP features: (width, height, mean_b, mean_g, mean_r) from
     * the header + pixel array alone (shared [[parseBmpHeader]]
     * validation — None on anything malformed, never an exception; means

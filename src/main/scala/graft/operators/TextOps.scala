@@ -56,6 +56,64 @@ object TextOps {
 
   def repetitionRatio(c: Column): Column = repRatioUdf(tokens(c))
 
+  // --------------------------------------------- repetition (Gopher rules)
+  /** Word n-grams as a pure Catalyst expression (whole-stage codegen, no
+    * UDF): slide over the token array with `sequence`+`slice`. Empty
+    * array when the document has fewer than n tokens. */
+  def ngramsExpr(toksCol: Column, n: Int): Column =
+    when(size(toksCol) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toksCol) - (n - 1)),
+        i => concat_ws(" ", slice(toksCol, i, lit(n)))))
+
+  /** Repetition-based quality signals in the style of the Gopher data
+    * rules (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+    * table A1): per document,
+    *  - `top2_frac` / `top3_frac`: the character mass of the single
+    *    heaviest word 2-/3-gram (occurrences × gram length) over the
+    *    normalized text length — "fraction of characters in the most
+    *    frequent n-gram". The heaviest gram is chosen by that product
+    *    directly (deterministic; no tie-order dependence).
+    *  - `dup5_frac`: summed character mass of all word 5-grams that occur
+    *    more than once, over the normalized text length — "fraction of
+    *    characters in duplicated n-grams". Overlapping occurrences each
+    *    count, so the value may exceed 1; it is a filter score, not a
+    *    coverage.
+    *
+    * One explode per n unioned with a tag column, ONE shuffle on
+    * (doc, n, gram) with map-side partial aggregation, then a per-doc
+    * rollup — no self-join, no UDF, survives corpus scale. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      length(normText(col(textCol))).as("len"),
+      tokens(col(textCol)).as("toks"))
+    val tagged = Seq(2, 3, 5).map { n =>
+      base.select(
+        col("doc_id"), lit(n).as("n"),
+        explode(ngramsExpr(col("toks"), n)).as("g"))
+    }.reduce(_ unionByName _)
+    val perGram = tagged
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("cnt") * length(col("g")))
+    val perDoc = perGram.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("mass"))).as("top2_chars"),
+        max(when(col("n") === 3, col("mass"))).as("top3_chars"),
+        sum(when(col("n") === 5 && col("cnt") > 1, col("mass"))).as("dup5_chars"))
+    def frac(c: Column, len: Column): Column =
+      round(when(len > 0, coalesce(c, lit(0L)).cast("double") / len)
+        .otherwise(lit(0.0)), 6)
+    base.select(col("doc_id"), col("len"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        frac(col("top2_chars"), col("len")).as("top2_frac"),
+        frac(col("top3_chars"), col("len")).as("top3_frac"),
+        frac(col("dup5_chars"), col("len")).as("dup5_frac"))
+  }
+
   // ---------------------------------------------------------- winnowing
   /** Word k-grams of the normalized text (short texts yield the whole
     * token string) — single-pass scalar slide, shared by winnowing and

@@ -959,4 +959,121 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
     assert(plan.contains("Partial"), s"expected a Partial (pre-shuffle) group limit in:\n$plan")
   }
+
+  test("incremental near-dup equals the batch pair set restricted to new-involving pairs") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzzz")).as("text")))
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id", 3, 64, 16)
+    val inc = Dedup.incrementalNearDupPairs(fresh, corpus, index, "text", "doc_id",
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: the batch path over the union, keeping only pairs
+    // that involve a new doc
+    val newIds = fresh.select("doc_id").as[Long].collect().toSet
+    val batch = Dedup.minhashNearDupPairs(corpus.unionByName(fresh), "text", "doc_id",
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => newIds(a) || newIds(b) }.toSet
+    assert(inc == batch)
+    assert(inc.nonEmpty) // the injected copies guarantee pairs exist
+    // and never a corpus-vs-corpus pair
+    assert(inc.forall { case (a, b) => newIds(a) || newIds(b) })
+  }
+
+  test("incremental near-dup: hot corpus bucket star-pairs against the bucket min") {
+    val sp = spark; import sp.implicits._
+    // 6 identical corpus docs (one same-content bucket of 6) + 1 new copy
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val fresh = Seq((100L, text)).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id", 3, 64, 16)
+    val pairs = Dedup.incrementalNearDupPairs(fresh, corpus, index, "text", "doc_id",
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16,
+        hotBucketThreshold = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // star pairing: the new doc pairs with the bucket minimum (id 1);
+    // corpus-corpus star pairs (1,2)..(1,6) are filtered out
+    assert(pairs == Set((1L, 100L)))
+  }
+
+  test("perceptual aHash: crafted pixels, identical copies pair at 0, band recall bound") {
+    val sp = spark; import sp.implicits._
+    // 8x8 image, left half dark (gray 0) right half bright (gray 765):
+    // mean is in between, bits = row-major '00001111' per row
+    val px = Array.tabulate(8 * 8 * 3) { i =>
+      val x = (i / 3) % 8
+      if (x < 4) 0.toByte else 0xff.toByte
+    }
+    val bmp = Multimodal.encodeBmpPixels(8, 8, px)
+    assert(Multimodal.aHashBits(bmp).get == "00001111" * 8)
+    // undecodable payload → null hash, dropped from pairing
+    val media = Seq(
+      (1L, bmp), (2L, bmp),                       // identical → Hamming 0
+      (3L, Array[Byte](1, 2, 3))                  // garbage
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.phashNearDupPairs(Multimodal.imagePHash(media))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0)))
+  }
+
+  test("perceptual aHash pairing: Hamming 3 found, Hamming 4 in one band rejected") {
+    val sp = spark; import sp.implicits._
+    val base = "00001111" * 8
+    def flip(s: String, idxs: Int*): String =
+      idxs.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == '0') '1' else '0'))
+    val hashed = Seq(
+      (1L, base),
+      (2L, flip(base, 0, 1, 2)),    // Hamming 3, all flips in band 0
+      (3L, flip(base, 0, 1, 2, 3))  // Hamming 4 — bands 1-3 still match ⇒
+                                    // candidate forms, exact filter rejects
+    ).toDF("media_id", "phash")
+    val pairs = Multimodal.phashNearDupPairs(hashed)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3), (2L, 3L, 1)))
+  }
+
+  test("substring dup stats: hand-computed coverage, within-doc + cross-doc, k edge") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaaaa"),        // 10×a: all six 5-windows identical
+      (2L, "abcdefghijklmnop"),  // shares 'abcde' with doc 3 at pos 1
+      (3L, "abcdeXXXXXabcde"),   // 'abcde' at pos 1 and 11 (self + doc 2)
+      (4L, "zq")                 // shorter than k: zero row, not dropped
+    ).toDF("doc_id", "text")
+    val rows = Dedup.substringDupStats(df, "text", "doc_id", k = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      // doc 1: 6 dup windows at pos 1..6 → union = 10 chars, frac 1
+      (1L, 6L, 10L, 1.0),
+      // doc 2: one dup window ('abcde' also in doc 3) → 5/16
+      (2L, 1L, 5L, 0.3125),
+      // doc 3: dup at pos 1 and 11 → 5 + min(5,10) = 10 of 15 chars
+      (3L, 2L, 10L, 0.666667),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("repetition stats: Gopher fractions hand-computed, incl. >1 dup5") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),                 // top2 'a b'×2 → 6/9; no dup 5-gram
+      (2L, "x y x y x y x y x y"),       // dup5 mass 54 over 19 chars (>1)
+      (3L, "q r s")                      // <5 tokens → dup5 undefined → 0
+    ).toDF("doc_id", "text")
+    val rows = TextOps.repetitionStats(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 0.666667, 0.555556, 0.0),
+      // top2: 'x y'×5 mass 15/19; top3: 'x y x'×4 mass 20/19;
+      // dup5: two grams ×3 each, mass 2·27 = 54/19 — a score, not coverage
+      (2L, 0.789474, 1.052632, 2.842105),
+      // top2 'q r' mass 3/5; top3 is the whole text 5/5
+      (3L, 0.6, 1.0, 0.0)))
+  }
 }
