@@ -668,17 +668,22 @@ object Dedup {
       .select(col("doc_id"), col("t"), length(col("t")).as("len"))
     val wins = base.filter(col("len") >= k)
       .select(
-        col("doc_id"), col("len"),
+        col("doc_id"),
         posexplode(transform(
           sequence(lit(1), col("len") - (k - 1)),
           i => col("t").substr(i, lit(k)))).as(Seq("off", "win")))
-      .select(col("doc_id"), col("len"), (col("off") + 1).as("pos"), col("win"))
-    // windows whose text occurs >= 2 times corpus-wide (any location)
-    val dupWins = wins.groupBy(col("win"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), (col("off") + 1).as("pos"), col("win"))
+    // windows whose text occurs >= 2 times corpus-wide (any location):
+    // a count-over-window on the window text — ONE shuffle of the
+    // exploded windows and one explode pass, where a groupBy+semi-join
+    // would shuffle the full window set twice and re-run the explode
+    // for the probe side (the occurrence list of one window text is
+    // hash-partitioned like any join on it, so the skew exposure is
+    // identical)
+    val dupPos = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("win"))))
       .filter(col("cnt") >= 2)
-      .select(col("win"))
-    val dupPos = wins.join(dupWins, Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos"))
     // union length of fixed-k intervals at sorted positions:
     // k for the first + min(k, gap) for each subsequent one
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
