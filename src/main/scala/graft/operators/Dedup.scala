@@ -450,6 +450,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** `foreachBatch` form of [[incrementalNearDupPairs]] — the ingest-time
+    * dedup loop: probe the persisted index with the incoming batch, emit
+    * the batch's verified near-dup pairs, then append the batch's band
+    * rows and docs so the NEXT batch sees them. State is two parquet
+    * directories (band index + corpus text), both append-only; per-batch
+    * cost is batch-sized (see [[incrementalNearDupPairs]]) and the index
+    * grows O(docs·bands) — the shape that lets a 100 TB corpus dedup new
+    * data forever without re-pairing itself.
+    *
+    * The returned pairs are materialized (localCheckpoint) BEFORE the
+    * appends, so the lazily-read index/corpus can't observe the batch's
+    * own appended rows. */
+  def ingestNearDupBatch(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      corpusDir: String,
+      threshold: Double = 0.6,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val batchDocs = batch.select(col(idCol), col(textCol))
+    val batchIndex = minhashIndex(batch, textCol, idCol, shingleN, numHashes, bands)
+    def readOr(dir: String, like: DataFrame): DataFrame =
+      if (new java.io.File(dir).exists()) spark.read.schema(like.schema).parquet(dir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    val corpus = readOr(corpusDir, batchDocs)
+    val index = readOr(indexDir, batchIndex)
+    val pairs = incrementalNearDupPairs(
+        batch, corpus, index, textCol, idCol,
+        threshold, shingleN, numHashes, bands)
+      .localCheckpoint() // materialize before the state appends below
+    batchIndex.write.mode("append").parquet(indexDir)
+    batchDocs.write.mode("append").parquet(corpusDir)
+    pairs
+  }
+
   // ----------------------------------------------- duplicate clustering
   /** Connected components over an undirected near-dup pair set: every
     * node is labeled with the smallest id reachable from it, turning the
@@ -706,5 +746,57 @@ object Dedup {
           when(col("len") > 0,
             coalesce(col("covered_chars"), lit(0L)).cast("double") / col("len"))
             .otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
+
+  /** The removal stage of ExactSubstr dedup: every occurrence of a
+    * duplicated k-char window EXCEPT the globally-first one (ordered by
+    * (doc_id, pos)) is cut from its document; the cut is the union of
+    * the removed [pos, pos+k) intervals, so the first copy of any
+    * repeated passage survives and every later copy disappears.
+    * Returns (doc_id, clean_text) with normalized text for every input
+    * document (unchanged when nothing was removed).
+    *
+    * Same distributed shape as [[substringDupStats]] — one explode, one
+    * shuffle on the window text (rank-over-window instead of count) —
+    * plus a per-doc scalar cut whose work is bounded by the document
+    * length; span discovery, the corpus-sized part, never leaves the
+    * cluster. */
+  def substringDedupText(
+      df: DataFrame, textCol: String, idCol: String, k: Int = 30): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      TextOps.normText(col(textCol)).as("t"))
+    val wins = base.filter(length(col("t")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("t")) - (k - 1)),
+          i => col("t").substr(i, lit(k)))).as(Seq("off", "win")))
+      .select(col("doc_id"), (col("off") + 1).as("pos"), col("win"))
+    val w = Window.partitionBy(col("win")).orderBy(col("doc_id"), col("pos"))
+    val removed = wins
+      .withColumn("occ", row_number().over(w))
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("win"))))
+      .filter(col("n_occ") >= 2 && col("occ") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("cut_starts"))
+    val cutU = udf { (t: String, starts: Seq[Int]) =>
+      if (starts == null || starts.isEmpty) t
+      else {
+        val keep = Array.fill(t.length)(true)
+        starts.foreach { p =>
+          var i = p - 1
+          val end = math.min(t.length, p - 1 + k)
+          while (i < end) { keep(i) = false; i += 1 }
+        }
+        val sb = new StringBuilder(t.length)
+        var i = 0
+        while (i < t.length) { if (keep(i)) sb.append(t.charAt(i)); i += 1 }
+        sb.toString()
+      }
+    }
+    base.join(removed, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), cutU(col("t"), col("cut_starts")).as("clean_text"))
   }
 }

@@ -676,6 +676,86 @@ object LlmQueries {
     """SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
       |WHERE vec_id % 9 = 0 ORDER BY id_a""".stripMargin
 
+  // ------------------------------------------------------- SemDeDup
+  /** SemDeDup under the oracle: replay mode (trainIters=0) makes the
+    * whole pipeline deterministic — centroids are the first 32 ids,
+    * assignment is argmax cosine (ties → lower cid), and the drop rule
+    * is any same-cell smaller-id neighbor at round(cos,6) ≥ 0.95. The
+    * injected exact copies (sim 1.0) are the only pairs over the
+    * threshold (natural max ≈ 0.6), so `kept` is exactly
+    * "not a +10000 copy". The oracle still replays the FULL pipeline —
+    * cell assignment included — so a quantizer or pairing regression
+    * fails the hash even though the drop set is simple. */
+  val qDedupSemantic: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dups = emb.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    Similarity.semDedup(emb.unionByName(dups), nCentroids = 32, threshold = 0.95)
+      .orderBy(col("vec_id"))
+  }
+
+  val qDedupSemanticSql: String =
+    """WITH all_vecs AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 9 = 0
+      |), cent AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM all_vecs ORDER BY vec_id LIMIT 32
+      |), assigned AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.cemb::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM all_vecs e CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |), dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+      |)
+      |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+      |FROM assigned a LEFT JOIN dropped d USING (vec_id)
+      |ORDER BY a.vec_id""".stripMargin
+
+  // ------------------------------------ hashed linear quality classifier
+  /** hashedBowScore under the oracle: weights are the deterministic
+    * formula `((b·2654435761 + 1234567) mod 2000001 − 1000000) µ` over
+    * 65536 buckets, so the oracle regenerates the whole weight table in
+    * SQL and replays the scorer as an explode + exact integer SUM —
+    * hash-identical to the operator's one-pass scalar form because both
+    * sum Long micros. */
+  val qTextClassifier: Q = (s, d) => {
+    val weights = Array.tabulate(65536) { b =>
+      (((b.toLong * 2654435761L + 1234567L) % 2000001L) - 1000000L) / 1e6
+    }
+    TextOps.hashedBowScore(Tables.documents(s, d), "text", "doc_id",
+        weights, intercept = 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextClassifierSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+      |  FROM docs WHERE length(t) > 0
+      |), scored AS (
+      |  SELECT doc_id, count(*) AS n_tok,
+      |    sum((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536)
+      |          * 2654435761 + 1234567) % 2000001) - 1000000) AS sm
+      |  FROM toks GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_tok, 0) AS n_tok,
+      |  round(COALESCE(s.sm, 0) / 1000000.0
+      |        / greatest(COALESCE(s.n_tok, 0), 1) + 0.05, 6) AS score,
+      |  (COALESCE(s.sm, 0) + 50000 * greatest(COALESCE(s.n_tok, 0), 1) >= 0)
+      |    AS quality_pass
+      |FROM docs d LEFT JOIN scored s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------ streaming daily agg
   /** Daily windowed aggregation run as a REAL Structured Streaming query:
     * the events table is re-laid as 8 parquet files, read back with
@@ -1057,6 +1137,43 @@ object LlmQueries {
       |  FROM documents
       |) WHERE rn <= 40
       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------- token-budget selection
+  /** selectUnderTokenBudget under the oracle: best-quality-first
+    * selection until the inclusive running token total passes 12000
+    * (≈ the better-scoring half of the corpus). The Spark side is the
+    * two-pass range-partitioned cumsum; the oracle is the plain global
+    * window — they must agree row-for-row INCLUDING the running total,
+    * so a mis-aligned partition offset fails the hash, not just the
+    * boundary row. */
+  val qSampleTokenBudget: Q = (s, d) => {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.wsTokenCount(col("text")).as("n_tok"))
+    Sampling.selectUnderTokenBudget(
+        scored, Seq(col("quality").desc, col("doc_id").asc), "n_tok",
+        budget = 12000L)
+      .select(col("doc_id"), col("quality"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSampleTokenBudgetSql: String = {
+    val toksOf = """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+    s"""WITH scored AS (
+      |  SELECT doc_id, $qualitySqlExpr AS quality,
+      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |          ELSE len($toksOf) END)::BIGINT AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, quality, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM scored
+      |)
+      |SELECT doc_id, quality, n_tok, cum_tok FROM c
+      |WHERE cum_tok <= 12000 ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------- length quantiles
   /** Per-language exact length quantiles (p25/p50/p75/p95 of n_chars) —
@@ -1527,6 +1644,56 @@ object LlmQueries {
       |FROM docs d LEFT JOIN cov c USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The removal stage under the oracle: same corpus, every duplicated
+    * window occurrence after the globally-first is cut; the oracle
+    * rebuilds each cleaned string character-by-character in SQL. */
+  val qDedupSubstringClean: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val union = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zzzz")).as("text")))
+    Dedup.substringDedupText(union, "text", "doc_id", k = 30)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSubstringCleanSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zzzz' FROM documents WHERE doc_id % 7 = 0
+      |), docs AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+      |    length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS nch
+      |  FROM all_docs
+      |), wins AS (
+      |  SELECT doc_id, u.pos AS pos, u.win AS win FROM (
+      |    SELECT doc_id,
+      |      unnest([{'pos': i, 'win': substr(t, i, 30)}
+      |              FOR i IN generate_series(1, nch - 29)]) AS u
+      |    FROM docs WHERE nch >= 30)
+      |), occ AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rk,
+      |    count(*) OVER (PARTITION BY win) AS n_occ
+      |  FROM wins
+      |), cuts AS (
+      |  SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rk >= 2
+      |), chars AS (
+      |  SELECT doc_id, u.i AS i, u.ch AS ch FROM (
+      |    SELECT doc_id,
+      |      unnest([{'i': i, 'ch': substr(t, i, 1)} FOR i IN generate_series(1, nch)]) AS u
+      |    FROM docs WHERE nch > 0)
+      |), kept AS (
+      |  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS clean_text
+      |  FROM chars c
+      |  WHERE NOT EXISTS (SELECT 1 FROM cuts x
+      |    WHERE x.doc_id = c.doc_id AND c.i >= x.pos AND c.i < x.pos + 30)
+      |  GROUP BY c.doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text
+      |FROM docs d LEFT JOIN kept k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- repetition (Gopher)
   /** Gopher repetition rules under the oracle: per-doc heaviest-2/3-gram
     * character mass and duplicated-5-gram character mass over normalized
@@ -1694,6 +1861,7 @@ object LlmQueries {
     "text_bpe_pairs"      -> qTextBpePairs,
     "dedup_incremental"   -> qDedupIncremental,
     "multimodal_phash"    -> qMultimodalPhash,
+    "dedup_substring_clean" -> qDedupSubstringClean,
     "dedup_clusters"      -> qDedupClusters,
     "dedup_containment"   -> qDedupContainment,
     "dedup_cluster_reps"  -> qDedupClusterReps,
@@ -1702,6 +1870,7 @@ object LlmQueries {
     "sample_mixture"      -> qSampleMixture,
     "sample_shuffle"      -> qSampleShuffle,
     "sample_source_cap"   -> qSampleSourceCap,
+    "sample_token_budget" -> qSampleTokenBudget,
     "text_len_quantiles"  -> qTextLenQuantiles,
     "text_chunks"         -> qTextChunks,
     "text_topterms"       -> qTextTopterms,
@@ -1722,6 +1891,8 @@ object LlmQueries {
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "dedup_embedding"     -> qDedupEmbedding,
+    "dedup_semantic"      -> qDedupSemantic,
+    "text_classifier"     -> qTextClassifier,
     "text_stats"          -> qTextStats,
     "text_langid"         -> qTextLangid,
     "text_fingerprint"    -> qTextFingerprint,
@@ -1745,6 +1916,7 @@ object LlmQueries {
     "text_bpe_pairs"      -> qTextBpePairsSql,
     "dedup_incremental"   -> qDedupIncrementalSql,
     "multimodal_phash"    -> qMultimodalPhashSql,
+    "dedup_substring_clean" -> qDedupSubstringCleanSql,
     "dedup_clusters"      -> qDedupClustersSql,
     "dedup_containment"   -> qDedupContainmentSql,
     "dedup_cluster_reps"  -> qDedupClusterRepsSql,
@@ -1753,6 +1925,7 @@ object LlmQueries {
     "sample_mixture"      -> qSampleMixtureSql,
     "sample_shuffle"      -> qSampleShuffleSql,
     "sample_source_cap"   -> qSampleSourceCapSql,
+    "sample_token_budget" -> qSampleTokenBudgetSql,
     "text_len_quantiles"  -> qTextLenQuantilesSql,
     "text_chunks"         -> qTextChunksSql,
     "text_topterms"       -> qTextToptermsSql,
@@ -1773,6 +1946,8 @@ object LlmQueries {
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "dedup_embedding"     -> qDedupEmbeddingSql,
+    "dedup_semantic"      -> qDedupSemanticSql,
+    "text_classifier"     -> qTextClassifierSql,
     "text_stats"          -> qTextStatsSql,
     "text_langid"         -> qTextLangidSql,
     "text_fingerprint"    -> qTextFingerprintSql,

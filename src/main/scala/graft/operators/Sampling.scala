@@ -175,4 +175,60 @@ object Sampling {
       .filter(hashPrefix(col(keyCol), seed) < col("__thresh"))
       .drop("__thresh")
   }
+
+  /** Token-budget corpus selection: walk the rows in `orderCols` order
+    * (e.g. quality desc — best first) and keep every row whose INCLUSIVE
+    * running `tokenCol` total stays ≤ `budget` — "the best documents
+    * that fit in an N-token training budget". Adds `cum_tok` (the
+    * running total) to the output.
+    *
+    * The running sum is the scale-correct TWO-PASS shape, never a
+    * single-partition global window: range-partition by `orderCols`
+    * (partition i holds ranks strictly before partition i+1), take ONE
+    * tiny per-partition total pass (≤ #partitions rows on the driver),
+    * broadcast the exclusive prefix offsets back, and finish with a
+    * per-partition window — every stage is parallel and the widest
+    * shuffle is the range exchange a global sort would need anyway. The
+    * ranged data is persisted across the two passes so both observe the
+    * SAME sampled range boundaries (re-planning the exchange could
+    * re-sample them differently and mis-align the offsets).
+    *
+    * `orderCols` must be a TOTAL order (include a unique id tiebreak) —
+    * otherwise ties may straddle a boundary and the kept set is not
+    * well-defined. */
+  def selectUnderTokenBudget(df: DataFrame, orderCols: Seq[Column],
+      tokenCol: String, budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals: Map[Int, Long] = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets = totals.keys.toSeq.sorted.map { pid =>
+      (pid, totals.filter(_._1 < pid).values.sum)
+    }
+    import spark.implicits._
+    val offsetDim = offsets.toDF("__pid", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val out = ranged
+      .join(broadcast(offsetDim), Seq("__pid"))
+      .withColumn("cum_tok",
+        col("__offset") + sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .drop("__pid", "__offset")
+      // the kept prefix is final — cut the cached-exchange lineage so the
+      // cache can be released without a recompute hazard downstream
+      .localCheckpoint()
+    ranged.unpersist()
+    out
+  }
 }

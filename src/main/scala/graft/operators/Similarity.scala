@@ -682,4 +682,71 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * coarse k-means clustering then WITHIN-cluster cosine pruning — a
+    * vector is dropped iff some same-cluster vector with a SMALLER id is
+    * ≥ `threshold` cosine-similar (keep-lowest-id, the paper's
+    * keep-one-per-dup-group policy restricted to clusters). Returns the
+    * full decision table `(vec_id, cid, kept)` so corpus filtering is a
+    * semi-join on `kept`.
+    *
+    * Scale contract (the paper's): `nCentroids` grows ∝ corpus size so
+    * the expected cluster is constant-sized, making the within-cluster
+    * pairing Σs² ≈ N·s̄ — linear, one equi-join shuffle on `cid`, never a
+    * cartesian. A cluster still larger than `hotCellThreshold` is
+    * overwhelmingly a same-content duplicate pile (random cells are
+    * centroid-bounded), so it degrades to star pairing against the
+    * cluster minimum — O(s) pairs, and exactly the keep-lowest-id
+    * decision for mutually-similar piles. Pair ids are formed from
+    * `(cid, id)` alone; vectors join back per candidate pair (the same
+    * heavy-payload discipline as [[cosineNearDupPairs]]).
+    *
+    * `trainIters = 0` is the REPLAY mode shared with [[ivfTopK]]:
+    * centroids are the first `nCentroids` vectors in plain id order and
+    * assignment is argmax cosine (ties → lower cid), so the whole
+    * operator is SQL-expressible and oracle-checked; Lloyd refinement
+    * (`trainIters` > 0) is the production quantizer. Similarities are
+    * rounded to 6 decimals BEFORE the threshold compare so the decision
+    * is robust to summation-order drift. */
+  def semDedup(corpus: DataFrame, nCentroids: Int = 32, threshold: Double = 0.95,
+      trainIters: Int = 0, hotCellThreshold: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainRows: Int = 4096): DataFrame = {
+    val centroids: Array[(Long, Array[Double])] =
+      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
+      else corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(centroids, v) }
+    // persisted: scanned by the pairing pass and both vector join-backs
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("cid", assignUdf(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("cid"))
+    val sized = assigned
+      .select(col("cid"), col("vec_id").as("id"))
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .withColumn("cell_min", min(col("id")).over(w))
+    val small = sized.filter(col("cell_n") <= hotCellThreshold)
+    val candPairs = small.select(col("cid"), col("id").as("id_a"))
+      .join(small.select(col("cid"), col("id").as("id_b")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .unionByName(sized
+        .filter(col("cell_n") > hotCellThreshold && col("id") =!= col("cell_min"))
+        .select(col("cell_min").as("id_a"), col("id").as("id_b")))
+    val dropped = candPairs
+      .join(assigned.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(assigned.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .filter(round(cosine(col("vec_a"), col("vec_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        not(coalesce(col("is_dropped"), lit(false))).as("kept"))
+  }
 }

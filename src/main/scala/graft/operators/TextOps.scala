@@ -456,6 +456,62 @@ object TextOps {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
 
+  /** Feature-hashed bag-of-words linear scorer — the fastText-style
+    * quality-classifier shape used to filter pretraining corpora (a
+    * logistic/linear model over hashed token features; the weights come
+    * from wherever the model was trained and are BROADCAST, the corpus
+    * is scored in ONE narrow pass, no shuffle, no explode). Each token
+    * buckets by its md5 prefix (`parseLong(hex[0,8)) % nBuckets` — the
+    * engine-portable hash every sampling op here uses), the document
+    * score is `mean(bucket weight) + intercept`, and `quality_pass` is
+    * the sign test on the EXACT integer sum.
+    *
+    * Weights are quantized to micros (×1e6, rint) on entry and summed as
+    * Longs, so the score is independent of token order and summation
+    * grouping — the property that makes the gate's DuckDB replay (an
+    * explode + integer SUM) hash-identical to this one-pass scalar form.
+    * `quality_pass` is the sign of `mean + intercept` decided in exact
+    * integer arithmetic (`sum + intercept·max(n,1) ≥ 0` in micros), so
+    * near-zero scores never flip on float noise. Returns
+    * `(doc_id, n_tok, score, quality_pass)`; empty/null text scores
+    * `intercept` with n_tok 0. */
+  def hashedBowScore(df: DataFrame, textCol: String, idCol: String,
+      weights: Array[Double], intercept: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val wMicros: Array[Long] = weights.map(w => math.rint(w * 1e6).toLong)
+    val n = wMicros.length
+    val sumUdf = udf(new (Seq[String] => Long) with Serializable {
+      @transient private var md: java.security.MessageDigest = _
+      def apply(toks: Seq[String]): Long = {
+        if (md == null) md = java.security.MessageDigest.getInstance("MD5")
+        var s = 0L
+        if (toks != null) toks.foreach { t =>
+          md.reset()
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 8 hex chars = first 4 bytes as an unsigned 32-bit int
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          s += wMicros((h % n).toInt)
+        }
+        s
+      }
+    })
+    val nTok = wsTokenCount(col(textCol))
+    df.select(
+        col(idCol).as("doc_id"),
+        nTok.as("n_tok"),
+        when(nTok === 0, lit(0L)).otherwise(sumUdf(tokens(col(textCol))))
+          .as("sum_micros"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("sum_micros").cast("double") / lit(1e6)
+          / greatest(col("n_tok").cast("double"), lit(1.0)) + lit(intercept), 6)
+          .as("score"),
+        (col("sum_micros") +
+          lit(math.rint(intercept * 1e6).toLong) * greatest(col("n_tok"), lit(1L))
+          >= 0).as("quality_pass"))
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   private def inList(values: Seq[String]): String =

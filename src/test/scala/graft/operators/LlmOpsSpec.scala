@@ -274,6 +274,82 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 200L).count(!drop.contains(_)) == 1)
   }
 
+  test("semDedup: hand-computed cells and drop decisions") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),     // centroid of cell 0
+      (1L, Seq(0f, 1f, 0f, 0f)),     // centroid of cell 1
+      (2L, Seq(1f, 0.01f, 0f, 0f)),  // cell 0, cos≈0.99995 to id 0 → dropped
+      (3L, Seq(0f, 1f, 0.5f, 0f))    // cell 1, cos≈0.894 to id 1 → kept
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.semDedup(df, nCentroids = 2, threshold = 0.99)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(rows == Seq((0L, 0L, true), (1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
+  test("semDedup: drop rule uses ANY smaller-id neighbor, kept or not") {
+    val sp = spark; import sp.implicits._
+    // one cell; cos(a,b) ≥ τ and cos(b,c) ≥ τ but cos(a,c) < τ: the
+    // paper's one-pass rule drops BOTH b (via a) and c (via the already-
+    // dropped b) — dedup is an ε-ball sweep, not a chain of survivors
+    val a = Seq(1f, 0f, 0f)
+    val b = Seq(0.98f, 0.199f, 0f)  // cos(a,b)=0.98
+    val c = Seq(0.92f, 0.39f, 0f)   // cos(b,c)≈0.979, cos(a,c)≈0.92
+    val df = Seq((10L, a), (11L, b), (12L, c)).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, nCentroids = 1, threshold = 0.97)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L))
+  }
+
+  test("semDedup: adversarial hot cell degrades to the O(K) star, keeps one") {
+    val sp = spark; import sp.implicits._
+    val vec = Array.fill(8)(0.5f).toSeq
+    val df = (0L until 200L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val rows = Similarity.semDedup(df, nCentroids = 1, threshold = 0.9999,
+        hotCellThreshold = 64)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == 200)
+    assert(rows.filter(_._3).map(_._1).toSeq == Seq(0L)) // only the cell min survives
+  }
+
+  test("hashedBowScore: buckets match the md5-prefix contract, exact micro sums") {
+    val sp = spark; import sp.implicits._
+    val n = 16
+    val weights = Array.tabulate(n)(b => (b - 8) / 4.0) // −2.0 … +1.75 in ¼ steps
+    // independent bucket derivation: hex-string parse, not byte shifts
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % n).toInt
+    }
+    def expectedScore(text: String, intercept: Double): (Long, Double, Boolean) = {
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+      val micros = toks.map(t => math.rint(weights(bucket(t)) * 1e6).toLong).sum
+      val nTok = toks.length.toLong
+      val score = BigDecimal(micros.toDouble / 1e6 / nTok + intercept)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (nTok, score, micros + math.rint(intercept * 1e6).toLong * nTok >= 0)
+    }
+    val df = Seq((1L, "Alpha beta   GAMMA alpha"), (2L, "delta")).toDF("doc_id", "text")
+    val rows = TextOps.hashedBowScore(df, "text", "doc_id", weights, intercept = 0.25)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    val e1 = expectedScore("Alpha beta   GAMMA alpha", 0.25)
+    val e2 = expectedScore("delta", 0.25)
+    assert(rows == Seq((1L, e1._1, e1._2, e1._3), (2L, e2._1, e2._2, e2._3)))
+  }
+
+  test("hashedBowScore: empty text scores the intercept; pass follows its sign") {
+    val sp = spark; import sp.implicits._
+    val w = Array.fill(4)(1.0)
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val pos = TextOps.hashedBowScore(df, "text", "doc_id", w, intercept = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(pos == Seq((1L, 0L, 0.5, true), (2L, 0L, 0.5, true)))
+    val neg = TextOps.hashedBowScore(df, "text", "doc_id", w, intercept = -0.5)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(neg == Seq((1L, 0L, -0.5, false), (2L, 0L, -0.5, false)))
+  }
+
   test("simhash: identical text -> distance 0; small perturbation stays close") {
     val sp = spark; import sp.implicits._
     val df = Seq(
@@ -960,6 +1036,33 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Partial"), s"expected a Partial (pre-shuffle) group limit in:\n$plan")
   }
 
+  test("token budget: hand-computed prefix, inclusive boundary, cum totals") {
+    val sp = spark; import sp.implicits._
+    // order by score desc, id asc: (4,s9)→cum 5, then the score-8 tie
+    // breaks by id — (1)→cum 9, (2)→cum 12; (3,s5)→cum 16 > 15 excluded:
+    // the boundary row is INCLUDED only when its own tokens still fit
+    val df = Seq(
+      (1L, 8.0, 4L), (2L, 8.0, 3L), (3L, 5.0, 4L), (4L, 9.0, 5L)
+    ).toDF("doc_id", "score", "n_tok")
+    val rows = Sampling.selectUnderTokenBudget(
+        df, Seq(col("score").desc, col("doc_id").asc), "n_tok",
+        budget = 15L, numPartitions = 3)
+      .select("doc_id", "cum_tok").as[(Long, Long)].collect().toMap
+    assert(rows == Map(4L -> 5L, 1L -> 9L, 2L -> 12L))
+  }
+
+  test("token budget: identical result at any partition count") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 300L).map(i => (i, (i * 31 % 97).toDouble, i % 13 + 1))
+      .toDF("doc_id", "score", "n_tok")
+    def run(p: Int) = Sampling.selectUnderTokenBudget(
+        df, Seq(col("score").desc, col("doc_id").asc), "n_tok",
+        budget = 700L, numPartitions = p)
+      .select("doc_id", "cum_tok").as[(Long, Long)].collect().toSet
+    val one = run(1)
+    assert(one.nonEmpty && one == run(7) && one == run(32))
+  }
+
   test("incremental near-dup equals the batch pair set restricted to new-involving pairs") {
     val sp = spark; import sp.implicits._
     val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -983,6 +1086,27 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.nonEmpty) // the injected copies guarantee pairs exist
     // and never a corpus-vs-corpus pair
     assert(inc.forall { case (a, b) => newIds(a) || newIds(b) })
+  }
+
+  test("ingest dedup loop: batch 2 pairs against batch 1 through the persisted index") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_dedup")
+    val idx = tmp.resolve("index").toString
+    val corp = tmp.resolve("corpus").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val b1 = Seq((1L, t1), (2L, t2), (3L, t1 + " iota")).toDF("doc_id", "text")
+    val b2 = Seq((10L, t1), (11L, "unrelated words only here appear")).toDF("doc_id", "text")
+    val p1 = Dedup.ingestNearDupBatch(b1, "text", "doc_id", idx, corp,
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 3L))) // within-batch near-dup found on the empty index
+    val p2 = Dedup.ingestNearDupBatch(b2, "text", "doc_id", idx, corp,
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // batch 2's copy pairs against BOTH batch-1 twins via the index,
+    // and never re-reports the (1,3) corpus-corpus pair
+    assert(p2 == Set((1L, 10L), (3L, 10L)))
   }
 
   test("incremental near-dup: hot corpus bucket star-pairs against the bucket min") {
@@ -1056,6 +1180,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // doc 3: dup at pos 1 and 11 → 5 + min(5,10) = 10 of 15 chars
       (3L, 2L, 10L, 0.666667),
       (4L, 0L, 0L, 0.0)))
+  }
+
+  test("substring removal: globally-first occurrence survives, later copies cut") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaaaa"),        // self-repeat: only the first window's chars survive
+      (2L, "abcdefghijklmnop"),  // owns the globally-first 'abcde' → untouched
+      (3L, "abcdeXXXXXabcde")    // both its 'abcde' occurrences are later copies
+    ).toDF("doc_id", "text")
+    val rows = Dedup.substringDedupText(df, "text", "doc_id", k = 5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "a"),                 // cut union [2,11) leaves position 1
+      (2L, "abcdefghijklmnop"),
+      (3L, "xxxxx")))            // cut [1,6) ∪ [11,16) leaves the middle
   }
 
   test("repetition stats: Gopher fractions hand-computed, incl. >1 dup5") {

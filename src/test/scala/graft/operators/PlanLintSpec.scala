@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -176,5 +177,52 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"),
       s"ann_ivfpq: final candidate rank should keep the partial WindowGroupLimit:\n$p")
     assert(!p.contains("CartesianProduct"), s"ann_ivfpq: no cartesian allowed:\n$p")
+  }
+
+  test("substring dedup: one Generate, no cartesian, no self-join of the window set") {
+    // the duplicate test is a count-over-window on the window text — the
+    // exploded window set must be Generated ONCE and shuffled once; a
+    // groupBy+semi-join regression doubles both (two Generates in the plan)
+    Seq("dedup_substring", "dedup_substring_clean").foreach { g =>
+      val p = plan(LlmQueries.queries(g)(spark, sfDir))
+      assert(countOf(p, "Generate") == 1,
+        s"$g: expected exactly one window explode, plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$g: no cartesian allowed:\n$p")
+    }
+  }
+
+  test("incremental dedup: corpus index reduced by semi-join before pairing; no cartesian") {
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id", 3, 64, 16)
+    val p = plan(Dedup.incrementalNearDupPairs(fresh, corpus, index, "text", "doc_id",
+      threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16))
+    // 3 semi-joins: the bucket prefilter + the two candidate re-shingle prunes
+    assert(countOf(p, "LeftSemi") >= 3,
+      s"incremental dedup: expected bucket + shingle semi-join prunes, plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"incremental dedup: no cartesian allowed:\n$p")
+  }
+
+  test("perceptual hash pairing: bucket equi-join, never a cartesian") {
+    val p = plan(LlmQueries.queries("multimodal_phash")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"multimodal_phash:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"multimodal_phash:\n$p")
+  }
+
+  test("semDedup: within-cell equi-join pairing, never a cartesian") {
+    val p = plan(LlmQueries.queries("dedup_semantic")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"dedup_semantic:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"dedup_semantic:\n$p")
+  }
+
+  test("hashed classifier: one narrow pass, zero shuffles") {
+    val n = 16
+    val weights = Array.tabulate(n)(b => (b - 8) / 4.0)
+    val p = plan(graft.operators.TextOps.hashedBowScore(
+      graft.Tables.documents(spark, sfDir), "text", "doc_id", weights))
+    assert(countOf(p, "Exchange") == 0,
+      s"hashedBowScore must be shuffle-free (broadcast weights, narrow map):\n$p")
   }
 }
