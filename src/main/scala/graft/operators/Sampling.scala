@@ -176,6 +176,29 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Per-group token budgets — "at most N tokens from each domain", the
+    * per-source curation rule in training-data mixes. Same inclusive
+    * running-total semantics as [[selectUnderTokenBudget]] but the
+    * cumsum is a window PARTITIONED BY the group, so it parallelizes by
+    * group with one key shuffle and needs no prefix-offset machinery
+    * (the global variant exists because a single-partition global window
+    * is the anti-pattern; a per-group window is not). Groups absent
+    * from `budgets` default to `defaultBudget` (Long.MaxValue = keep
+    * all). The budget table rides a broadcast dim. */
+  def selectUnderTokenBudgetPerGroup(df: DataFrame, groupCol: String,
+      orderCols: Seq[Column], tokenCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = budgets.toSeq.toDF(groupCol, "__budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("cum_tok", sum(col(tokenCol).cast("long")).over(w))
+      .join(broadcast(dim), Seq(groupCol), "left")
+      .filter(col("cum_tok") <= coalesce(col("__budget"), lit(defaultBudget)))
+      .drop("__budget")
+  }
+
   /** Token-budget corpus selection: walk the rows in `orderCols` order
     * (e.g. quality desc — best first) and keep every row whose INCLUSIVE
     * running `tokenCol` total stays ≤ `budget` — "the best documents

@@ -683,6 +683,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Symmetric per-vector int8 quantization — the embedding STORAGE
+    * operator for a corpus-scale index: 4 bytes/dim float32 → 1 byte/dim
+    * plus one double scale per vector (4× smaller scans for ANN
+    * candidate stages; PQ goes further but is lossy per-subspace — int8
+    * keeps per-dimension fidelity). `scale = max|x| / 127`,
+    * `q_i = floor(x_i/scale + 0.5)` — explicit floor(+0.5) rather than a
+    * round() builtin so every engine computes the identical half-up
+    * grid; the extreme element maps to exactly ±127, so no clipping
+    * branch exists. The all-zero vector quantizes to scale 0 with a
+    * zero code vector.
+    *
+    * Pure Catalyst (array_max/transform/floor — whole-stage codegen, no
+    * UDF), one narrow pass, zero shuffles. Returns
+    * `(vec_id, scale, qvec array<byte>)`. */
+  def quantizeInt8(df: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val scale = array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+    df.select(
+      col(idCol).as("vec_id"),
+      scale.as("scale"),
+      when(scale === 0.0, transform(v, _ => lit(0).cast("byte")))
+        .otherwise(transform(v,
+          x => floor(x.cast("double") / scale + lit(0.5)).cast("byte")))
+        .as("qvec"))
+  }
+
+  /** Per-vector max reconstruction error of [[quantizeInt8]]:
+    * `max_i |x_i − q_i·scale|` — the bound a consumer checks before
+    * trusting int8 candidates (≤ scale/2 by construction except the
+    * zero-scale case). */
+  def int8MaxAbsError(vec: Column, scale: Column, qvec: Column): Column =
+    array_max(zip_with(vec, qvec,
+      (x, q) => abs(x.cast("double") - q.cast("double") * scale)))
+
+  /** Top-k neighbors scanning the int8-QUANTIZED corpus: approximate
+    * cosine over dequantized codes selects `k·rescoreFactor` candidates
+    * per query, then ONLY those join back to the float vectors for exact
+    * rescoring. The candidate scan reads 1 byte/dim + one scale instead
+    * of 4 bytes/dim — the memory-bandwidth win that makes a brute-force
+    * candidate pass affordable at corpus scale — and the exact stage
+    * touches `|q|·k·rescoreFactor` rows, never the corpus.
+    *
+    * Deterministic end to end (no training), so the whole pipeline is
+    * SQL-replayable: approximate scores are rounded to 9 decimals BEFORE
+    * the candidate rank (ties → lower id) to keep the cut robust to
+    * summation order. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rescoreFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxQueries: Int = 10000): DataFrame = {
+    requireBroadcastSmall(queries, maxQueries, "int8TopK")
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val deq = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("qvec"), x => x.cast("double") * col("scale")).as("vec_deq"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    val cand = deq.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim",
+        round(dot(col("query_vec"), col("vec_deq"))
+          / (norm(col("query_vec")) * norm(col("vec_deq"))), 9))
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * rescoreFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
+        Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("vec")))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
     * coarse k-means clustering then WITHIN-cluster cosine pruning — a
     * vector is dropped iff some same-cluster vector with a SMALLER id is

@@ -274,6 +274,49 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 200L).count(!drop.contains(_)) == 1)
   }
 
+  test("quantizeInt8: hand-computed codes, half-up grid, extreme hits ±127") {
+    val sp = spark; import sp.implicits._
+    // exact binary float values so the arithmetic is bit-predictable:
+    // scale = 1/127; codes 127, floor(-63.5+0.5) = -63 (half-up for
+    // negatives), floor(31.75+0.5) = 32, 0
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0f)),
+      (2L, Seq(-1.0f, 0.5f)),       // negative extreme → exactly −127
+      (3L, Seq(0f, 0f))             // zero vector → scale 0, zero codes
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df)
+      .orderBy("vec_id").as[(Long, Double, Seq[Byte])].collect().toSeq
+    assert(rows(0)._2 == 1.0 / 127)
+    assert(rows(0)._3 == Seq[Byte](127, -63, 32, 0))
+    assert(rows(1)._3 == Seq[Byte](-127, 64)) // 0.5/scale = 63.5 → half-up 64
+    assert(rows(2) == ((3L, 0.0, Seq[Byte](0, 0))))
+  }
+
+  test("quantizeInt8: reconstruction error bounded by scale/2 on real data") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val bad = Similarity.quantizeInt8(emb)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .filter(Similarity.int8MaxAbsError(col("embedding"), col("scale"), col("qvec"))
+        > col("scale") / 2 + lit(1e-12))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("int8TopK: near-exact recall vs brute force at rescoreFactor 4") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = keyOf(Similarity.cosineTopK(emb, queries, k = 5))
+    val viaInt8 = keyOf(Similarity.int8TopK(emb, queries, k = 5))
+    // int8 keeps ~2.4 decimal digits per dim; with a 4× candidate
+    // over-fetch the exact top-5 survives the approximate cut
+    val recall = (exact & viaInt8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9")
+  }
+
   test("semDedup: hand-computed cells and drop decisions") {
     val sp = spark; import sp.implicits._
     val df = Seq(
@@ -1049,6 +1092,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         budget = 15L, numPartitions = 3)
       .select("doc_id", "cum_tok").as[(Long, Long)].collect().toMap
     assert(rows == Map(4L -> 5L, 1L -> 9L, 2L -> 12L))
+  }
+
+  test("per-group token budget: independent budgets, default for absent groups") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      ("a", 1L, 9.0, 4L), ("a", 2L, 8.0, 4L), ("a", 3L, 7.0, 4L), // a: cum 4,8,12
+      ("b", 4L, 9.0, 5L), ("b", 5L, 8.0, 5L),                     // b: cum 5,10
+      ("c", 6L, 1.0, 100L)                                        // c: no budget row
+    ).toDF("source", "doc_id", "score", "n_tok")
+    val kept = Sampling.selectUnderTokenBudgetPerGroup(
+        df, "source", Seq(col("score").desc, col("doc_id").asc), "n_tok",
+        budgets = Map("a" -> 8L, "b" -> 5L))
+      .select("doc_id").as[Long].collect().toSet
+    // a keeps its best 8 tokens (ids 1,2), b only 5 (id 4), c unbudgeted keeps all
+    assert(kept == Set(1L, 2L, 4L, 6L))
   }
 
   test("token budget: identical result at any partition count") {

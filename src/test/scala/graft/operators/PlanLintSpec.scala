@@ -217,6 +217,13 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"dedup_semantic:\n$p")
   }
 
+  test("int8 quantizer: one narrow pass, zero shuffles") {
+    val p = plan(graft.operators.Similarity.quantizeInt8(
+      graft.Tables.embeddings(spark, sfDir)))
+    assert(countOf(p, "Exchange") == 0,
+      s"quantizeInt8 must be shuffle-free (pure Catalyst narrow map):\n$p")
+  }
+
   test("hashed classifier: one narrow pass, zero shuffles") {
     val n = 16
     val weights = Array.tabulate(n)(b => (b - 8) / 4.0)
