@@ -731,6 +731,49 @@ object LlmQueries {
       |FROM assigned a LEFT JOIN dropped d USING (vec_id)
       |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------- CMS heavy hitters
+  /** cmsBuild/cmsEstimate under the oracle: the exact top-20 terms next
+    * to their Count-Min estimates. Every stage is deterministic (md5
+    * bucket hashes, integer counters), so the oracle rebuilds the whole
+    * depth×width sketch in SQL and the estimates hash-match exactly —
+    * including any collision inflation, which is itself reproducible. */
+  val qTextHeavyHitters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sketch = TextOps.cmsBuild(docs, "text")
+    val top = TextOps.topTerms(docs, "text", 20)
+    TextOps.cmsEstimate(sketch, top)
+      .join(top, Seq("term"))
+      .select(col("term"), col("n").as("n_exact"), col("n_est"))
+      .orderBy(col("term"))
+  }
+
+  val qTextHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents
+      |), tc AS (
+      |  SELECT term, count(*) AS n FROM toks WHERE term <> '' GROUP BY term
+      |), top AS (
+      |  SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 20
+      |), rs AS (
+      |  SELECT unnest(generate_series(0, 3)) AS r
+      |), sketch AS (
+      |  SELECT r,
+      |    ('0x' || substr(md5(term || 'cms' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1024 AS bucket,
+      |    CAST(sum(n) AS BIGINT) AS cnt
+      |  FROM tc CROSS JOIN rs
+      |  GROUP BY 1, 2
+      |)
+      |SELECT t.term, t.n AS n_exact, CAST(min(s.cnt) AS BIGINT) AS n_est
+      |FROM top t CROSS JOIN rs
+      |JOIN sketch s ON s.r = rs.r AND s.bucket =
+      |  ('0x' || substr(md5(t.term || 'cms' || CAST(rs.r AS VARCHAR)), 1, 8))::BIGINT
+      |    % 1024
+      |GROUP BY t.term, t.n
+      |ORDER BY t.term""".stripMargin
+
   // ------------------------------------------------ int8-scan ANN
   /** int8TopK under the oracle: the candidate stage scans dequantized
     * int8 codes (approx scores rounded to 9 decimals before the rank),
@@ -2028,6 +2071,7 @@ object LlmQueries {
     "text_classifier"     -> qTextClassifier,
     "emb_quantize"        -> qEmbQuantize,
     "ann_int8"            -> qAnnInt8,
+    "text_heavy_hitters"  -> qTextHeavyHitters,
     "text_stats"          -> qTextStats,
     "text_langid"         -> qTextLangid,
     "text_fingerprint"    -> qTextFingerprint,
@@ -2086,6 +2130,7 @@ object LlmQueries {
     "text_classifier"     -> qTextClassifierSql,
     "emb_quantize"        -> qEmbQuantizeSql,
     "ann_int8"            -> qAnnInt8Sql,
+    "text_heavy_hitters"  -> qTextHeavyHittersSql,
     "text_stats"          -> qTextStatsSql,
     "text_langid"         -> qTextLangidSql,
     "text_fingerprint"    -> qTextFingerprintSql,

@@ -300,6 +300,47 @@ object TextOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
 
+  /** Count-Min Sketch over the term distribution: `depth`×`width`
+    * counters where row r counts terms by their md5-prefix hash seeded
+    * with r (the engine-portable hash every sampling op here uses).
+    * The sketch is the MERGEABLE fixed-size summary that replaces an
+    * unbounded exact-count table at corpus scale: build cost is one
+    * term-count aggregation (map-side combined — the shuffle moves
+    * distinct terms, not tokens) plus a ×depth explode over DISTINCT
+    * terms only, and the result is ≤ depth·width rows no matter the
+    * corpus — broadcastable to any query stage, unionable across
+    * corpus shards by summing counters. Returns `(r, bucket, cnt)`. */
+  def cmsBuild(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    termCounts(df, textCol)
+      .select(col("term"), col("n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(col("term"), col("r"), width))
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Point estimates from a [[cmsBuild]] sketch: for each queried term,
+    * `min` over the depth rows of the counter its hash lands in — the
+    * classic CMS upper bound (`est ≥ true`, over only by collisions).
+    * The sketch side is broadcast (≤ depth·width rows); the term side
+    * stays distributed. Terms absent from the corpus read whatever
+    * their buckets hold — still an upper bound of their true 0. */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, depth: Int = 4,
+      width: Int = 1024, termCol: String = "term"): DataFrame =
+    terms
+      .select(col(termCol).as("term"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(col("term"), col("r"), width))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+
+  /** Row-r CMS bucket of a term: first 8 md5 hex chars of
+    * `term || "cms" || r` as an unsigned int, mod `width`. */
+  private def cmsBucket(term: Column, r: Column, width: Int): Column =
+    conv(substring(md5(concat(term, lit("cms"), r.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % width
+
   /** Per-document term frequencies: one row per (doc, term) with its
     * count. The groupBy carries map-side partial aggregation, so the
     * shuffle moves distinct (doc, term) pairs, not raw tokens. */

@@ -355,6 +355,55 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_._3).map(_._1).toSeq == Seq(0L)) // only the cell min survives
   }
 
+  test("cms: estimate >= exact for every term; equality when no collision") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sketch = TextOps.cmsBuild(docs, "text")
+    val exact = TextOps.termCounts(docs, "text")
+    val joined = TextOps.cmsEstimate(sketch, exact.select("term"))
+      .join(exact, Seq("term"))
+    assert(joined.filter(col("n_est") < col("n")).count() == 0L)
+    // at width 1024 over this vocab, most terms see at least one
+    // collision-free row — the min must recover the exact count for them
+    assert(joined.filter(col("n_est") === col("n")).count() > 0L)
+  }
+
+  test("cms: forced collision at width 2 sums colliding terms, hand-checked") {
+    val sp = spark; import sp.implicits._
+    // independent bucket derivation (hex-string parse, not conv())
+    def bucket(term: String, r: Int, width: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${term}cms$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % width).toInt
+    }
+    val df = Seq((1L, "aa aa aa bb cc")).toDF("doc_id", "text")
+    val sketch = TextOps.cmsBuild(df, "text", depth = 1, width = 2)
+    val est = TextOps.cmsEstimate(sketch,
+        Seq("aa", "bb", "cc").toDF("term"), depth = 1, width = 2)
+      .as[(String, Long)].collect().toMap
+    val counts = Map("aa" -> 3L, "bb" -> 1L, "cc" -> 1L)
+    val expected = counts.map { case (t, _) =>
+      t -> counts.filter { case (o, _) => bucket(o, 0, 2) == bucket(t, 0, 2) }
+        .values.sum
+    }
+    assert(est == expected)
+    assert(expected.values.sum > counts.values.sum) // a collision really happened
+  }
+
+  test("cms: shard sketches merge by summing counters") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).limit(100)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = TextOps.cmsBuild(a, "text").unionByName(TextOps.cmsBuild(b, "text"))
+      .groupBy("r", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().map { case (r, bkt, c) => ((r, bkt), c) }.toMap
+    val whole = TextOps.cmsBuild(docs, "text")
+      .as[(Int, Long, Long)].collect().map { case (r, bkt, c) => ((r, bkt), c) }.toMap
+    assert(merged == whole)
+  }
+
   test("hashedBowScore: buckets match the md5-prefix contract, exact micro sums") {
     val sp = spark; import sp.implicits._
     val n = 16
