@@ -409,8 +409,12 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      hotBucketThreshold: Int = 64): DataFrame = {
-    val newIndex = minhashIndex(newDocs, textCol, idCol, shingleN, numHashes, bands)
+      hotBucketThreshold: Int = 64,
+      precomputedNewIndex: Option[DataFrame] = None): DataFrame = {
+    // the ingest loop passes the new-side index it must persist anyway,
+    // so the signature UDF runs once per batch, not once per consumer
+    val newIndex = precomputedNewIndex.getOrElse(
+      minhashIndex(newDocs, textCol, idCol, shingleN, numHashes, bands))
     val newBuckets = newIndex.select(col("band"), col("band_hash")).distinct()
     val probedCorpus = corpusIndex
       .join(newBuckets, Seq("band", "band_hash"), "left_semi")
@@ -461,7 +465,18 @@ object Dedup {
     *
     * The returned pairs are materialized (localCheckpoint) BEFORE the
     * appends, so the lazily-read index/corpus can't observe the batch's
-    * own appended rows. */
+    * own appended rows.
+    *
+    * State paths go through the Hadoop FileSystem API, so the dirs may
+    * live on any supported store (HDFS/S3A/local), not just local POSIX.
+    * Pass foreachBatch's `batchId` to make the STATE retry-safe under
+    * its at-least-once semantics: each batch then writes its rows into a
+    * per-batch subdirectory with overwrite, so a retried batch replaces
+    * its own partial output instead of appending a duplicate copy (the
+    * returned pairs are still re-emitted on retry — deduplicating the
+    * emission is the sink's half of the contract, as with any
+    * foreachBatch pipeline). Without a batchId, writes are plain appends
+    * and a retry duplicates state. */
   def ingestNearDupBatch(
       batch: DataFrame,
       textCol: String,
@@ -471,22 +486,36 @@ object Dedup {
       threshold: Double = 0.6,
       shingleN: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val batchDocs = batch.select(col(idCol), col(textCol))
+    // one signature pass per batch: the index we persist is also the
+    // index the pairing probe uses
     val batchIndex = minhashIndex(batch, textCol, idCol, shingleN, numHashes, bands)
+      .localCheckpoint()
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     def readOr(dir: String, like: DataFrame): DataFrame =
-      if (new java.io.File(dir).exists()) spark.read.schema(like.schema).parquet(dir)
+      if (exists(dir)) spark.read.schema(like.schema)
+        .option("recursiveFileLookup", "true").parquet(dir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
     val corpus = readOr(corpusDir, batchDocs)
     val index = readOr(indexDir, batchIndex)
     val pairs = incrementalNearDupPairs(
         batch, corpus, index, textCol, idCol,
-        threshold, shingleN, numHashes, bands)
+        threshold, shingleN, numHashes, bands,
+        precomputedNewIndex = Some(batchIndex))
       .localCheckpoint() // materialize before the state appends below
-    batchIndex.write.mode("append").parquet(indexDir)
-    batchDocs.write.mode("append").parquet(corpusDir)
+    def writeState(df: DataFrame, dir: String): Unit = batchId match {
+      case Some(id) => df.write.mode("overwrite").parquet(s"$dir/batch_$id")
+      case None     => df.write.mode("append").parquet(dir)
+    }
+    writeState(batchIndex, indexDir)
+    writeState(batchDocs, corpusDir)
     pairs
   }
 
@@ -775,10 +804,12 @@ object Dedup {
           i => col("t").substr(i, lit(k)))).as(Seq("off", "win")))
       .select(col("doc_id"), (col("off") + 1).as("pos"), col("win"))
     val w = Window.partitionBy(col("win")).orderBy(col("doc_id"), col("pos"))
+    // occ >= 2 alone selects exactly the duplicated-window later copies
+    // (a row_number of 2 implies the window has >= 2 occurrences), so no
+    // second count-over-window runs over the corpus-sized explode
     val removed = wins
       .withColumn("occ", row_number().over(w))
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("win"))))
-      .filter(col("n_occ") >= 2 && col("occ") >= 2)
+      .filter(col("occ") >= 2)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("cut_starts"))
     val cutU = udf { (t: String, starts: Seq[Int]) =>

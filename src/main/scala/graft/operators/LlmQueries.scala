@@ -113,6 +113,19 @@ object LlmQueries {
     * process lifetime. */
   private val stagedParquetDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  // the old per-invocation recursive delete moved here: staged dirs are
+  // reclaimed when the JVM exits, so repeated bench/test processes don't
+  // accumulate corpus-sized re-lays in the temp volume
+  sys.addShutdownHook {
+    stagedParquetDirs.values.forEach { dir =>
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }
+  }
   private def stageOnce(key: String)(write: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedParquetDirs.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_stage")

@@ -694,21 +694,25 @@ object Similarity {
     * branch exists. The all-zero vector quantizes to scale 0 with a
     * zero code vector.
     *
-    * Pure Catalyst (array_max/transform/floor — whole-stage codegen, no
-    * UDF), one narrow pass, zero shuffles. Returns
+    * Pure Catalyst (array_max/transform/floor, no UDF), one narrow pass,
+    * zero shuffles. The scale is projected FIRST and referenced as a
+    * column inside the code transform — higher-order lambdas evaluate
+    * their body per element, so inlining the array_max subtree there
+    * would cost O(dim²) per row instead of O(dim). Returns
     * `(vec_id, scale, qvec array<byte>)`. */
   def quantizeInt8(df: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol)
-    val scale = array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     df.select(
-      col(idCol).as("vec_id"),
-      scale.as("scale"),
-      when(scale === 0.0, transform(v, _ => lit(0).cast("byte")))
-        .otherwise(transform(v,
-          x => floor(x.cast("double") / scale + lit(0.5)).cast("byte")))
-        .as("qvec"))
-  }
+        col(idCol).as("vec_id"),
+        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+          .as("scale"),
+        col(vecCol).as("__v"))
+      .select(
+        col("vec_id"), col("scale"),
+        when(col("scale") === 0.0, transform(col("__v"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("__v"),
+            x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("byte")))
+          .as("qvec"))
 
   /** Per-vector max reconstruction error of [[quantizeInt8]]:
     * `max_i |x_i − q_i·scale|` — the bound a consumer checks before
@@ -799,7 +803,12 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(centroids, v) }
-    // persisted: scanned by the pairing pass and both vector join-backs
+    // persisted across the window/pairing passes and the two vector
+    // join-backs, then RELEASED: the dropped-id set (tiny) is eagerly
+    // checkpointed so nothing downstream re-derives the cache, and the
+    // final output recomputes the assignment as one narrow pass over the
+    // raw corpus (same persist → checkpoint → unpersist discipline as
+    // cosineNearDupPairs — no session-lifetime cache leak)
     val assigned = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("cid", assignUdf(col("vec")))
@@ -823,7 +832,11 @@ object Similarity {
       .filter(round(cosine(col("vec_a"), col("vec_b")), 6) >= threshold)
       .select(col("id_b").as("vec_id"))
       .distinct()
-    assigned
+      .localCheckpoint()
+    assigned.unpersist()
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("cid", assignUdf(col("vec")))
       .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid"),
         not(coalesce(col("is_dropped"), lit(false))).as("kept"))

@@ -487,9 +487,12 @@ object TextOps {
   /** Tokens of the normalized text (single-space split). */
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Whitespace token count; empty text → 0. */
+  /** Whitespace token count; empty OR NULL text → 0 (a bare
+    * `length === 0` test is null for null input, which would fall
+    * through to `size(split(null))` = −1). */
   def wsTokenCount(c: Column): Column =
-    when(length(normText(c)) === 0, lit(0L)).otherwise(size(tokens(c)).cast("long"))
+    when(c.isNull || length(normText(c)) === 0, lit(0L))
+      .otherwise(size(tokens(c)).cast("long"))
 
   /** BPE-ish token count: letter runs, digit runs, and single other
     * non-space chars each count as one token (a cheap proxy for byte-pair

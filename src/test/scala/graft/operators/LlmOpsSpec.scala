@@ -430,6 +430,15 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((1L, e1._1, e1._2, e1._3), (2L, e2._1, e2._2, e2._3)))
   }
 
+  test("hashedBowScore: null text behaves exactly as empty (n_tok 0, intercept score)") {
+    val sp = spark; import sp.implicits._
+    val w = Array.fill(4)(1.0)
+    val df = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val rows = TextOps.hashedBowScore(df, "text", "doc_id", w, intercept = 0.25)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(rows == Seq((1L, 0L, 0.25, true), (2L, 0L, 0.25, true)))
+  }
+
   test("hashedBowScore: empty text scores the intercept; pass follows its sign") {
     val sp = spark; import sp.implicits._
     val w = Array.fill(4)(1.0)
@@ -1214,6 +1223,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 2's copy pairs against BOTH batch-1 twins via the index,
     // and never re-reports the (1,3) corpus-corpus pair
     assert(p2 == Set((1L, 10L), (3L, 10L)))
+  }
+
+  test("ingest dedup loop: batchId makes a retried batch overwrite, not duplicate, its state") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_retry")
+    val idx = tmp.resolve("index").toString
+    val corp = tmp.resolve("corpus").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq((1L, t1), (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b2 = Seq((10L, t1)).toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.ingestNearDupBatch(b, "text", "doc_id", idx, corp,
+          threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16,
+          batchId = Some(id))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    run(b1, 1L)
+    run(b2, 2L) // first attempt...
+    val retried = run(b2, 2L) // ...and its foreachBatch retry
+    assert(retried == Set((1L, 10L)))
+    // state holds each batch exactly once: corpus = 3 docs, no twins
+    val corpusRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corp).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpusRows == Seq(1L, 2L, 10L))
   }
 
   test("incremental near-dup: hot corpus bucket star-pairs against the bucket min") {
