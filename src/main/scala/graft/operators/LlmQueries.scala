@@ -1363,6 +1363,65 @@ object LlmQueries {
       |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------- composed curation pipeline
+  /** End-to-end corpus curation as ONE composed plan: hashed-classifier
+    * scoring → sign-test filter → per-source token budgets (best-score
+    * first) → per-source yield stats. Every stage reuses an operator
+    * with its own green gate; this gate pins that the COMPOSITION
+    * hash-matches the oracle's replay of the same three stages — scores
+    * feed the budget ordering, so a drift anywhere moves the boundary
+    * docs and fails the hash. */
+  val qPipelineCuration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val weights = Array.tabulate(65536) { b =>
+      (((b.toLong * 2654435761L + 1234567L) % 2000001L) - 1000000L) / 1e6
+    }
+    val scored = TextOps.hashedBowScore(docs, "text", "doc_id", weights, intercept = 0.05)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(col("quality_pass"))
+    Sampling.selectUnderTokenBudgetPerGroup(
+        scored, "source", Seq(col("score").desc, col("doc_id").asc), "n_tok",
+        budgets = Map("web" -> 4000L), defaultBudget = 2000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("tok_kept"),
+        sum(col("doc_id")).as("sum_kept"))
+      .orderBy(col("source"))
+  }
+
+  val qPipelineCurationSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+      |  FROM docs WHERE length(t) > 0
+      |), sc AS (
+      |  SELECT doc_id, count(*) AS n_tok,
+      |    sum((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536)
+      |          * 2654435761 + 1234567) % 2000001) - 1000000) AS sm
+      |  FROM toks GROUP BY doc_id
+      |), scored AS (
+      |  SELECT d.doc_id, d.source, COALESCE(s.n_tok, 0) AS n_tok,
+      |    round(COALESCE(s.sm, 0) / 1000000.0
+      |          / greatest(COALESCE(s.n_tok, 0), 1) + 0.05, 6) AS score
+      |  FROM docs d LEFT JOIN sc s USING (doc_id)
+      |  WHERE COALESCE(s.sm, 0) + 50000 * greatest(COALESCE(s.n_tok, 0), 1) >= 0
+      |), c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY source
+      |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cum_tok
+      |  FROM scored
+      |)
+      |SELECT source, count(*) AS n_kept,
+      |  CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_kept
+      |FROM c
+      |WHERE cum_tok <= CASE WHEN source = 'web' THEN 4000 ELSE 2000 END
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- length quantiles
   /** Per-language exact length quantiles (p25/p50/p75/p95 of n_chars) —
     * corpus profiling before filter-threshold selection. Spark's
@@ -2060,6 +2119,7 @@ object LlmQueries {
     "sample_source_cap"   -> qSampleSourceCap,
     "sample_token_budget" -> qSampleTokenBudget,
     "sample_budget_per_source" -> qSampleBudgetPerSource,
+    "pipeline_curation"   -> qPipelineCuration,
     "text_len_quantiles"  -> qTextLenQuantiles,
     "text_chunks"         -> qTextChunks,
     "text_topterms"       -> qTextTopterms,
@@ -2119,6 +2179,7 @@ object LlmQueries {
     "sample_source_cap"   -> qSampleSourceCapSql,
     "sample_token_budget" -> qSampleTokenBudgetSql,
     "sample_budget_per_source" -> qSampleBudgetPerSourceSql,
+    "pipeline_curation"   -> qPipelineCurationSql,
     "text_len_quantiles"  -> qTextLenQuantilesSql,
     "text_chunks"         -> qTextChunksSql,
     "text_topterms"       -> qTextToptermsSql,

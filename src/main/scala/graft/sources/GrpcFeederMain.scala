@@ -57,8 +57,10 @@ object GrpcFeederMain {
     try props.load(in) finally in.close()
     def get(k: String): Option[String] =
       Option(props.getProperty(k)).map(_.trim).filter(_.nonEmpty)
+    // same parsers as the engine's source options (GrpcOptions) — the
+    // two config surfaces must accept identical spellings
     def csv(k: String): Seq[String] =
-      get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      get(k).map(GrpcOptions.csv).getOrElse(Nil)
     GrpcConfig(
       target = get("vtgate.target").getOrElse(
         throw new IllegalArgumentException("vtgate.target is required")),
@@ -86,10 +88,7 @@ object GrpcFeederMain {
       keepaliveMs = get("keepalive.interval.ms").map(_.toLong),
       maxInboundMessageSize = get("grpc.max_inbound_message_size").map(_.toInt),
       loadBalancingPolicy = get("grpc.default.load.balancing.policy"),
-      headers = csv("grpc.headers").map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim -> v.trim
-      }.toMap,
+      headers = get("grpc.headers").map(GrpcOptions.headers).getOrElse(Map.empty),
       username = get("vtgate.user"),
       password = get("vtgate.password"))
   }
@@ -107,8 +106,10 @@ object GrpcFeederMain {
     val stop = Paths.get(stagingDir, StopMarker)
     if (clearStopMarker) Files.deleteIfExists(stop)
     val feeder = new GrpcFeeder(stagingDir, cfg)
-    feeder.start()
+    // start() inside the try: a channel-build failure must still close
+    // the per-shard staging writers the constructor already opened
     try {
+      feeder.start()
       var done = false
       while (!done && !Files.exists(stop) && feeder.failureOption.isEmpty)
         done = feeder.isCompleted(200)

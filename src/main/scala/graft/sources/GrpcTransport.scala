@@ -129,6 +129,27 @@ final case class GrpcConfig(
   * (VitessReplicationConnection.java:316-327) — so the server only ever
   * sees concrete `select * from t` rules. One SQL channel serves both
   * lookups, then closes. */
+/** Option-string parsers shared by every config entry point (the
+  * engine's source options in VitessCdcSource and the external feeder's
+  * properties file) — one implementation so the two surfaces cannot
+  * drift for the same option names. */
+private[sources] object GrpcOptions {
+
+  def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Reference format: comma-separated `name:value` pairs. A pair
+    * without ':' is a config error and says so (not a MatchError). */
+  def headers(s: String): Map[String, String] =
+    csv(s).map { kv =>
+      kv.split(":", 2) match {
+        case Array(k, v) => k.trim -> v.trim
+        case _ => throw new IllegalArgumentException(
+          s"grpc.headers entry '$kv' must be name:value")
+      }
+    }.toMap
+}
+
 private[sources] object GrpcTopology {
 
   def resolve(cfg: GrpcConfig): (Seq[String], Seq[String]) = {
@@ -237,6 +258,7 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
   // driver-only: executors deserialize this transport and use only
   // open()/size(), which never touch the feeder
   @transient @volatile private var feederStarted = false
+  @transient @volatile private var closeRequested = false
   @transient private lazy val feeder: FeederHandle = {
     val f = cfg.feederMode match {
       case "driver" => new GrpcFeeder(stagingDir, cfg)
@@ -246,6 +268,10 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
     }
     f.ensureRunning()
     feederStarted = true
+    // close() raced this lazy init (it saw feederStarted=false and
+    // no-op'd while discovery was still in flight): honor it now so a
+    // stopped stream never leaves a zombie feeder staging forever
+    if (closeRequested) f.close()
     f
   }
 
@@ -273,8 +299,13 @@ final case class VStreamGrpcTransport(stagingDir: String, cfg: GrpcConfig)
 
   /** No-op when the feeder never started — closing a stream that was
     * stopped before listShards() must not lazily build a channel and
-    * subscribe just to tear it down. */
-  override def close(): Unit = if (feederStarted) feeder.close()
+    * subscribe just to tear it down. The flag is recorded FIRST so an
+    * in-flight lazy init (topology discovery can take seconds) observes
+    * it on completion and closes itself. */
+  override def close(): Unit = {
+    closeRequested = true
+    if (feederStarted) feeder.close()
+  }
 
   /** Test hook: block until the server completed the stream and all
     * received events are durably staged. */
@@ -334,6 +365,26 @@ private[sources] final class ExecutorFeeders(stagingDir: String, cfg: GrpcConfig
     val workerCfg = cfg.copy(includeTables = expandedTables, feederMode = "driver")
     val tasks: Seq[(String, GrpcConfig)] =
       groups.map(g => (stagingDir, workerCfg.copy(shards = g, maxStreams = 1)))
+    // Feeder tasks run until shutdown, so two scheduler behaviors that
+    // are benign for normal tasks corrupt or starve ingest here — both
+    // fail LOUDLY up front instead:
+    //  - speculation would launch a live duplicate of a "straggler"
+    //    feeder, breaking the one-writer-per-staging-file invariant
+    //    (interleaved appends from two JVMs);
+    //  - fewer cluster slots than groups queues the excess tasks behind
+    //    never-finishing ones, and their shards' pre-created feeds would
+    //    read as silently empty for the life of the query.
+    if (sc.getConf.getBoolean("spark.speculation", defaultValue = false))
+      throw new IllegalStateException(
+        "feeder.mode=executors requires spark.speculation=false: a " +
+          "speculative duplicate of a long-running feeder task would " +
+          "double-write its shards' staging files")
+    if (sc.defaultParallelism < tasks.size)
+      throw new IllegalStateException(
+        s"feeder.mode=executors needs one task slot per shard group: " +
+          s"${tasks.size} groups but only ${sc.defaultParallelism} slots — " +
+          "queued feeder tasks never start and their shards would stay " +
+          "silently empty; lower vstream.count or add executors")
     jobThread = new Thread("graft-executor-feeders") {
       override def run(): Unit =
         try ExecutorFeeders.runJob(sc, tasks)
@@ -423,6 +474,18 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
     * misroute and fails loudly (never silently dropped). */
   private val owners = new java.util.concurrent.ConcurrentHashMap[String, StreamWorker]()
 
+  /** Reshard children adopted mid-stream that have not yet staged a
+    * VGTID. The durable twin is a `<shard>.adopted` marker file next to
+    * the feed: deleted the moment the child's first VGTID is flushed, so
+    * across a crash it marks exactly the children whose resume position
+    * is UNKNOWN — resuming those from `initial.gtid` would either replay
+    * the child's entire history as a VStream copy ("" → duplicates on
+    * top of the parents' feeds) or skip the unstaged window ("current" →
+    * loss), so [[StreamWorker.resumeVgtid]] fails loudly instead. */
+  private val adoptedNoPos = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def adoptedMarker(sh: String): java.nio.file.Path =
+    dir.resolve(s"$sh.adopted")
+
   /** Shards currently being staged — startup topology plus any adopted
     * mid-stream by a live reshard. */
   @volatile var currentShards: Seq[String] = shards
@@ -475,7 +538,17 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
   override def ensureRunning(): Unit = {
     if (failure != null)
       throw new IllegalStateException("vstream grpc feeder failed", failure)
-    if (!started) start()
+    if (!started)
+      // a start failure (bad target, channel build) must release the
+      // per-shard staging writers the constructor opened — callers
+      // (including a retried lazy init) would otherwise leak one set of
+      // file handles per attempt
+      try start()
+      catch {
+        case t: Throwable =>
+          try close() catch { case _: Throwable => () }
+          throw t
+      }
   }
 
   /** Non-throwing completion poll for [[GrpcFeederMain]]'s run loop:
@@ -547,7 +620,17 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
       Vgtid(group.map { sh =>
         lastStaged.get(sh)
           .orElse(GrpcFeeder.lastStagedVgtid(dir.resolve(s"$sh.jsonl"), sh))
-          .getOrElse(ShardGtid(cfg.keyspace, sh, cfg.initialGtid))
+          .getOrElse {
+            if (Files.exists(adoptedMarker(sh)))
+              throw new IllegalStateException(
+                s"shard $sh was adopted from a live reshard but no VGTID " +
+                  "was staged for it before the disconnect — its resume " +
+                  "position is unknown ('' would re-copy the child's whole " +
+                  "history over the parents' feeds; 'current' would skip " +
+                  "the unstaged window). Restart the stream from the " +
+                  "checkpoint so reading-side offsets re-plan the reshard.")
+            ShardGtid(cfg.keyspace, sh, cfg.initialGtid)
+          }
       })
     }
 
@@ -576,6 +659,12 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
           throw new IllegalStateException(
             s"new shard $sh appeared mid-stream with stop.on.reshard=true — " +
               "expected the server to end the stream at the reshard boundary")
+        // durable adoption marker BEFORE any staging: until the child's
+        // first VGTID flushes, its resume position is unknowable and a
+        // crash must fail the restart loudly, not quietly re-copy or
+        // skip the child's history (see adoptedNoPos)
+        if (!Files.exists(adoptedMarker(sh))) Files.createFile(adoptedMarker(sh))
+        adoptedNoPos.add(sh)
         writerFor(sh)
         group = group :+ sh
         GrpcFeeder.this.synchronized {
@@ -587,8 +676,14 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
     private def buildRequest(): VtWire.VStreamRequestModel = {
       def quote(id: String) = "`" + id.replace("`", "``") + "`"
       VtWire.VStreamRequestModel(
+        // the engine path validates tablet.type up front; the external
+        // feeder path reaches here unvalidated — a typo must not
+        // silently subscribe the PRIMARY (type 1)
         tabletType = VtWire.TabletType.byName.getOrElse(
-          cfg.tabletType.toUpperCase(java.util.Locale.ROOT), 1),
+          cfg.tabletType.toUpperCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            s"tablet.type must be one of ${VtWire.TabletType.byName.keys.toSeq.sorted.mkString("|")}, " +
+              s"got '${cfg.tabletType}'")),
         vgtid = resumeVgtid(),
         // reference :316-327: one rule per included table, filter sql
         // form; regexes were already expanded to concrete tables above
@@ -715,7 +810,17 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
           case _ if e.shard.nonEmpty =>
             ensureOwned(e.shard)
             Seq(e.shard)
-          case _ => group // shard-less heartbeat: liveness for the group
+          // shard-less heartbeats/unknowns: liveness, group-scoped
+          case _: HeartbeatEvent | _: OtherEvent => group
+          case _ =>
+            // a transaction-scoped event without shard attribution can't
+            // be routed — fanning it to the group would open/close inTx
+            // on every group shard and write misattributed lines into
+            // foreign feeds. vtgate sets keyspace/shard on these; a
+            // server that doesn't is unsupported, LOUDLY.
+            throw new IllegalStateException(
+              s"transaction-scoped event without shard attribution: $e — " +
+                "refusing to guess a target feed")
         }
         targets.foreach { sh =>
           val line = e match {
@@ -742,7 +847,13 @@ private[sources] final class GrpcFeeder(stagingDir: String, cfg: GrpcConfig)
         buf.flushInto(w)
         w.flush()
         // the buffered VGTID is durable now — it becomes the resume floor
-        pendingVgtid.remove(sh).foreach(sg => lastStaged(sh) = sg)
+        pendingVgtid.remove(sh).foreach { sg =>
+          lastStaged(sh) = sg
+          // an adopted child now has a durable position: clear the
+          // unknown-resume marker (crash after this point resumes
+          // normally from the staged VGTID)
+          if (adoptedNoPos.remove(sh)) Files.deleteIfExists(adoptedMarker(sh))
+        }
       }
     }
   }

@@ -462,15 +462,15 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           // VStreamFlags tablet-selection surface (vtgate.proto fields
           // 4/5/6/8) — pass-through options, applied server-side
           cells = Option(options.get("vstream.cells"))
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+            .map(GrpcOptions.csv).getOrElse(Nil),
           cellPreference = Option(options.get("vstream.cell.preference")).getOrElse(""),
           tabletOrder = Option(options.get("vstream.tablet.order")).getOrElse(""),
           includeReshardJournalEvents =
             opt("vstream.include.reshard.journal.events").exists(_.toBoolean),
           includeTables = Option(options.get("tables.include"))
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+            .map(GrpcOptions.csv).getOrElse(Nil),
           tablesToCopy = Option(options.get("snapshot.tables"))
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+            .map(GrpcOptions.csv).getOrElse(Nil),
           // reference exclude.keyspace.from.table.name ("boosts VTGate
           // performance significantly", VitessConnectorConfig.java:237-245);
           // the decoder already handles bare wire table names either way
@@ -488,13 +488,8 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           maxInboundMessageSize =
             Option(options.get("grpc.max_inbound_message_size")).map(_.toInt),
           loadBalancingPolicy = Option(options.get("grpc.default.load.balancing.policy")),
-          // reference format: comma-separated name:value pairs
-          headers = Option(options.get("grpc.headers")).map { csv =>
-            csv.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
-              val Array(k, v) = kv.split(":", 2)
-              k.trim -> v.trim
-            }.toMap
-          }.getOrElse(Map.empty),
+          headers = Option(options.get("grpc.headers"))
+            .map(GrpcOptions.headers).getOrElse(Map.empty),
           username = opt("vtgate.user", "database.user"),
           password = opt("vtgate.password", "database.password")))
       case other => throw new IllegalArgumentException(

@@ -217,6 +217,17 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"dedup_semantic:\n$p")
   }
 
+  test("cms estimate: the sketch side joins broadcast, never sort-merge") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sketch = graft.operators.TextOps.cmsBuild(docs, "text")
+    val terms = graft.operators.TextOps.topTerms(docs, "text", 20)
+    val p = plan(graft.operators.TextOps.cmsEstimate(sketch, terms))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cmsEstimate must broadcast the bounded sketch:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cmsEstimate must not shuffle the term side against the sketch:\n$p")
+  }
+
   test("int8 quantizer: one narrow pass, zero shuffles") {
     val p = plan(graft.operators.Similarity.quantizeInt8(
       graft.Tables.embeddings(spark, sfDir)))

@@ -675,7 +675,61 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assertWellFormedFeed(feedLines("80-"), Seq("4"))
       // the shard-less VGTID was staged per-shard into both children
       assert(feedLines("-80").count(_.contains("feed:1-3")) == 2) // tx vgtid + broadcast
+      // both children flushed a VGTID, so their unknown-resume markers
+      // are gone — a crash from here resumes from the staged position
+      assert(!Files.exists(staging.resolve("-80.adopted")))
+      assert(!Files.exists(staging.resolve("80-.adopted")))
     } finally { transport.close(); srv.close() }
+  }
+
+  test("adopted child with no staged VGTID fails the restart loudly, never re-copies") {
+    // crash scenario: a live reshard adopted child "-80" (durable
+    // .adopted marker) but the connection died before any VGTID for it
+    // was flushed — the restarted feeder cannot know a safe resume
+    // position ('' would VStream-copy the child's whole history over
+    // the parents' feeds; 'current' would skip the unstaged window), so
+    // subscribing must throw, not guess.
+    val staging = Files.createTempDirectory("grpcadoptednopos")
+    Files.createFile(staging.resolve("-80.jsonl")) // adopted feed, no VGTID yet
+    Files.createFile(staging.resolve("-80.adopted"))
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-adopted-unused", "ks", Seq("-80")))
+    try {
+      val err = intercept[IllegalStateException] { transport.listShards() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(err).exists(_.contains("adopted from a live reshard")))
+    } finally transport.close()
+  }
+
+  test("transaction-scoped event without shard attribution fails loudly") {
+    // optional proto fields: a server that omits keyspace/shard on
+    // BEGIN would have the group fan the event to every shard's feed
+    // (misattributed lines + inTx corruption) — refuse instead
+    val srv = new MockVtgate("vt-noshard", _ => Seq(
+      Seq(BeginEvent("", "ks"))))
+    val staging = Files.createTempDirectory("grpcnoshard")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-noshard", "ks", Seq("s0", "s1")))
+    try {
+      transport.listShards()
+      val err = intercept[IllegalStateException] {
+        transport.awaitStreamCompleted(10000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(err).exists(_.contains("without shard attribution")))
+    } finally { transport.close(); srv.close() }
+  }
+
+  test("unknown tablet.type fails the subscription, never silently targets the primary") {
+    val staging = Files.createTempDirectory("grpctablettypo")
+    val transport = VStreamGrpcTransport(staging.toString,
+      GrpcConfig("inprocess:vt-typo-unused", "ks", Seq("s0"), tabletType = "REPLCA"))
+    try {
+      val err = intercept[IllegalArgumentException] { transport.listShards() }
+      assert(err.getMessage.contains("tablet.type must be one of"))
+    } finally transport.close()
   }
 
   test("restart with a pre-reshard shard list fails fast, never replays children") {
