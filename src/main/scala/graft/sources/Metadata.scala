@@ -20,18 +20,16 @@ object Metadata {
     finally listing.close()
   }
 
-  /** All shards of the feed (SHOW VITESS_SHARDS). */
+  /** All shards of the feed (SHOW VITESS_SHARDS). Delegates to the
+    * transport's listing so shard-discovery rules (the .jsonl layout,
+    * the empty-shard rule) live in exactly one place. */
   def shards(feedDir: String): Seq[String] =
-    listDir(feedDir)(_.filter(_.getFileName.toString.endsWith(".jsonl"))
-      .map(_.getFileName.toString.stripSuffix(".jsonl"))
-      .toSeq.sorted)
+    FileFeedTransport(feedDir, excludeEmptyShards = false).listShards().map(_._1)
 
   /** Shards with at least one event (SHOW VITESS_TABLETS → serving
     * tablets only; F5 empty-shard exclusion). */
   def nonEmptyShards(feedDir: String): Seq[String] =
-    listDir(feedDir)(_.filter(p => p.getFileName.toString.endsWith(".jsonl") && Files.size(p) > 0)
-      .map(_.getFileName.toString.stripSuffix(".jsonl"))
-      .toSeq.sorted)
+    FileFeedTransport(feedDir, excludeEmptyShards = true).listShards().map(_._1)
 
   /** Distinct `keyspace.table` names seen in FIELD events (SHOW
     * TABLES), by distributed full-feed scan — the cold-start form when
@@ -41,11 +39,17 @@ object Metadata {
     * bytes. */
   def tables(spark: SparkSession, feedDir: String): Seq[String] = {
     import spark.implicits._
+    // a fresh staging dir with no feeds yet answers like shards(): empty
+    // (the bare glob would throw AnalysisException 'Path does not exist')
+    if (shards(feedDir).isEmpty) return Nil
     spark.read.textFile(s"$feedDir/*.jsonl")
       .filter(_.contains("\"FIELD\""))
       .flatMap { line =>
-        VEventJson.read(line) match {
-          case f: FieldEvent => Some(f.table)
+        // a LIVE feed's final line can be torn mid-append (this scan
+        // reads raw text, not FeedSlice): skip what doesn't parse — the
+        // completed line is seen whole on the next call
+        scala.util.Try(VEventJson.read(line)).toOption match {
+          case Some(f: FieldEvent) => Some(f.table)
           case _ => None
         }
       }
@@ -82,17 +86,23 @@ object Metadata {
     (fromCheckpoint ++ tail.result()).toSeq.sorted
   }
 
-  /** Distinct keyspaces (SHOW DATABASES). */
+  /** Distinct keyspaces (SHOW DATABASES). Only dotted `keyspace.table`
+    * names contribute — a feed staged with
+    * `exclude.keyspace.from.table.name=true` carries bare wire table
+    * names, and reporting those AS keyspaces would be wrong, not
+    * conservative. */
   def keyspaces(spark: SparkSession, feedDir: String): Seq[String] =
-    tables(spark, feedDir).map(_.split("\\.")(0)).distinct.sorted
+    tables(spark, feedDir).filter(_.contains("."))
+      .map(_.split("\\.")(0)).distinct.sorted
 
   /** SHOW DATABASES from a checkpointed offset — same contract as the
     * checkpointed [[tables]] overload. */
   def keyspaces(feedDir: String, offset: VgtidOffset): Seq[String] =
-    tables(feedDir, offset).map(_.split("\\.")(0)).distinct.sorted
+    tables(feedDir, offset).filter(_.contains("."))
+      .map(_.split("\\.")(0)).distinct.sorted
 
   /** LIKE-pattern escape for metadata queries (reference:
-    * VitessMetadata.java:43-57). */
-  def escapeLike(s: String): String =
-    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    * VitessMetadata.java:43-57) — one implementation with the vtgate
+    * surface's [[GrpcMetadata.escapeLikePattern]]. */
+  def escapeLike(s: String): String = GrpcMetadata.escapeLikePattern(s)
 }

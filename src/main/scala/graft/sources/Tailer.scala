@@ -287,9 +287,15 @@ private[sources] final class TailerPool(maxThreads: Int, pollMs: Long) {
         if (progress) idle = pollMs
         else {
           // wait(0) would sleep forever — clamp to 1 ms; backoff caps at
-          // 50 ms, or the configured poll interval when that is larger
-          lock.synchronized { if (!nudged && !stopped) lock.wait(math.max(1L, idle)) }
-          nudged = false
+          // 50 ms, or the configured poll interval when that is larger.
+          // The flag is consumed INSIDE the lock: clearing it after the
+          // synchronized block would erase a nudge that landed between
+          // wait-return and the clear (lost wakeup → full-backoff sleep
+          // while the trigger thread spins in awaitCaughtUp)
+          lock.synchronized {
+            if (!nudged && !stopped) lock.wait(math.max(1L, idle))
+            nudged = false
+          }
           idle = math.min(math.max(1L, idle * 2), math.max(50L, pollMs))
         }
       }

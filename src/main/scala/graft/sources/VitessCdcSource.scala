@@ -237,7 +237,13 @@ private[sources] final class FeedSlice(file: String, from: Long, to: Long = Long
     extends VStreamSlice {
   private val ch =
     java.nio.channels.FileChannel.open(Paths.get(file), java.nio.file.StandardOpenOption.READ)
-  private var consumed: Long = math.min(from, ch.size())
+  // seek to `from` even past the current size: reads just return EOF
+  // until the file grows to it. Clamping to size() instead would
+  // reposition to an arbitrary mid-line byte whenever a reader's
+  // filesystem view lags the recorded position (NFS attribute cache,
+  // object-store listing lag) — breaking the every-position-is-a-line-
+  // boundary invariant and surfacing half-line JSON fragments.
+  private var consumed: Long = from
   ch.position(consumed)
   private val in = java.nio.channels.Channels.newInputStream(ch)
   private val buf = new java.io.ByteArrayOutputStream(256)
@@ -458,7 +464,13 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
           tabletType = Option(options.get("tablet.type")).getOrElse("MASTER"),
           stopOnReshard = stopOnReshard,
           streamKeyspaceHeartbeats = streamKeyspaceHeartbeats,
-          heartbeatSeconds = (heartbeatIntervalMs / 1000L).toInt,
+          // VStreamFlags.heartbeat_interval has 1-second granularity and
+          // 0 means OFF: a configured sub-second interval clamps to 1s
+          // instead of truncating to 0 and silently disabling the
+          // server-side liveness signal on idle shards
+          heartbeatSeconds =
+            if (heartbeatIntervalMs <= 0L) 0
+            else math.max(1L, heartbeatIntervalMs / 1000L).toInt,
           // VStreamFlags tablet-selection surface (vtgate.proto fields
           // 4/5/6/8) — pass-through options, applied server-side
           cells = Option(options.get("vstream.cells"))
@@ -732,7 +744,10 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
             tailerPool.register(tailer)
             tailer
           })
-          t.awaitCaughtUp(transport.size(file), tailCatchupTimeoutMs, () => tailerPool.nudgeAll())
+          // a feed deleted between listing and sizing (retired reshard
+          // parent) admits nothing this trigger instead of failing it
+          val highWater = try transport.size(file) catch { case _: Exception => 0L }
+          t.awaitCaughtUp(highWater, tailCatchupTimeoutMs, () => tailerPool.nudgeAll())
           val snap = t.snapshot
           // admitted is fold-internal progress, meaningless to readers —
           // zero it so offset JSON round-trips compare equal
@@ -893,7 +908,9 @@ class VitessCdcStream(options: CaseInsensitiveStringMap)
     var lag = 0L
     var sized = true
     files.foreach { case (sh, loc) =>
-      val size = transport.size(loc)
+      // a feed removed between listing and sizing (retired reshard
+      // parent) must not fail the query from an observability call
+      val size = try transport.size(loc) catch { case _: Exception => -1L }
       if (size < 0) sized = false
       else lag += math.max(0L, size - positions.getOrElse(sh, 0L))
     }

@@ -19,8 +19,21 @@ private[sources] object GrpcChannels {
     if (cfg.target.startsWith("inprocess:"))
       InProcessChannelBuilder.forName(cfg.target.stripPrefix("inprocess:")).build()
     else {
-      val Array(host, port) = cfg.target.split(":", 2)
-      val b = ManagedChannelBuilder.forAddress(host, port.toInt).usePlaintext()
+      // parse at the LAST ':' so IPv6 literals work ([::1]:15991); a
+      // portless or non-numeric target is a config error that says so
+      // (not a MatchError that never names the option)
+      val i = cfg.target.lastIndexOf(':')
+      if (i <= 0 || i == cfg.target.length - 1)
+        throw new IllegalArgumentException(
+          s"vtgate.target must be host:port, got '${cfg.target}'")
+      val host = cfg.target.substring(0, i).stripPrefix("[").stripSuffix("]")
+      val port =
+        try cfg.target.substring(i + 1).toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"vtgate.target port must be numeric, got '${cfg.target}'")
+        }
+      val b = ManagedChannelBuilder.forAddress(host, port).usePlaintext()
       cfg.loadBalancingPolicy.foreach(b.defaultLoadBalancingPolicy)
       cfg.maxInboundMessageSize.foreach(b.maxInboundMessageSize)
       cfg.keepaliveMs.foreach(ms => b.keepAliveTime(ms, TimeUnit.MILLISECONDS))
@@ -53,6 +66,9 @@ private[sources] object GrpcChannels {
 private[sources] final class VtgateSql(cfg: GrpcConfig) extends AutoCloseable {
 
   private val channel = GrpcChannels.build(cfg)
+  // pure functions of the fixed cfg — built once, not per statement
+  private val decoratedChannel = GrpcChannels.decorated(channel, cfg)
+  private val callOptions = GrpcChannels.callOptions(cfg)
 
   /** Run one statement via vtgate default routing. */
   def execute(sql: String): VtWire.QueryResultModel = exec(sql, None)
@@ -68,7 +84,7 @@ private[sources] final class VtgateSql(cfg: GrpcConfig) extends AutoCloseable {
       targetString = shard.map(sh => s"${cfg.keyspace}:$sh@${cfg.tabletType}").getOrElse(""),
       autocommit = shard.isDefined)
     val respBytes = ClientCalls.blockingUnaryCall(
-      GrpcChannels.decorated(channel, cfg).newCall(VtGrpc.ExecuteMethod, GrpcChannels.callOptions(cfg)),
+      decoratedChannel.newCall(VtGrpc.ExecuteMethod, callOptions),
       VtWire.encodeExecuteRequest(req))
     val resp = VtWire.decodeExecuteResponse(respBytes)
     resp.error.foreach(msg =>

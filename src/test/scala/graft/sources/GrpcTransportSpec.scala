@@ -722,6 +722,20 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { transport.close(); srv.close() }
   }
 
+  test("vtgate.target parsing: portless says so, IPv6 literal parses at the last colon") {
+    val noPort = intercept[IllegalArgumentException] {
+      GrpcChannels.build(GrpcConfig("localhost", "ks", Seq("s0")))
+    }
+    assert(noPort.getMessage.contains("vtgate.target must be host:port"))
+    val badPort = intercept[IllegalArgumentException] {
+      GrpcChannels.build(GrpcConfig("localhost:abc", "ks", Seq("s0")))
+    }
+    assert(badPort.getMessage.contains("port must be numeric"))
+    // IPv6 splits at the LAST colon, not the first
+    val ch = GrpcChannels.build(GrpcConfig("[::1]:15991", "ks", Seq("s0")))
+    try assert(ch != null) finally { ch.shutdownNow(); () }
+  }
+
   test("unknown tablet.type fails the subscription, never silently targets the primary") {
     val staging = Files.createTempDirectory("grpctablettypo")
     val transport = VStreamGrpcTransport(staging.toString,

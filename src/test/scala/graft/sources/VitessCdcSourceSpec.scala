@@ -585,6 +585,24 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Metadata.escapeLike("a_b%c") == "a\\_b\\%c")
   }
 
+  test("metadata scans: empty feed dir answers empty, torn line skipped, bare names not keyspaces") {
+    // a fresh staging dir (no .jsonl yet) answers like shards(): empty —
+    // not an AnalysisException from a matchless glob
+    val fresh = Files.createTempDirectory("cdcfeedfresh")
+    assert(Metadata.tables(spark, fresh.toString).isEmpty)
+    assert(Metadata.keyspaces(spark, fresh.toString).isEmpty)
+    // a live feed's torn trailing FIELD fragment is skipped, not fatal;
+    // bare (keyspace-less) wire table names never masquerade as keyspaces
+    val live = Files.createTempDirectory("cdcfeedtorn")
+    val whole = insertTx("s0", 1, 1, "x").map(VEventJson.write).mkString("", "\n", "\n")
+    val bare = VEventJson.write(
+      FieldEvent("s0", "ks", "t_bare", t1Fields, enumSetStringValues = false))
+    Files.writeString(live.resolve("s0.jsonl"),
+      whole + bare + "\n" + """{"kind":"FIELD","shard":"s0","keysp""")
+    assert(Metadata.tables(spark, live.toString) == Seq("ks.t1", "t_bare"))
+    assert(Metadata.keyspaces(spark, live.toString) == Seq("ks"))
+  }
+
   test("checkpointed SHOW TABLES/DATABASES reads zero feed bytes behind the offset") {
     val feedDir = Files.createTempDirectory("cdcfeed9b")
     val ckpt = Files.createTempDirectory("cdcckpt9b")
