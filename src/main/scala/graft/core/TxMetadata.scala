@@ -30,8 +30,11 @@ object Gtid {
     val hostSeqs = parts.map { p =>
       val hp = p.split(":")
       if (hp.length >= 2) {
-        // MySQL56 form: host:1-123 — take the max of the range
-        val positions = hp(1).split("-")
+        // MySQL56 form: host:1-100:105-110 — replication gaps produce
+        // MULTIPLE intervals per host; the per-host sequence is the end
+        // of the LAST interval (reading only the first would rank
+        // 1-100:105-110 below 1-108 although it is strictly ahead)
+        val positions = hp.last.split("-")
         (hp(0), positions.last)
       } else {
         // MariaDB form: domain-server-sequence

@@ -147,12 +147,12 @@ object ValueConversion {
     val sb = new StringBuilder
     var indexes = bitmask
     var index = 0
-    var first = true
     while (indexes != 0L) {
-      if ((indexes & 1L) == 1L) {
-        if (!first) sb.append(',')
-        first = false
-        if (index < options.size) sb.append(options(index))
+      // the separator is tied to an EMITTED label: appending it before
+      // the bounds check left dangling commas for out-of-range bits
+      if ((indexes & 1L) == 1L && index < options.size) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(options(index))
       }
       index += 1
       indexes = indexes >>> 1
@@ -162,7 +162,9 @@ object ValueConversion {
 
   private val DatePattern = Pattern.compile("([0-9]*)-([0-9]*)-([0-9]*)")
   private val TimePattern = Pattern.compile("(\\-?[0-9]*):([0-9]*)(:([0-9]*))?(\\.([0-9]*))?")
-  private val ZeroMonthDay = Pattern.compile("^\\d{4}-00-00.*$")
+  // any zero month OR zero day is the MySQL zero-date sentinel family
+  // (NO_ZERO_IN_DATE off permits '2020-05-00'), matching parseDate's rule
+  private val ZeroMonthDay = Pattern.compile("^\\d{4}-(00-\\d{2}|\\d{2}-00).*$")
 
   private val TimestampFormatter: DateTimeFormatter = new DateTimeFormatterBuilder()
     .append(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))

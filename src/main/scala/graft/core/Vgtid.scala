@@ -22,8 +22,20 @@ import scala.jdk.CollectionConverters._
 final case class Vgtid(shardGtids: Seq[ShardGtid]) {
   @transient lazy val json: String = VgtidJson.write(this)
 
-  private lazy val byShard: Map[String, ShardGtid] =
+  private lazy val byShard: Map[String, ShardGtid] = {
+    // shard-name lookup is only well-defined within one keyspace (the
+    // engine streams a single keyspace, like one reference connector);
+    // two keyspaces reusing a shard name would silently resolve to
+    // whichever entry mapped last — refuse instead
+    val grouped = shardGtids.groupBy(_.shard)
+    grouped.find(_._2.map(_.keyspace).distinct.size > 1).foreach { case (sh, sgs) =>
+      throw new IllegalStateException(
+        s"VGTID holds shard '$sh' under multiple keyspaces " +
+          s"(${sgs.map(_.keyspace).distinct.mkString(", ")}) — shard-name " +
+          "lookup is ambiguous; stream one keyspace per source")
+    }
     shardGtids.map(sg => sg.shard -> sg).toMap
+  }
 
   def shardGtid(shard: String): Option[ShardGtid] = byShard.get(shard)
 
@@ -95,24 +107,58 @@ object CopyProgress {
     "INT8", "UINT8", "INT16", "UINT16", "INT24", "UINT24",
     "INT32", "UINT32", "INT64", "UINT64", "DECIMAL")
 
-  private def decodedPk(t: TableLastPk): String = {
-    val v = t.rows.headOption.map(_.values).getOrElse("")
-    new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+  /** Per-column values of the lastpk row, split by the carried
+    * `lengths` (protobuf Query.Row semantics: a negative length is SQL
+    * NULL). Ignoring the lengths and comparing the concatenated bytes
+    * would misorder every composite PK — (1,95) concatenates to "195"
+    * and sorts after (2,5)="25". */
+  private def decodedPkCols(t: TableLastPk): Seq[Option[String]] = {
+    val row = t.rows.headOption
+    val bytes = java.util.Base64.getDecoder.decode(row.map(_.values).getOrElse(""))
+    var off = 0
+    row.map(_.lengths).getOrElse(Nil).map { ls =>
+      val l = ls.toLong
+      if (l < 0) None
+      else {
+        val n = math.min(l, (bytes.length - off).toLong).toInt
+        val s = new String(bytes, off, math.max(0, n), "UTF-8")
+        off += n
+        Some(s)
+      }
+    }
   }
 
   private def compareLastPk(ta: TableLastPk, tb: TableLastPk): Int = {
-    val (va, vb) = (decodedPk(ta), decodedPk(tb))
-    val numeric = ta.fields.headOption.forall(f => NumericPkTypes(f.typeName)) &&
-      tb.fields.headOption.forall(f => NumericPkTypes(f.typeName))
-    if (numeric) {
-      // exact numeric order — (length, lexicographic) would misorder
-      // negative PKs ("-5" vs "4") and DECIMAL text ("-12.00" vs "3.00")
-      try BigDecimal(va).compare(BigDecimal(vb))
-      catch { case _: NumberFormatException =>
-        val byLen = Integer.compare(va.length, vb.length)
-        if (byLen != 0) byLen else va.compareTo(vb)
+    val (as, bs) = (decodedPkCols(ta), decodedPkCols(tb))
+    val n = math.max(as.length, bs.length)
+    var i = 0
+    while (i < n) {
+      val (ca, cb) = (as.lift(i).flatten, bs.lift(i).flatten)
+      val c = (ca, cb) match {
+        case (None, None) => 0
+        case (None, _)    => -1 // SQL NULLs order first
+        case (_, None)    => 1
+        case (Some(va), Some(vb)) =>
+          // numeric when the declared PK type says so on both sides; a
+          // position carrying NO field metadata falls back to numeric
+          // only if BOTH values parse (plain text then orders by bytes —
+          // length-first would put "b" before "ab")
+          val declared =
+            ta.fields.lift(i).exists(f => NumericPkTypes(f.typeName)) &&
+              tb.fields.lift(i).exists(f => NumericPkTypes(f.typeName))
+          val metaless = ta.fields.isEmpty && tb.fields.isEmpty
+          def cmpNumeric: Option[Int] =
+            // exact numeric order — lexicographic would misorder
+            // negatives ("-5" vs "4") and DECIMAL text ("-12.00" vs "3.00")
+            try Some(BigDecimal(va).compare(BigDecimal(vb)))
+            catch { case _: NumberFormatException => None }
+          if (declared || metaless) cmpNumeric.getOrElse(va.compareTo(vb))
+          else va.compareTo(vb)
       }
-    } else va.compareTo(vb)
+      if (c != 0) return c
+      i += 1
+    }
+    0
   }
 
   /** < 0 when `a` is earlier than `b`, 0 when equal, > 0 when later. */

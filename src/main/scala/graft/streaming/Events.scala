@@ -55,6 +55,13 @@ final case class PackedRow(lengths: Seq[Long], values: Array[Byte]) {
       if (len < 0) out += None
       else {
         val l = len.toInt
+        // copyOfRange would silently ZERO-PAD past the source end — a
+        // truncated wire row must surface as a length mismatch here, not
+        // as NUL-embedded text or a parse error far from the cause
+        if (offset + l > values.length)
+          throw new IllegalStateException(
+            s"corrupt packed row: lengths sum past the value bytes " +
+              s"(need ${offset + l}, have ${values.length})")
         out += Some(java.util.Arrays.copyOfRange(values, offset, offset + l))
         offset += l
       }

@@ -30,8 +30,14 @@ final class SchemaRegistry(
         fd.flags)
     }
     val meta = TableMeta(ref, cols)
-    tables += ref -> meta
-    meta
+    // repeated identical FIELD events (the server resends one per copy
+    // response batch) must return the EXISTING meta: every fresh
+    // TableMeta instance would add an identity-keyed row to the reader's
+    // key-index cache — an unbounded leak over a long copy phase
+    tables.get(ref) match {
+      case Some(prev) if prev == meta => prev
+      case _ => tables += ref -> meta; meta
+    }
   }
 
   def get(ref: TableRef): Option[TableMeta] = tables.get(ref)

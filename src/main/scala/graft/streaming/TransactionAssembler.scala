@@ -86,8 +86,15 @@ object TransactionAssembler {
             throw new IllegalStateException(s"COMMIT without BEGIN on shard ${c.shard}")
           val result =
             if (txVgtid.isEmpty) {
-              // reference:239-245 — no VGTID in the window, drop silently
-              None
+              // reference:239-245 — no VGTID in the window, the
+              // transaction is dropped; its FIELD events are NOT (the
+              // server sends FIELD once per stream per table, so losing
+              // the schema here would fail the NEXT transaction's rows
+              // with "ROW for unknown table"): flush them alone, like a
+              // standalone FIELD
+              val fields = buffer.collect { case f: FieldEvent => f }
+              if (fields.isEmpty) None
+              else Some(VTransaction(c.shard, c.keyspace, lastVgtid, fields, 0L))
             } else {
               lastVgtid = txVgtid
               Some(VTransaction(c.shard, c.keyspace, txVgtid, buffer :+ c, c.timestampSec))
@@ -117,8 +124,9 @@ object TransactionAssembler {
           buffer :+= r
           None
         case cc: CopyCompletedEvent =>
-          if (inTx) buffer :+= cc
-          else buffer :+= cc // may precede the restarted BEGIN (pattern 3/4)
+          // buffered whether or not a tx is open — it may precede the
+          // restarted BEGIN (copy-restart patterns 3/4)
+          buffer :+= cc
           None
       }
 

@@ -73,6 +73,33 @@ class VgtidSpec extends AnyFunSuite {
     val v = Vgtid.of("""[{"keyspace":"ks","shard":"0","gtid":"current"}]""")
     assert(v.shardGtids.head.gtid == "current")
   }
+
+  test("copy-progress ordering: composite PKs compare per column, not concatenated") {
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def lp2(a: String, bv: String): TableLastPk =
+      TableLastPk("t",
+        Seq(PkField("a", "INT64", 63, None), PkField("b", "INT64", 63, None)),
+        Seq(PkRow(Seq(a.length.toString, bv.length.toString), b64(a + bv))))
+    def pos(pk: TableLastPk) = ShardGtid("ks", "0", "MySQL56/h:1-1", Seq(pk))
+    // (1,95) < (2,5): the concatenated strings "195" vs "25" invert this
+    assert(CopyProgress.compare(pos(lp2("1", "95")), pos(lp2("2", "5"))) < 0)
+    assert(CopyProgress.compare(pos(lp2("2", "5")), pos(lp2("1", "95"))) > 0)
+    // first column ties → second decides numerically
+    assert(CopyProgress.compare(pos(lp2("7", "9")), pos(lp2("7", "10"))) < 0)
+    // a NULL column (length -1) orders first
+    val withNull = TableLastPk("t",
+      Seq(PkField("a", "INT64", 63, None), PkField("b", "INT64", 63, None)),
+      Seq(PkRow(Seq("1", "-1"), b64("7"))))
+    assert(CopyProgress.compare(pos(withNull), pos(lp2("7", "0"))) < 0)
+  }
+
+  test("vgtid: same shard name under two keyspaces is ambiguous and loud") {
+    val v = Vgtid(Seq(
+      ShardGtid("ks1", "-80", "MySQL56/h:1-1"),
+      ShardGtid("ks2", "-80", "MySQL56/h:1-2")))
+    val err = intercept[IllegalStateException] { v.shardGtid("-80") }
+    assert(err.getMessage.contains("multiple keyspaces"))
+  }
 }
 
 class TxMetadataSpec extends AnyFunSuite {
@@ -93,6 +120,14 @@ class TxMetadataSpec extends AnyFunSuite {
   test("rank is the sum of per-host max sequences") {
     assert(Rank.of("MySQL56/host1:1-123,host2:5") == BigDecimal(128))
     assert(Rank.of("MySQL56/h:1-99999999999999999999") == BigDecimal("99999999999999999999"))
+  }
+
+  test("gtid parse: multi-interval sets rank by the LAST interval's end") {
+    // replication gaps: host:1-100:105-110 is strictly ahead of host:1-108
+    assert(Rank.of("MySQL56/h:1-100:105-110") == BigDecimal(110))
+    assert(Rank.of("MySQL56/h:1-100:105-110") > Rank.of("MySQL56/h:1-108"))
+    val g = Gtid.parse("MySQL56/h:1-100:105-110,k:7")
+    assert(g.sequenceValues == Seq("110", "7"))
   }
 
   test("epoch: overridden → overridden keeps epoch") {
@@ -283,6 +318,10 @@ class ValueConversionSpec extends AnyFunSuite {
     assert(setToString(opts, 0L) == "")
     assert(setToString(opts, 15L) == "a,b,c,d")
     assert(setToString(Seq("a"), 2L) == "") // bit beyond definition dropped
+    // out-of-range bits drop WITHOUT a dangling separator
+    assert(setToString(Seq("a"), 5L) == "a")      // bits 0,2 → just "a"
+    assert(setToString(Seq("a"), 6L) == "")       // bits 1,2 both out of range
+    assert(setToString(Seq("a", "b"), 13L) == "a") // bits 0,2,3 → "a", no comma
   }
 
   test("date: zero month/day → null, year 0 kept") {
@@ -303,6 +342,10 @@ class ValueConversionSpec extends AnyFunSuite {
   test("datetime: zero sentinel → null; fractional seconds parse") {
     assert(parseDatetime("2020-02-12 01:02:03").map(_.toString).contains("2020-02-12T01:02:03"))
     assert(parseDatetime("0000-00-00 00:00:00").isEmpty)
+    // zero day OR zero month alone is the same sentinel family
+    // (NO_ZERO_IN_DATE off permits both) — None, like the DATE path
+    assert(parseDatetime("2020-05-00 10:00:00").isEmpty)
+    assert(parseDatetime("2020-00-05 10:00:00").isEmpty)
     assert(parseDatetime("2020-02-12 01:02:03.123456").exists(_.getNano == 123456000))
   }
 

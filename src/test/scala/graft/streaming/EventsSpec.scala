@@ -33,6 +33,14 @@ class EventsSpec extends AnyFunSuite {
     assert(cols(2).map(new String(_)).contains("x"))
   }
 
+  test("packed row slice: truncated value bytes fail loudly, never zero-pad") {
+    // lengths claim 5 bytes but only 2 arrived: copyOfRange would have
+    // silently padded with NULs and let the corruption decode as data
+    val corrupt = PackedRow(Seq(5L), "ab".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] { corrupt.slice }
+    assert(err.getMessage.contains("corrupt packed row"))
+  }
+
   test("row change op derivation") {
     val r = PackedRow.of(Seq(Some("1")))
     assert(RowChange(None, Some(r)).op == "c")
@@ -240,13 +248,23 @@ class RecordBuilderSpec extends AnyFunSuite {
     assert(recs.map(_.collectionOrder) == Seq(1L, 1L, 2L)) // t1=1, t2=1, t1=2
   }
 
-  test("DML transaction without a VGTID event is dropped") {
+  test("DML transaction without a VGTID event is dropped, but its FIELD survives") {
     val events = Seq(
       BeginEvent("0", "ks"),
       FieldEvent("0", "ks", "ks.t1", t1Fields, enumSetStringValues = false),
       RowEvent("0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("1"), Some("2"))))))),
       CommitEvent("0", "ks", 1L))
     assert(build(events).isEmpty)
+    // the server sends FIELD once per stream per table: the dropped
+    // window's schema must still register, or the NEXT transaction's
+    // rows (no FIELD resent) die with "ROW for unknown table"
+    val followUp = events ++ Seq(
+      BeginEvent("0", "ks"),
+      RowEvent("0", "ks", "ks.t1", Seq(RowChange(None, Some(PackedRow.of(Seq(Some("9"), Some("42"))))))),
+      VgtidEvent("0", vgtid(2)),
+      CommitEvent("0", "ks", 2L))
+    val recs = build(followUp)
+    assert(recs.count(_.op == "c") == 1)
   }
 
   test("DDL inside an open transaction is emitted with the transaction, in order") {
