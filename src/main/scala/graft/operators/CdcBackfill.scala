@@ -57,8 +57,18 @@ object CdcBackfill {
       to_json(struct(payload: _*)).as("after"),
       to_json(struct(keyCols.map(col): _*)).as("key"),
       lit(0L).as("ts_ms"),
-      element_at(vmap, shard).as("vgtid"),
-      element_at(vmap, shard).as("restart_vgtid"),
+      // a shard value outside the handover vgtid means the handover was
+      // recorded against a different topology (e.g. pre-reshard): a null
+      // position here would silently gap or replay pre-snapshot history
+      // downstream — exactly the error class this backfill exists to
+      // prevent — so fail the job instead
+      coalesce(element_at(vmap, shard),
+        raise_error(concat(lit("backfill row's shard '"), shard,
+          lit("' is not covered by the handover vgtid — was it recorded " +
+            "against a different (pre-reshard) topology?")))).as("vgtid"),
+      coalesce(element_at(vmap, shard),
+        raise_error(lit("unreachable: vgtid column raises first")))
+        .as("restart_vgtid"),
       lit(null).cast("string").as("tx_id"),
       lit(0L).as("epoch"),
       lit(null).cast("string").as("rank"),

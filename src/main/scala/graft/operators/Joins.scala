@@ -42,8 +42,15 @@ object Joins {
     require(buckets > 1, s"salting needs >1 bucket, got $buckets")
     require(Set("inner", "left", "left_outer")(joinType),
       s"salted join preserves semantics only for inner/left joins, got $joinType")
+    // salt by a per-row counter, NOT row content: content-hashing sends
+    // duplicate rows (the classic hot-key shape — many identical
+    // denormalized facts) to ONE bucket, silently undoing the
+    // mitigation while still paying the right-side replication. The
+    // counter is per-partition-monotonic, so mod-buckets round-robins
+    // every partition's rows evenly regardless of content; the JOIN
+    // result is salt-independent, so nondeterminism here is invisible.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(buckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")

@@ -41,8 +41,16 @@ object Sessions {
 
   // ------------------------------------------------------- streaming
   final case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
-  final case class SessionState(startMicros: Long, lastMicros: Long, n: Long, total: Double)
+  /** `totalE4` accumulates value in EXACT 1e-4 units (each event rounded
+    * HALF_UP to 4 dp first, the same rule as the batch path's
+    * `cast(DecimalType(18,4))`) — a Double running total would drift
+    * from the batch aggregation by float error over a long session. */
+  final case class SessionState(startMicros: Long, lastMicros: Long, n: Long, totalE4: Long)
   final case class Session(user_id: Long, startMicros: Long, n_events: Long, total_value: Double)
+
+  private def toE4(v: Double): Long =
+    BigDecimal.decimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
 
   // ------------------------------------------------- streaming funnel
   final case class FEv(user_id: Long, event_id: Long, tsMicros: Long, event_type: String)
@@ -64,6 +72,8 @@ object Sessions {
       events: Dataset[FEv],
       stages: Seq[String]): Dataset[StageHit] = {
     import spark.implicits._
+    require(stages.distinct == stages,
+      s"funnel stages must be distinct (the per-stage index is a map), got $stages")
     val stageIdx = stages.zipWithIndex.toMap
     events
       .groupByKey(_.user_id)
@@ -105,28 +115,26 @@ object Sessions {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(s => Session(user, s.startMicros, s.n, s.total))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = it.toVector.sortBy(e => (e.tsMicros, e.event_id))
-            val closed = Vector.newBuilder[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
-                  cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  closed += Session(user, s.startMicros, s.n, s.total)
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
-              }
+          // NoTimeout is registered, so no hasTimedOut branch exists:
+          // open sessions close only via a later event (liveness events
+          // per key give completion for free — see scaladoc)
+          val sorted = it.toVector.sortBy(e => (e.tsMicros, e.event_id))
+          val closed = Vector.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
+                cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1,
+                  totalE4 = s.totalE4 + toE4(e.value)))
+              case Some(s) =>
+                closed += Session(user, s.startMicros, s.n, s.totalE4 / 1e4)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, toE4(e.value)))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, toE4(e.value)))
             }
-            cur.foreach(state.update)
-            closed.result().iterator
           }
+          cur.foreach(state.update)
+          closed.result().iterator
       }
   }
 }

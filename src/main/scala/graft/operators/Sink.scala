@@ -47,19 +47,25 @@ object Sink {
     records.withColumn("topic", topicColumn(cfg))
       .write.mode("overwrite").partitionBy("topic").parquet(outDir)
 
-  /** Streaming: same fan-out via foreachBatch (exactly-once per epoch
-    * with a checkpointed query). */
+  /** Streaming: same fan-out through Spark's NATIVE file sink, which is
+    * genuinely exactly-once — committed files are recorded in the
+    * sink's `_spark_metadata` log, a retried micro-batch re-commits the
+    * same batch id idempotently, and Spark reads of the directory honor
+    * the log (orphaned files from a failed attempt are invisible). A
+    * foreachBatch append here would duplicate rows on every batch retry
+    * (foreachBatch is at-least-once); the built-in sink supports the
+    * topic partitionBy directly, so nothing needed hand-rolling. */
   def streamByTopic(
       records: DataFrame,
       cfg: TopicConfig,
       outDir: String,
       checkpoint: String): StreamingQuery =
-    records.writeStream
+    records.withColumn("topic", topicColumn(cfg))
+      .writeStream
+      .format("parquet")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.withColumn("topic", topicColumn(cfg))
-          .write.mode("append").partitionBy("topic").parquet(outDir)
-      }
+      .option("path", outDir)
+      .partitionBy("topic")
       .start()
 
   /** Streaming fan-out to a REAL Kafka broker: the same topic routing as
@@ -163,18 +169,9 @@ object Sink {
     side("after", 1).unionByName(side("before", -1))
   }
 
-  def materialize(records0: DataFrame, table: String, schema: StructType): DataFrame = {
-    val records = normalize(records0)
-    val w = Window.partitionBy(col("key"))
-      .orderBy(
-        col("epoch").desc,
-        col("rank").cast("decimal(38,0)").desc,
-        col("totalOrder").desc)
-    records
-      .filter(col("table") === table && col("op").isin("c", "u", "d") && col("key").isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "d")
-      .select(from_json(col("after"), schema).as("r"))
-      .select(col("r.*"))
-  }
+  /** CDC→table upsert: the current image per key. Delegates to the one
+    * shared version-order definition (Temporal.latestImage) — snapshotAt
+    * is the same operator with a prefix cut. */
+  def materialize(records0: DataFrame, table: String, schema: StructType): DataFrame =
+    Temporal.latestImage(records0, table, schema, cut = None)
 }

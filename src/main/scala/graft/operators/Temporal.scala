@@ -45,12 +45,27 @@ object Temporal {
     */
   def snapshotAt(records0: DataFrame, table: String, schema: StructType,
       epoch: Long, rank: Long): DataFrame = {
+    // null-rank records (batch-backfill snapshot rows, copy-phase
+    // records) are the OLDEST versions within their epoch — the window
+    // in latestImage already orders them last (desc nulls-last), and the
+    // cutoff must include them too: a bare `rankDec <= rank` is SQL NULL
+    // for them, which would silently drop the whole snapshot base from
+    // any same-epoch time travel
     val cut = col("epoch") < epoch ||
-      (col("epoch") === epoch && rankDec <= lit(rank))
+      (col("epoch") === epoch && (rankDec.isNull || rankDec <= lit(rank)))
+    latestImage(records0, table, schema, Some(cut))
+  }
+
+  /** The ONE definition of "current image per key" over a change log —
+    * snapshotAt is this plus a prefix cut, Sink.materialize is this with
+    * none; a shared helper so the version order (epoch, rank-decimal,
+    * totalOrder, desc nulls-last) can never drift between them. */
+  private[operators] def latestImage(records0: DataFrame, table: String,
+      schema: StructType, cut: Option[Column]): DataFrame = {
     val w = Window.partitionBy(col("key"))
       .orderBy(col("epoch").desc, rankDec.desc, col("totalOrder").desc)
-    changeRows(records0, table)
-      .filter(cut)
+    val base = changeRows(records0, table)
+    cut.fold(base)(base.filter)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "d")
       .select(from_json(col("after"), schema).as("r"))
@@ -113,6 +128,12 @@ object Temporal {
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
     val r = right
       .filter(col(rightTime).isNotNull)
+      // SQL equi-join semantics: a null key matches NOTHING. The window
+      // partitioning would otherwise group null-key rows from both
+      // sides together and hand left rows the state of other unknown-key
+      // rows; dropping null-key RIGHT rows leaves null-key left rows in
+      // a partition with no visible payload → null, the join answer
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(keyCols.map(col) :+ col(rightTime).as("__t") :+
         payload.as("__asof") :+ lit(rightSide).as("__side"): _*)
     val l = left

@@ -69,7 +69,15 @@ object Transforms {
     * mitigation). */
   def replaceFieldValue(df: DataFrame, path: String, value: String = ""): DataFrame =
     path.split("\\.", 2) match {
-      case Array(top)         => df.withColumn(top, lit(value))
+      case Array(top) =>
+        // the SMT blanks a field's VALUE; silently replacing a struct
+        // (or numeric) column with a string literal would change the
+        // schema out from under downstream consumers
+        val dt = df.schema(top).dataType
+        require(dt == org.apache.spark.sql.types.StringType,
+          s"replaceFieldValue targets string fields; '$top' is $dt — " +
+            "address a leaf field with a nested path instead")
+        df.withColumn(top, lit(value))
       case Array(top, nested) => df.withColumn(top, col(top).withField(nested, lit(value)))
     }
 

@@ -47,6 +47,23 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.size == 1000)
   }
 
+  test("salted join: identical-content hot rows spread across buckets (salt not content-derived)") {
+    val sp = spark; import sp.implicits._
+    // 1000 BYTE-IDENTICAL left rows for one hot key: a content-derived
+    // salt maps them all to one bucket, silently undoing the mitigation
+    val left = Seq.fill(1000)(("hot", 1L)).toDF("k", "lv")
+    val salts = left.withColumn("__salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.monotonically_increasing_id(),
+          org.apache.spark.sql.functions.lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts > 1) // the operator's salt rule, pinned structurally
+    // and the join result stays exactly the plain join's
+    val right = Seq(("hot", "r")).toDF("k", "rv")
+    val out = Joins.saltedJoin(left, right, Seq("k"), buckets = 8)
+    assert(out.count() == 1000)
+  }
+
   test("salted join: left join keeps unmatched left rows exactly once") {
     val sp = spark; import sp.implicits._
     val (left, right) = skewed()

@@ -61,6 +61,37 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sessions accumulate value exactly (no float drift vs the batch decimal)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Sessions.Ev]
+    val q = Sessions.sessionizeStream(sp, input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_exact")
+      .outputMode("append").start()
+    try {
+      // seven 0.1-valued events: a Double running total gives
+      // 0.7000000000000001; the batch decimal(18,4) path gives 0.7000
+      input.addData((1L to 7L).map(i => Sessions.Ev(1L, i, i * Minute, 0.1)): _*)
+      q.processAllAvailable()
+      input.addData(Sessions.Ev(1L, 8L, 500 * Minute, 1.0)) // gap closes it
+      q.processAllAvailable()
+      val closed = sp.table("sess_exact").as[Sessions.Session].collect().toSeq
+      assert(closed == Seq(Sessions.Session(1L, 1 * Minute, 7L, 0.7)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: duplicate stage names are rejected up front") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Sessions.FEv]
+    val err = intercept[IllegalArgumentException] {
+      Sessions.funnelStream(sp, input.toDS(), Seq("view", "click", "view"))
+    }
+    assert(err.getMessage.contains("distinct"))
+  }
+
   test("streaming sessions match the batch operator on the same data") {
     val sp = spark
     import sp.implicits._

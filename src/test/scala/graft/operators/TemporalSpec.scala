@@ -93,6 +93,39 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(99L) === Map("B" -> "b1"))
   }
 
+  test("asofJoin: null keys never match (SQL equi semantics), left row kept with null payload") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, Option.empty[String], 10L), (2L, Some("a"), 10L))
+      .toDF("id", "k", "t")
+    val r = Seq((Option.empty[String], 3L, "nullk"), (Some("a"), 5L, "ra"))
+      .toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    // the null-key left row must NOT inherit the null-key right row's state
+    assert(out === Map(1L -> null, 2L -> "ra"))
+  }
+
+  test("snapshotAt includes null-rank records (the snapshot/copy base) at any cutoff") {
+    val s = spark; import s.implicits._
+    // epoch-0 backfill rows carry rank = null (CdcBackfill) — they are
+    // the oldest versions; a cutoff in the same epoch must not drop keys
+    // the stream never touched again
+    val base = Seq(
+      ("A", "c", null: String, 0L, """{"id":"A","x":"snap_a"}"""),
+      ("B", "c", null: String, 0L, """{"id":"B","x":"snap_b"}"""),
+      ("A", "u", "3", 1L, """{"id":"A","x":"a2"}"""))
+      .toDF("key0", "op", "rank", "totalOrder", "after")
+      .select(
+        concat(lit("""{"id":""""), col("key0"), lit(""""}""")).as("key"),
+        col("op"), lit("t").as("table"), col("rank"),
+        lit(0L).as("epoch"), col("totalOrder"), col("after"))
+    def snap(r: Long): Map[String, String] =
+      Temporal.snapshotAt(base, "t", schema, epoch = 0L, rank = r)
+        .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(snap(0L) === Map("A" -> "snap_a", "B" -> "snap_b")) // base only
+    assert(snap(3L) === Map("A" -> "a2", "B" -> "snap_b"))     // B untouched, still there
+  }
+
   test("scd2 chains intervals, closes on delete, flags only live current") {
     val hist = Temporal.scd2(log, "t", schema)
       .select("id", "x", "version", "valid_from", "valid_to", "is_current")
