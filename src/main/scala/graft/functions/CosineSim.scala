@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -11,16 +12,40 @@ import org.apache.spark.sql.types._
   * expression with full codegen: one fused loop accumulating dot product
   * and both norms in doubles, left-to-right — the deterministic
   * arithmetic the ANN oracles rely on, at a fraction of the cost of the
-  * interpreted zip_with/aggregate lambda tree it replaces. */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  * interpreted zip_with/aggregate lambda tree it replaces.
+  *
+  * Contract edges (both execution paths):
+  *  - a zero-norm side yields 0.0, never NaN — NaN sorts GREATER than
+  *    every double in Spark, so a garbage all-zero embedding would
+  *    otherwise claim the top slot of every `ORDER BY sim DESC` top-k;
+  *  - mismatched dimensions yield NULL, matching the zip_with
+  *    composition's null-padding behavior (a truncated corrupt vector
+  *    must not earn a confident prefix-cosine);
+  *  - input types are declared, so `cosine_sim(array(1.0), …)` fails at
+  *    analysis instead of misreading doubles as floats at runtime. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        // without this, array<double> literals pass analysis and
+        // getFloat misreads their 8-byte slots as garbage at runtime
+        s"cosine_sim expects (array<float>, array<float>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -29,7 +54,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,14 +68,19 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = (double) $a.getFloat($i);
-         |  final double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = (double) $a.getFloat($i);
+         |    final double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -22,6 +22,25 @@ case class SlicePackedRow(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(BinaryType, containsNull = true)
   override def prettyName: String = "slice_packed_row"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        // without this, array<int> lengths pass analysis and getLong
+        // reads 8 bytes across two 4-byte slots — silent garbage slices
+        s"slice_packed_row expects (array<bigint>, binary), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  /** Same fail-loud contract as the JVM decoder (PackedRow.slice): a
+    * lengths sum past the value bytes is a truncated/hostile row and
+    * must surface as an error — copyOfRange would silently zero-pad it
+    * into NUL-embedded "data". Shared by both execution paths. */
+  private def overrun(need: Long, have: Int): Nothing =
+    throw new IllegalStateException(
+      s"corrupt packed row: lengths sum past the value bytes (need $need, have $have)")
+
   override protected def nullSafeEval(lengthsAny: Any, valuesAny: Any): Any = {
     val lengths = lengthsAny.asInstanceOf[ArrayData]
     val values = valuesAny.asInstanceOf[Array[Byte]]
@@ -32,6 +51,9 @@ case class SlicePackedRow(left: Expression, right: Expression)
       val len = lengths.getLong(i)
       if (len < 0) out(i) = null
       else {
+        // long compare BEFORE the int cast: a hostile 2^32+5 length
+        // must not truncate to 5 and mis-slice silently
+        if (offset.toLong + len > values.length) overrun(offset.toLong + len, values.length)
         val l = len.toInt
         out(i) = java.util.Arrays.copyOfRange(values, offset, offset + l)
         offset += l
@@ -48,6 +70,7 @@ case class SlicePackedRow(left: Expression, right: Expression)
       val off = ctx.freshName("off")
       val i = ctx.freshName("i")
       val len = ctx.freshName("len")
+      val self = ctx.addReferenceObj("slicePackedRow", this, classOf[SlicePackedRow].getName)
       s"""
          |final int $n = $lengths.numElements();
          |final Object[] $out = new Object[$n];
@@ -57,6 +80,9 @@ case class SlicePackedRow(left: Expression, right: Expression)
          |  if ($len < 0) {
          |    $out[$i] = null;
          |  } else {
+         |    if (((long) $off) + $len > $values.length) {
+         |      $self.graftOverrun(((long) $off) + $len, $values.length);
+         |    }
          |    $out[$i] = java.util.Arrays.copyOfRange($values, $off, $off + (int) $len);
          |    $off += (int) $len;
          |  }
@@ -64,6 +90,10 @@ case class SlicePackedRow(left: Expression, right: Expression)
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
+
+  /** Codegen entry point for [[overrun]] (generated Java calls back into
+    * the expression instance). */
+  def graftOverrun(need: Long, have: Int): Unit = overrun(need, have)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SlicePackedRow =

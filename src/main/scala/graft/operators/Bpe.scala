@@ -64,7 +64,7 @@ object Bpe {
   def trainOnHistogram(
       hist: Seq[(String, Long)], rounds: Int): Seq[(String, String)] = {
     var words: Seq[(Vector[String], Long)] =
-      hist.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      hist.map { case (w, c) => (codePointSymbols(w), c) }
     val merges = Vector.newBuilder[(String, String)]
     var r = 0
     var done = false
@@ -107,8 +107,24 @@ object Bpe {
 
   /** Encode one word with a trained merge list: greedy lowest-rank-first
     * application, the standard BPE inference order. */
+  /** Initial symbols = CODE POINTS, not UTF-16 code units: splitting a
+    * supplementary character (emoji) into its surrogate halves would
+    * disagree with the code-point-based pair statistics (Spark substr /
+    * DuckDB) and emit lone-surrogate tokens that UTF8String turns into
+    * U+FFFD replacement chars. */
+  private def codePointSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = codePointSymbols(word)
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

@@ -149,10 +149,13 @@ object Multimodal {
     val out = new Array[Byte](tw * th * 3)
     var y = 0
     while (y < th) {
-      val sy = y * sh / th
+      // long arithmetic: y*sh (and x*sw) overflow Int for legal tall
+      // sources/targets, wrapping to a negative row index and killing
+      // the executor — the exception class the parser contract forbids
+      val sy = (y.toLong * sh / th).toInt
       var x = 0
       while (x < tw) {
-        val sx = x * sw / tw
+        val sx = (x.toLong * sw / tw).toInt
         System.arraycopy(src, (sy * sw + sx) * 3, out, (y * tw + x) * 3, 3)
         x += 1
       }
@@ -264,14 +267,22 @@ object Multimodal {
     * the same (dims, per-channel means) surface as [[decodeBmpFeatures]]
     * but dispatching per payload — the shape a real multi-format corpus
     * needs. Undecodable payloads keep the row with null features. */
-  def decodeImageFeatures(media: DataFrame): DataFrame = {
+  def decodeImageFeatures(media: DataFrame): DataFrame =
+    imageFeatureRows(media, imageFeatures)
+
+  /** One shared mapPartitions body for the image-feature surfaces — the
+    * payload extraction, null handling, and (b,g,r)→(r,g,b) reorder must
+    * not drift between the BMP-only and format-dispatching decoders. */
+  private def imageFeatureRows(
+      media: DataFrame,
+      decode: Array[Byte] => Option[(Int, Int, Double, Double, Double)]): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(BmpFeaturesSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val len = if (payload == null) 0L else payload.length.toLong
-          imageFeatures(payload) match {
+          decode(payload) match {
             case Some((w, h, mb, mg, mr)) =>
               Row(r.getAs[Long]("media_id"), len, w, h,
                 round6(mr), round6(mg), round6(mb))
@@ -496,23 +507,8 @@ object Multimodal {
     * (dims and channel means come from the bytes; undecodable payloads
     * yield null features, the row is kept). No shuffle — output
     * partitioning follows the input. */
-  def decodeBmpFeatures(media: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(BmpFeaturesSchema)
-    media.select(col("media_id"), col("payload"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val len = if (payload == null) 0L else payload.length.toLong
-          decodeBmp(payload) match {
-            case Some((w, h, mb, mg, mr)) =>
-              Row(r.getAs[Long]("media_id"), len, w, h,
-                round6(mr), round6(mg), round6(mb))
-            case None =>
-              Row(r.getAs[Long]("media_id"), len, null, null, null, null, null)
-          }
-        }
-      }(enc)
-  }
+  def decodeBmpFeatures(media: DataFrame): DataFrame =
+    imageFeatureRows(media, decodeBmp)
 
   val WavFeaturesSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -556,8 +552,10 @@ object Multimodal {
       posexplode(transform(
         sequence(lit(0), lit(frames - 1)),
         f => {
-          val len = length(col("payload"))
-          // integer frame boundaries (Spark `/` on ints yields double)
+          // long arithmetic: an int len×frame product wraps for payloads
+          // past Int.MaxValue/frames, silently sampling wrong regions
+          val len = length(col("payload")).cast("long")
+          // integer frame boundaries (Spark `/` yields double)
           val start = floor(len * f / frames).cast("int") + 1
           val end = floor(len * (f + 1) / frames).cast("int")
           col("payload").substr(start, greatest(end - start + lit(1), lit(0)))

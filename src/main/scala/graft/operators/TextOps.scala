@@ -153,17 +153,34 @@ object TextOps {
     * tiny next to a training corpus, so their distinct gram set is
     * broadcast and the corpus side is one narrow scan + broadcast
     * semi-join: no shuffle of corpus data at any scale. */
+  /** A benchmark item SHORTER than k tokens emits its whole text as one
+    * pseudo-gram (kgramUdf's fallback) — but a longer corpus doc only
+    * emits k-grams, so the short item hiding inside it would never
+    * match. The corpus side therefore ALSO emits n-grams at each
+    * distinct short-bench length: ≤ k−1 extra lengths, resolved with
+    * one tiny job over the bench set (small by contract). */
+  private def shortBenchLengths(bench: DataFrame, textCol: String, k: Int): Seq[Int] =
+    bench.select(wsTokenCount(col(textCol)).cast("int").as("n"))
+      .filter(col("n") > 0 && col("n") < k)
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  private def corpusGrams(textCol: String, k: Int, shortLens: Seq[Int]): Column = {
+    val all = (k +: shortLens).map(n => kgrams(col(textCol), n))
+    explode(if (all.size == 1) all.head else array_distinct(concat(all: _*)))
+  }
+
   def contaminatedIds(
       docs: DataFrame,
       bench: DataFrame,
       textCol: String,
       idCol: String,
       k: Int = 8): DataFrame = {
+    val shortLens = shortBenchLengths(bench, textCol, k)
     val benchGrams = bench
       .select(explode(kgrams(col(textCol), k)).as("gram"))
       .distinct()
     docs
-      .select(col(idCol), explode(kgrams(col(textCol), k)).as("gram"))
+      .select(col(idCol), corpusGrams(textCol, k, shortLens).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(col(idCol))
       .distinct()
@@ -201,7 +218,8 @@ object TextOps {
       val bloomB = ss.sparkContext.broadcast(bloom)
       val mightContain = udf { (g: String) => g != null && bloomB.value.mightContain(g) }
       docs
-        .select(col(idCol), explode(kgrams(col(textCol), k)).as("gram"))
+        .select(col(idCol),
+          corpusGrams(textCol, k, shortBenchLengths(bench, textCol, k)).as("gram"))
         .filter(mightContain(col("gram")))
         .join(benchGrams, Seq("gram"), "left_semi")
         .select(col(idCol))
@@ -557,9 +575,6 @@ object TextOps {
   }
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
-
-  private def inList(values: Seq[String]): String =
-    values.map(v => s"'$v'").mkString("(", ", ", ")")
 
   /** Count of stopword tokens (array filter — exact, not substring
     * counting). */

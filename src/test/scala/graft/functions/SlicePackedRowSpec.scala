@@ -56,6 +56,51 @@ class SlicePackedRowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.first().getString(0) == "ok")
   }
 
+  test("truncated packed row fails loudly in BOTH paths; hostile length never truncates to int") {
+    val sp = spark; import sp.implicits._
+    // lengths claim 5 bytes, 2 arrived — the JVM decoder throws; the
+    // SQL-native decode path must match, never zero-pad
+    def run(lens: Seq[Long]): Unit =
+      Seq((lens, "ab".getBytes("UTF-8"))).toDF("lengths", "values")
+        .select(functions.slice_packed_row(col("lengths"), col("values")).as("r"))
+        .collect()
+    val e1 = intercept[Exception] { run(Seq(5L)) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e1).exists(_.contains("corrupt packed row")))
+    // a hostile 2^32+5 length must not wrap to 5 and slice "ab" quietly
+    val e2 = intercept[Exception] { run(Seq((1L << 32) + 5L)) }
+    assert(messages(e2).exists(_.contains("corrupt packed row")))
+  }
+
+  test("wrong input types fail at analysis, not at runtime") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((Seq(1, 2), "ab".getBytes("UTF-8"), Seq(1.0, 2.0), Seq(1.0f))).toDF("ints", "bytes", "dbls", "flts")
+    // array<int> lengths: getLong would read across two 4-byte slots
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(functions.slice_packed_row(col("ints"), col("bytes"))).collect()
+    }
+    // array<double> embeddings: getFloat would misread 8-byte slots
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(CosineSim(col("dbls"), col("flts"))).collect()
+    }
+  }
+
+  test("cosine_sim: zero-norm yields 0.0 (never NaN), dim mismatch yields null") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((
+      Seq(0f, 0f), Seq(1f, 2f),     // zero vs real
+      Seq(1f, 2f, 3f), Seq(1f, 2f)  // mismatched dims
+    )).toDF("z", "a", "b3", "b2")
+    val row = df.select(
+      CosineSim(col("z"), col("a")).as("zn"),
+      CosineSim(col("b3"), col("b2")).as("mm"),
+      CosineSim(col("a"), col("a")).as("self")).first()
+    assert(row.getDouble(0) == 0.0) // NaN would top every DESC ranking
+    assert(row.isNullAt(1))
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("registered as a SQL function (extensions or runtime registration)") {
     graft.GraftExtensions.register(spark)
     val out = spark.sql(

@@ -46,6 +46,17 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bpe.encodeWord("x", ranks) == Vector("x"))
   }
 
+  test("symbols are code points: supplementary chars never split into surrogates") {
+    // an emoji is ONE symbol; UTF-16 code-unit splitting would produce
+    // two lone surrogates that (a) disagree with the code-point-based
+    // pair statistics and (b) turn into U+FFFD through UTF8String
+    val emoji = new String(Character.toChars(0x1F600)) // 😀
+    assert(Bpe.encodeWord(emoji + "x", Map.empty) == Vector(emoji, "x"))
+    val merges = Bpe.trainOnHistogram(Seq((emoji + "x", 5L)), rounds = 1)
+    assert(merges == Seq((emoji, "x"))) // the pair is (😀, x), not (surrogate, surrogate)
+    assert(Bpe.encodeWord(emoji + "x", merges.zipWithIndex.toMap) == Vector(emoji + "x"))
+  }
+
   test("distributed train matches the local loop; tokenizer runs as a narrow map") {
     val sp = spark
     import sp.implicits._

@@ -896,6 +896,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flagged == Set(1L)) // 7-token overlap is below the k=8 bar
   }
 
+  test("decontamination: a short bench item hiding inside a longer corpus doc is caught") {
+    val sp = spark; import sp.implicits._
+    // the bench answer is 5 tokens (< k=8): it emits ONE whole-text
+    // pseudo-gram, so the corpus side must probe 5-grams too — a
+    // k-gram-only corpus scan would silently leave doc 1 in the corpus
+    val answer = "paris is the capital city"
+    val docs = Seq(
+      (1L, "some long introduction text where " + answer + " appears mid passage"),
+      (2L, "completely unrelated content about storage engines and planners"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, answer)).toDF("doc_id", "text")
+    val flagged = TextOps.contaminatedIds(docs, bench, "text", "doc_id", k = 8)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L))
+    val viaBloom = TextOps.contaminatedIdsBloom(docs, bench, "text", "doc_id", k = 8)
+      .as[Long].collect().toSet
+    assert(viaBloom == Set(1L))
+  }
+
+  test("bmp resize: tall source × tall target stays in long arithmetic (no row-index wrap)") {
+    // y*sh reaches 2e6 * 3000 = 6e9 — int arithmetic wraps negative and
+    // kills the executor with ArrayIndexOutOfBounds; the contract is
+    // Some for any decodable input within the pixel-array bound
+    val src = Multimodal.encodeBmpPixels(1, 3000,
+      Array.tabulate(3000 * 3)(i => (i % 251).toByte))
+    val out = Multimodal.resizeBmp(src, 1, 2000000)
+    assert(out.isDefined)
+    val decoded = Multimodal.decodeBmpPixels(out.get)
+    assert(decoded.exists { case (w, h, _) => w == 1 && h == 2000000 })
+  }
+
   test("tfidf: rare heavy terms outrank ubiquitous ones") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
