@@ -28,7 +28,6 @@ object Analytics {
     * DECIMAL before aggregating so sums are order-independent and match
     * DuckDB bit-for-bit. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
-  private def money(c: Column): Column = c.cast(DecimalType(38, 4))
 
   /** Gate-canon-proof money output: scale-4 fixed point as BIGINT (value
     * × 10^4). Wide-DECIMAL results hash differently across engines when
@@ -91,14 +90,17 @@ object Analytics {
     li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
-      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
+      // fixed4 like every other money gate: wide-DECIMAL output is the
+      // representation the fixed4 comment documents as hash-red across
+      // engines on trailing-zero values (×10^4 is monotone, order kept)
+      .agg(fixed4(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3Sql: String =
-    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  ${fixed4Sql("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'

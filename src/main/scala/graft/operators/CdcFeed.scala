@@ -66,12 +66,18 @@ object CdcFeed extends Serializable {
     * at a fixed position (as a real multi-shard VGTID would be). */
   private def vgtidAt(
       shard: String, txSeq: Long, nShards: Int, multiShard: Boolean,
-      host: String = "feed"): Vgtid =
+      host: String = "feed", shardNames: Seq[String] = Nil): Vgtid =
     if (!multiShard) Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/$host:1-$txSeq")))
-    else Vgtid((0 until nShards).map { i =>
-      val s = i.toString
-      ShardGtid("ks", s, if (s == shard) s"MySQL56/$host:1-$txSeq" else "MySQL56/feed:1-1")
-    })
+    else {
+      // entries carry the ACTUAL shard names: indexing 0..n with
+      // range-style shardNames in play would freeze the emitting shard's
+      // own position at feed:1-1 under names no consumer looks up
+      val names =
+        if (shardNames.nonEmpty) shardNames else (0 until nShards).map(_.toString)
+      Vgtid(names.map { s =>
+        ShardGtid("ks", s, if (s == shard) s"MySQL56/$host:1-$txSeq" else "MySQL56/feed:1-1")
+      })
+    }
 
   /** orders → one tx per row. opsMix: orderkey%10==0 → update (status set
     * to "U"), %10==5 → delete, else insert. */
@@ -103,8 +109,10 @@ object CdcFeed extends Serializable {
       .withColumn("shard", shardCol)
       .withColumn("tx", row_number().over(w).cast("long"))
       // hostFlip: the GTID source UUID changes after the first half of each
-      // shard's transactions (a failover) — the epoch must bump exactly there
-      .withColumn("n_tx", count(lit(1)).over(Window.partitionBy("shard")))
+      // shard's transactions (a failover) — the epoch must bump exactly
+      // there. The per-shard count pass only runs when the flip needs it
+      .withColumn("n_tx",
+        if (hostFlip) count(lit(1)).over(Window.partitionBy("shard")) else lit(0L))
       .select(
         col("shard"), col("tx"), col("n_tx"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
@@ -129,7 +137,8 @@ object CdcFeed extends Serializable {
       val host = if (hostFlip && 2 * tx > nTx) "failover" else "feed"
       feedLines(shard, tx,
         txEvents(shard, "ks.orders", fields, change, tx,
-          vgtidAt(shard, tx, nShards, multiShardVgtid, host), withField = tx == 1))
+          vgtidAt(shard, tx, nShards, multiShardVgtid, host, shardNames),
+          withField = tx == 1))
     }
   }
 

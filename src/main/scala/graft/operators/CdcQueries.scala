@@ -17,13 +17,6 @@ object CdcQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private object CdcPipelineHelpers {
-    def cache[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
-      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ds
-    }
-  }
-
   /** The default orders change log, computed once per scale dir and
     * persisted — several gates query the same log, exactly like a real
     * deployment materializes one change log for many consumers. */
@@ -31,7 +24,8 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def ordersChangeLog(s: SparkSession, d: String): DataFrame =
     sharedRecords.computeIfAbsent(d, _ =>
-      CdcPipelineHelpers.cache(CdcPipeline.changeRecords(s, CdcFeed.orders(s, d)).toDF()))
+      CdcPipeline.changeRecords(s, CdcFeed.orders(s, d)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def afterStr(field: String) = get_json_object(col("after"), s"$$.$field")
 
@@ -298,21 +292,29 @@ object CdcQueries {
   /** Materialize a FeedLine dataset into one ordered `.jsonl` per shard:
     * one job — hash shards into tasks, sort (shard, seq) within tasks,
     * and let partitionBy fan one ordered file out per shard directory.
-    * `append` concatenates onto existing shard files (a later feed wave). */
+    * Later feed waves append via [[copyWave]] over staged dirs. */
   private def writeFeedFiles(
       s: SparkSession,
       feed: org.apache.spark.sql.Dataset[graft.streaming.FeedLine],
-      feedDir: java.nio.file.Path,
-      append: Boolean = false): Unit = {
-    import java.nio.file.{Files, StandardOpenOption}
-    import scala.jdk.CollectionConverters._
+      feedDir: java.nio.file.Path): Unit = {
     val tmp = feedDir.resolve("_tmp")
     feed
       .repartition(CdcFeed.DefaultShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("seq"))
       .select(col("line"), col("shard")) // narrow projection keeps sort order
       .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
-    val dirListing = Files.list(tmp)
+    collectShardFiles(tmp, feedDir)
+  }
+
+  /** Move each `shard=<name>` directory's single ordered part file from
+    * a dynamic-partition text write into `<name>.jsonl` under `target` —
+    * the ONE implementation behind writeFeedFiles and stageWaves, so the
+    * one-part requirement and deterministic part ordering cannot drift. */
+  private def collectShardFiles(
+      container: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val dirListing = Files.list(container)
     val shardDirs =
       try dirListing.iterator().asScala
         .filter(_.getFileName.toString.startsWith("shard=")).toSeq
@@ -325,10 +327,8 @@ object CdcQueries {
           .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
         finally listing.close()
       require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
-      val target = feedDir.resolve(s"$shard.jsonl")
-      if (append && Files.exists(target))
-        Files.write(target, Files.readAllBytes(parts.head), StandardOpenOption.APPEND)
-      else Files.move(parts.head, target)
+      Files.move(parts.head, target.resolve(s"$shard.jsonl"))
+      ()
     }
   }
 
@@ -406,24 +406,7 @@ object CdcQueries {
       ws.indices.map { i =>
         val dir = Files.createTempDirectory(s"graft_stage_$i")
         val waveDir = tmp.resolve(s"wave=$i")
-        if (Files.exists(waveDir)) {
-          val shardListing = Files.list(waveDir)
-          val shardDirs =
-            try shardListing.iterator().asScala
-              .filter(_.getFileName.toString.startsWith("shard=")).toSeq
-            finally shardListing.close()
-          shardDirs.foreach { shardDir =>
-            val shard = shardDir.getFileName.toString.stripPrefix("shard=")
-            val listing = Files.list(shardDir)
-            val parts =
-              try listing.iterator().asScala
-                .filter(_.getFileName.toString.startsWith("part-")).toSeq
-              finally listing.close()
-            require(parts.size == 1, s"expected one ordered part per (wave, shard), got ${parts.size}")
-            Files.move(parts.head, dir.resolve(s"$shard.jsonl"))
-            ()
-          }
-        }
+        if (Files.exists(waveDir)) collectShardFiles(waveDir, dir)
         dir
       }
     })
@@ -500,8 +483,9 @@ object CdcQueries {
     val feedDir = Files.createTempDirectory("graft_feed_rr")
     val outDir = Files.createTempDirectory("graft_rr_out")
     val ckpt = Files.createTempDirectory("graft_rr_ckpt")
-    // FeedLine.seq = tx*8 + eventIndex: the first 100 transactions of each
-    // shard are wave 1, the rest arrive after the restart
+    // FeedLine.seq = tx*8 + eventIndex (tx from 1): seq < 800 puts
+    // transactions 1..99 of each shard in wave 1 (tx 100 spans seq
+    // 800-804), the rest arrive after the restart
     val waves = stageWaves(s"rr:$d", s) {
       val feed = CdcFeed.orders(s, d)
       Seq(feed.filter(col("seq") < 800), feed.filter(col("seq") >= 800))
@@ -764,7 +748,10 @@ object CdcQueries {
     * (mysql.user) stay excluded in both modes. */
   val qCdcHeartbeatTables: Q = (s, d) => {
     import graft.core.TableFilter
+    // persisted: BOTH mode runs below replay the same generated feed —
+    // without the cache each run() pays full feed generation again
     val feed = CdcFeed.twoTables(s, d, withHeartbeatTable = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def run(mode: String, streamHeartbeats: Boolean) =
       CdcPipeline.changeRecords(
           s, feed,
@@ -774,10 +761,15 @@ object CdcQueries {
         .groupBy(col("table").as("tbl"))
         .agg(count(lit(1)).as("n"))
         .withColumn("mode", lit(mode))
-    run("default", streamHeartbeats = false)
+    val out = run("default", streamHeartbeats = false)
       .unionByName(run("with_heartbeats", streamHeartbeats = true))
       .select(col("mode"), col("tbl"), col("n"))
       .orderBy(col("mode"), col("tbl"))
+      // materialize, then release the per-invocation feed cache — the
+      // result is ~5 rows, the cached feed is the whole generated corpus
+      .localCheckpoint()
+    feed.unpersist()
+    out
   }
 
   val qCdcHeartbeatTablesSql: String =
@@ -835,8 +827,8 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def ordersVersionedLog(s: SparkSession, d: String): DataFrame =
     sharedVersioned.computeIfAbsent(d, _ =>
-      CdcPipelineHelpers.cache(
-        CdcPipeline.changeRecords(s, CdcFeed.ordersVersioned(s, d)).toDF()))
+      CdcPipeline.changeRecords(s, CdcFeed.ordersVersioned(s, d)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** S7 + SURVEY §2.9: CDC→table upsert — latest state per key ordered by
     * (epoch, rank, total_order); deletes drop the key. The multi-version
