@@ -221,23 +221,10 @@ object Dedup {
   }
 
   // ------------------------------------------------------------ minhash
-  /** MinHash signature: shingles are string-hashed once to 64-bit keys;
-    * each of the k hash functions is then a cheap re-hash of that 8-byte
-    * key with the function index as seed — O(|shingles|) string hashes +
-    * O(k·|shingles|) long hashes, instead of k full string-hash passes
-    * (string hashing dominates at realistic shingle lengths). */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val keys = transform(shinglesCol, s => xxhash64(s))
-    // single pass: fold the shingle keys into a k-element running-min
-    // array; each shingle is string-hashed once and long-hashed k times
-    aggregate(
-      keys,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, x) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(x, i)),
-        (a, b) => least(a, b)))
-  }
+  // (signatures come from minhashSigUdf below — ONE hash family,
+  // splitmix64 over the shingle rolling hash, shared by every index and
+  // scoring path; a Catalyst xxhash64 twin was removed because its
+  // signatures could never match an index built here)
 
   @inline private def splitmix64(x0: Long): Long = {
     var h = x0 + 0x9e3779b97f4a7c15L
@@ -294,6 +281,11 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    // bands > numHashes gives zero-length slices (every band hashes ""
+    // → the whole corpus in one bucket); a non-dividing count silently
+    // ignores the trailing hashes the caller paid for
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("sig", minhashSigUdf(shingleN, numHashes)(col("toks")))
@@ -430,15 +422,24 @@ object Dedup {
     val smallPairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
       .select(col("id_a"), col("id_b"))
-    // hot buckets: every member pairs with the bucket minimum; keep the
-    // pair only when a new doc is involved (the min may be a corpus doc)
+    // hot buckets: candidates stay O(#new members), never O(bucket) —
+    // NEW members star against the bucket minimum, and when the minimum
+    // is itself a new doc it pairs once with the smallest CORPUS member
+    // (so the adopting batch is still verified against the corpus). The
+    // old rule ("everything pairs with the min when the min is new")
+    // made one new doc with a small id re-shingle an entire corpus-sized
+    // same-content bucket — exactly the corpus-vs-corpus work the
+    // incremental operator exists to avoid.
     val hot = sized.filter(col("bucket_n") > hotBucketThreshold)
+      .withColumn("corpus_min",
+        min(when(!col("is_new"), col("id"))).over(w))
     val hotPairs = hot
-      .withColumn("min_is_new",
-        max(when(col("id") === col("bucket_min"), col("is_new").cast("int"))
-          .otherwise(lit(0))).over(w) === 1)
-      .filter(col("id") =!= col("bucket_min") && (col("is_new") || col("min_is_new")))
+      .filter(col("is_new") && col("id") =!= col("bucket_min"))
       .select(col("bucket_min").as("id_a"), col("id").as("id_b"))
+      .unionByName(hot
+        .filter(col("is_new") && col("id") === col("bucket_min") &&
+          col("corpus_min").isNotNull)
+        .select(col("id").as("id_a"), col("corpus_min").as("id_b")))
     val pairs = smallPairs.unionByName(hotPairs).distinct()
     // re-shingle ONLY candidate docs: semi-joins keep this batch-sized
     val allDocs = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
@@ -674,6 +675,12 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       hotBucketThreshold: Int = 1024): DataFrame = {
+    // 4 banded 16-bit chunks guarantee candidate generation only up to
+    // Hamming 3 (pigeonhole); a larger bound would silently return a
+    // SUBSET (a distance-4 pair with one flipped bit per chunk shares no
+    // bucket) — fail fast instead
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be <= 3 (4-chunk banding recalls only that far), got $maxHamming")
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = withSig.select(
       col("id"), col("sig"),

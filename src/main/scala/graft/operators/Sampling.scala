@@ -126,8 +126,13 @@ object Sampling {
       strataCol: String,
       rates: DataFrame,
       seed: String): DataFrame = {
+    // greatest(...,0) mirrors hexThreshold's negative clamp: hex() of a
+    // negative int renders 16 two's-complement chars and lpad TRUNCATES
+    // to 'ffff' — an upstream sign bug would silently flip "keep none"
+    // into "keep everything"
     val thresh = when(col("rate") >= 1.0, lit("g"))
-      .otherwise(lower(lpad(hex(floor(col("rate") * 65536).cast("int")), 4, "0")))
+      .otherwise(lower(lpad(
+        hex(greatest(floor(col("rate") * 65536), lit(0.0)).cast("int")), 4, "0")))
     df.join(broadcast(rates.select(col(strataCol), thresh.as("__thresh"))),
         Seq(strataCol))
       .filter(hashPrefix(col(keyCol), seed) < col("__thresh"))
@@ -231,7 +236,9 @@ object Sampling {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals: Map[Int, Long] = ranged
       .groupBy(col("__pid"))
-      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      // coalesce: a partition whose every token count is null sums to
+      // SQL NULL and getLong would NPE the driver
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("t"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap

@@ -35,6 +35,15 @@ object Similarity {
     * double arithmetic as dot/norm, one pass, no lambda interpretation. */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
+  /** dot/norm cosine with the CosineSim zero-norm → 0.0 contract, for
+    * DOUBLE arrays where the float-typed codegen expression does not
+    * apply: without the guard a zero-norm side yields NaN, which sorts
+    * GREATER than every double and tops every DESC ranking. */
+  def cosineGuarded(a: Column, b: Column): Column = {
+    val na = norm(a); val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
   /** The top-k entry points take a "broadcast-small by contract" query
     * side (shipped to every executor, and for PQ also collected on the
     * driver). This makes misuse fail fast with a pointer to the right
@@ -202,8 +211,12 @@ object Similarity {
     (cid, r)
   }
 
+  // best seeds from the FIRST centroid, not id 0: an all-NaN cosine row
+  // (zero-norm vector) never fires the update, and a fabricated id 0
+  // either crashes residualOf's centMap lookup (replay-mode ids are real
+  // vec_ids) or silently assigns a nonexistent cell
   private def nearestCentroidD(cent: Array[(Long, Array[Double])], v: Array[Double]): Long = {
-    var best = 0L; var bestSim = Double.MinValue
+    var best = cent(0)._1; var bestSim = Double.MinValue
     cent.foreach { case (cid, c) =>
       val s = cosD(c, v)
       if (s > bestSim || (s == bestSim && cid < best)) { best = cid; bestSim = s }
@@ -212,7 +225,7 @@ object Similarity {
   }
 
   private def nearestCentroid(cent: Array[(Long, Array[Double])], v: Seq[Float]): Long = {
-    var best = 0L; var bestSim = Double.MinValue
+    var best = cent(0)._1; var bestSim = Double.MinValue
     cent.foreach { case (cid, c) =>
       val s = cosTo(c, v)
       if (s > bestSim || (s == bestSim && cid < best)) { best = cid; bestSim = s }
@@ -609,7 +622,15 @@ object Similarity {
     val cent = typedLit(sums)
     val centNorm = math.sqrt(sums.foldLeft(0.0)((acc, x) => acc + x * x))
     val v = col(vecCol)
-    df.select(col(idCol).as("vec_id"), (dot(v, cent) / (norm(v) * lit(centNorm))).as("sim_raw"))
+    // zero-norm guard: an all-zero embedding (the canonical broken
+    // vector this operator exists to surface) has NaN cosine, and NaN
+    // sorts GREATER than every double — it would be silently excluded
+    // from the bottom-k instead of leading it. Defined as sim 0.
+    val simRaw =
+      if (centNorm == 0.0) lit(0.0)
+      else when(norm(v) === 0.0, lit(0.0))
+        .otherwise(dot(v, cent) / (norm(v) * lit(centNorm)))
+    df.select(col(idCol).as("vec_id"), simRaw.as("sim_raw"))
       // a dimension-mismatched vector zip_with-pads with null → null sim;
       // asc sort is nulls-first, so without this guard a broken vector
       // would silently claim a bottom-k slot with sim = null
@@ -747,9 +768,10 @@ object Similarity {
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("asim").desc, col("neighbor_id"))
     val cand = deq.join(q, col("neighbor_id") =!= col("query_id"))
+      // guarded: a zero-scale corpus vector dequantizes to all zeros —
+      // its NaN asim would otherwise claim a candidate slot per query
       .withColumn("asim",
-        round(dot(col("query_vec"), col("vec_deq"))
-          / (norm(col("query_vec")) * norm(col("vec_deq"))), 9))
+        round(cosineGuarded(col("query_vec"), col("vec_deq")), 9))
       .withColumn("ark", row_number().over(wa))
       .filter(col("ark") <= k * rescoreFactor)
       .select(col("query_id"), col("neighbor_id"))

@@ -1279,6 +1279,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusRows == Seq(1L, 2L, 10L))
   }
 
+  test("incremental near-dup: a new doc with the SMALLEST id stays O(new) in a hot bucket") {
+    val sp = spark; import sp.implicits._
+    // 100 identical corpus docs (one hot bucket, threshold 64) and ONE
+    // new doc whose id sorts below all of them: the old rule paired the
+    // new min against the whole bucket (O(corpus) re-shingles); now the
+    // new doc pairs once with the smallest corpus member
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val corpus = (100L until 200L).map(i => (i, text)).toDF("doc_id", "text")
+    val fresh = Seq((1L, text)).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id", 3, 64, 16)
+    val pairs = Dedup.incrementalNearDupPairs(fresh, corpus, index, "text", "doc_id",
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L))) // one verified pair, not 100
+  }
+
   test("incremental near-dup: hot corpus bucket star-pairs against the bucket min") {
     val sp = spark; import sp.implicits._
     // 6 identical corpus docs (one same-content bucket of 6) + 1 new copy
