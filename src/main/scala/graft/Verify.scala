@@ -23,8 +23,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Gate surface is scalar-only: the driver's comparator sorts rows
+        // by every column and cannot hash array/struct/map cells (r7's
+        // emb_quantize red). Fail HERE, at build time, not in the driver.
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType}
+        val bad = df.schema.fields.filter(f => f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType | NullType => true
+          case _                                                    => false
+        })
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"gate '$name' emits non-scalar column(s) " +
+              bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+              " — stringify (concat_ws/to_json) on both sides")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

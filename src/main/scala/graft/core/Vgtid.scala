@@ -120,8 +120,15 @@ object CopyProgress {
       val l = ls.toLong
       if (l < 0) None
       else {
-        val n = math.min(l, (bytes.length - off).toLong).toInt
-        val s = new String(bytes, off, math.max(0, n), "UTF-8")
+        // fail loud on a corrupt/truncated lastpk — a silently clamped
+        // prefix would compare (and so order copy progress) on garbage;
+        // same contract as PackedRow.slice, Long compare before narrowing
+        if (off.toLong + l > bytes.length)
+          throw new IllegalStateException(
+            s"corrupt lastpk for ${t.tableName}: column lengths sum past " +
+              s"the value bytes (need ${off.toLong + l}, have ${bytes.length})")
+        val n = l.toInt
+        val s = new String(bytes, off, n, "UTF-8")
         off += n
         Some(s)
       }
@@ -139,20 +146,22 @@ object CopyProgress {
         case (None, _)    => -1 // SQL NULLs order first
         case (_, None)    => 1
         case (Some(va), Some(vb)) =>
-          // numeric when the declared PK type says so on both sides; a
-          // position carrying NO field metadata falls back to numeric
-          // only if BOTH values parse (plain text then orders by bytes —
-          // length-first would put "b" before "ab")
-          val declared =
-            ta.fields.lift(i).exists(f => NumericPkTypes(f.typeName)) &&
+          // Numeric order applies when EITHER side declares a numeric PK
+          // type OR either side carries no field metadata at all (e.g. a
+          // checkpoint round-trip that dropped fields): in every such
+          // case a lexicographic compare of numeric text misorders "9"
+          // vs "10". Only when both sides positively declare a
+          // NON-numeric type is byte order authoritative.
+          val anyNumeric =
+            ta.fields.lift(i).exists(f => NumericPkTypes(f.typeName)) ||
               tb.fields.lift(i).exists(f => NumericPkTypes(f.typeName))
-          val metaless = ta.fields.isEmpty && tb.fields.isEmpty
+          val anyMetaless = ta.fields.isEmpty || tb.fields.isEmpty
           def cmpNumeric: Option[Int] =
             // exact numeric order — lexicographic would misorder
             // negatives ("-5" vs "4") and DECIMAL text ("-12.00" vs "3.00")
             try Some(BigDecimal(va).compare(BigDecimal(vb)))
             catch { case _: NumberFormatException => None }
-          if (declared || metaless) cmpNumeric.getOrElse(va.compareTo(vb))
+          if (anyNumeric || anyMetaless) cmpNumeric.getOrElse(va.compareTo(vb))
           else va.compareTo(vb)
       }
       if (c != 0) return c

@@ -495,17 +495,13 @@ object Dedup {
     // index the pairing probe uses
     val batchIndex = minhashIndex(batch, textCol, idCol, shingleN, numHashes, bands)
       .localCheckpoint()
-    def exists(dir: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    def readOr(dir: String, like: DataFrame): DataFrame =
-      if (exists(dir)) spark.read.schema(like.schema)
-        .option("recursiveFileLookup", "true").parquet(dir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-    val corpus = readOr(corpusDir, batchDocs)
-    val index = readOr(indexDir, batchIndex)
+    // On a foreachBatch RETRY the state dirs already hold the failed
+    // attempt's batch_<id> subdir — it must not be read back as corpus
+    // (the batch's docs would sit on both sides of the probe, inflating
+    // bucket sizes past hotBucketThreshold and duplicating output rows).
+    val skip = batchId.map(id => s"batch_$id").toSet
+    val corpus = readIngestState(spark, corpusDir, batchDocs.schema, skip)
+    val index = readIngestState(spark, indexDir, batchIndex.schema, skip)
     val pairs = incrementalNearDupPairs(
         batch, corpus, index, textCol, idCol,
         threshold, shingleN, numHashes, bands,
@@ -518,6 +514,116 @@ object Dedup {
     writeState(batchIndex, indexDir)
     writeState(batchDocs, corpusDir)
     pairs
+  }
+
+  /** Read one ingest-state directory: all root-level parquet plus every
+    * `batch_*` / `compact_*` subdirectory, EXCEPT subdirs named in
+    * `skipDirs` (the current retrying batch) and subdirs a compaction has
+    * subsumed (listed in a compact dir's `_SUBSUMES` sidecar). The
+    * sidecar makes compaction crash-safe: the moment a compact dir and
+    * its `_SUBSUMES` are committed, the subsumed subdirs are invisible to
+    * readers even if the subsequent deletes never ran. */
+  private def readIngestState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      skipDirs: Set[String]): DataFrame = {
+    val (fs, root) = stateFs(spark, dir)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!fs.exists(root)) return empty
+    val entries = fs.listStatus(root)
+    val subsumed = entries.iterator
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("compact_"))
+      .flatMap(e => readSubsumes(fs, e.getPath))
+      .toSet
+    val paths = entries.iterator.filter { e =>
+      val n = e.getPath.getName
+      // only batch_/compact_ subdirs are state; an in-flight compaction's
+      // tmp_compact_* dir is invisible until its atomic rename
+      if (e.isDirectory)
+        (n.startsWith("batch_") || n.startsWith("compact_")) &&
+          !skipDirs(n) && !subsumed(n)
+      else !n.startsWith("_") && !n.startsWith(".") // root-level appends
+    }.map(_.getPath.toString).toSeq
+    if (paths.isEmpty) empty
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  private def stateFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readSubsumes(
+      fs: org.apache.hadoop.fs.FileSystem,
+      compactDir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(compactDir, "_SUBSUMES")
+    if (!fs.exists(f)) Nil
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Compact the per-batch state subdirs [[ingestNearDupBatch]] leaves
+    * behind: the ingest loop writes one small parquet dir per
+    * micro-batch, a linear small-files pile at 100 TB ingest cadence.
+    * Compaction rewrites every live subdir into ONE `compact_<n>` dir
+    * with `targetPartitions` files, via a staging protocol that is safe
+    * at every crash point:
+    *
+    *  1. data + `_SUBSUMES` sidecar are written under `tmp_compact_<n>`,
+    *     a name readers never pick up (crash here = orphan tmp dir,
+    *     cleaned by the next compaction);
+    *  2. one atomic rename to `compact_<n>` is the commit point — from
+    *     that instant readers honor the sidecar and the old subdirs are
+    *     invisible (crash here = duplicates on DISK, never in a read);
+    *  3. the subsumed subdirs are deleted (rerunning compaction finishes
+    *     a half-done delete).
+    *
+    * The ingest loop and compaction must not race the SAME state dirs —
+    * run it from the foreachBatch hook or a maintenance window.
+    * Returns the number of subdirs compacted (0 = nothing to do). */
+  def compactIngestState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      targetPartitions: Int = 8): Int = {
+    val (fs, root) = stateFs(spark, dir)
+    if (!fs.exists(root)) return 0
+    def dirs() = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+    // clean up leftovers of earlier crashed runs: orphan staging dirs
+    // and subdirs an already-committed compaction subsumed
+    dirs().filter(_.startsWith("tmp_compact_"))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    val subsumed = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("compact_"))
+      .flatMap(e => readSubsumes(fs, e.getPath)).toSet
+    subsumed.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    val live = dirs()
+      .filter(n => n.startsWith("batch_") || n.startsWith("compact_"))
+      .sorted.toSeq
+    if (live.length <= 1) return 0
+    val gen = live.filter(_.startsWith("compact_"))
+      .map(_.stripPrefix("compact_").takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong).foldLeft(0L)(math.max) + 1
+    val staging = s"tmp_compact_$gen"
+    spark.read.schema(schema).parquet(live.map(n => s"$dir/$n"): _*)
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(s"$dir/$staging")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$staging/_SUBSUMES"), true)
+    try out.write(live.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // commit point: atomic rename makes the compact dir + sidecar visible
+    if (!fs.rename(new org.apache.hadoop.fs.Path(root, staging),
+        new org.apache.hadoop.fs.Path(root, s"compact_$gen")))
+      throw new IllegalStateException(
+        s"compaction commit rename failed: $dir/$staging -> compact_$gen")
+    live.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    live.length
   }
 
   // ----------------------------------------------- duplicate clustering

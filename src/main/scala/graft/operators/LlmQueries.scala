@@ -838,14 +838,17 @@ object LlmQueries {
     * and the max reconstruction error all replay exactly in SQL because
     * the grid is the explicit floor(+0.5) half-up rule over identical
     * IEEE doubles — any drift in the scale, a single code, or the
-    * dequantization arithmetic fails the hash. */
+    * dequantization arithmetic fails the hash. The code vector travels
+    * as a comma-joined string (both sides): the gate surface is
+    * scalar-only because the driver's comparator sorts rows by every
+    * column and cannot hash array cells. */
   val qEmbQuantize: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.quantizeInt8(emb)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(
         col("vec_id"), col("scale"),
-        col("qvec").cast("array<int>").as("qvec"),
+        concat_ws(",", col("qvec").cast("array<string>")).as("qvec_csv"),
         round(Similarity.int8MaxAbsError(
           col("embedding"), col("scale"), col("qvec")), 6).as("max_abs_err"))
       .orderBy(col("vec_id"))
@@ -859,10 +862,12 @@ object LlmQueries {
       |  FROM embeddings
       |)
       |SELECT vec_id, scale,
-      |  CASE WHEN scale = 0
-      |       THEN list_transform(embedding::DOUBLE[], x -> 0)
-      |       ELSE list_transform(embedding::DOUBLE[],
-      |              x -> CAST(floor(x / scale + 0.5) AS INT)) END AS qvec,
+      |  array_to_string(
+      |    CASE WHEN scale = 0
+      |         THEN list_transform(embedding::DOUBLE[], x -> 0)
+      |         ELSE list_transform(embedding::DOUBLE[],
+      |                x -> CAST(floor(x / scale + 0.5) AS INT)) END,
+      |    ',') AS qvec_csv,
       |  round(list_max(list_transform(embedding::DOUBLE[],
       |    x -> abs(x - CAST(floor(x / CASE WHEN scale = 0 THEN 1 ELSE scale END
       |                             + 0.5) AS INT)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -341,31 +342,48 @@ object Multimodal {
     * (band, chunk) buckets (by pigeonhole, Hamming ≤ 3 GUARANTEES a
     * shared band — recall is exact, same scheme as [[Dedup.simhash]]
     * banding), then the exact Hamming distance filters. The distance is
-    * pure Catalyst (`zip_with` over the bit chars). A bucket larger
-    * than `hotBucketThreshold` is a same-image cluster at corpus scale;
-    * pass a lower threshold to switch those to star pairing via
-    * [[Dedup]]'s policy — the default keeps the pair set exactly
-    * replayable as all-pairs-within-bucket. */
+    * pure Catalyst (`zip_with` over the bit chars).
+    *
+    * Shape for scale (same policy as Dedup.lshCandidatePairs): the band
+    * join carries ONLY (band, chunk, id) — the 64-char hash strings join
+    * back per candidate, not per band row — and a bucket larger than
+    * `hotBucketThreshold` (at corpus scale a pile of byte-identical
+    * thumbnails lands every copy in every band bucket) degrades to star
+    * pairing against the bucket minimum: O(K) pairs instead of O(K²).
+    * Such buckets are same-image clusters, where the star suffices for
+    * the drop policy (everything pairs with the min and is dropped). */
   def phashNearDupPairs(
-      hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+      hashed: DataFrame,
+      maxHamming: Int = 3,
+      hotBucketThreshold: Int = 64): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding only guarantees recall to Hamming 3, got $maxHamming")
-    val withBands = hashed.filter(col("phash").isNotNull)
+    val hashes = hashed.filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"))
+    val withBands = hashes
       .select(
-        col("media_id"), col("phash"),
+        col("media_id"),
         posexplode(transform(
           sequence(lit(0), lit(3)),
           b => col("phash").substr(b * 16 + 1, lit(16)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
-    val a = withBands.select(
-      col("band"), col("chunk"), col("media_id").as("id_a"), col("phash").as("ph_a"))
-    val b = withBands.select(
-      col("band"), col("chunk"), col("media_id").as("id_b"), col("phash").as("ph_b"))
-    a.join(b, Seq("band", "chunk"))
+    val w = Window.partitionBy(col("band"), col("chunk"))
+    val sized = withBands
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min(col("media_id")).over(w))
+    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
+    val a = small.select(col("band"), col("chunk"), col("media_id").as("id_a"))
+    val b = small.select(col("band"), col("chunk"), col("media_id").as("id_b"))
+    val smallPairs = a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    val hotPairs = sized
+      .filter(col("bucket_n") > hotBucketThreshold && col("media_id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("id_a"), col("media_id").as("id_b"))
+    smallPairs.unionByName(hotPairs).distinct()
+      .join(hashes.select(col("media_id").as("id_a"), col("phash").as("ph_a")), Seq("id_a"))
+      .join(hashes.select(col("media_id").as("id_b"), col("phash").as("ph_b")), Seq("id_b"))
       .withColumn("hamming",
         size(filter(
           zip_with(split(col("ph_a"), ""), split(col("ph_b"), ""), (x, y) => x =!= y),

@@ -54,14 +54,16 @@ final case class PackedRow(lengths: Seq[Long], values: Array[Byte]) {
     lengths.foreach { len =>
       if (len < 0) out += None
       else {
-        val l = len.toInt
         // copyOfRange would silently ZERO-PAD past the source end — a
         // truncated wire row must surface as a length mismatch here, not
-        // as NUL-embedded text or a parse error far from the cause
-        if (offset + l > values.length)
+        // as NUL-embedded text or a parse error far from the cause.
+        // Compare in Long BEFORE narrowing: a 64-bit wire length like
+        // 2^32+5 would wrap to 5 via toInt and pass an Int-domain check.
+        if (offset.toLong + len > values.length)
           throw new IllegalStateException(
             s"corrupt packed row: lengths sum past the value bytes " +
-              s"(need ${offset + l}, have ${values.length})")
+              s"(need ${offset.toLong + len}, have ${values.length})")
+        val l = len.toInt
         out += Some(java.util.Arrays.copyOfRange(values, offset, offset + l))
         offset += l
       }

@@ -93,6 +93,42 @@ class VgtidSpec extends AnyFunSuite {
     assert(CopyProgress.compare(pos(withNull), pos(lp2("7", "0"))) < 0)
   }
 
+  test("copy-progress ordering: one side metadata-less still compares numerically") {
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    // a checkpoint round-trip that drops fields must not flip "9" vs
+    // "10" to lexicographic order against a fields-carrying position
+    def withMeta(v: String) = TableLastPk("t",
+      Seq(PkField("id", "INT64", 63, None)),
+      Seq(PkRow(Seq(v.length.toString), b64(v))))
+    def noMeta(v: String) = TableLastPk("t", Nil,
+      Seq(PkRow(Seq(v.length.toString), b64(v))))
+    def pos(pk: TableLastPk) = ShardGtid("ks", "0", "MySQL56/h:1-1", Seq(pk))
+    assert(CopyProgress.compare(pos(noMeta("9")), pos(withMeta("10"))) < 0)
+    assert(CopyProgress.compare(pos(withMeta("10")), pos(noMeta("9"))) > 0)
+    // one side declares numeric, the other declares nothing per-column
+    // but both values parse → numeric
+    assert(CopyProgress.compare(pos(withMeta("9")), pos(noMeta("10"))) < 0)
+    // non-numeric values still fall back to byte order
+    assert(CopyProgress.compare(pos(noMeta("ab")), pos(withMeta("b"))) < 0)
+  }
+
+  test("copy-progress ordering: corrupt lastpk (lengths past value bytes) is loud") {
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    // declared length 5 over 2 value bytes: a silent clamp would compare
+    // copy progress on a truncated prefix
+    val corrupt = TableLastPk("t",
+      Seq(PkField("id", "INT64", 63, None)),
+      Seq(PkRow(Seq("5"), b64("42"))))
+    val ok = TableLastPk("t",
+      Seq(PkField("id", "INT64", 63, None)),
+      Seq(PkRow(Seq("2"), b64("43"))))
+    def pos(pk: TableLastPk) = ShardGtid("ks", "0", "MySQL56/h:1-1", Seq(pk))
+    val err = intercept[IllegalStateException] {
+      CopyProgress.compare(pos(corrupt), pos(ok))
+    }
+    assert(err.getMessage.contains("corrupt lastpk"))
+  }
+
   test("vgtid: same shard name under two keyspaces is ambiguous and loud") {
     val v = Vgtid(Seq(
       ShardGtid("ks1", "-80", "MySQL56/h:1-1"),

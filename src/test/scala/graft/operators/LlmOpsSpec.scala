@@ -1271,12 +1271,67 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     run(b1, 1L)
     run(b2, 2L) // first attempt...
-    val retried = run(b2, 2L) // ...and its foreachBatch retry
-    assert(retried == Set((1L, 10L)))
+    // the retry must not read the failed attempt's batch_2 state back as
+    // corpus: that would put doc 10 on BOTH probe sides — inflated bucket
+    // sizes and duplicated output ROWS (not just duplicate pairs)
+    val retriedRows = Dedup.ingestNearDupBatch(b2, "text", "doc_id", idx, corp,
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16,
+        batchId = Some(2L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(retriedRows == Seq((1L, 10L))) // exactly once, not row-doubled
     // state holds each batch exactly once: corpus = 3 docs, no twins
     val corpusRows = spark.read.option("recursiveFileLookup", "true")
       .parquet(corp).select("doc_id").as[Long].collect().sorted.toSeq
     assert(corpusRows == Seq(1L, 2L, 10L))
+  }
+
+  test("ingest dedup state compaction: bounded files, identical next-batch pairs") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_compact")
+    val idx = tmp.resolve("index").toString
+    val corp = tmp.resolve("corpus").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Dedup.ingestNearDupBatch(b, "text", "doc_id", idx, corp,
+          threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16,
+          batchId = Some(id))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    run(Seq((1L, t1), (2L, "one two three four five six seven")).toDF("doc_id", "text"), 1L)
+    run(Seq((3L, t1 + " iota")).toDF("doc_id", "text"), 2L)
+    run(Seq((4L, "unrelated words only here appear now")).toDF("doc_id", "text"), 3L)
+    def subdirs(d: String) = new java.io.File(d).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(subdirs(idx) == Seq("batch_1", "batch_2", "batch_3"))
+    val idxSchema = Dedup.minhashIndex(
+      Seq((0L, "x")).toDF("doc_id", "text"), "text", "doc_id", 3, 64, 16).schema
+    val docSchema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    assert(Dedup.compactIngestState(spark, idx, idxSchema, targetPartitions = 2) == 3)
+    assert(Dedup.compactIngestState(spark, corp, docSchema, targetPartitions = 2) == 3)
+    assert(subdirs(idx) == Seq("compact_1") && subdirs(corp) == Seq("compact_1"))
+    // the next batch pairs through the compacted state exactly as before
+    val p4 = run(Seq((10L, t1)).toDF("doc_id", "text"), 4L)
+    assert(p4 == Set((1L, 10L), (3L, 10L)))
+    // re-compaction folds compact_1 + batch_4 into compact_2
+    assert(Dedup.compactIngestState(spark, idx, idxSchema, targetPartitions = 2) == 2)
+    assert(subdirs(idx) == Seq("compact_2"))
+    // and a second immediate run is a no-op
+    assert(Dedup.compactIngestState(spark, idx, idxSchema, targetPartitions = 2) == 0)
+  }
+
+  test("phash pairing: hot bucket degrades to star pairing, O(K) not O(K^2)") {
+    val sp = spark; import sp.implicits._
+    val base = "00001111" * 8
+    // 10 identical hashes: every band bucket holds all 10 → with a low
+    // threshold the star emits 9 pairs against the min, never 45
+    val hashed = (1L to 10L).map(i => (i, base)).toDF("media_id", "phash")
+    val star = Multimodal.phashNearDupPairs(hashed, maxHamming = 3, hotBucketThreshold = 4)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(star == (2L to 10L).map(i => (1L, i, 0)).toSet)
+    // below the threshold the exact all-pairs set is preserved
+    val all = Multimodal.phashNearDupPairs(hashed, maxHamming = 3, hotBucketThreshold = 64)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(all.size == 45)
   }
 
   test("incremental near-dup: a new doc with the SMALLEST id stays O(new) in a hot bucket") {

@@ -41,6 +41,14 @@ class EventsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("corrupt packed row"))
   }
 
+  test("packed row slice: a 64-bit wire length never wraps through toInt") {
+    // 2^32 + 2 narrows to 2 via toInt — an Int-domain bounds check would
+    // pass and silently mis-slice; the Long-domain check must throw
+    val wrap = PackedRow(Seq((1L << 32) + 2L), "ab".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] { wrap.slice }
+    assert(err.getMessage.contains("corrupt packed row"))
+  }
+
   test("row change op derivation") {
     val r = PackedRow.of(Seq(Some("1")))
     assert(RowChange(None, Some(r)).op == "c")
