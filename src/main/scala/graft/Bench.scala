@@ -35,6 +35,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       spark.range(100000).selectExpr("sum(id) AS s")
         .write.format("noop").mode("overwrite").save()
+      // One throwaway streaming query warms MicroBatchExecution, the
+      // checkpoint metadata logs, and the streaming codegen paths —
+      // otherwise the alphabetically-first CHECKPOINTED gate absorbs all
+      // of it and shows a 4-6 s first-run spread (r7 judge bench)
+      val warmCkpt = java.nio.file.Files
+        .createTempDirectory("graft_bench_warm_ckpt").toString
+      val wq = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .writeStream.format("noop").option("checkpointLocation", warmCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      wq.awaitTermination(30000)
     } catch { case _: Throwable => () }
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

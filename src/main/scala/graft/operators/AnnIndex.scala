@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained ANN index over an embedding
+  * corpus — the embedding-side twin of [[Dedup.ingestNearDupBatch]]'s
+  * minhash loop: train the coarse quantizer ONCE, then encode and probe
+  * arbitrarily many new batches without ever touching (or retraining
+  * on) the existing corpus.
+  *
+  * On-disk layout under `indexDir` (all through the Hadoop FileSystem
+  * API — HDFS/S3A/local alike):
+  *
+  * {{{
+  *   centroids/               (cid long, centroid array<double>) — bounded
+  *   codes/batch_<id>/cid=…/  (vec_id, scale, qvec array<byte>) int8 codes,
+  *                            hive-partitioned by assigned cell
+  *   vectors/batch_<id>/      (vec_id, embedding array<float>) raw store
+  * }}}
+  *
+  * Scale shape, stage by stage:
+  *
+  *  - the quantizer (IVF centroids) is trained on a bounded sample
+  *    ([[Similarity.trainCentroids]]) and FROZEN at build time — the
+  *    FAISS stance: an index whose cells drift per batch cannot be
+  *    probed consistently, and retraining per ingest is a corpus-wide
+  *    job. `trainIters = 0` is the replay mode shared with
+  *    [[Similarity.ivfTopK]] (centroids = first `nCentroids` vectors in
+  *    id order), which makes the whole probe SQL-replayable;
+  *  - codes are int8 ([[Similarity.quantizeInt8]]): the candidate scan
+  *    reads 1 byte/dim instead of 4, and `partitionBy(cid)` means a
+  *    probe's cell filter becomes PartitionFilters at the parquet scan —
+  *    unprobed cells are never read, which is what keeps probe cost
+  *    proportional to `nProbes/nCentroids` of the corpus at 100 TB;
+  *  - the exact-rescore stage joins the raw float store on candidate ids
+  *    only (`|q|·k·rescoreFactor` rows), never the corpus;
+  *  - ingest is a narrow per-row map (assign + quantize) over the new
+  *    batch alone — O(batch), zero shuffles, with the same per-batch
+  *    overwrite-on-retry discipline as the dedup ingest loop.
+  */
+object AnnIndex {
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Build a fresh index from an initial corpus: train (or, at
+    * `trainIters = 0`, take-by-id) the centroids, persist them, then
+    * encode the corpus itself as ingest batch 0. Refuses to overwrite an
+    * existing index — rebuilding under live readers is a destructive op
+    * the caller must make explicit by choosing a new directory. */
+  def build(
+      corpus: DataFrame,
+      indexDir: String,
+      nCentroids: Int = 32,
+      trainIters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainRows: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    val (fs, root) = fsOf(spark, indexDir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "centroids")),
+      s"ANN index already exists at $indexDir — ingest into it or pick a new dir")
+    // trainIters = 0 keeps cid = vec_id of the first `nCentroids` vectors
+    // in id order — byte-for-byte the ivfTopK replay rule, so the whole
+    // index is oracle-checkable
+    val centroids: Array[(Long, Array[Double])] =
+      if (trainIters > 0)
+        Similarity.trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
+      else corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val sp = spark
+    import sp.implicits._
+    centroids.toSeq.toDF("cid", "centroid")
+      .coalesce(1).write.mode("errorifexists").parquet(s"$indexDir/centroids")
+    ingest(corpus, indexDir, batchId = Some(0L), idCol, vecCol)
+  }
+
+  /** The frozen coarse quantizer — bounded by `nCentroids`, collected
+    * once per job and shipped in the scoring closures. */
+  private def readCentroids(spark: SparkSession, indexDir: String): Array[(Long, Array[Double])] = {
+    val rows = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cid"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $indexDir — build the index first")
+    rows
+  }
+
+  /** Encode one batch of new vectors into the index: assign each to its
+    * nearest frozen centroid (argmax cosine, ties → lower cid — the
+    * [[Similarity.ivfTopK]] rule, so a probe sees identical cells) and
+    * store int8 codes partitioned by cell plus the raw floats for
+    * rescoring. A `batchId` makes a foreachBatch retry overwrite its own
+    * `batch_<id>` state instead of appending a duplicate copy. */
+  def ingest(
+      batch: DataFrame,
+      indexDir: String,
+      batchId: Option[Long],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val centroids = readCentroids(spark, indexDir)
+    val assignUdf = udf { (v: Seq[Float]) => Similarity.nearestCentroid(centroids, v) }
+    // one narrow pass: quantize + assign together, no self-join
+    val codes = Similarity.quantizeInt8(batch, idCol, vecCol, keepVecAs = Some("__v"))
+      .select(col("vec_id"), col("scale"), col("qvec"), assignUdf(col("__v")).as("cid"))
+    def dest(sub: String) = batchId match {
+      case Some(id) => (s"$indexDir/$sub/batch_$id", "overwrite")
+      case None     => (s"$indexDir/$sub", "append")
+    }
+    val (codeDir, mode) = dest("codes")
+    // cluster rows by cell before the partitioned write: each task then
+    // writes whole cells (≈1 file per cell) instead of every task
+    // opening a file per cell it happens to hold — at corpus scale the
+    // difference between O(cells) and O(tasks·cells) files per batch
+    codes.repartition(col("cid"))
+      .write.mode(mode).partitionBy("cid").parquet(codeDir)
+    val (vecDir, mode2) = dest("vectors")
+    batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .write.mode(mode2).parquet(vecDir)
+  }
+
+  /** All live `batch_<id>` subdirs of one state subtree. Empty when the
+    * index was ingested batchId-less (plain appends at the root). Mixing
+    * the two layouts on one index is refused loudly — partition
+    * inference cannot see both at once, and silently reading half the
+    * codes would be a wrong answer. */
+  private def batchDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    require(fs.exists(root), s"no index state at $dir")
+    val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+    val batches = entries.filter(_.startsWith("batch_"))
+    val loose = entries.filterNot(_.startsWith("batch_"))
+    require(batches.isEmpty || loose.isEmpty,
+      s"$dir mixes per-batch (batch_*) and root-append ingest layouts — " +
+        "use a consistent batchId policy per index")
+    batches.sorted.map(n => s"$dir/$n").toSeq
+  }
+
+  /** Each batch dir is its own hive-partitioned (cid=…) relation — they
+    * cannot share one basePath (the batch_<id> level conflicts with
+    * partition inference), so they union; Catalyst pushes the probe's
+    * cid filter into every union child, keeping pruning intact. */
+  private def readCodes(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirs(spark, s"$indexDir/codes") match {
+      case Seq() => spark.read.parquet(s"$indexDir/codes")
+      case dirs  => dirs.map(p => spark.read.option("basePath", p).parquet(p))
+        .reduce(_.unionByName(_))
+    }
+
+  private def readVectors(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirs(spark, s"$indexDir/vectors") match {
+      case Seq() => spark.read.parquet(s"$indexDir/vectors")
+      case dirs  => spark.read.parquet(dirs: _*)
+    }
+
+  /** Top-k neighbors for each query through the persisted index, without
+    * touching the float corpus until the rescore: each query probes its
+    * `nProbes` nearest cells, the int8 codes of ONLY those cells are
+    * scanned for approximate-cosine candidates (`k·rescoreFactor` per
+    * query, ranked on `round(asim, 9)` ties → lower id — the
+    * [[Similarity.int8TopK]] rule), and only candidates join back to the
+    * raw store for exact cosine. Deterministic given the persisted
+    * centroids, so batch composition is invisible: N ingests and a
+    * one-shot build of the same corpus probe identically. */
+  def probe(
+      queries: DataFrame,
+      indexDir: String,
+      k: Int,
+      nProbes: Int = 4,
+      rescoreFactor: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxQueries: Int = 10000): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readCentroids(spark, indexDir)
+    Similarity.requireBroadcastSmall(queries, maxQueries, "AnnIndex.probe")
+    val probeUdf = udf { (v: Seq[Float]) =>
+      centroids.map { case (cid, c) => (Similarity.cosTo(c, v), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nProbes).map(_._2)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val qp = q.withColumn("cid", explode(probeUdf(col("query_vec"))))
+    val probes = broadcast(qp)
+    val probedCells = qp.select("cid").distinct()
+      .collect().map(_.getLong(0)) // bounded by nCentroids
+    val deq = readCodes(spark, indexDir)
+      // cid is a PARTITION filter: unprobed cells never leave the scan
+      .filter(col("cid").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("cid"),
+        transform(col("qvec"), x => x.cast("double") * col("scale")).as("vec_deq"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    val cand = deq.join(probes, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim",
+        round(Similarity.cosineGuarded(col("query_vec"), col("vec_deq")), 9))
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= k * rescoreFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .join(readVectors(spark, indexDir)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("vec")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", Similarity.cosine(col("query_vec"), col("vec")))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -833,6 +833,84 @@ object LlmQueries {
       |  JOIN embeddings q ON q.vec_id = c.query_id
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------- persisted ANN index
+  /** [[AnnIndex]] under the oracle: the gate builds the index from HALF
+    * the corpus (a batch holding the first-32-ids centroid source),
+    * ingests the other half as a second batch, and probes through the
+    * persisted parquet state — while the oracle replays a ONE-SHOT index
+    * over the full corpus in SQL (replay-mode cells + int8 candidate
+    * scan in the probed cells + exact rescore). A hash match is the
+    * batch-composition-invariance contract: N ingests through the frozen
+    * quantizer answer identically to building once. */
+  val qAnnIndexIngest: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_ann_")
+      .resolve("idx").toString
+    // first batch carries every id < 32 so the frozen replay centroids
+    // equal the one-shot corpus's; second batch is the odd ids >= 32
+    AnnIndex.build(
+      emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0),
+      dir, nCentroids = 32)
+    AnnIndex.ingest(
+      emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1),
+      dir, batchId = Some(1L))
+    AnnIndex.probe(emb.filter(col("vec_id") < 10), dir,
+        k = 5, nProbes = 4, rescoreFactor = 4)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val qAnnIndexIngestSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 32
+      |), assigned AS (
+      |  SELECT vec_id AS neighbor_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM embeddings e CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |), qz AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale,
+      |    embedding
+      |  FROM embeddings
+      |), deq AS (
+      |  SELECT vec_id AS neighbor_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+      |         ELSE list_transform(embedding::DOUBLE[],
+      |                x -> CAST(floor(x / scale + 0.5) AS INT) * scale) END AS vec_deq
+      |  FROM qz
+      |), probes AS (
+      |  SELECT query_id, query_vec, cid FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+      |  ) WHERE prn <= 4
+      |), cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY round(list_cosine_similarity(p.query_vec::DOUBLE[], d.vec_deq), 9) DESC,
+      |                 a.neighbor_id) AS ark
+      |    FROM probes p JOIN assigned a USING (cid)
+      |    JOIN deq d ON d.neighbor_id = a.neighbor_id
+      |    WHERE a.neighbor_id <> p.query_id
+      |  ) WHERE ark <= 20
+      |)
+      |SELECT query_id, rk, neighbor_id, sim FROM (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |               c.neighbor_id) AS rk
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+      |  JOIN embeddings q ON q.vec_id = c.query_id
+      |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   // ---------------------------------------------- int8 quantization
   /** quantizeInt8 under the oracle: scale, the full int8 code vector,
     * and the max reconstruction error all replay exactly in SQL because
@@ -1995,8 +2073,8 @@ object LlmQueries {
   // ----------------------------------------------------- BPE statistics
   /** BPE round-0 merge statistic under the oracle: histogram-weighted
     * adjacent character-pair counts, top 20 (count desc, pair asc — a
-    * total order since pairs are unique). The full merge loop and
-    * tokenization are pinned by BpeSpec (not SQL-expressible). */
+    * total order since pairs are unique). The full trained tokenizer is
+    * gated separately by text_bpe_tokens. */
   val qTextBpePairs: Q = (s, d) =>
     Bpe.pairCounts(Bpe.wordHistogram(Tables.documents(s, d), "text"))
       .orderBy(col("n").desc, col("pair"))
@@ -2014,6 +2092,73 @@ object LlmQueries {
       |)
       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
       |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  // ----------------------------------------------- full BPE tokenizer
+  /** End-to-end BPE under the oracle: train 8 merges on a bounded slice
+    * of the corpus ([[Bpe.trainBpe]]), encode that slice with the merge
+    * table ([[Bpe.bpeTokens]]), hash the resulting token histogram. The
+    * oracle REPLAYS THE TRAINING ITSELF — eight unrolled merge rounds in
+    * SQL, where [[Bpe]]'s mergeOnce (left-to-right non-overlapping pair
+    * merge) is a `list_reduce` whose accumulator either absorbs the next
+    * symbol into its tail or appends it. Any drift in a merge choice, a
+    * tie-break, or a single encoded token fails the hash. The slice is
+    * doc_id < 200 so the vocabulary stays far under trainBpe's
+    * `maxWords` bound at every SF — the oracle has no LIMIT on its
+    * histogram, so the bound must never bind.
+    *
+    * Greedy lowest-rank encoding (encodeWord) coincides with replaying
+    * the merges in training order: merge r's components can only be
+    * produced by merges of rank < r, so rank-order sweeps see every
+    * occurrence greedy would. */
+  val qTextBpeTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val merges = Bpe.trainBpe(docs, "text", rounds = 8)
+    docs.select(explode(Bpe.bpeTokens(merges)(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  val qTextBpeTokensSql: String = {
+    def round(r: Int): String =
+      s"""pc$r AS (
+         |  SELECT a, b, sum(cnt) AS n FROM (
+         |    SELECT cnt,
+         |      unnest([syms[i] FOR i IN generate_series(1, len(syms)-1)]) AS a,
+         |      unnest([syms[i+1] FOR i IN generate_series(1, len(syms)-1)]) AS b
+         |    FROM st$r WHERE len(syms) >= 2
+         |  ) GROUP BY a, b HAVING sum(cnt) >= 2
+         |), b$r AS (SELECT a AS ma, b AS mb FROM pc$r ORDER BY n DESC, a, b LIMIT 1
+         |), st${r + 1} AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN ma IS NULL THEN syms
+         |    ELSE list_reduce(
+         |      list_transform(syms, s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[-1] = ma AND x[1] = mb
+         |                  THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
+         |                  ELSE acc || x END)
+         |    END AS syms
+         |  FROM st$r LEFT JOIN b$r ON TRUE
+         |)""".stripMargin
+    """WITH docs AS (
+      |  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents WHERE doc_id < 200
+      |), hist AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(t, ' ')) AS word FROM docs WHERE length(t) > 0
+      |  ) WHERE word <> '' GROUP BY word
+      |), st0 AS (
+      |  SELECT word, cnt,
+      |    [substr(word, i, 1) FOR i IN generate_series(1, length(word))] AS syms
+      |  FROM hist
+      |), """.stripMargin +
+      (0 until 8).map(round).mkString(",\n") +
+      """
+        |SELECT token, n FROM (
+        |  SELECT token, sum(cnt)::BIGINT AS n FROM (
+        |    SELECT cnt, unnest(syms) AS token FROM st8
+        |  ) GROUP BY token
+        |) ORDER BY n DESC, token""".stripMargin
+  }
 
   // ------------------------------------------------ incremental dedup
   /** Ingest-time dedup under the oracle: the corpus (doc_id % 3 != 0) is
@@ -2111,6 +2256,7 @@ object LlmQueries {
     "dedup_substring"     -> qDedupSubstring,
     "text_repetition"     -> qTextRepetition,
     "text_bpe_pairs"      -> qTextBpePairs,
+    "text_bpe_tokens"     -> qTextBpeTokens,
     "dedup_incremental"   -> qDedupIncremental,
     "multimodal_phash"    -> qMultimodalPhash,
     "dedup_substring_clean" -> qDedupSubstringClean,
@@ -2149,6 +2295,7 @@ object LlmQueries {
     "text_classifier"     -> qTextClassifier,
     "emb_quantize"        -> qEmbQuantize,
     "ann_int8"            -> qAnnInt8,
+    "ann_index_ingest"    -> qAnnIndexIngest,
     "text_heavy_hitters"  -> qTextHeavyHitters,
     "text_stats"          -> qTextStats,
     "text_langid"         -> qTextLangid,
@@ -2171,6 +2318,7 @@ object LlmQueries {
     "dedup_substring"     -> qDedupSubstringSql,
     "text_repetition"     -> qTextRepetitionSql,
     "text_bpe_pairs"      -> qTextBpePairsSql,
+    "text_bpe_tokens"     -> qTextBpeTokensSql,
     "dedup_incremental"   -> qDedupIncrementalSql,
     "multimodal_phash"    -> qMultimodalPhashSql,
     "dedup_substring_clean" -> qDedupSubstringCleanSql,
@@ -2209,6 +2357,7 @@ object LlmQueries {
     "text_classifier"     -> qTextClassifierSql,
     "emb_quantize"        -> qEmbQuantizeSql,
     "ann_int8"            -> qAnnInt8Sql,
+    "ann_index_ingest"    -> qAnnIndexIngestSql,
     "text_heavy_hitters"  -> qTextHeavyHittersSql,
     "text_stats"          -> qTextStatsSql,
     "text_langid"         -> qTextLangidSql,

@@ -50,7 +50,7 @@ object Similarity {
     * operator instead of OOMing the driver: it counts AT MOST
     * `max`+1 rows (the limit bounds the scan), so the guard is O(max)
     * regardless of how large the offending query side actually is. */
-  private def requireBroadcastSmall(queries: DataFrame, max: Int, op: String): Unit = {
+  private[operators] def requireBroadcastSmall(queries: DataFrame, max: Int, op: String): Unit = {
     val overflow = queries.limit(max + 1).count() > max
     require(!overflow,
       s"$op: the query side is broadcast/collected by contract and must hold at most " +
@@ -188,7 +188,7 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def cosTo(c: Array[Double], v: Seq[Float]): Double = {
+  private[operators] def cosTo(c: Array[Double], v: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < c.length) {
       val x = c(i); val y = v(i).toDouble
@@ -224,7 +224,7 @@ object Similarity {
     best
   }
 
-  private def nearestCentroid(cent: Array[(Long, Array[Double])], v: Seq[Float]): Long = {
+  private[operators] def nearestCentroid(cent: Array[(Long, Array[Double])], v: Seq[Float]): Long = {
     var best = cent(0)._1; var bestSim = Double.MinValue
     cent.foreach { case (cid, c) =>
       val s = cosTo(c, v)
@@ -722,8 +722,9 @@ object Similarity {
     * would cost O(dim²) per row instead of O(dim). Returns
     * `(vec_id, scale, qvec array<byte>)`. */
   def quantizeInt8(df: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    df.select(
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keepVecAs: Option[String] = None): DataFrame = {
+    val quantized = df.select(
         col(idCol).as("vec_id"),
         (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
           .as("scale"),
@@ -733,7 +734,16 @@ object Similarity {
         when(col("scale") === 0.0, transform(col("__v"), _ => lit(0).cast("byte")))
           .otherwise(transform(col("__v"),
             x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("byte")))
-          .as("qvec"))
+          .as("qvec"),
+        col("__v"))
+    // keepVecAs carries the source vector through the same narrow pass —
+    // a consumer needing (codes, vector) together (AnnIndex.ingest's
+    // cell assignment) must not pay a self-join on id for it
+    keepVecAs match {
+      case Some(name) => quantized.withColumnRenamed("__v", name)
+      case None       => quantized.drop("__v")
+    }
+  }
 
   /** Per-vector max reconstruction error of [[quantizeInt8]]:
     * `max_i |x_i − q_i·scale|` — the bound a consumer checks before

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted ANN index: batch-composition invariance, partition pruning
+  * of unprobed cells, retry overwrite, and recall of the trained path. */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ann-index-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("idx").toString
+
+  test("probe through two sequential ingests == probe of a one-shot build") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    def probeRows(dir: String) =
+      AnnIndex.probe(queries, dir, k = 5)
+        .orderBy("query_id", "rk")
+        .collect().map(_.toSeq).toSeq
+    val oneShot = tmp("graft_ann_oneshot")
+    AnnIndex.build(emb, oneShot, nCentroids = 8)
+    val split = tmp("graft_ann_split")
+    // batch 1 holds the first-8-ids centroid source, so the frozen
+    // quantizer is identical to the one-shot build's
+    AnnIndex.build(emb.filter(col("vec_id") < 25), split, nCentroids = 8)
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 25), split, batchId = Some(1L))
+    val a = probeRows(oneShot)
+    val b = probeRows(split)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("probe prunes unprobed cells at the parquet scan") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = tmp("graft_ann_prune")
+    AnnIndex.build(emb, dir, nCentroids = 8)
+    val plan = AnnIndex.probe(emb.filter(col("vec_id") === 0), dir,
+        k = 3, nProbes = 2)
+      .queryExecution.executedPlan.toString
+    // the cell filter must reach the codes scan as a partition filter,
+    // not a post-scan Filter over all cells
+    assert(plan.contains("PartitionFilters") &&
+      plan.split('\n').exists(l => l.contains("PartitionFilters") && l.contains("cid")))
+  }
+
+  test("ingest with a batchId overwrites its own state on retry") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = tmp("graft_ann_retry")
+    AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
+    val b2 = emb.filter(col("vec_id") >= 25 && col("vec_id") < 40)
+    AnnIndex.ingest(b2, dir, batchId = Some(1L))
+    AnnIndex.ingest(b2, dir, batchId = Some(1L)) // foreachBatch retry
+    val ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/vectors").select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == ids.distinct) // each vector exactly once
+    assert(ids.count(_ >= 25) == 15)
+  }
+
+  test("build refuses to overwrite an existing index") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = tmp("graft_ann_exists")
+    AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.build(emb, dir, nCentroids = 8)
+    }
+    assert(err.getMessage.contains("already exists"))
+  }
+
+  test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = tmp("graft_ann_recall")
+    AnnIndex.build(emb, dir, nCentroids = 8, trainIters = 3)
+    val approx = AnnIndex.probe(queries, dir, k = 5, nProbes = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+}

@@ -71,6 +71,38 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks == Seq("t", "h", "e", "lo", "w", "est", "lo", "w"))
   }
 
+  test("greedy encode == applying merges in training order (oracle-replay contract)") {
+    // the text_bpe_tokens oracle replays training-order mergeOnce sweeps;
+    // encodeWord is greedy lowest-rank. They coincide because merge r's
+    // components only arise from merges of rank < r — pin it on real data
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("")).toSeq
+    val norm = docs.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+    val hist2 = norm.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val merges = Bpe.trainOnHistogram(hist2, rounds = 8)
+    assert(merges.length == 8)
+    val ranks = merges.zipWithIndex.toMap
+    def sequential(w: String): Vector[String] = {
+      var syms = w.toCharArray.map(_.toString).toVector // ASCII corpus
+      merges.foreach { pair =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    hist2.foreach { case (w, _) =>
+      assert(Bpe.encodeWord(w, ranks) == sequential(w), s"word '$w' diverged")
+    }
+  }
+
   test("histogram cap keeps training bounded and deterministic") {
     val sp = spark
     import sp.implicits._
