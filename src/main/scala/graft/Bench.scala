@@ -44,7 +44,9 @@ object Bench {
       val wq = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
         .writeStream.format("noop").option("checkpointLocation", warmCkpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-      wq.awaitTermination(30000)
+      // on timeout, kill it — a still-running warm query would add the
+      // exact contention noise this block exists to remove
+      if (!wq.awaitTermination(30000)) wq.stop()
     } catch { case _: Throwable => () }
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -146,23 +146,25 @@ object CopyProgress {
         case (None, _)    => -1 // SQL NULLs order first
         case (_, None)    => 1
         case (Some(va), Some(vb)) =>
-          // Numeric order applies when EITHER side declares a numeric PK
-          // type OR either side carries no field metadata at all (e.g. a
-          // checkpoint round-trip that dropped fields): in every such
-          // case a lexicographic compare of numeric text misorders "9"
-          // vs "10". Only when both sides positively declare a
-          // NON-numeric type is byte order authoritative.
-          val anyNumeric =
-            ta.fields.lift(i).exists(f => NumericPkTypes(f.typeName)) ||
-              tb.fields.lift(i).exists(f => NumericPkTypes(f.typeName))
-          val anyMetaless = ta.fields.isEmpty || tb.fields.isEmpty
+          // Declared evidence decides the comparison domain. A side with
+          // NO field metadata (e.g. a checkpoint round-trip that dropped
+          // fields) abstains: against a numeric declaration or another
+          // metaless side, numeric text must order numerically ("9" <
+          // "10"), but a POSITIVE non-numeric declaration on either side
+          // wins — a VARCHAR PK orders by bytes even when the other side
+          // lost its metadata, because that is the order VStream copy
+          // actually paginated in.
+          val declA = ta.fields.lift(i).map(f => NumericPkTypes(f.typeName))
+          val declB = tb.fields.lift(i).map(f => NumericPkTypes(f.typeName))
           def cmpNumeric: Option[Int] =
             // exact numeric order — lexicographic would misorder
             // negatives ("-5" vs "4") and DECIMAL text ("-12.00" vs "3.00")
             try Some(BigDecimal(va).compare(BigDecimal(vb)))
             catch { case _: NumberFormatException => None }
-          if (anyNumeric || anyMetaless) cmpNumeric.getOrElse(va.compareTo(vb))
-          else va.compareTo(vb)
+          (declA, declB) match {
+            case (Some(false), _) | (_, Some(false)) => va.compareTo(vb)
+            case _ => cmpNumeric.getOrElse(va.compareTo(vb))
+          }
       }
       if (c != 0) return c
       i += 1

@@ -42,10 +42,22 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private def fsOf(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  import org.apache.spark.sql.types._
+
+  /** Fixed on-disk schemas: reads always pass them explicitly, so an
+    * empty ingest batch (a routine empty micro-batch writes a
+    * batch_<id> dir holding only _SUCCESS) can never brick the index on
+    * parquet schema inference. Ingest casts to these types. */
+  private val codesSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("scale", DoubleType),
+    StructField("qvec", ArrayType(ByteType)),
+    StructField("cid", LongType)))
+  private val vectorsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def fsOf(spark: SparkSession, dir: String) = Dedup.stateFs(spark, dir)
 
   /** Build a fresh index from an initial corpus: train (or, at
     * `trainIters = 0`, take-by-id) the centroids, persist them, then
@@ -106,9 +118,11 @@ object AnnIndex {
     val spark = batch.sparkSession
     val centroids = readCentroids(spark, indexDir)
     val assignUdf = udf { (v: Seq[Float]) => Similarity.nearestCentroid(centroids, v) }
-    // one narrow pass: quantize + assign together, no self-join
+    // one narrow pass: quantize + assign together, no self-join; cast to
+    // the fixed index schema so reads with that schema are exact
     val codes = Similarity.quantizeInt8(batch, idCol, vecCol, keepVecAs = Some("__v"))
-      .select(col("vec_id"), col("scale"), col("qvec"), assignUdf(col("__v")).as("cid"))
+      .select(col("vec_id").cast("long").as("vec_id"), col("scale"),
+        col("qvec"), assignUdf(col("__v")).cast("long").as("cid"))
     def dest(sub: String) = batchId match {
       case Some(id) => (s"$indexDir/$sub/batch_$id", "overwrite")
       case None     => (s"$indexDir/$sub", "append")
@@ -121,7 +135,8 @@ object AnnIndex {
     codes.repartition(col("cid"))
       .write.mode(mode).partitionBy("cid").parquet(codeDir)
     val (vecDir, mode2) = dest("vectors")
-    batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    batch.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"))
       .write.mode(mode2).parquet(vecDir)
   }
 
@@ -148,15 +163,16 @@ object AnnIndex {
     * cid filter into every union child, keeping pruning intact. */
   private def readCodes(spark: SparkSession, indexDir: String): DataFrame =
     batchDirs(spark, s"$indexDir/codes") match {
-      case Seq() => spark.read.parquet(s"$indexDir/codes")
-      case dirs  => dirs.map(p => spark.read.option("basePath", p).parquet(p))
+      case Seq() => spark.read.schema(codesSchema).parquet(s"$indexDir/codes")
+      case dirs  => dirs
+        .map(p => spark.read.schema(codesSchema).option("basePath", p).parquet(p))
         .reduce(_.unionByName(_))
     }
 
   private def readVectors(spark: SparkSession, indexDir: String): DataFrame =
     batchDirs(spark, s"$indexDir/vectors") match {
-      case Seq() => spark.read.parquet(s"$indexDir/vectors")
-      case dirs  => spark.read.parquet(dirs: _*)
+      case Seq() => spark.read.schema(vectorsSchema).parquet(s"$indexDir/vectors")
+      case dirs  => spark.read.schema(vectorsSchema).parquet(dirs: _*)
     }
 
   /** Top-k neighbors for each query through the persisted index, without
@@ -186,7 +202,11 @@ object AnnIndex {
         .take(nProbes).map(_._2)
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    // localCheckpoint materializes the probe assignment ONCE — it feeds
+    // both the broadcast join side and the probed-cell collect below;
+    // without it the O(nCentroids·dim)-per-query probe UDF runs twice
     val qp = q.withColumn("cid", explode(probeUdf(col("query_vec"))))
+      .localCheckpoint()
     val probes = broadcast(qp)
     val probedCells = qp.select("cid").distinct()
       .collect().map(_.getLong(0)) // bounded by nCentroids

@@ -495,13 +495,21 @@ object Dedup {
     // index the pairing probe uses
     val batchIndex = minhashIndex(batch, textCol, idCol, shingleN, numHashes, bands)
       .localCheckpoint()
-    // On a foreachBatch RETRY the state dirs already hold the failed
-    // attempt's batch_<id> subdir — it must not be read back as corpus
-    // (the batch's docs would sit on both sides of the probe, inflating
-    // bucket sizes past hotBucketThreshold and duplicating output rows).
+    // On a foreachBatch RETRY the state may already hold the failed
+    // attempt's rows — they must not be read back as corpus (the batch's
+    // docs would sit on both sides of the probe, inflating bucket sizes
+    // past hotBucketThreshold and duplicating output rows). Two layers:
+    // the batch_<id> subdir is skipped by NAME (fast path), and the
+    // batch's ids are anti-joined out of whatever remains — that covers
+    // rows a compaction already folded into a compact_<n> dir, which the
+    // name skip cannot see, making the maintenance hook safe to run
+    // between ingest and checkpoint commit.
     val skip = batchId.map(id => s"batch_$id").toSet
+    val batchIds = batchDocs.select(col(idCol)).distinct()
     val corpus = readIngestState(spark, corpusDir, batchDocs.schema, skip)
+      .join(batchIds, Seq(idCol), "left_anti")
     val index = readIngestState(spark, indexDir, batchIndex.schema, skip)
+      .join(batchIds.select(col(idCol).as("id")), Seq("id"), "left_anti")
     val pairs = incrementalNearDupPairs(
         batch, corpus, index, textCol, idCol,
         threshold, shingleN, numHashes, bands,
@@ -550,7 +558,7 @@ object Dedup {
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
-  private def stateFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[operators] def stateFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -585,7 +593,14 @@ object Dedup {
     *     a half-done delete).
     *
     * The ingest loop and compaction must not race the SAME state dirs —
-    * run it from the foreachBatch hook or a maintenance window.
+    * run it from the foreachBatch hook (after [[ingestNearDupBatch]]
+    * returns) or a maintenance window. The NEWEST batch_<id> is never
+    * folded: under at-least-once redelivery only the last uncommitted
+    * batch can be retried, and folding it would let the retry's fresh
+    * batch_<id> write duplicate rows the compact dir already holds —
+    * every earlier batch has committed and is safe to fold. (The ingest
+    * read additionally anti-joins the current batch's ids out of the
+    * state as defense in depth.)
     * Returns the number of subdirs compacted (0 = nothing to do). */
   def compactIngestState(
       spark: org.apache.spark.sql.SparkSession,
@@ -603,9 +618,19 @@ object Dedup {
       .filter(_.getPath.getName.startsWith("compact_"))
       .flatMap(e => readSubsumes(fs, e.getPath)).toSet
     subsumed.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
-    val live = dirs()
+    val all = dirs()
       .filter(n => n.startsWith("batch_") || n.startsWith("compact_"))
       .sorted.toSeq
+    // never fold the numerically-newest batch: it is the only one a
+    // foreachBatch retry can redeliver, and its retry-overwrite contract
+    // needs the batch_<id> dir to still exist
+    def batchNum(n: String): Option[Long] = {
+      val d = n.stripPrefix("batch_").takeWhile(_.isDigit)
+      if (n.startsWith("batch_") && d.nonEmpty) Some(d.toLong) else None
+    }
+    val newestBatch = all.flatMap(n => batchNum(n).map(_ -> n))
+      .sortBy(_._1).lastOption.map(_._2)
+    val live = all.filterNot(newestBatch.contains)
     if (live.length <= 1) return 0
     val gen = live.filter(_.startsWith("compact_"))
       .map(_.stripPrefix("compact_").takeWhile(_.isDigit))

@@ -358,8 +358,11 @@ object Multimodal {
       hotBucketThreshold: Int = 64): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding only guarantees recall to Hamming 3, got $maxHamming")
+    // one row per media_id: a duplicated input id would otherwise
+    // multiply every pair it appears in through the hash-join-back
     val hashes = hashed.filter(col("phash").isNotNull)
       .select(col("media_id"), col("phash"))
+      .dropDuplicates("media_id")
     val withBands = hashes
       .select(
         col("media_id"),

@@ -110,6 +110,14 @@ class VgtidSpec extends AnyFunSuite {
     assert(CopyProgress.compare(pos(withMeta("9")), pos(noMeta("10"))) < 0)
     // non-numeric values still fall back to byte order
     assert(CopyProgress.compare(pos(noMeta("ab")), pos(withMeta("b"))) < 0)
+    // a POSITIVE non-numeric declaration wins over a metaless side:
+    // VARCHAR "9"/"10" paginated in byte order ("10" < "9"), and a
+    // dropped-metadata checkpoint must not flip it to numeric
+    def varcharMeta(v: String) = TableLastPk("t",
+      Seq(PkField("id", "VARCHAR", 253, None)),
+      Seq(PkRow(Seq(v.length.toString), b64(v))))
+    assert(CopyProgress.compare(pos(noMeta("10")), pos(varcharMeta("9"))) < 0)
+    assert(CopyProgress.compare(pos(varcharMeta("9")), pos(noMeta("10"))) > 0)
   }
 
   test("copy-progress ordering: corrupt lastpk (lengths past value bytes) is loud") {

@@ -74,6 +74,18 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.count(_ >= 25) == 15)
   }
 
+  test("an empty micro-batch ingest leaves the index fully probeable") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = tmp("graft_ann_empty")
+    AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
+    // streaming routinely delivers empty batches: a batch_<id> dir with
+    // only _SUCCESS must not break the explicit-schema reads
+    AnnIndex.ingest(emb.filter(col("vec_id") < 0), dir, batchId = Some(1L))
+    val rows = AnnIndex.probe(emb.filter(col("vec_id") === 0), dir, k = 3)
+      .collect()
+    assert(rows.length == 3)
+  }
+
   test("build refuses to overwrite an existing index") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val dir = tmp("graft_ann_exists")

@@ -1305,17 +1305,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idxSchema = Dedup.minhashIndex(
       Seq((0L, "x")).toDF("doc_id", "text"), "text", "doc_id", 3, 64, 16).schema
     val docSchema = Seq((0L, "x")).toDF("doc_id", "text").schema
-    assert(Dedup.compactIngestState(spark, idx, idxSchema, targetPartitions = 2) == 3)
-    assert(Dedup.compactIngestState(spark, corp, docSchema, targetPartitions = 2) == 3)
-    assert(subdirs(idx) == Seq("compact_1") && subdirs(corp) == Seq("compact_1"))
+    // the NEWEST batch (the only one a retry can redeliver) is never folded
+    assert(Dedup.compactIngestState(spark, idx, idxSchema, targetPartitions = 2) == 2)
+    assert(Dedup.compactIngestState(spark, corp, docSchema, targetPartitions = 2) == 2)
+    assert(subdirs(idx) == Seq("batch_3", "compact_1"))
+    assert(subdirs(corp) == Seq("batch_3", "compact_1"))
     // the next batch pairs through the compacted state exactly as before
     val p4 = run(Seq((10L, t1)).toDF("doc_id", "text"), 4L)
     assert(p4 == Set((1L, 10L), (3L, 10L)))
-    // re-compaction folds compact_1 + batch_4 into compact_2
+    // re-compaction folds batch_3 + compact_1, protecting newest batch_4
     assert(Dedup.compactIngestState(spark, idx, idxSchema, targetPartitions = 2) == 2)
-    assert(subdirs(idx) == Seq("compact_2"))
-    // and a second immediate run is a no-op
+    assert(subdirs(idx) == Seq("batch_4", "compact_2"))
+    // with only the newest batch + one compact dir left, it's a no-op
     assert(Dedup.compactIngestState(spark, idx, idxSchema, targetPartitions = 2) == 0)
+    // a RETRY of the newest batch after compaction overwrites, never
+    // duplicates: same pairs, corpus holds each doc exactly once
+    assert(Dedup.compactIngestState(spark, corp, docSchema, targetPartitions = 2) == 2)
+    val retried = run(Seq((10L, t1)).toDF("doc_id", "text"), 4L)
+    assert(retried == Set((1L, 10L), (3L, 10L)))
+    val corpusRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(corp).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpusRows == Seq(1L, 2L, 3L, 4L, 10L))
+  }
+
+  test("phash pairing: a duplicated media_id row does not multiply pair rows") {
+    val sp = spark; import sp.implicits._
+    val base = "00001111" * 8
+    val hashed = Seq((1L, base), (2L, base), (2L, base)).toDF("media_id", "phash")
+    val rows = Multimodal.phashNearDupPairs(hashed)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L))) // one ROW, not 2 or 4 via the hash join-back
   }
 
   test("phash pairing: hot bucket degrades to star pairing, O(K) not O(K^2)") {
