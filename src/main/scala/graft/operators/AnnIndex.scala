@@ -145,7 +145,8 @@ object AnnIndex {
     * the two layouts on one index is refused loudly — partition
     * inference cannot see both at once, and silently reading half the
     * codes would be a wrong answer. */
-  private def batchDirs(spark: SparkSession, dir: String): Seq[String] = {
+  private def batchDirs(spark: SparkSession, dir: String,
+      skip: Set[String]): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
     require(fs.exists(root), s"no index state at $dir")
     val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
@@ -154,26 +155,144 @@ object AnnIndex {
     require(batches.isEmpty || loose.isEmpty,
       s"$dir mixes per-batch (batch_*) and root-append ingest layouts — " +
         "use a consistent batchId policy per index")
-    batches.sorted.map(n => s"$dir/$n").toSeq
+    batches.filterNot(skip).sorted.map(n => s"$dir/$n").toSeq
   }
 
   /** Each batch dir is its own hive-partitioned (cid=…) relation — they
     * cannot share one basePath (the batch_<id> level conflicts with
     * partition inference), so they union; Catalyst pushes the probe's
-    * cid filter into every union child, keeping pruning intact. */
-  private def readCodes(spark: SparkSession, indexDir: String): DataFrame =
-    batchDirs(spark, s"$indexDir/codes") match {
-      case Seq() => spark.read.schema(codesSchema).parquet(s"$indexDir/codes")
-      case dirs  => dirs
+    * cid filter into every union child, keeping pruning intact. `skip`
+    * names batch dirs to exclude (a retrying batch's own state). */
+  private def readCodes(spark: SparkSession, indexDir: String,
+      skip: Set[String] = Set.empty): DataFrame =
+    batchDirs(spark, s"$indexDir/codes", skip) match {
+      case Seq() if skip.isEmpty =>
+        spark.read.schema(codesSchema).parquet(s"$indexDir/codes")
+      case Seq() => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
+      case dirs => dirs
         .map(p => spark.read.schema(codesSchema).option("basePath", p).parquet(p))
         .reduce(_.unionByName(_))
     }
 
-  private def readVectors(spark: SparkSession, indexDir: String): DataFrame =
-    batchDirs(spark, s"$indexDir/vectors") match {
-      case Seq() => spark.read.schema(vectorsSchema).parquet(s"$indexDir/vectors")
-      case dirs  => spark.read.schema(vectorsSchema).parquet(dirs: _*)
+  private def readVectors(spark: SparkSession, indexDir: String,
+      skip: Set[String] = Set.empty): DataFrame =
+    batchDirs(spark, s"$indexDir/vectors", skip) match {
+      case Seq() if skip.isEmpty =>
+        spark.read.schema(vectorsSchema).parquet(s"$indexDir/vectors")
+      case Seq() => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorsSchema)
+      case dirs => spark.read.schema(vectorsSchema).parquet(dirs: _*)
     }
+
+  /** Incremental SemDeDup through the persisted index — the embedding
+    * twin of [[Dedup.ingestNearDupBatch]]: decide each NEW vector
+    * against the already-indexed corpus (and against the batch itself)
+    * WITHOUT ever pairing corpus-vs-corpus, then ingest only the
+    * survivors. Decision rule, matching [[Similarity.semDedup]] with
+    * ids assigned append-only:
+    *
+    *  - a new vector is dropped iff some CORPUS vector in its assigned
+    *    cell is ≥ `threshold` cosine-similar (already-indexed wins), or
+    *    a SMALLER-ID same-cell batch vector is (keep-lowest-id within
+    *    the batch);
+    *  - a corpus cell larger than `hotCellThreshold` — a same-content
+    *    pile — compares against the cell MINIMUM only: O(1) exact
+    *    cosines per new vector instead of O(cell), and exactly the
+    *    decision that matters for a pile (the min is as similar as any
+    *    member);
+    *  - dropped vectors are NOT ingested, so the index stays the
+    *    deduplicated corpus and per-batch cost never grows with history.
+    *
+    * Returns the decision table `(vec_id, cid, kept)`, materialized
+    * BEFORE the survivors' state write so the lazily-read index cannot
+    * observe the batch's own appends; with a `batchId`, a foreachBatch
+    * retry excludes its own failed attempt's state (name skip + id
+    * anti-join) and overwrites it. */
+  def ingestSemDedupBatch(
+      batch: DataFrame,
+      indexDir: String,
+      threshold: Double = 0.95,
+      hotCellThreshold: Int = 4096,
+      batchId: Option[Long] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    if (batchId.isDefined) requireBatchLayout(spark, s"$indexDir/codes")
+    val centroids = readCentroids(spark, indexDir)
+    val assignUdf = udf { (v: Seq[Float]) => Similarity.nearestCentroid(centroids, v) }
+    // one assignment pass, reused by every consumer below
+    val newAssigned = batch
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("cid", assignUdf(col("vec")))
+      .localCheckpoint()
+    val skip = batchId.map(id => s"batch_$id").toSet
+    val newIds = newAssigned.select(col("vec_id"))
+    // corpus side: cell membership comes from the CODES (ids + cells,
+    // no vectors yet), pruned to the batch's touched cells before any
+    // sizing — untouched cells never enter a shuffle
+    val corpusCells = readCodes(spark, indexDir, skip)
+      .select(col("vec_id").as("corpus_id"), col("cid"))
+      .join(newIds.select(col("vec_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
+      .join(newAssigned.select("cid").distinct(), Seq("cid"), "left_semi")
+    val w = Window.partitionBy(col("cid"))
+    val sized = corpusCells
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .withColumn("cell_min", min(col("corpus_id")).over(w))
+    val corpusCand = sized.filter(col("cell_n") <= hotCellThreshold)
+      .select(col("cid"), col("corpus_id"))
+      .unionByName(sized
+        .filter(col("cell_n") > hotCellThreshold && col("corpus_id") === col("cell_min"))
+        .select(col("cid"), col("corpus_id")))
+    // vectors join back per CANDIDATE, never per cell row
+    val corpusVecs = readVectors(spark, indexDir, skip)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
+    val corpusDropped = newAssigned.join(corpusCand, Seq("cid"))
+      .join(corpusVecs, Seq("corpus_id"))
+      .filter(round(Similarity.cosine(col("vec"), col("cvec")), 6) >= threshold)
+      .select(col("vec_id"))
+    // batch-internal: the semDedup cell rules over the batch alone
+    val bSized = newAssigned.select(col("cid"), col("vec_id").as("id"))
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .withColumn("cell_min", min(col("id")).over(w))
+    val bSmall = bSized.filter(col("cell_n") <= hotCellThreshold)
+    val bPairs = bSmall.select(col("cid"), col("id").as("id_a"))
+      .join(bSmall.select(col("cid"), col("id").as("id_b")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .unionByName(bSized
+        .filter(col("cell_n") > hotCellThreshold && col("id") =!= col("cell_min"))
+        .select(col("cell_min").as("id_a"), col("id").as("id_b")))
+    val batchDropped = bPairs
+      .join(newAssigned.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(newAssigned.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .filter(round(Similarity.cosine(col("vec_a"), col("vec_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id"))
+    val dropped = corpusDropped.unionByName(batchDropped).distinct()
+      .withColumn("is_dropped", lit(true))
+    val decisions = newAssigned.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        not(coalesce(col("is_dropped"), lit(false))).as("kept"))
+      .localCheckpoint() // materialize before the survivors' state write
+    val kept = batch.join(
+      decisions.filter(col("kept")).select(col("vec_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    ingest(kept, indexDir, batchId, idCol, vecCol)
+    decisions
+  }
+
+  private def requireBatchLayout(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    if (fs.exists(root)) {
+      val loose = fs.listStatus(root)
+        .exists(e => e.isDirectory && !e.getPath.getName.startsWith("batch_"))
+      require(!loose,
+        s"$dir uses the root-append layout — batchId-based ingest requires " +
+          "per-batch state (build/ingest with a batchId from the start)")
+    }
+  }
 
   /** Top-k neighbors for each query through the persisted index, without
     * touching the float corpus until the rescore: each query probes its

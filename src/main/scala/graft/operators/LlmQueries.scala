@@ -720,6 +720,60 @@ object LlmQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------- incremental semantic dedup
+  /** [[AnnIndex.ingestSemDedupBatch]] under the oracle: the index is
+    * built from the low-id half of the corpus, and the other half plus
+    * injected exact copies of corpus vectors arrive as ONE new batch
+    * whose decisions are made against the persisted index — never
+    * pairing corpus-vs-corpus. Because corpus ids are all smaller than
+    * new ids, "already-indexed wins" coincides with keep-lowest-id, so
+    * the oracle replays a ONE-SHOT semDedup over the union and restricts
+    * to the new ids — a hash match proves the incremental path decides
+    * exactly as rebuilding from scratch would. */
+  val qDedupSemanticIngest: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1)
+      .unionByName(emb.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_semingest_")
+      .resolve("idx").toString
+    AnnIndex.build(corpus, dir, nCentroids = 32)
+    AnnIndex.ingestSemDedupBatch(fresh, dir, threshold = 0.95, batchId = Some(1L))
+      .orderBy(col("vec_id"))
+  }
+
+  val qDedupSemanticIngestSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32 OR vec_id % 2 = 0
+      |), newv AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 32 AND vec_id % 2 = 1
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 9 = 0
+      |), all_vecs AS (
+      |  SELECT * FROM corpus UNION ALL SELECT * FROM newv
+      |), cent AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM corpus ORDER BY vec_id LIMIT 32
+      |), assigned AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.cemb::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM all_vecs e CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |), dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN newv n ON n.vec_id = b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+      |)
+      |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+      |FROM assigned a
+      |JOIN newv nn ON nn.vec_id = a.vec_id
+      |LEFT JOIN dropped d ON d.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   val qDedupSemanticSql: String =
     """WITH all_vecs AS (
       |  SELECT vec_id, embedding FROM embeddings
@@ -2296,6 +2350,7 @@ object LlmQueries {
     "emb_quantize"        -> qEmbQuantize,
     "ann_int8"            -> qAnnInt8,
     "ann_index_ingest"    -> qAnnIndexIngest,
+    "dedup_semantic_ingest" -> qDedupSemanticIngest,
     "text_heavy_hitters"  -> qTextHeavyHitters,
     "text_stats"          -> qTextStats,
     "text_langid"         -> qTextLangid,
@@ -2358,6 +2413,7 @@ object LlmQueries {
     "emb_quantize"        -> qEmbQuantizeSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_index_ingest"    -> qAnnIndexIngestSql,
+    "dedup_semantic_ingest" -> qDedupSemanticIngestSql,
     "text_heavy_hitters"  -> qTextHeavyHittersSql,
     "text_stats"          -> qTextStatsSql,
     "text_langid"         -> qTextLangidSql,

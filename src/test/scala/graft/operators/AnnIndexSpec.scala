@@ -96,6 +96,74 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("already exists"))
   }
 
+  test("incremental semDedup == one-shot semDedup restricted to the new ids") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") < 25)
+    // new batch: the rest, plus exact copies of some corpus vectors
+    // under fresh (larger) ids — guaranteed corpus-dup drops
+    val fresh = emb.filter(col("vec_id") >= 25)
+      .unionByName(corpus.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val dir = tmp("graft_ann_semdedup")
+    AnnIndex.build(corpus, dir, nCentroids = 8)
+    val inc = AnnIndex.ingestSemDedupBatch(fresh, dir,
+        threshold = 0.95, batchId = Some(1L))
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    // ground truth: one-shot semDedup over the union (corpus ids are all
+    // smaller, so already-indexed-wins == keep-lowest-id)
+    val newIdSet = fresh.select("vec_id").as[Long].collect().toSet
+    val oneShot = Similarity.semDedup(corpus.unionByName(fresh), nCentroids = 8,
+        threshold = 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect()
+      .filter { case (id, _) => newIdSet(id) }.toMap
+    assert(inc == oneShot)
+    assert(inc.values.exists(!_)) // the injected copies were dropped
+    assert(inc.values.exists(identity)) // and real new content survived
+    // only survivors entered the index
+    val indexed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/vectors").select("vec_id").as[Long].collect().toSet
+    val expectKept = inc.filter(_._2).keySet ++ corpus.select("vec_id").as[Long].collect()
+    assert(indexed == expectKept)
+  }
+
+  test("incremental semDedup retry: identical decisions, no self-corpus poisoning") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") < 25)
+    val fresh = emb.filter(col("vec_id") >= 25 && col("vec_id") < 40)
+    val dir = tmp("graft_ann_sem_retry")
+    AnnIndex.build(corpus, dir, nCentroids = 8)
+    def run() = AnnIndex.ingestSemDedupBatch(fresh, dir,
+        threshold = 0.95, batchId = Some(1L))
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    val first = run()
+    // a retry must not see its own kept vectors as corpus — that would
+    // flip every kept decision to dropped (sim 1.0 against itself)
+    val retried = run()
+    assert(first == retried && retried.values.exists(identity))
+    val ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/vectors").select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == ids.distinct) // overwrite, not duplicate
+  }
+
+  test("incremental semDedup: hot corpus cell compares against the cell min only") {
+    val sp = spark; import sp.implicits._
+    // 1 distinct base + 19 exact copies in one cell; hotCellThreshold=8
+    // makes the cell hot, and a new copy must still be dropped via the
+    // min-only comparison
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val corpus = (0L until 20L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val dir = tmp("graft_ann_sem_hot")
+    AnnIndex.build(corpus, dir, nCentroids = 4)
+    val fresh = Seq((100L, base)).toDF("vec_id", "embedding")
+    val dec = AnnIndex.ingestSemDedupBatch(fresh, dir,
+        threshold = 0.95, hotCellThreshold = 8, batchId = Some(1L))
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(dec == Map(100L -> false))
+  }
+
   test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
