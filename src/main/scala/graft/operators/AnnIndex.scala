@@ -235,6 +235,8 @@ object AnnIndex {
     val corpusCells = readCodes(spark, indexDir, skip)
       .select(col("vec_id").as("corpus_id"), col("cid"))
       .join(newIds.select(col("vec_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
+      .join(readTombstones(spark, indexDir).select(col("vec_id").as("corpus_id")),
+        Seq("corpus_id"), "left_anti") // deleted corpus never drops new docs
       .join(newAssigned.select("cid").distinct(), Seq("cid"), "left_semi")
     val w = Window.partitionBy(col("cid"))
     val sized = corpusCells
@@ -281,6 +283,28 @@ object AnnIndex {
       Seq(idCol), "left_semi")
     ingest(kept, indexDir, batchId, idCol, vecCol)
     decisions
+  }
+
+  private val tombstoneSchema = StructType(Seq(StructField("vec_id", LongType)))
+
+  /** Logical deletes: ids written under `tombstones/` are invisible to
+    * [[probe]] and to [[ingestSemDedupBatch]]'s corpus from the moment
+    * the write lands — a takedown takes effect without rewriting a
+    * single code or vector file. Deletes are idempotent (a duplicate
+    * tombstone changes nothing), so retries just append; the read cost
+    * is one anti-join against the (deletion-bounded) tombstone set.
+    * A deleted id must NOT be re-ingested later — the tombstone
+    * suppresses the id for the index's lifetime. */
+  def delete(ids: DataFrame, indexDir: String, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  private def readTombstones(spark: SparkSession, indexDir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, s"$indexDir/tombstones")
+    if (!fs.exists(root)) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombstoneSchema)
+    else spark.read.schema(tombstoneSchema)
+      .option("recursiveFileLookup", "true").parquet(s"$indexDir/tombstones")
   }
 
   private def requireBatchLayout(spark: SparkSession, dir: String): Unit = {
@@ -332,6 +356,8 @@ object AnnIndex {
     val deq = readCodes(spark, indexDir)
       // cid is a PARTITION filter: unprobed cells never leave the scan
       .filter(col("cid").isin(probedCells: _*))
+      // tombstoned (logically deleted) vectors never become candidates
+      .join(readTombstones(spark, indexDir), Seq("vec_id"), "left_anti")
       .select(col("vec_id").as("neighbor_id"), col("cid"),
         transform(col("qvec"), x => x.cast("double") * col("scale")).as("vec_deq"))
     val wa = Window.partitionBy(col("query_id"))

@@ -164,6 +164,38 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dec == Map(100L -> false))
   }
 
+  test("tombstoned vectors vanish from probe and stop suppressing new ingests") {
+    val sp = spark; import sp.implicits._
+    // 12 vectors along 4 orthogonal directions (3 per direction, scaled
+    // copies → cosine 1.0 within a direction, 0.0 across)
+    def unit(d: Int, scale: Float) =
+      Array.tabulate(8)(i => if (i == d * 2) scale else 0f)
+    val corpus = (0L until 12L).map(i => (i, unit((i % 4).toInt, 1f + i)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft_ann_delete")
+    AnnIndex.build(corpus, dir, nCentroids = 4)
+    val q = Seq((500L, unit(0, 1f))).toDF("vec_id", "embedding")
+    val before = AnnIndex.probe(q, dir, k = 3, nProbes = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(before == Set(0L, 4L, 8L)) // the direction-0 group
+    AnnIndex.delete(Seq(4L).toDF("vec_id"), dir)
+    val after = AnnIndex.probe(q, dir, k = 3, nProbes = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(after == Set(0L, 8L)) // deleted id gone the moment the write lands
+    // semantic ingest: a copy is dropped while any direction-0 member
+    // lives, and KEPT once all of them are tombstoned — deleted corpus
+    // must never suppress new content
+    val d1 = AnnIndex.ingestSemDedupBatch(Seq((100L, unit(0, 9f))).toDF("vec_id", "embedding"),
+        dir, threshold = 0.95, batchId = Some(1L))
+      .select("kept").as[Boolean].head()
+    assert(!d1) // ids 0 and 8 still live
+    AnnIndex.delete(Seq(0L, 8L, 100L).toDF("vec_id"), dir)
+    val d2 = AnnIndex.ingestSemDedupBatch(Seq((101L, unit(0, 9f))).toDF("vec_id", "embedding"),
+        dir, threshold = 0.95, batchId = Some(2L))
+      .select("kept").as[Boolean].head()
+    assert(d2) // every same-direction corpus entry is tombstoned
+  }
+
   test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
