@@ -74,6 +74,19 @@ object VtWire {
     val byValue: Map[Int, String] = byName.map(_.swap)
   }
 
+  /** Unknown type ids/names fail LOUDLY on both codec sides: silently
+    * degrading a new vitess type (as VECTOR was once new) to NULL_TYPE
+    * would destroy the information copy-progress ordering and the whole
+    * decode path key off — the same stance as misroutes and corrupt
+    * rows. */
+  private def typeNameOf(id: Int, ctx: String): String =
+    VtType.byValue.getOrElse(id, throw new IllegalStateException(
+      s"unknown vitess type id $id for $ctx — refusing to degrade to NULL_TYPE"))
+
+  private def typeIdOf(name: String, ctx: String): Option[Int] =
+    Some(VtType.byName.getOrElse(name, throw new IllegalStateException(
+      s"unknown vitess type name '$name' for $ctx — refusing to encode typeless")))
+
   /** binlogdata.VEventType */
   object VEventType {
     val Unknown = 0; val Gtid = 1; val Begin = 2; val Commit = 3
@@ -87,7 +100,6 @@ object VtWire {
   object TabletType {
     val byName: Map[String, Int] =
       Map("MASTER" -> 1, "PRIMARY" -> 1, "REPLICA" -> 2, "RDONLY" -> 3)
-    val byValue: Map[Int, String] = Map(1 -> "MASTER", 2 -> "REPLICA", 3 -> "RDONLY")
   }
 
   // field numbers pinned once for the offline-unverifiable additions
@@ -140,7 +152,8 @@ object VtWire {
 
   private def encodeField(f: FieldDef): Array[Byte] = out { c =>
     if (f.name.nonEmpty) c.writeString(1, f.name)
-    VtType.byName.get(f.wireType).filter(_ != 0).foreach(c.writeEnum(2, _))
+    typeIdOf(f.wireType, s"FIELD column '${f.name}'").filter(_ != 0)
+      .foreach(c.writeEnum(2, _))
     if (f.columnLength != 0) c.writeUInt32(7, f.columnLength)
     if (f.decimals != 0) c.writeUInt32(9, f.decimals)
     if (f.flags != 0) c.writeUInt32(10, f.flags.toInt)
@@ -154,9 +167,12 @@ object VtWire {
 
   private def encodePkField(f: PkField): Array[Byte] = out { c =>
     if (f.name.nonEmpty) c.writeString(1, f.name)
-    VtType.byName.get(f.typeName).filter(_ != 0).foreach(c.writeEnum(2, _))
+    typeIdOf(f.typeName, s"lastpk PK column '${f.name}'").filter(_ != 0)
+      .foreach(c.writeEnum(2, _))
     if (f.charset != 0) c.writeUInt32(8, f.charset)
-    f.flags.filter(_ != 0).foreach(c.writeUInt32(10, _))
+    // Some(0) encodes as an EXPLICIT zero (legal proto3): dropping it
+    // would decode back as None, breaking checkpoint-vs-wire equality
+    f.flags.foreach(c.writeUInt32(10, _))
   }
 
   private def encodeLastPk(t: TableLastPk): Array[Byte] = out { c =>
@@ -284,15 +300,24 @@ object VtWire {
   private def decodeRow(bytes: Array[Byte]): PackedRow = {
     val lengths = Vector.newBuilder[Long]
     var values = Array.emptyByteArray
-    eachField(bytes) {
-      case (1, in) =>
-        // proto3 encoders emit repeated sint64 packed (length-delimited)
-        val limit = in.pushLimit(in.readRawVarint32())
-        while (!in.isAtEnd) lengths += in.readSInt64()
-        in.popLimit(limit)
-        true
-      case (2, in) => values = in.readByteArray(); true
-      case _ => false
+    // dispatches on the tag's WIRE TYPE, not just the field number: the
+    // protobuf spec requires accepting both the packed (length-delimited)
+    // and unpacked (one varint per element) encodings of a repeated
+    // scalar — treating an unpacked sint64 as a packed run would consume
+    // its zigzag VALUE as a byte limit and mis-slice everything after
+    val in = CodedInputStream.newInstance(bytes)
+    var tag = in.readTag()
+    while (tag != 0) {
+      (tag >>> 3, tag & 7) match {
+        case (1, 2) => // packed run
+          val limit = in.pushLimit(in.readRawVarint32())
+          while (!in.isAtEnd) lengths += in.readSInt64()
+          in.popLimit(limit)
+        case (1, 0) => lengths += in.readSInt64() // unpacked occurrence
+        case (2, _) => values = in.readByteArray()
+        case _ => in.skipField(tag)
+      }
+      tag = in.readTag()
     }
     PackedRow(lengths.result(), values)
   }
@@ -308,7 +333,7 @@ object VtWire {
       case (11, in) => colType = in.readString(); true
       case _ => false
     }
-    FieldDef(name, VtType.byValue.getOrElse(tpe, "NULL_TYPE"), colType, len, dec, flags)
+    FieldDef(name, typeNameOf(tpe, s"FIELD column '$name'"), colType, len, dec, flags)
   }
 
   private def decodeLastPk(bytes: Array[Byte]): TableLastPk = {
@@ -328,7 +353,7 @@ object VtWire {
               case (10, ff) => fl = Some(ff.readUInt32()); true
               case _ => false
             }
-            fields += PkField(n, VtType.byValue.getOrElse(t, "NULL_TYPE"), cs, fl)
+            fields += PkField(n, typeNameOf(t, s"lastpk PK column '$n'"), cs, fl)
             true
           case (4, q) =>
             val row = decodeRow(q.readByteArray())
@@ -372,22 +397,33 @@ object VtWire {
     * (VStreamOutputMessageDecoder.java:57-92). */
   def decodeVEvent(bytes: Array[Byte]): VEvent = {
     var tpe = 0; var ts = 0L; var stmt = ""; var ks = ""; var shard = ""
-    var rowEvent: Array[Byte] = null; var fieldEvent: Array[Byte] = null
-    var vgtid: Array[Byte] = null
+    // Embedded-message fields MERGE across occurrences (protobuf
+    // conformance: a message split into several partial serializations of
+    // the same field is legal wire form). Concatenating the raw chunks
+    // and parsing once IS merge semantics — repeated sub-fields
+    // accumulate, scalars last-win — whereas keeping only the last chunk
+    // would silently drop the earlier chunks' row changes.
+    var rowEvent: ByteArrayOutputStream = null
+    var fieldEvent: ByteArrayOutputStream = null
+    var vgtid: ByteArrayOutputStream = null
+    def append(acc: ByteArrayOutputStream, chunk: Array[Byte]): ByteArrayOutputStream = {
+      val a = if (acc == null) new ByteArrayOutputStream(chunk.length) else acc
+      a.write(chunk); a
+    }
     eachField(bytes) {
       case (1, in) => tpe = in.readEnum(); true
       case (2, in) => ts = in.readInt64(); true
       case (4, in) => stmt = in.readString(); true
-      case (5, in) => rowEvent = in.readByteArray(); true
-      case (6, in) => fieldEvent = in.readByteArray(); true
-      case (7, in) => vgtid = in.readByteArray(); true
+      case (5, in) => rowEvent = append(rowEvent, in.readByteArray()); true
+      case (6, in) => fieldEvent = append(fieldEvent, in.readByteArray()); true
+      case (7, in) => vgtid = append(vgtid, in.readByteArray()); true
       case (22, in) => ks = in.readString(); true
       case (23, in) => shard = in.readString(); true
       case _ => false
     }
-    def body(name: String, b: Array[Byte]): Array[Byte] = {
+    def body(name: String, b: ByteArrayOutputStream): Array[Byte] = {
       require(b != null, s"$name event without its $name payload")
-      b
+      b.toByteArray
     }
     tpe match {
       case VEventType.Begin => BeginEvent(shard, ks)
@@ -532,10 +568,16 @@ object VtWire {
     var result: Option[QueryResultModel] = None
     eachField(bytes) {
       case (1, in) =>
+        // PRESENCE of the RPCError field is the failure signal: proto3
+        // omits an empty message string, so RPCError{code: X} with no
+        // text must still decode as an error, never as success
+        var msg = ""; var code = 0
         eachField(in.readByteArray()) {
-          case (2, e) => error = Some(e.readString()); true
+          case (2, e) => msg = e.readString(); true
+          case (3, e) => code = e.readEnum(); true
           case _ => false
         }
+        error = Some(if (msg.nonEmpty) msg else s"vtgate error (code $code)")
         true
       case (3, in) => result = Some(decodeQueryResult(in.readByteArray())); true
       case _ => false

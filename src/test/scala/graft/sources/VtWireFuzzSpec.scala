@@ -279,4 +279,97 @@ class VtWireFuzzSpec extends AnyFunSuite {
       assert(VtWire.decodeExecuteResponse(cleanResp) == resp, s"trial $trial response round-trip")
     }
   }
+
+  // ------------------------------------------------------------------
+  // hand-crafted conformance cases the random fuzz never reaches
+  // ------------------------------------------------------------------
+
+  /** Raw message builder: length-delimited submessage field. */
+  private def sub(field: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeVarint(out, (field.toLong << 3) | 2)
+    writeVarint(out, body.length.toLong)
+    out.write(body)
+    out.toByteArray
+  }
+  private def varintField(field: Int, value: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeVarint(out, (field.toLong << 3) | 0)
+    writeVarint(out, value)
+    out.toByteArray
+  }
+  private def strField(field: Int, s: String): Array[Byte] = sub(field, s.getBytes("UTF-8"))
+  private def cat(parts: Array[Byte]*): Array[Byte] = parts.reduce(_ ++ _)
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+
+  test("unpacked Row.lengths decodes identically to the packed form") {
+    // protobuf conformance: repeated scalars must decode in BOTH the
+    // packed and the one-varint-per-element encodings
+    def rowMsg(packed: Boolean): Array[Byte] = {
+      val lens = Seq(3L, -1L, 1L)
+      val lengthsBytes =
+        if (packed) {
+          val body = new java.io.ByteArrayOutputStream()
+          lens.foreach(l => writeVarint(body, zigzag(l)))
+          sub(1, body.toByteArray)
+        } else cat(lens.map(l => varintField(1, zigzag(l))): _*)
+      cat(lengthsBytes, sub(2, "abcx".getBytes("UTF-8")))
+    }
+    def event(row: Array[Byte]): Array[Byte] = {
+      val rowChange = sub(2, row) // RowChange.after = 2
+      val rowEvent = cat(strField(1, "ks.t"), sub(2, rowChange))
+      val vevent = cat(varintField(1, 12 /* ROW */), sub(5, rowEvent),
+        strField(22, "ks"), strField(23, "s0"))
+      sub(1, vevent) // VStreamResponse.events = 1
+    }
+    val packedDecoded = VtWire.decodeVStreamResponse(event(rowMsg(packed = true)))
+    val unpackedDecoded = VtWire.decodeVStreamResponse(event(rowMsg(packed = false)))
+    assert(packedDecoded == unpackedDecoded)
+    val row = packedDecoded.head.asInstanceOf[RowEvent].changes.head.after.get
+    assert(row.lengths == Seq(3L, -1L, 1L) && new String(row.values) == "abcx")
+  }
+
+  test("an embedded message split into two field chunks MERGES, never last-wins") {
+    // one RowEvent serialized as two partial field-5 occurrences: the
+    // table name + first change in chunk 1, the second change in chunk 2
+    val row1 = cat(sub(1, { val b = new java.io.ByteArrayOutputStream(); writeVarint(b, zigzag(1L)); b.toByteArray }), sub(2, "a".getBytes))
+    val row2 = cat(sub(1, { val b = new java.io.ByteArrayOutputStream(); writeVarint(b, zigzag(1L)); b.toByteArray }), sub(2, "b".getBytes))
+    val chunk1 = cat(strField(1, "ks.t"), sub(2, sub(2, row1)))
+    val chunk2 = sub(2, sub(2, row2))
+    val vevent = cat(varintField(1, 12), sub(5, chunk1), sub(5, chunk2),
+      strField(22, "ks"), strField(23, "s0"))
+    val decoded = VtWire.decodeVStreamResponse(sub(1, vevent))
+    val re = decoded.head.asInstanceOf[RowEvent]
+    assert(re.table == "ks.t")
+    assert(re.changes.map(_.after.get.values.head.toChar) == Seq('a', 'b'))
+  }
+
+  test("RPCError with code but EMPTY message still decodes as an error") {
+    // proto3 omits the empty message string; field-1 PRESENCE must signal
+    // failure or a real vtgate error reads as an empty success
+    val resp = sub(1, varintField(3, 14 /* UNAVAILABLE */))
+    val decoded = VtWire.decodeExecuteResponse(resp)
+    assert(decoded.error.isDefined && decoded.error.get.contains("14"))
+    assert(decoded.result.isEmpty)
+  }
+
+  test("PkField flags Some(0) survives the wire round-trip") {
+    val v = Vgtid(Seq(ShardGtid("ks", "0", "MySQL56/x:1-5", Seq(TableLastPk(
+      "t", Seq(PkField("id", "INT64", 63, Some(0))),
+      Seq(PkRow(Seq("1"), java.util.Base64.getEncoder.encodeToString("7".getBytes))))))))
+    val req = VtWire.VStreamRequestModel(2, v, Nil, VtWire.VStreamFlagsModel())
+    val back = VtWire.decodeVStreamRequest(VtWire.encodeVStreamRequest(req))
+    assert(back.vgtid == v) // Some(0) must not decay to None
+  }
+
+  test("an unknown vitess type id fails loudly instead of degrading to NULL_TYPE") {
+    val field = cat(strField(1, "c0"), varintField(2, 31337L))
+    val fieldEvent = cat(strField(1, "ks.t"), sub(2, field))
+    val vevent = cat(varintField(1, 13 /* FIELD */), sub(6, fieldEvent),
+      strField(22, "ks"), strField(23, "s0"))
+    val err = intercept[IllegalStateException] {
+      VtWire.decodeVStreamResponse(sub(1, vevent))
+    }
+    assert(err.getMessage.contains("unknown vitess type id 31337"))
+  }
 }
