@@ -29,19 +29,19 @@ object LlmQueries {
 
   val qTextStatsSql: String =
     """SELECT doc_id,
-      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |  CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0) THEN 0
       |       ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END::BIGINT AS n_tokens,
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
       |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
       |      x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS n_stopwords,
       |  len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::BIGINT AS n_punct,
       |  round(least(
-      |      CASE WHEN length(trim(text)) = 0 THEN 0
+      |      CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0) THEN 0
       |           ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END::DOUBLE,
       |      200.0) / 200.0
       |    * (1.0 - (len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
       |          x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
-      |        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+      |        / greatest(CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0) THEN 0
       |             ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END::DOUBLE, 1.0)) * 0.5)
       |    - (len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::DOUBLE
       |        / greatest(length(text)::DOUBLE, 1.0)) * 0.25, 6) AS quality
@@ -101,8 +101,14 @@ object LlmQueries {
       sum(col("doc_id")).as("sum_kept"))
   }
 
+  // keep min(doc_id) per NORMALIZED text — the corpus may contain natural
+  // exact duplicates (sf0.1 ships 8 normalized-identical pairs), so
+  // assuming one-row-per-doc would go red on correct operator behavior
   val qDedupExactSql: String =
-    "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept FROM documents"
+    """SELECT count(*) AS n_kept, CAST(sum(mid) AS BIGINT) AS sum_kept FROM (
+      |  SELECT min(doc_id) AS mid FROM documents
+      |  GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |)""".stripMargin
 
   // ---------------------------------------------- staged-input memo
   /** Staged-input cache for the file-stream gates: every invocation
@@ -129,9 +135,27 @@ object LlmQueries {
   private def stageOnce(key: String)(write: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedParquetDirs.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_stage")
-      write(dir)
+      try write(dir)
+      catch { case e: Throwable =>
+        // a failed staging write must not leave a partial, unregistered
+        // corpus re-lay behind (the retry would stage a second full copy)
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () }
+        throw e
+      }
       dir
     })
+
+  /** Register a per-invocation temp dir (e.g. a gate's ANN index) for
+    * the same exit-time reclaim as the staged inputs. */
+  private def reclaimOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+    stagedParquetDirs.put(s"reclaim:$dir", dir)
+    dir
+  }
 
   // --------------------------------------------------- streaming dedup
   /** Streaming exact dedup under the oracle: a REAL multi-batch
@@ -171,11 +195,15 @@ object LlmQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 
+  // one survivor per DISTINCT normalized text (natural duplicate pairs in
+  // the corpus keep one twin, like the injected mangles)
   val qDedupStreamingSql: String =
     """SELECT count(*) AS n_kept,
-      |  CAST(sum(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
-      |    AS sum_norm_len
-      |FROM documents""".stripMargin
+      |  CAST(sum(length(nt)) AS BIGINT) AS sum_norm_len
+      |FROM (
+      |  SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+      |  FROM documents
+      |)""".stripMargin
 
   // --------------------------------------------------------- minhash lsh
   /** Inject near-duplicates (append one token, id+200000 for doc_id%7==0)
@@ -187,8 +215,15 @@ object LlmQueries {
     * the pair and survivor gates (one LSH run, two consumers). */
   private val sharedPairs =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  /** Keyed by SESSION identity + dir: DataFrames are bound to their
+    * SparkSession, and a key on the dir alone would hand a later session
+    * (test suites stop and recreate them in one JVM) plans referencing a
+    * stopped SparkContext. Bench-attribution caveat: whichever consumer
+    * gate runs FIRST (alphabetically dedup_cluster_reps) absorbs the one
+    * shared LSH run's wall time; the other three time a cache read —
+    * per-gate medians shift, the suite total stays honest. */
   private def unionWithPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    sharedPairs.computeIfAbsent(d, _ => {
+    sharedPairs.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val nearDups = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zzzz")).as("text"))
@@ -736,7 +771,7 @@ object LlmQueries {
     val fresh = emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1)
       .unionByName(emb.filter(col("vec_id") % 9 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_gate_semingest_")
+    val dir = reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_gate_semingest_"))
       .resolve("idx").toString
     AnnIndex.build(corpus, dir, nCentroids = 32)
     AnnIndex.ingestSemDedupBatch(fresh, dir, threshold = 0.95, batchId = Some(1L))
@@ -898,7 +933,7 @@ object LlmQueries {
     * quantizer answer identically to building once. */
   val qAnnIndexIngest: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_gate_ann_")
+    val dir = reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_gate_ann_"))
       .resolve("idx").toString
     // first batch carries every id < 32 so the frozen replay centroids
     // equal the one-shot corpus's; second batch is the odd ids >= 32
@@ -1012,12 +1047,17 @@ object LlmQueries {
     * SQL and replays the scorer as an explode + exact integer SUM —
     * hash-identical to the operator's one-pass scalar form because both
     * sum Long micros. */
+  /** The one classifier weight table, shared by text_classifier and
+    * pipeline_curation — the composed gate's contract is that its
+    * classifier stage IS the gated operator, so the formula must have
+    * exactly one definition (both DuckDB oracles regenerate it in SQL). */
+  private lazy val classifierWeights: Array[Double] = Array.tabulate(65536) { b =>
+    (((b.toLong * 2654435761L + 1234567L) % 2000001L) - 1000000L) / 1e6
+  }
+
   val qTextClassifier: Q = (s, d) => {
-    val weights = Array.tabulate(65536) { b =>
-      (((b.toLong * 2654435761L + 1234567L) % 2000001L) - 1000000L) / 1e6
-    }
     TextOps.hashedBowScore(Tables.documents(s, d), "text", "doc_id",
-        weights, intercept = 0.05)
+        classifierWeights, intercept = 0.05)
       .orderBy(col("doc_id"))
   }
 
@@ -1036,8 +1076,12 @@ object LlmQueries {
       |)
       |SELECT d.doc_id,
       |  COALESCE(s.n_tok, 0) AS n_tok,
-      |  round(COALESCE(s.sm, 0) / 1000000.0
-      |        / greatest(COALESCE(s.n_tok, 0), 1) + 0.05, 6) AS score,
+      |  (CASE WHEN COALESCE(s.sm, 0) < 0
+      |        THEN -((-COALESCE(s.sm, 0) * 2 + greatest(COALESCE(s.n_tok, 0), 1))
+      |               // (greatest(COALESCE(s.n_tok, 0), 1) * 2))
+      |        ELSE (COALESCE(s.sm, 0) * 2 + greatest(COALESCE(s.n_tok, 0), 1))
+      |             // (greatest(COALESCE(s.n_tok, 0), 1) * 2) END
+      |   + 50000) / 1000000.0 AS score,
       |  (COALESCE(s.sm, 0) + 50000 * greatest(COALESCE(s.n_tok, 0), 1) >= 0)
       |    AS quality_pass
       |FROM docs d LEFT JOIN scored s USING (doc_id)
@@ -1129,7 +1173,7 @@ object LlmQueries {
   /** DuckDB twin of TextOps.qualityScore over a column named `text`. */
   private val qualitySqlExpr: String = {
     val toks = """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
-    val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::DOUBLE"
+    val nTok = s"CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0) THEN 0 ELSE len($toks) END::DOUBLE"
     val stop = s"len(list_filter($toks, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE"
     val punct = """len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::DOUBLE"""
     s"""round(least($nTok, 200.0) / 200.0
@@ -1377,7 +1421,7 @@ object LlmQueries {
   val qSampleMixtureSql: String =
     s"""WITH tok AS (
        |  SELECT source,
-       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    CAST(sum(CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0) THEN 0
        |      ELSE len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) END) AS BIGINT) AS tokens,
        |    CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) AS w
        |  FROM documents GROUP BY source),
@@ -1445,7 +1489,7 @@ object LlmQueries {
     val toksOf = """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
     s"""WITH scored AS (
       |  SELECT doc_id, $qualitySqlExpr AS quality,
-      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |    (CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0) THEN 0
       |          ELSE len($toksOf) END)::BIGINT AS n_tok
       |  FROM documents
       |), c AS (
@@ -1482,7 +1526,7 @@ object LlmQueries {
     val toksOf = """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
     s"""WITH scored AS (
       |  SELECT doc_id, source, $qualitySqlExpr AS quality,
-      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |    (CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0) THEN 0
       |          ELSE len($toksOf) END)::BIGINT AS n_tok
       |  FROM documents
       |), c AS (
@@ -1510,10 +1554,7 @@ object LlmQueries {
     * docs and fails the hash. */
   val qPipelineCuration: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val weights = Array.tabulate(65536) { b =>
-      (((b.toLong * 2654435761L + 1234567L) % 2000001L) - 1000000L) / 1e6
-    }
-    val scored = TextOps.hashedBowScore(docs, "text", "doc_id", weights, intercept = 0.05)
+    val scored = TextOps.hashedBowScore(docs, "text", "doc_id", classifierWeights, intercept = 0.05)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .filter(col("quality_pass"))
     Sampling.selectUnderTokenBudgetPerGroup(
@@ -1541,8 +1582,12 @@ object LlmQueries {
       |  FROM toks GROUP BY doc_id
       |), scored AS (
       |  SELECT d.doc_id, d.source, COALESCE(s.n_tok, 0) AS n_tok,
-      |    round(COALESCE(s.sm, 0) / 1000000.0
-      |          / greatest(COALESCE(s.n_tok, 0), 1) + 0.05, 6) AS score
+      |    (CASE WHEN COALESCE(s.sm, 0) < 0
+      |          THEN -((-COALESCE(s.sm, 0) * 2 + greatest(COALESCE(s.n_tok, 0), 1))
+      |                 // (greatest(COALESCE(s.n_tok, 0), 1) * 2))
+      |          ELSE (COALESCE(s.sm, 0) * 2 + greatest(COALESCE(s.n_tok, 0), 1))
+      |               // (greatest(COALESCE(s.n_tok, 0), 1) * 2) END
+      |     + 50000) / 1000000.0 AS score
       |  FROM docs d LEFT JOIN sc s USING (doc_id)
       |  WHERE COALESCE(s.sm, 0) + 50000 * greatest(COALESCE(s.n_tok, 0), 1) >= 0
       |), c AS (
@@ -1661,7 +1706,7 @@ object LlmQueries {
   val qTextPackSql: String =
     """WITH RECURSIVE docs AS (
       |  SELECT source, doc_id,
-      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |    (CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0) THEN 0
       |          ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END)::BIGINT AS n_tokens,
       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       |  FROM documents
@@ -1743,7 +1788,7 @@ object LlmQueries {
        |  FROM documents
        |), feat AS (
        |  SELECT doc_id, lang_pred,
-       |    (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS n_tokens,
+       |    (CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0) THEN 0 ELSE len(toks) END) AS n_tokens,
        |    CASE WHEN len(toks) <= 2 THEN 0.0
        |         ELSE 1.0 - len(list_distinct([toks[i] || ' ' || toks[i+1]
        |                FOR i IN generate_series(1, len(toks) - 1)]))::DOUBLE

@@ -559,18 +559,28 @@ object TextOps {
       }
     })
     val nTok = wsTokenCount(col(textCol))
+    val interceptMicros = math.rint(intercept * 1e6).toLong
+    // The score stays in EXACT integer micro space until the final /1e6:
+    // the mean is rounded half-up (away from zero) by long division —
+    // `round(double, 6)` here would tie-break differently across engines
+    // on exact .5-at-6dp quotients (seen on real sf0.1 data), because the
+    // quotient double sits one ulp either side of the decimal tie.
     df.select(
         col(idCol).as("doc_id"),
         nTok.as("n_tok"),
         when(nTok === 0, lit(0L)).otherwise(sumUdf(tokens(col(textCol))))
           .as("sum_micros"))
+      .withColumn("n_eff", greatest(col("n_tok"), lit(1L)))
+      .withColumn("mean_micros",
+        when(col("sum_micros") < 0,
+          -expr("(abs(sum_micros) * 2 + n_eff) div (n_eff * 2)"))
+          .otherwise(expr("(sum_micros * 2 + n_eff) div (n_eff * 2)")))
       .select(
         col("doc_id"), col("n_tok"),
-        round(col("sum_micros").cast("double") / lit(1e6)
-          / greatest(col("n_tok").cast("double"), lit(1.0)) + lit(intercept), 6)
+        ((col("mean_micros") + lit(interceptMicros)).cast("double") / lit(1e6))
           .as("score"),
         (col("sum_micros") +
-          lit(math.rint(intercept * 1e6).toLong) * greatest(col("n_tok"), lit(1L))
+          lit(interceptMicros) * greatest(col("n_tok"), lit(1L))
           >= 0).as("quality_pass"))
   }
 

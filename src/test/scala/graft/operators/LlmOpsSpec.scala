@@ -418,8 +418,12 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
       val micros = toks.map(t => math.rint(weights(bucket(t)) * 1e6).toLong).sum
       val nTok = toks.length.toLong
-      val score = BigDecimal(micros.toDouble / 1e6 / nTok + intercept)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // exact integer micro space: half-up (away from zero) mean, then
+      // intercept micros — the operator's cross-engine-stable contract
+      val mean =
+        if (micros < 0) -((-micros * 2 + nTok) / (nTok * 2))
+        else (micros * 2 + nTok) / (nTok * 2)
+      val score = (mean + math.rint(intercept * 1e6).toLong) / 1e6
       (nTok, score, micros + math.rint(intercept * 1e6).toLong * nTok >= 0)
     }
     val df = Seq((1L, "Alpha beta   GAMMA alpha"), (2L, "delta")).toDF("doc_id", "text")
