@@ -151,11 +151,93 @@ object AnnIndex {
     require(fs.exists(root), s"no index state at $dir")
     val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
     val batches = entries.filter(_.startsWith("batch_"))
-    val loose = entries.filterNot(_.startsWith("batch_"))
+    val loose = entries.filterNot(n =>
+      n.startsWith("batch_") || n.startsWith("tmp_compact_"))
     require(batches.isEmpty || loose.isEmpty,
       s"$dir mixes per-batch (batch_*) and root-append ingest layouts — " +
         "use a consistent batchId policy per index")
-    batches.filterNot(skip).sorted.map(n => s"$dir/$n").toSeq
+    // a compacted dir's _SUBSUMES sidecar makes the folded originals
+    // invisible from the instant its atomic rename lands, even if their
+    // deletes never ran (the Dedup.compactIngestState protocol)
+    val subsumed = batches.flatMap(n =>
+      readSubsumes(fs, new org.apache.hadoop.fs.Path(root, n))).toSet
+    batches.filterNot(skip).filterNot(subsumed)
+      .sorted.map(n => s"$dir/$n").toSeq
+  }
+
+  private def readSubsumes(
+      fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(d, "_SUBSUMES")
+    if (!fs.exists(f)) Nil
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Fold the per-batch state subdirs into one compacted batch dir per
+    * subtree — the ANN twin of [[Dedup.compactIngestState]], with the
+    * same two safety rules: the NEWEST batch (the only one at-least-once
+    * redelivery can retry) is never folded, and the staging protocol is
+    * safe at every crash point (data + `_SUBSUMES` sidecar under an
+    * invisible `tmp_compact_*` name, one atomic rename as the commit,
+    * folded dirs deleted after). Codes keep their hive `cid=` layout
+    * (clustered one-writer-per-cell), so probe pruning is unchanged;
+    * tombstoned ids are PURGED from the folded data — compaction is when
+    * logical deletes become physical. Returns the number of dirs folded
+    * across both subtrees (0 = nothing to do). */
+  def compact(spark: SparkSession, indexDir: String,
+      targetPartitions: Int = 8): Int = {
+    val tombs = readTombstones(spark, indexDir)
+    def one(sub: String, write: (DataFrame, String) => Unit): Int = {
+      val dir = s"$indexDir/$sub"
+      val (fs, root) = fsOf(spark, dir)
+      if (!fs.exists(root)) return 0
+      // clean leftovers of earlier crashed runs
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("tmp_compact_"))
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+      val live = batchDirs(spark, dir, Set.empty).map(_.split('/').last)
+      // finish a half-done delete from a committed earlier compaction
+      val subsumed = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch_")).toSet -- live.toSet
+      subsumed.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+      def num(n: String): Long = {
+        val d = n.stripPrefix("batch_").takeWhile(_.isDigit)
+        if (d.nonEmpty) d.toLong else -1L
+      }
+      val newest = live.sortBy(num).lastOption
+      val fold = live.filterNot(newest.contains)
+      if (fold.length < 2) return 0
+      val gen = fold.map(num).max
+      val staging = s"$dir/tmp_compact_$gen"
+      val data = (sub match {
+        case "codes" => fold
+          .map(n => spark.read.schema(codesSchema).option("basePath", s"$dir/$n")
+            .parquet(s"$dir/$n")).reduce(_.unionByName(_))
+        case _ => spark.read.schema(vectorsSchema)
+          .parquet(fold.map(n => s"$dir/$n"): _*)
+      }).join(tombs, Seq("vec_id"), "left_anti") // deletes become physical
+      write(data, staging)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$staging/_SUBSUMES"), true)
+      try out.write(fold.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      val target = s"batch_${gen}_c"
+      if (!fs.rename(new org.apache.hadoop.fs.Path(root, s"tmp_compact_$gen"),
+          new org.apache.hadoop.fs.Path(root, target)))
+        throw new IllegalStateException(
+          s"compaction commit rename failed: $staging -> $target")
+      fold.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+      fold.length
+    }
+    one("codes", (df, d) => df.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(d)) +
+      one("vectors", (df, d) => df.repartition(targetPartitions)
+        .write.mode("overwrite").parquet(d))
   }
 
   /** Each batch dir is its own hive-partitioned (cid=…) relation — they

@@ -196,6 +196,43 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2) // every same-direction corpus entry is tombstoned
   }
 
+  test("compaction folds all but the newest batch, purges tombstones, probe unchanged") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val dir = tmp("graft_ann_compact")
+    AnnIndex.build(emb.filter(col("vec_id") < 20), dir, nCentroids = 8)
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 20 && col("vec_id") < 35), dir, Some(1L))
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 35), dir, Some(2L))
+    val q = emb.filter(col("vec_id") < 3)
+    def probeRows() = AnnIndex.probe(q, dir, k = 5)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    val victim = AnnIndex.probe(q.limit(1), dir, k = 1)
+      .select("neighbor_id").as[Long].head()
+    AnnIndex.delete(Seq(victim).toDF("vec_id"), dir)
+    val before = probeRows()
+    def dirs(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs("codes") == Seq("batch_0", "batch_1", "batch_2"))
+    // batch_0 and batch_1 fold into batch_1_c; newest batch_2 survives
+    assert(AnnIndex.compact(spark, dir) == 4) // 2 dirs per subtree
+    assert(dirs("codes") == Seq("batch_1_c", "batch_2"))
+    assert(dirs("vectors") == Seq("batch_1_c", "batch_2"))
+    assert(probeRows() == before) // identical through the folded state
+    // the tombstoned id is physically gone from the folded vectors
+    val folded = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/vectors/batch_1_c").select("vec_id").as[Long].collect().toSet
+    assert(!folded.contains(victim))
+    // idempotent: only the compact dir + newest remain foldable → no-op
+    assert(AnnIndex.compact(spark, dir) == 0)
+    // a further ingest re-enables folding (compact + old-newest fold)
+    AnnIndex.ingest(emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding")), dir, Some(3L))
+    assert(AnnIndex.compact(spark, dir) == 4)
+    assert(dirs("codes") == Seq("batch_2_c", "batch_3"))
+    assert(probeRows().nonEmpty)
+  }
+
   test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
