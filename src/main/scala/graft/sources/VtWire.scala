@@ -403,13 +403,13 @@ object VtWire {
     // and parsing once IS merge semantics — repeated sub-fields
     // accumulate, scalars last-win — whereas keeping only the last chunk
     // would silently drop the earlier chunks' row changes.
-    var rowEvent: ByteArrayOutputStream = null
-    var fieldEvent: ByteArrayOutputStream = null
-    var vgtid: ByteArrayOutputStream = null
-    def append(acc: ByteArrayOutputStream, chunk: Array[Byte]): ByteArrayOutputStream = {
-      val a = if (acc == null) new ByteArrayOutputStream(chunk.length) else acc
-      a.write(chunk); a
-    }
+    var rowEvent: Array[Byte] = null
+    var fieldEvent: Array[Byte] = null
+    var vgtid: Array[Byte] = null
+    // single occurrence (the overwhelmingly common case) keeps the
+    // readByteArray allocation as-is; only a genuine split pays a concat
+    def append(acc: Array[Byte], chunk: Array[Byte]): Array[Byte] =
+      if (acc == null) chunk else acc ++ chunk
     eachField(bytes) {
       case (1, in) => tpe = in.readEnum(); true
       case (2, in) => ts = in.readInt64(); true
@@ -421,9 +421,9 @@ object VtWire {
       case (23, in) => shard = in.readString(); true
       case _ => false
     }
-    def body(name: String, b: ByteArrayOutputStream): Array[Byte] = {
+    def body(name: String, b: Array[Byte]): Array[Byte] = {
       require(b != null, s"$name event without its $name payload")
-      b.toByteArray
+      b
     }
     tpe match {
       case VEventType.Begin => BeginEvent(shard, ks)
