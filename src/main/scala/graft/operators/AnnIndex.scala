@@ -116,6 +116,26 @@ object AnnIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    // Refuse BOTH corruption directions before any write: a batchId-less
+    // append into a batch-layout index (every built index is one) would
+    // brick all subsequent reads on the mixed-layout check, and a batch
+    // id BELOW an existing one (a reset streaming checkpoint restarting
+    // at 0 against old state) would collide with names a compaction
+    // sidecar already subsumed — silent data loss, not a retry.
+    val (fs, codesRoot) = fsOf(spark, s"$indexDir/codes")
+    if (fs.exists(codesRoot)) {
+      val entries = fs.listStatus(codesRoot).filter(_.isDirectory).map(_.getPath.getName)
+      val batchNums = entries.filter(_.startsWith("batch_"))
+        .map(_.stripPrefix("batch_").takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+      batchId match {
+        case None => require(batchNums.isEmpty,
+          s"$indexDir uses the per-batch layout — ingest with a batchId")
+        case Some(id) if batchNums.nonEmpty => require(id >= batchNums.max,
+          s"batch id $id is below the index's newest batch ${batchNums.max} — " +
+            "batch ids must be monotone (a reset checkpoint needs a fresh index dir)")
+        case _ => ()
+      }
+    }
     val centroids = readCentroids(spark, indexDir)
     val assignUdf = udf { (v: Seq[Float]) => Similarity.nearestCentroid(centroids, v) }
     // one narrow pass: quantize + assign together, no self-join; cast to
@@ -160,22 +180,9 @@ object AnnIndex {
     // invisible from the instant its atomic rename lands, even if their
     // deletes never ran (the Dedup.compactIngestState protocol)
     val subsumed = batches.flatMap(n =>
-      readSubsumes(fs, new org.apache.hadoop.fs.Path(root, n))).toSet
+      Dedup.readSubsumes(fs, new org.apache.hadoop.fs.Path(root, n))).toSet
     batches.filterNot(skip).filterNot(subsumed)
       .sorted.map(n => s"$dir/$n").toSeq
-  }
-
-  private def readSubsumes(
-      fs: org.apache.hadoop.fs.FileSystem,
-      d: org.apache.hadoop.fs.Path): Seq[String] = {
-    val f = new org.apache.hadoop.fs.Path(d, "_SUBSUMES")
-    if (!fs.exists(f)) Nil
-    else {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    }
   }
 
   /** Fold the per-batch state subdirs into one compacted batch dir per
@@ -278,11 +285,17 @@ object AnnIndex {
     *    cell is ≥ `threshold` cosine-similar (already-indexed wins), or
     *    a SMALLER-ID same-cell batch vector is (keep-lowest-id within
     *    the batch);
-    *  - a corpus cell larger than `hotCellThreshold` — a same-content
-    *    pile — compares against the cell MINIMUM only: O(1) exact
-    *    cosines per new vector instead of O(cell), and exactly the
-    *    decision that matters for a pile (the min is as similar as any
-    *    member);
+    *  - the corpus side compares against EVERY same-cell corpus member:
+    *    when every ingest goes through this operator the corpus holds
+    *    only survivors — pairwise-dissimilar vectors, so same-content
+    *    piles cannot form and cells stay constant-sized under the
+    *    SemDeDup nCentroids ∝ corpus contract; a min-only shortcut
+    *    would silently keep duplicates of non-min members of a large
+    *    DISTINCT cell. ([[build]] ingests its corpus as-given — run a
+    *    raw pile-y corpus through [[Similarity.semDedup]] first to
+    *    establish the invariant.) The `hotCellThreshold` star rule
+    *    applies only WITHIN the batch, where un-deduplicated piles
+    *    genuinely arrive;
     *  - dropped vectors are NOT ingested, so the index stays the
     *    deduplicated corpus and per-batch cost never grows with history.
     *
@@ -321,14 +334,10 @@ object AnnIndex {
         Seq("corpus_id"), "left_anti") // deleted corpus never drops new docs
       .join(newAssigned.select("cid").distinct(), Seq("cid"), "left_semi")
     val w = Window.partitionBy(col("cid"))
-    val sized = corpusCells
-      .withColumn("cell_n", count(lit(1)).over(w))
-      .withColumn("cell_min", min(col("corpus_id")).over(w))
-    val corpusCand = sized.filter(col("cell_n") <= hotCellThreshold)
-      .select(col("cid"), col("corpus_id"))
-      .unionByName(sized
-        .filter(col("cell_n") > hotCellThreshold && col("corpus_id") === col("cell_min"))
-        .select(col("cid"), col("corpus_id")))
+    // every same-cell corpus member is a candidate: the corpus is
+    // deduplicated (survivors only), so its cells cannot be piles and a
+    // min-only shortcut would silently keep dups of non-min members
+    val corpusCand = corpusCells.select(col("cid"), col("corpus_id"))
     // vectors join back per CANDIDATE, never per cell row
     val corpusVecs = readVectors(spark, indexDir, skip)
       .select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))

@@ -563,7 +563,7 @@ object Dedup {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def readSubsumes(
+  private[operators] def readSubsumes(
       fs: org.apache.hadoop.fs.FileSystem,
       compactDir: org.apache.hadoop.fs.Path): Seq[String] = {
     val f = new org.apache.hadoop.fs.Path(compactDir, "_SUBSUMES")

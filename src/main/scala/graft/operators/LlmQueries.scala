@@ -214,16 +214,22 @@ object LlmQueries {
   /** The injected-union corpus and its verified near-dup pairs, shared by
     * the pair and survivor gates (one LSH run, two consumers). */
   private val sharedPairs =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  /** Keyed by SESSION identity + dir: DataFrames are bound to their
-    * SparkSession, and a key on the dir alone would hand a later session
-    * (test suites stop and recreate them in one JVM) plans referencing a
-    * stopped SparkContext. Bench-attribution caveat: whichever consumer
-    * gate runs FIRST (alphabetically dedup_cluster_reps) absorbs the one
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame)]()
+  /** One entry per dir, validated against the CURRENT session on every
+    * lookup: DataFrames are bound to their SparkSession, and a dir-only
+    * cache would hand a later session (test suites stop and recreate
+    * them in one JVM) plans referencing a stopped SparkContext — while a
+    * session-keyed map would pin every stopped session in memory for the
+    * process lifetime. Replacing the entry lets the old session's frames
+    * be collected. Bench-attribution caveat: whichever consumer gate
+    * runs FIRST (alphabetically dedup_cluster_reps) absorbs the one
     * shared LSH run's wall time; the other three time a cache read —
     * per-gate medians shift, the suite total stays honest. */
-  private def unionWithPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    sharedPairs.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ => {
+  private def unionWithPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cached = sharedPairs.get(d)
+    if (cached != null && (cached._1 eq s) && !s.sparkContext.isStopped)
+      (cached._2, cached._3)
+    else {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val nearDups = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zzzz")).as("text"))
@@ -231,8 +237,10 @@ object LlmQueries {
       val pairs = Dedup.minhashNearDupPairs(
         union, "text", "doc_id", threshold = 0.8, numHashes = 64, bands = 16)
       pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sharedPairs.put(d, (s, union, pairs))
       (union, pairs)
-    })
+    }
+  }
 
   val qDedupMinhash: Q = (s, d) => {
     val (_, pairs) = unionWithPairs(s, d)
@@ -767,8 +775,12 @@ object LlmQueries {
     * exactly as rebuilding from scratch would. */
   val qDedupSemanticIngest: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val corpus = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
-    val fresh = emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1)
+    // the corpus must be a CONTIGUOUS low-id prefix: already-indexed-wins
+    // coincides with the oracle's keep-lowest-id only when every corpus
+    // id is below every new id (a parity split would let a new doc keep
+    // against a larger-id corpus twin the operator correctly drops)
+    val corpus = emb.filter(col("vec_id") < 250)
+    val fresh = emb.filter(col("vec_id") >= 250)
       .unionByName(emb.filter(col("vec_id") % 9 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
     val dir = reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_gate_semingest_"))
@@ -780,9 +792,9 @@ object LlmQueries {
 
   val qDedupSemanticIngestSql: String =
     """WITH corpus AS (
-      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32 OR vec_id % 2 = 0
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250
       |), newv AS (
-      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 32 AND vec_id % 2 = 1
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250
       |  UNION ALL
       |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 9 = 0
       |), all_vecs AS (

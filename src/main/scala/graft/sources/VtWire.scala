@@ -454,14 +454,18 @@ object VtWire {
         eachField(body("ROW", rowEvent)) {
           case (1, in) => table = in.readString(); true
           case (2, in) =>
-            var before: Option[PackedRow] = None
-            var after: Option[PackedRow] = None
+            // before/after Row chunks merge by concatenation (split
+            // embedded messages are legal wire form), parsed once at end
+            var beforeB: Array[Byte] = null
+            var afterB: Array[Byte] = null
+            def cat(a: Array[Byte], b: Array[Byte]) = if (a == null) b else a ++ b
             eachField(in.readByteArray()) {
-              case (1, rc) => before = Some(decodeRow(rc.readByteArray())); true
-              case (2, rc) => after = Some(decodeRow(rc.readByteArray())); true
+              case (1, rc) => beforeB = cat(beforeB, rc.readByteArray()); true
+              case (2, rc) => afterB = cat(afterB, rc.readByteArray()); true
               case _ => false
             }
-            changes += RowChange(before, after)
+            changes += RowChange(
+              Option(beforeB).map(decodeRow), Option(afterB).map(decodeRow))
             true
           case (3, in) => reKs = in.readString(); true
           case (4, in) => reShard = in.readString(); true
@@ -566,33 +570,43 @@ object VtWire {
   def decodeExecuteResponse(bytes: Array[Byte]): ExecuteResponseModel = {
     var error: Option[String] = None
     var result: Option[QueryResultModel] = None
+    var errB: Array[Byte] = null
+    var resB: Array[Byte] = null
+    def cat(a: Array[Byte], b: Array[Byte]) = if (a == null) b else a ++ b
     eachField(bytes) {
-      case (1, in) =>
-        // PRESENCE of the RPCError field is the failure signal: proto3
-        // omits an empty message string, so RPCError{code: X} with no
-        // text must still decode as an error, never as success
-        var msg = ""; var code = 0
-        eachField(in.readByteArray()) {
-          case (2, e) => msg = e.readString(); true
-          case (3, e) => code = e.readEnum(); true
-          case _ => false
-        }
-        error = Some(if (msg.nonEmpty) msg else s"vtgate error (code $code)")
-        true
-      case (3, in) => result = Some(decodeQueryResult(in.readByteArray())); true
+      case (1, in) => errB = cat(errB, in.readByteArray()); true
+      case (3, in) => resB = cat(resB, in.readByteArray()); true
       case _ => false
     }
+    // PRESENCE of the RPCError field is the failure signal: proto3 omits
+    // an empty message string, so RPCError{code: X} with no text must
+    // still decode as an error, never as success. Chunks of a split
+    // RPCError/QueryResult merge by concatenation before the one parse.
+    if (errB != null) {
+      var msg = ""; var code = 0
+      eachField(errB) {
+        case (2, e) => msg = e.readString(); true
+        case (3, e) => code = e.readEnum(); true
+        case _ => false
+      }
+      error = Some(if (msg.nonEmpty) msg else s"vtgate error (code $code)")
+    }
+    if (resB != null) result = Some(decodeQueryResult(resB))
     ExecuteResponseModel(error, result)
   }
 
   def decodeVStreamRequest(bytes: Array[Byte]): VStreamRequestModel = {
     var tabletType = 0
+    // a split VGtid merges its shard_gtids across occurrences (repeated
+    // sub-fields accumulate under protobuf merge semantics)
     var vgtid: Vgtid = Vgtid(Nil)
     val rules = Vector.newBuilder[(String, String)]
     var flags = VStreamFlagsModel()
     eachField(bytes) {
       case (2, in) => tabletType = in.readEnum(); true
-      case (3, in) => vgtid = decodeVgtid(in.readByteArray()); true
+      case (3, in) =>
+        vgtid = Vgtid(vgtid.shardGtids ++ decodeVgtid(in.readByteArray()).shardGtids)
+        true
       case (4, in) =>
         eachField(in.readByteArray()) {
           case (1, fi) =>

@@ -148,20 +148,26 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == ids.distinct) // overwrite, not duplicate
   }
 
-  test("incremental semDedup: hot corpus cell compares against the cell min only") {
+  test("incremental semDedup: large DISTINCT corpus cell still catches non-min dups") {
     val sp = spark; import sp.implicits._
-    // 1 distinct base + 19 exact copies in one cell; hotCellThreshold=8
-    // makes the cell hot, and a new copy must still be dropped via the
-    // min-only comparison
-    val base = Array.tabulate(8)(i => (i + 1).toFloat)
-    val corpus = (0L until 20L).map(i => (i, base)).toDF("vec_id", "embedding")
+    // 7 pairwise-dissimilar vectors (cos 0.5 between any two) that all
+    // land in one cell; hotCellThreshold=4 << cell size. A min-only
+    // corpus shortcut would compare a new copy of a NON-min member only
+    // against the (dissimilar) min and silently keep the duplicate —
+    // the corpus side must scan every same-cell member.
+    def vec(perturbDim: Int) =
+      Array.tabulate(16)(i => if (i == 0 || i == perturbDim * 2) 1f else 0f)
+    val corpus = (1L to 7L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
     val dir = tmp("graft_ann_sem_hot")
     AnnIndex.build(corpus, dir, nCentroids = 4)
-    val fresh = Seq((100L, base)).toDF("vec_id", "embedding")
-    val dec = AnnIndex.ingestSemDedupBatch(fresh, dir,
-        threshold = 0.95, hotCellThreshold = 8, batchId = Some(1L))
+    val dupOfNonMin = Seq((100L, vec(5))).toDF("vec_id", "embedding")
+    val novel = Seq((101L, Array.tabulate(16)(i => if (i == 15) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val dec = AnnIndex.ingestSemDedupBatch(dupOfNonMin.unionByName(novel), dir,
+        threshold = 0.95, hotCellThreshold = 4, batchId = Some(1L))
       .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
-    assert(dec == Map(100L -> false))
+    assert(dec(100L) == false) // exact copy of member 5 caught
+    assert(dec(101L) == true)  // orthogonal newcomer kept
   }
 
   test("tombstoned vectors vanish from probe and stop suppressing new ingests") {

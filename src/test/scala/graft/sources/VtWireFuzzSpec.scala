@@ -344,6 +344,33 @@ class VtWireFuzzSpec extends AnyFunSuite {
     assert(re.changes.map(_.after.get.values.head.toChar) == Seq('a', 'b'))
   }
 
+  test("split RowChange.after and split ExecuteResponse.result both MERGE") {
+    // one level deeper than the VEvent-field merge: the same partial-
+    // serialization form applied to a RowChange and to a QueryResult
+    def z(v: Long): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); writeVarint(b, (v << 1) ^ (v >> 63)); b.toByteArray
+    }
+    // RowChange.after(2) split: lengths chunk + values chunk
+    val rowA = sub(1, z(2L))
+    val rowB = sub(2, "ab".getBytes)
+    val rowChange = cat(sub(2, rowA), sub(2, rowB)) // two field-2 chunks
+    val rowEvent = cat(strField(1, "ks.t"), sub(2, rowChange))
+    val vevent = cat(varintField(1, 12), sub(5, rowEvent),
+      strField(22, "ks"), strField(23, "s0"))
+    val re = VtWire.decodeVStreamResponse(sub(1, vevent)).head.asInstanceOf[RowEvent]
+    val after = re.changes.head.after.get
+    assert(after.lengths == Seq(2L) && new String(after.values) == "ab")
+    // ExecuteResponse.result(3) split: fields chunk + rows chunk
+    val fld = cat(strField(1, "c0"), varintField(2, (9 | 256).toLong)) // INT64
+    val row = cat(sub(1, z(1L)), sub(2, "7".getBytes))
+    val resp = cat(sub(3, sub(1, fld)), sub(3, sub(4, row)))
+    val decoded = VtWire.decodeExecuteResponse(resp)
+    assert(decoded.error.isEmpty)
+    val qr = decoded.result.get
+    assert(qr.fields.map(_.name) == Seq("c0") && qr.rows.length == 1)
+    assert(new String(qr.rows.head.values) == "7")
+  }
+
   test("RPCError with code but EMPTY message still decodes as an error") {
     // proto3 omits the empty message string; field-1 PRESENCE must signal
     // failure or a real vtgate error reads as an empty success
