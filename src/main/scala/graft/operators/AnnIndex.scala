@@ -312,6 +312,27 @@ object AnnIndex {
       batchId: Option[Long] = None,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val decisions = semDedupDecisions(batch, indexDir, threshold,
+        hotCellThreshold, batchId, idCol, vecCol)
+      .localCheckpoint() // materialize before the survivors' state write
+    val kept = batch.join(
+      decisions.filter(col("kept")).select(col("vec_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    ingest(kept, indexDir, batchId, idCol, vecCol)
+    decisions
+  }
+
+  /** The decision PLAN of [[ingestSemDedupBatch]], un-checkpointed —
+    * package-visible so the plan-lint spec can assert its join shapes
+    * (the public method materializes it before the state write). */
+  private[operators] def semDedupDecisions(
+      batch: DataFrame,
+      indexDir: String,
+      threshold: Double,
+      hotCellThreshold: Int,
+      batchId: Option[Long],
+      idCol: String,
+      vecCol: String): DataFrame = {
     val spark = batch.sparkSession
     if (batchId.isDefined) requireBatchLayout(spark, s"$indexDir/codes")
     val centroids = readCentroids(spark, indexDir)
@@ -364,16 +385,10 @@ object AnnIndex {
       .select(col("id_b").as("vec_id"))
     val dropped = corpusDropped.unionByName(batchDropped).distinct()
       .withColumn("is_dropped", lit(true))
-    val decisions = newAssigned.select(col("vec_id"), col("cid"))
+    newAssigned.select(col("vec_id"), col("cid"))
       .join(dropped, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid"),
         not(coalesce(col("is_dropped"), lit(false))).as("kept"))
-      .localCheckpoint() // materialize before the survivors' state write
-    val kept = batch.join(
-      decisions.filter(col("kept")).select(col("vec_id").as(idCol)),
-      Seq(idCol), "left_semi")
-    ingest(kept, indexDir, batchId, idCol, vecCol)
-    decisions
   }
 
   private val tombstoneSchema = StructType(Seq(StructField("vec_id", LongType)))

@@ -217,6 +217,43 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"dedup_semantic:\n$p")
   }
 
+  test("ann index probe: partition-pruned codes scan, broadcast probes, no cartesian") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lint_ann")
+      .resolve("idx").toString
+    AnnIndex.build(emb, dir, nCentroids = 8)
+    val probe = AnnIndex.probe(emb.filter(col("vec_id") < 2), dir, k = 3, nProbes = 2)
+    val p = plan(probe)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ann probe:\n$p")
+    // the cell filter must prune at the parquet scan, and the candidate
+    // join must broadcast the bounded probe side (never shuffle codes
+    // against a tiny query set)
+    assert(p.contains("PartitionFilters") &&
+      p.split('\n').exists(l => l.contains("PartitionFilters") && l.contains("cid")),
+      s"ann probe cell pruning:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ann probe broadcast:\n$p")
+  }
+
+  test("semantic ingest: cell-pruned equi-joins, anti-join guards, no cartesian") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lint_semingest")
+      .resolve("idx").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
+    // the un-checkpointed decision plan — the public method materializes
+    // it, which would hide the joins from the lint
+    val dec = AnnIndex.semDedupDecisions(emb.filter(col("vec_id") >= 25), dir,
+      threshold = 0.95, hotCellThreshold = 4096, batchId = Some(1L),
+      idCol = "vec_id", vecCol = "embedding")
+    val p = plan(dec)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic ingest:\n$p")
+    assert(countOf(p, "LeftAnti") >= 2, s"semantic ingest anti-join guards:\n$p")
+    assert(p.contains("LeftSemi"), s"semantic ingest cell prune:\n$p")
+  }
+
   test("cms estimate: the sketch side joins broadcast, never sort-merge") {
     val docs = graft.Tables.documents(spark, sfDir)
     val sketch = graft.operators.TextOps.cmsBuild(docs, "text")
