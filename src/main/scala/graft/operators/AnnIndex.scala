@@ -89,7 +89,10 @@ object AnnIndex {
     import sp.implicits._
     centroids.toSeq.toDF("cid", "centroid")
       .coalesce(1).write.mode("errorifexists").parquet(s"$indexDir/centroids")
-    ingest(corpus, indexDir, batchId = Some(0L), idCol, vecCol)
+    // the seed corpus lives under the RESERVED batch_seed name: a
+    // foreachBatch loop's ids start at 0, and a numeric seed batch would
+    // be OVERWRITTEN by the stream's very first micro-batch
+    writeBatch(corpus, indexDir, "batch_seed", idCol, vecCol)
   }
 
   /** The frozen coarse quantizer — bounded by `nCentroids`, collected
@@ -125,10 +128,11 @@ object AnnIndex {
     val (fs, codesRoot) = fsOf(spark, s"$indexDir/codes")
     if (fs.exists(codesRoot)) {
       val entries = fs.listStatus(codesRoot).filter(_.isDirectory).map(_.getPath.getName)
-      val batchNums = entries.filter(_.startsWith("batch_"))
+      val anyBatch = entries.filter(_.startsWith("batch_"))
+      val batchNums = anyBatch
         .map(_.stripPrefix("batch_").takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
       batchId match {
-        case None => require(batchNums.isEmpty,
+        case None => require(anyBatch.isEmpty,
           s"$indexDir uses the per-batch layout — ingest with a batchId")
         case Some(id) if batchNums.nonEmpty => require(id >= batchNums.max,
           s"batch id $id is below the index's newest batch ${batchNums.max} — " +
@@ -136,6 +140,17 @@ object AnnIndex {
         case _ => ()
       }
     }
+    batchId match {
+      case Some(id) => writeBatch(batch, indexDir, s"batch_$id", idCol, vecCol)
+      case None     => writeBatch(batch, indexDir, "", idCol, vecCol)
+    }
+  }
+
+  /** One encode + write pass: `dirName` empty = root append (batchId-less
+    * layout), otherwise overwrite that batch subdir (retry-safe). */
+  private def writeBatch(batch: DataFrame, indexDir: String,
+      dirName: String, idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
     val centroids = readCentroids(spark, indexDir)
     val assignUdf = udf { (v: Seq[Float]) => Similarity.nearestCentroid(centroids, v) }
     // one narrow pass: quantize + assign together, no self-join; cast to
@@ -143,10 +158,9 @@ object AnnIndex {
     val codes = Similarity.quantizeInt8(batch, idCol, vecCol, keepVecAs = Some("__v"))
       .select(col("vec_id").cast("long").as("vec_id"), col("scale"),
         col("qvec"), assignUdf(col("__v")).cast("long").as("cid"))
-    def dest(sub: String) = batchId match {
-      case Some(id) => (s"$indexDir/$sub/batch_$id", "overwrite")
-      case None     => (s"$indexDir/$sub", "append")
-    }
+    def dest(sub: String) =
+      if (dirName.nonEmpty) (s"$indexDir/$sub/$dirName", "overwrite")
+      else (s"$indexDir/$sub", "append")
     val (codeDir, mode) = dest("codes")
     // cluster rows by cell before the partitioned write: each task then
     // writes whole cells (≈1 file per cell) instead of every task

@@ -219,8 +219,8 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = probeRows()
     def dirs(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
-    assert(dirs("codes") == Seq("batch_0", "batch_1", "batch_2"))
-    // batch_0 and batch_1 fold into batch_1_c; newest batch_2 survives
+    assert(dirs("codes") == Seq("batch_1", "batch_2", "batch_seed"))
+    // the seed and batch_1 fold into batch_1_c; newest batch_2 survives
     assert(AnnIndex.compact(spark, dir) == 4) // 2 dirs per subtree
     assert(dirs("codes") == Seq("batch_1_c", "batch_2"))
     assert(dirs("vectors") == Seq("batch_1_c", "batch_2"))
@@ -237,6 +237,49 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnnIndex.compact(spark, dir) == 4)
     assert(dirs("codes") == Seq("batch_2_c", "batch_3"))
     assert(probeRows().nonEmpty)
+  }
+
+  test("REAL foreachBatch streaming loop: semantic dedup across a checkpointed restart") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+    val (src, ckpt, outDir, idx) = (s"$base/src", s"$base/ckpt", s"$base/out", s"$base/idx")
+    AnnIndex.build(emb.filter(col("vec_id") < 20), idx, nCentroids = 8)
+    // three single-file micro-batches; the third injects exact copies of
+    // batch-one vectors, so cross-restart corpus state decides them
+    emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .coalesce(1).write.mode("append").parquet(src)
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+      .coalesce(1).write.mode("append").parquet(src)
+    def startStream() = spark.readStream
+      .schema(emb.schema).option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        AnnIndex.ingestSemDedupBatch(b, idx, threshold = 0.95, batchId = Some(id))
+          .write.mode("append").parquet(outDir)
+        ()
+      }.start()
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+    // new files after a full STOP; the restarted query resumes from the
+    // checkpoint and its batchIds continue where the first run left off
+    emb.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+      .select((col("vec_id") + 7000).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    val decisions = spark.read.parquet(outDir)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(decisions.size == 25) // every streamed vector decided exactly once
+    // the injected copies of batch-one vectors (ingested BEFORE the
+    // restart) are dropped against the persisted index
+    (7020L until 7025L).foreach(id => assert(!decisions(id), s"copy $id kept"))
+    assert((20L until 40L).forall(id => decisions(id))) // originals survived
+    // and the index state holds exactly the survivors
+    val indexed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$idx/vectors").select("vec_id").as[Long].collect().toSet
+    assert(indexed == (0L until 40L).toSet)
   }
 
   test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
