@@ -40,13 +40,19 @@ object Bench {
       // otherwise the alphabetically-first CHECKPOINTED gate absorbs all
       // of it and shows a 4-6 s first-run spread (r7 judge bench)
       val warmCkpt = java.nio.file.Files
-        .createTempDirectory("graft_bench_warm_ckpt").toString
+        .createTempDirectory("graft_bench_warm_ckpt")
       val wq = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
-        .writeStream.format("noop").option("checkpointLocation", warmCkpt)
+        .writeStream.format("noop").option("checkpointLocation", warmCkpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
       // on timeout, kill it — a still-running warm query would add the
       // exact contention noise this block exists to remove
       if (!wq.awaitTermination(30000)) wq.stop()
+      // the warm checkpoint is disposable: reclaim it now instead of
+      // leaking one metadata dir per bench run into the temp volume
+      val walk = java.nio.file.Files.walk(warmCkpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     } catch { case _: Throwable => () }
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -84,13 +90,13 @@ object Bench {
     val spreads = samples.collect {
       case (k, xs) if xs.size > 1 => k -> (xs.max - xs.min)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    val qs = timings.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // jstr/num: shared locale-safe JSON rendering — f"$v%.3f" uses the
+    // JVM default locale and emits "1,234" (invalid JSON) on a
+    // comma-decimal machine; Double's own toString (the raw $total
+    // below) is always locale-independent
+    import JsonOut.{str => jstr, num => jnum}
+    val qs = timings.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     val json =
@@ -100,11 +106,19 @@ object Bench {
     // early per-query timings; persist the full line (cwd-relative — the
     // repo root under sbt) so round-over-round comparison always covers
     // every query. A failed write must not fail the bench, but say so.
-    // A BENCH_ONLY-filtered run is local iteration — it must never
-    // clobber the recorded full-sweep medians.
-    if (only.isEmpty) {
+    // bench_full.json's CONTRACT is "multi-run sf0.1 full-sweep medians":
+    // a BENCH_ONLY-filtered run, a single-run sweep (the driver's own
+    // per-round invocation), or any other SF dir is local/driver
+    // iteration and must never clobber the recorded medians — this guard
+    // used to live in operator memory as a manual `git checkout` step.
+    val isRecordRun =
+      only.isEmpty && runs >= 2 && new java.io.File(sfDir).getName == "sf0.1"
+    if (isRecordRun) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] bench_full.json not written: $e") }
+    } else {
+      System.err.println("[bench] not a record run (need full sweep + runs>=2 " +
+        "+ sf0.1) — bench_full.json left untouched")
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

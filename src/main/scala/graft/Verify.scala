@@ -9,6 +9,8 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, Option.empty[Set[String]])
       case Array(a, b, c) => (a, b, Some(c.split(",").toSet))
+      case _ => sys.error(
+        "usage: graft.Verify <sfDir> <outDir> [gate1,gate2,...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -20,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -41,24 +44,30 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
+        // A failed gate must not leave a PRIOR run's parquet behind in a
+        // reused outDir: the comparator only fails on a MISSING dir, so
+        // stale output would read as a green gate on a real regression.
+        val staleDir = Paths.get(s"$outDir/$name")
+        if (Files.exists(staleDir)) {
+          val walk = Files.walk(staleDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${JsonOut.str(k)}: ${JsonOut.str(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty)
+      // loud summary, but exit 0: per-gate red is the driver's signal —
+      // a nonzero exit could let one flaky gate discard the other ~120
+      // green results if the harness treats it as a whole-run failure
+      System.err.println(s"[verify] ${failed.size} gate(s) FAILED (output " +
+        s"removed so they read as red, never stale-green): ${failed.mkString(", ")}")
   }
 }

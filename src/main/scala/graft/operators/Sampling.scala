@@ -116,6 +116,36 @@ object Sampling {
         (col("tokens").cast("double") / col("w") === col("__budget")).as("binding"))
   }
 
+  /** Temperature (α) rebalancing of a multi-source corpus — the
+    * multilingual/multi-domain mixing rule (target share ∝ pᵢ^α for
+    * source share pᵢ, α ∈ (0,1]; α=1 keeps the natural distribution,
+    * smaller α flattens skew toward the small sources). Derivation: the
+    * per-ROW keep rate that turns shares pᵢ into shares ∝ pᵢ^α is
+    * rᵢ ∝ pᵢ^(α-1), and scaling the largest upweight to rate 1.0 (use
+    * ALL of the smallest source, downsample the rest) cancels the
+    * corpus total: rᵢ = (tokᵢ/tok_min)^(α-1). Rates round to 9 decimals
+    * so a 1-ulp `pow` divergence across engines cannot move a threshold.
+    *
+    * Scale: one map-side-combined aggregation (per-source token totals),
+    * a broadcast of the tiny rate table, one narrow md5-predicate
+    * filter — the corpus itself is never shuffled. */
+  def temperatureSampleByStrata(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokenCount: Column,
+      alpha: Double,
+      seed: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val tok = df.groupBy(col(strataCol))
+      .agg(sum(tokenCount).cast("double").as("__tok"))
+    val minTok = tok.agg(min(col("__tok")).as("__min"))
+    val rates = tok.crossJoin(broadcast(minTok))
+      .select(col(strataCol),
+        round(pow(col("__tok") / col("__min"), alpha - 1.0), 9).as("rate"))
+    stratifiedHashSampleByRates(df, keyCol, strataCol, rates, seed)
+  }
+
   /** `stratifiedHashSample` with the rate table as a DataFrame (e.g. the
     * output of `mixtureWeights`) instead of a driver-side Map — the rate
     * computation stays distributed end to end. Strata without a rate row

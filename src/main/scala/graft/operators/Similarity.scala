@@ -640,6 +640,107 @@ object Similarity {
       .select(col("vec_id"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  // ------------------------------------------- principal component
+  /** Top principal component of the embedding distribution by POWER
+    * ITERATION over the corpus scatter matrix — the embedding-space
+    * profiling step (dominant direction + its explained-variance share;
+    * near-isotropic ⇒ healthy spread, one dominant axis ⇒ collapsed or
+    * un-centered embeddings).
+    *
+    * Scale shape: ONE distributed pass accumulates n, Σx, and the d×d
+    * second-moment upper triangle per partition (O(d²) doubles each,
+    * map-side combined through treeAggregate — the corpus is never
+    * shuffled and never re-scanned per iteration); the `iters` matvec
+    * rounds then run on the driver over the tiny d×d scatter
+    * S = Σxxᵀ − n·μμᵀ. This is the right split at 100 TB: data passes
+    * don't scale with iterations, and the driver work is O(iters·d²).
+    *
+    * Engine portability: scatter entries are rounded HALF_UP to 6
+    * decimals before iterating. Partition/order resampling perturbs a
+    * double-sum entry at ~1e-13 while the rounding window is 1e-6, so
+    * every engine and every row order iterates the IDENTICAL matrix,
+    * and the matvec itself (64-term sums from identical inputs) agrees
+    * to ~1e-16 — far inside the 6-decimal output rounding. Seed is the
+    * deterministic all-ones/√d vector; `iters` fixed rounds, NOT
+    * convergence-tested, so the result is a pinned deterministic
+    * computation even when the eigengap is small. */
+  def topPrincipalComponent(
+      df: DataFrame, vecCol: String = "embedding", iters: Int = 8)
+      : (Array[Double], Double, Double) = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val rows = df.select(col(vecCol).cast("array<double>")).na.drop()
+    // (n, Σx, upper-triangle of Σxxᵀ) — fixed-size accumulator
+    val (n, sumv, tri) = rows.rdd
+      .map(_.getSeq[Double](0).toArray)
+      .treeAggregate((0L, null: Array[Double], null: Array[Double]))(
+        seqOp = { case ((c, s0, m0), x) =>
+          val d = x.length
+          val s = if (s0 == null) new Array[Double](d) else s0
+          val m = if (m0 == null) new Array[Double](d * (d + 1) / 2) else m0
+          require(s.length == d,
+            s"dimension mismatch: ${s.length} vs $d — refusing a ragged corpus")
+          var i = 0; var k = 0
+          while (i < d) {
+            s(i) += x(i)
+            var j = i
+            while (j < d) { m(k) += x(i) * x(j); j += 1; k += 1 }
+            i += 1
+          }
+          (c + 1, s, m)
+        },
+        combOp = {
+          case ((c1, s1, m1), (c2, null, _)) => (c1 + c2, s1, m1)
+          case ((c1, null, _), (c2, s2, m2)) => (c1 + c2, s2, m2)
+          case ((c1, s1, m1), (c2, s2, m2)) =>
+            require(s1.length == s2.length,
+              s"dimension mismatch: ${s1.length} vs ${s2.length} — refusing a ragged corpus")
+            var i = 0
+            while (i < s1.length) { s1(i) += s2(i); i += 1 }
+            var k = 0
+            while (k < m1.length) { m1(k) += m2(k); k += 1 }
+            (c1 + c2, s1, m1)
+        })
+    require(n > 0, "topPrincipalComponent over an empty corpus")
+    val d = sumv.length
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val mu = sumv.map(_ / n)
+    val scatter = Array.ofDim[Double](d, d)
+    var i = 0; var k = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = round6(tri(k) - n * mu(i) * mu(j))
+        scatter(i)(j) = v; scatter(j)(i) = v
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    var vvec = Array.fill(d)(1.0 / math.sqrt(d))
+    def matvec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var a = 0
+      while (a < d) {
+        var acc = 0.0; var b = 0
+        while (b < d) { acc += scatter(a)(b) * v(b); b += 1 }
+        w(a) = acc; a += 1
+      }
+      w
+    }
+    (1 to iters).foreach { _ =>
+      val w = matvec(vvec)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0.0,
+        "power iteration collapsed to the zero vector (rank-0 scatter)")
+      vvec = w.map(_ / nrm)
+    }
+    val sv = matvec(vvec)
+    val lambda = vvec.zip(sv).map { case (a, b) => a * b }.sum
+    val trace = (0 until d).map(a => scatter(a)(a)).sum
+    (vvec, lambda, trace)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold (id_a < id_b),
     * found via the bucket join with two scale bounds:
     *

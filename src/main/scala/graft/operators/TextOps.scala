@@ -609,6 +609,40 @@ object TextOps {
       6)
   }
 
+  /** Quality-quantile bucket assignment — the curriculum/stratification
+    * step (order training data by quality band, or sample per band).
+    * Thresholds are the EXACT linear-interpolation percentiles of the
+    * corpus quality distribution, computed in one map-side-combined
+    * aggregation and broadcast back (a `probs.size`-element array);
+    * assignment is then a narrow map — the corpus is never shuffled.
+    * `bucket` = number of thresholds strictly below the doc's quality
+    * (0..probs.size), so a doc AT a threshold goes to the lower band.
+    *
+    * Boundary determinism (why no rounding is needed): quality values
+    * are already 6-dp-rounded, and an interpolated threshold lies
+    * strictly between two ADJACENT order statistics — no data value can
+    * fall inside that open interval, so a 1-ulp percentile divergence
+    * across engines cannot flip any `quality > t` comparison; when the
+    * adjacent order statistics are equal the threshold is exact on both.
+    *
+    * At 100 TB the drop-in relaxation is approx_percentile with a
+    * documented rank error; exact is kept here because the oracle pins
+    * exact quantile_cont parity. */
+  def qualityBuckets(
+      df: DataFrame, textCol: String, idCol: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0),
+      s"probs must lie strictly inside (0,1), got $probs")
+    val scored = df.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+    val th = scored.agg(
+      percentile(col("quality"),
+        array(probs.map(lit(_)): _*)).as("__th"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        size(filter(col("__th"), t => col("quality") > t)).cast("long"))
+      .drop("__th")
+  }
+
   /** Language marker tokens (tiny built-in lists; the heuristic is the
     * operator — the oracle recomputes the same formula). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -297,6 +297,17 @@ object VtWire {
     }
   }
 
+  /** Null-seeded chunk concatenation for EMBEDDED-MESSAGE fields that
+    * legally arrive as several partial serializations (protobuf merge
+    * semantics: concatenating the raw chunks and parsing once IS the
+    * merge). One definition for every such field — the three local
+    * copies this replaces could drift independently. The single-
+    * occurrence fast path keeps readByteArray's allocation as-is; only
+    * a genuinely split field pays a concat. NOT for scalar bytes fields
+    * (those are last-wins, e.g. Row.values). */
+  private def chunkCat(acc: Array[Byte], chunk: Array[Byte]): Array[Byte] =
+    if (acc == null) chunk else acc ++ chunk
+
   private def decodeRow(bytes: Array[Byte]): PackedRow = {
     val lengths = Vector.newBuilder[Long]
     var values = Array.emptyByteArray
@@ -314,7 +325,12 @@ object VtWire {
           while (!in.isAtEnd) lengths += in.readSInt64()
           in.popLimit(limit)
         case (1, 0) => lengths += in.readSInt64() // unpacked occurrence
-        case (2, _) => values = in.readByteArray()
+        // (2, 2) only: a field-2 tag with a NON-length-delimited wire
+        // type must fall to skipField like any unknown field — treating
+        // e.g. a varint's value as a byte length would consume the next
+        // N bytes as `values` and mis-slice every field after it.
+        // (values is a SCALAR bytes field: repeat = last-wins, no merge)
+        case (2, 2) => values = in.readByteArray()
         case _ => in.skipField(tag)
       }
       tag = in.readTag()
@@ -406,17 +422,13 @@ object VtWire {
     var rowEvent: Array[Byte] = null
     var fieldEvent: Array[Byte] = null
     var vgtid: Array[Byte] = null
-    // single occurrence (the overwhelmingly common case) keeps the
-    // readByteArray allocation as-is; only a genuine split pays a concat
-    def append(acc: Array[Byte], chunk: Array[Byte]): Array[Byte] =
-      if (acc == null) chunk else acc ++ chunk
     eachField(bytes) {
       case (1, in) => tpe = in.readEnum(); true
       case (2, in) => ts = in.readInt64(); true
       case (4, in) => stmt = in.readString(); true
-      case (5, in) => rowEvent = append(rowEvent, in.readByteArray()); true
-      case (6, in) => fieldEvent = append(fieldEvent, in.readByteArray()); true
-      case (7, in) => vgtid = append(vgtid, in.readByteArray()); true
+      case (5, in) => rowEvent = chunkCat(rowEvent, in.readByteArray()); true
+      case (6, in) => fieldEvent = chunkCat(fieldEvent, in.readByteArray()); true
+      case (7, in) => vgtid = chunkCat(vgtid, in.readByteArray()); true
       case (22, in) => ks = in.readString(); true
       case (23, in) => shard = in.readString(); true
       case _ => false
@@ -458,10 +470,9 @@ object VtWire {
             // embedded messages are legal wire form), parsed once at end
             var beforeB: Array[Byte] = null
             var afterB: Array[Byte] = null
-            def cat(a: Array[Byte], b: Array[Byte]) = if (a == null) b else a ++ b
             eachField(in.readByteArray()) {
-              case (1, rc) => beforeB = cat(beforeB, rc.readByteArray()); true
-              case (2, rc) => afterB = cat(afterB, rc.readByteArray()); true
+              case (1, rc) => beforeB = chunkCat(beforeB, rc.readByteArray()); true
+              case (2, rc) => afterB = chunkCat(afterB, rc.readByteArray()); true
               case _ => false
             }
             changes += RowChange(
@@ -572,10 +583,9 @@ object VtWire {
     var result: Option[QueryResultModel] = None
     var errB: Array[Byte] = null
     var resB: Array[Byte] = null
-    def cat(a: Array[Byte], b: Array[Byte]) = if (a == null) b else a ++ b
     eachField(bytes) {
-      case (1, in) => errB = cat(errB, in.readByteArray()); true
-      case (3, in) => resB = cat(resB, in.readByteArray()); true
+      case (1, in) => errB = chunkCat(errB, in.readByteArray()); true
+      case (3, in) => resB = chunkCat(resB, in.readByteArray()); true
       case _ => false
     }
     // PRESENCE of the RPCError field is the failure signal: proto3 omits

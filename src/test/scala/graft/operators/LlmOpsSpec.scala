@@ -1479,4 +1479,85 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // top2 'q r' mass 3/5; top3 is the whole text 5/5
       (3L, 0.6, 1.0, 0.0)))
   }
+
+  test("temperature sampling: α=1 is identity, α<1 flattens, order-invariant") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val ntok = TextOps.wsTokenCount(col("text"))
+    // α = 1 → every rate is (t/min)^0 = 1 → keep everything
+    assert(Sampling.temperatureSampleByStrata(docs, "doc_id", "source", ntok, 1.0, "t")
+      .count() == docs.count())
+    val kept = Sampling.temperatureSampleByStrata(docs, "doc_id", "source", ntok, 0.5, "t")
+    // the smallest-token source binds at rate 1.0: all its docs survive
+    val tokBySrc = docs.groupBy("source").agg(sum(ntok).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSrc = tokBySrc.minBy(_._2)._1
+    assert(kept.filter(col("source") === minSrc).count() ==
+      docs.filter(col("source") === minSrc).count())
+    // flattening: the kept token mass of the LARGEST source shrinks
+    // toward the smallest's (ratio strictly below the natural ratio)
+    val maxSrc = tokBySrc.maxBy(_._2)._1
+    val keptTok = kept.groupBy("source").agg(sum(ntok).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naturalRatio = tokBySrc(maxSrc).toDouble / tokBySrc(minSrc)
+    val keptRatio = keptTok(maxSrc).toDouble / keptTok(minSrc)
+    assert(keptRatio < naturalRatio,
+      s"α=0.5 must flatten: kept ratio $keptRatio vs natural $naturalRatio")
+    // md5 decisions are a pure row function: partitioning cannot move them
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSampleByStrata(
+        docs.repartition(13), "doc_id", "source", ntok, 0.5, "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSampleByStrata(docs, "doc_id", "source", ntok, 0.0, "t")
+    }
+  }
+
+  test("quality buckets: total partition, monotone bands, boundary to lower") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = TextOps.qualityBuckets(docs, "text", "doc_id").cache()
+    try {
+      assert(out.count() == docs.count())
+      val buckets = out.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("quality").as("lo"), max("quality").as("hi"))
+        .orderBy("bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(buckets.map(_._1).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+      // quality ranges must be disjoint and increasing with the bucket id
+      buckets.sliding(2).foreach {
+        case Array((_, _, _, hi0), (_, _, lo1, _)) => assert(hi0 <= lo1)
+        case _ => ()
+      }
+      // quartile cut: no band can hold more than half the corpus unless
+      // ties collapse a threshold (not the case in these fixtures)
+      assert(buckets.map(_._2).max <= docs.count() / 2)
+      // a doc sitting exactly AT a threshold belongs to the LOWER band:
+      // every bucket's max is <= the next bucket's min (asserted above),
+      // and equality across the boundary never happens by construction
+      buckets.sliding(2).foreach {
+        case Array((_, _, _, hi0), (_, _, lo1, _)) => assert(hi0 < lo1 || hi0 == lo1)
+        case _ => ()
+      }
+    } finally out.unpersist()
+  }
+
+  test("top principal component: partition-invariant, unit norm, dominant") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val (pc, lambda, trace) = Similarity.topPrincipalComponent(emb, "embedding", 8)
+    assert(pc.length == 64)
+    assert(math.abs(math.sqrt(pc.map(x => x * x).sum) - 1.0) < 1e-12)
+    // the 6-dp scatter rounding makes the result EXACTLY reproducible
+    // under any partitioning / accumulation order
+    val (pc2, lambda2, trace2) =
+      Similarity.topPrincipalComponent(emb.repartition(7), "embedding", 8)
+    assert(pc.toSeq == pc2.toSeq && lambda == lambda2 && trace == trace2)
+    // dominance sanity: better than the average direction, bounded by trace
+    assert(lambda > trace / pc.length && lambda <= trace)
+    // a ragged corpus must fail loudly, never mis-accumulate
+    val sp = spark; import sp.implicits._
+    val ragged = Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)).toDF("embedding")
+    intercept[Exception] {
+      Similarity.topPrincipalComponent(ragged, "embedding", 2)
+    }
+  }
 }
