@@ -35,6 +35,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       spark.range(100000).selectExpr("sum(id) AS s")
         .write.format("noop").mode("overwrite").save()
+      // One tiny parquet WRITE + read-back warms the committer, codec,
+      // and output-writer init that the noop sink never touches — the
+      // index-building gates (AnnIndex build/ingest state writes) showed
+      // 4-5 s first-run spreads that were this cold path, not their plans
+      val warmPq = java.nio.file.Files
+        .createTempDirectory("graft_bench_warm_pq")
+      val warmPqDir = warmPq.resolve("t").toString
+      spark.range(10).write.mode("overwrite").parquet(warmPqDir)
+      spark.read.parquet(warmPqDir).write.format("noop").mode("overwrite").save()
+      val pw = java.nio.file.Files.walk(warmPq)
+      try pw.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally pw.close()
       // One throwaway streaming query warms MicroBatchExecution, the
       // checkpoint metadata logs, and the streaming codegen paths —
       // otherwise the alphabetically-first CHECKPOINTED gate absorbs all

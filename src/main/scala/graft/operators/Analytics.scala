@@ -706,11 +706,14 @@ object Analytics {
         li("l_orderkey") === others("o2_orderkey") && li("l_suppkey") =!= others("o2_suppkey"),
         "left_anti")
       .select("l_orderkey", "l_suppkey").distinct()
-    sole.groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("n_sole_orders"))
+    // group by s_name AFTER the supplier join, exactly like the oracle:
+    // grouping by suppkey first would emit two rows for two suppliers
+    // sharing a name where the oracle merges them into one
+    sole
       .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("n_sole_orders"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_sole_orders"))
       .orderBy(col("n_sole_orders").desc, col("s_name"))
       .limit(10)
   }
@@ -737,18 +740,21 @@ object Analytics {
     * result). Two classic shapes in one plan: a scalar subquery (the
     * global positive-balance average — one tiny broadcast row, computed
     * from a pruned scan) and a left-anti join against filtered orders.
-    * The average is computed as an exact DECIMAL ratio and the
-    * comparison stays in DECIMAL, so the qualifying-customer set is
-    * engine-independent. */
+    * The above-average comparison is CROSS-MULTIPLIED
+    * (c_acctbal · n > Σ balances) so it stays entirely in exact DECIMAL
+    * arithmetic on BOTH engines — an actual division cannot: DuckDB
+    * divides decimals through DOUBLE, and a customer whose balance sits
+    * within ~1e-10 of the true average could land on different sides of
+    * the two engines' rounded thresholds. */
   val q22GlobalBalance: Q = (s, d) => {
     val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment")
     val avgBal = cust.filter(col("c_acctbal") > 0.0)
-      .agg((sum(dec(col("c_acctbal"))) / count(lit(1))).cast(DecimalType(38, 10)).as("avg_bal"))
+      .agg(sum(dec(col("c_acctbal"))).as("pos_sum"), count(lit(1)).as("pos_n"))
     val ord = Tables.orders(s, d)
       .filter(col("o_totalprice") > 300000.0).select("o_custkey")
     cust
       .crossJoin(broadcast(avgBal))
-      .filter(dec(col("c_acctbal")) > col("avg_bal"))
+      .filter(dec(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
       .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -761,8 +767,9 @@ object Analytics {
     s"""SELECT c_mktsegment, count(*) AS n_cust,
       |  ${fixed4Sql("sum(CAST(c_acctbal AS DECIMAL(18,4)))")} AS total_bal
       |FROM customer
-      |WHERE CAST(c_acctbal AS DECIMAL(18,4)) > (
-      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) / count(*) AS DECIMAL(38,10))
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+      |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0) > (
+      |    SELECT sum(CAST(c_acctbal AS DECIMAL(18,4)))
       |    FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)

@@ -18,16 +18,27 @@ import org.apache.spark.sql.functions._
   * high-cardinality grouping at scale. */
 object Outliers {
 
+  /** Degenerate-MAD contract: when at least half a group's values equal
+    * its median, mad = 0 and EVERY nonzero deviation is flagged at any
+    * `k` — the classic MAD definition with no epsilon floor, mirrored
+    * verbatim by the oracle. Callers cleaning near-constant columns
+    * should pre-filter or floor the MAD themselves; silently injecting
+    * an epsilon here would diverge from the published definition.
+    *
+    * Output: the input columns plus `adev` (the absolute deviation —
+    * replacing any input column of that name). Intermediates are
+    * __-prefixed and dropped, so an input column named med or mad can
+    * no longer collide (previously an ambiguous-reference error). */
   def madOutliers(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       k: Double): DataFrame = {
     val keys = groupCols.map(col)
     val med = df.groupBy(keys: _*)
-      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
     val dev = df.join(med, groupCols)
-      .withColumn("adev", abs(col(valueCol) - col("med")))
+      .withColumn("__adev", abs(col(valueCol) - col("__med")))
     val mad = dev.groupBy(keys: _*)
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
     // fixed-point the boundary: both sides of the comparison are doubles
     // derived from each engine's own interpolated median, so a value
     // landing within one ulp of k·mad could classify differently between
@@ -38,6 +49,8 @@ object Outliers {
     // round apart, but over interpolated medians of integer data no
     // such value arises — accepted residual, not a correctness gap
     dev.join(mad, groupCols)
-      .filter(round(col("adev"), 9) > round(lit(k) * col("mad"), 9))
+      .filter(round(col("__adev"), 9) > round(lit(k) * col("__mad"), 9))
+      .withColumn("adev", col("__adev"))
+      .drop("__med", "__adev", "__mad")
   }
 }

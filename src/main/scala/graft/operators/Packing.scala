@@ -32,10 +32,16 @@ object Packing {
       capacity: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // fail FAST and NAMED on a null id/token: the non-nullable Long
+    // encoder would otherwise kill the job mid-shuffle with an opaque
+    // "Null value appeared in non-nullable field" executor error
+    def requireSet(c: String) = when(col(c).isNull,
+      raise_error(lit(s"packSequences: null $c — pack order/fill would be undefined")))
+      .otherwise(col(c))
     df.select(
         col(groupCol).cast("string").as("grp"),
-        col(idCol).cast("long").as("id"),
-        col(tokensCol).cast("long").as("tokens"))
+        requireSet(idCol).cast("long").as("id"),
+        requireSet(tokensCol).cast("long").as("tokens"))
       .as[(String, Long, Long)]
       .repartition(col("grp"))
       .sortWithinPartitions(col("grp"), col("id"))

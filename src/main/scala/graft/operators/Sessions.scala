@@ -82,6 +82,7 @@ object Sessions {
         (user: Long, it: Iterator[FEv], state: GroupState[FunnelState]) =>
           val sorted = it.toVector.sortBy(e => (e.tsMicros, e.event_id))
           var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val start = cur
           val hits = Vector.newBuilder[StageHit]
           sorted.foreach { e =>
             if (cur.stagesDone < stages.length &&
@@ -91,7 +92,12 @@ object Sessions {
               hits += StageHit(user, stages(cur.stagesDone - 1), e.tsMicros)
             }
           }
-          state.update(cur)
+          // write state ONLY on progress: an unconditional update would
+          // create a permanent NoTimeout state entry for EVERY user that
+          // ever emits any event (funnel-relevant or not) and rewrite it
+          // each batch — state growing with the user universe, not with
+          // funnel participation
+          if (cur != start) state.update(cur)
           hits.result().iterator
       }
   }
