@@ -502,4 +502,30 @@ object AnnIndex {
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** `foreachBatch` hook for CONTINUOUS retrieval: probe one micro-batch
+    * of queries against the persisted index and write its results under
+    * `outDir/batch_<id>` via OVERWRITE, so an at-least-once redelivery
+    * of the batch replaces its own previous attempt instead of
+    * duplicating result rows — the same retry-overwrite discipline as
+    * the ingest loops. Results are plain data (not index state), so
+    * batch dirs here are independent: readers union `batch_*` and no
+    * newest-batch protection or compaction sidecar applies.
+    *
+    * Probing is read-only on the index, so probe and ingest streams can
+    * run concurrently; a probe sees the index state as of its own read
+    * (per-subtree batch-dir listing — the crash-safe boundary every
+    * reader honors). */
+  def probeBatch(
+      queries: DataFrame,
+      indexDir: String,
+      outDir: String,
+      batchId: Long,
+      k: Int,
+      nProbes: Int = 4,
+      rescoreFactor: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    probe(queries, indexDir, k, nProbes, rescoreFactor, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
 }

@@ -2095,20 +2095,24 @@ object LlmQueries {
     * side, never one per round. (The reused oracle CTEs are MATERIALIZED:
     * DuckDB inlines multiply-referenced CTEs, and the chained rounds
     * would otherwise re-expand S/raw exponentially.) */
+  private def micro6(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
   val qEmbPca: Q = (s, d) => {
-    val (pc, lambda, trace) =
+    val fit =
       Similarity.topPrincipalComponent(Tables.embeddings(s, d), "embedding", iters = 8)
-    def micro(x: Double): Long =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-        .movePointRight(6).longValueExact()
     import s.implicits._
-    Seq((pc.length.toLong, pc.map(micro).mkString(","),
-        micro(lambda), micro(lambda / trace)))
+    Seq((fit.component.length.toLong, fit.component.map(micro6).mkString(","),
+        micro6(fit.lambda), micro6(fit.lambda / fit.trace)))
       .toDF("dim", "pc_micro", "lambda_micro", "share_micro")
   }
 
-  val qEmbPcaSql: String = {
+  /** The shared PCA derivation (x → rounded scatter S → v8): one
+    * definition behind both the component gate and the all-but-the-top
+    * gate, so the fitted model in the two oracles can never drift. */
+  private def pcaCtesSql: String = {
     val rounds = (1 to 8).map { t =>
       val prev = if (t == 1) "v0" else s"v${t - 1}"
       s""",
@@ -2127,7 +2131,11 @@ object LlmQueries {
        |S AS MATERIALIZED (SELECT r.i, r.j,
        |        round(r.v - (SELECT c FROM nn) * ma.m * mb.m, 6) AS val
        |      FROM raw r JOIN mu ma ON ma.i = r.i JOIN mu mb ON mb.i = r.j),
-       |v0 AS (SELECT i, 1.0 / sqrt(64) AS val FROM idx)$rounds,
+       |v0 AS (SELECT i, 1.0 / sqrt(64) AS val FROM idx)$rounds""".stripMargin
+  }
+
+  val qEmbPcaSql: String =
+    s"""$pcaCtesSql,
        |sv AS (SELECT S.i AS i, sum(S.val * v8.val) AS val
        |       FROM S JOIN v8 ON S.j = v8.i GROUP BY S.i),
        |lam AS (SELECT sum(v8.val * sv.val) AS l FROM v8 JOIN sv ON v8.i = sv.i),
@@ -2138,7 +2146,45 @@ object LlmQueries {
        |  CAST(round((SELECT l FROM lam) * 1000000, 0) AS BIGINT) AS lambda_micro,
        |  CAST(round((SELECT l FROM lam) / (SELECT t FROM tr) * 1000000, 0) AS BIGINT)
        |    AS share_micro""".stripMargin
+
+  // ------------------------------------------------- all-but-the-top
+  /** All-but-the-top post-processing (Mu & Viswanath, ICLR'18) under
+    * the oracle: per-vector projection coefficient onto the fitted top
+    * component and the post-removal norm for the first 20 vectors, in
+    * micro space. The oracle refits the IDENTICAL PCA (shared CTEs) and
+    * replays the centering/removal per vector, so the hash pins fit and
+    * application together. */
+  val qEmbAbt: Q = (s, d) => {
+    val out = Similarity.removeTopComponent(
+      Tables.embeddings(s, d), "embedding", iters = 8)
+    val normC = sqrt(aggregate(
+      transform(col("embedding_abt"), x => x * x), lit(0.0), (a, b) => a + b))
+    out.filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        round(col("embedding_abt_coef") * 1e6, 0).cast("long").as("coef_micro"),
+        round(normC * 1e6, 0).cast("long").as("norm_micro"))
+      .orderBy(col("vec_id"))
   }
+
+  val qEmbAbtSql: String =
+    s"""$pcaCtesSql,
+       |mul AS (SELECT list(m ORDER BY i) AS muv FROM mu),
+       |cl AS (SELECT list(val ORDER BY i) AS cv FROM v8),
+       |pv AS (
+       |  SELECT e.vec_id, cl.cv,
+       |    [e.embedding[i]::DOUBLE - mul.muv[i] FOR i IN generate_series(1, 64)] AS ctr
+       |  FROM embeddings e, mul, cl WHERE e.vec_id < 20),
+       |co AS (
+       |  SELECT vec_id, cv, ctr,
+       |    list_sum([ctr[i] * cv[i] FOR i IN generate_series(1, 64)]) AS coef
+       |  FROM pv)
+       |SELECT vec_id,
+       |  CAST(round(coef * 1000000, 0) AS BIGINT) AS coef_micro,
+       |  CAST(round(sqrt(list_sum(
+       |      [(ctr[i] - coef * cv[i]) * (ctr[i] - coef * cv[i])
+       |       FOR i IN generate_series(1, 64)])) * 1000000, 0) AS BIGINT)
+       |    AS norm_micro
+       |FROM co ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------- sentence-level dedup
   /** Corpus-wide first-occurrence sentence dedup (C4's line-level
@@ -2543,6 +2589,7 @@ object LlmQueries {
     "text_dsir"           -> qTextDsir,
     "emb_outliers"        -> qEmbOutliers,
     "emb_pca"             -> qEmbPca,
+    "emb_abt"             -> qEmbAbt,
     "dedup_sentences"     -> qDedupSentences,
     "events_sessions"     -> qEventsSessions,
     "events_stream_daily" -> qEventsStreamDaily,
@@ -2609,6 +2656,7 @@ object LlmQueries {
     "text_dsir"           -> qTextDsirSql,
     "emb_outliers"        -> qEmbOutliersSql,
     "emb_pca"             -> qEmbPcaSql,
+    "emb_abt"             -> qEmbAbtSql,
     "dedup_sentences"     -> qDedupSentencesSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_stream_daily" -> qEventsStreamDailySql,

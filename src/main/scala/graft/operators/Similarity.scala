@@ -664,9 +664,16 @@ object Similarity {
     * deterministic all-ones/√d vector; `iters` fixed rounds, NOT
     * convergence-tested, so the result is a pinned deterministic
     * computation even when the eigengap is small. */
+  /** Result of [[topPrincipalComponent]]: the unit component, its
+    * Rayleigh eigenvalue, the scatter trace (λ/trace = explained-variance
+    * share), the corpus mean, and the row count. */
+  final case class PcaResult(
+      component: Array[Double], lambda: Double, trace: Double,
+      mean: Array[Double], n: Long)
+
   def topPrincipalComponent(
       df: DataFrame, vecCol: String = "embedding", iters: Int = 8)
-      : (Array[Double], Double, Double) = {
+      : PcaResult = {
     require(iters > 0, s"iters must be positive, got $iters")
     val rows = df.select(col(vecCol).cast("array<double>")).na.drop()
     // (n, Σx, upper-triangle of Σxxᵀ) — fixed-size accumulator
@@ -738,7 +745,35 @@ object Similarity {
     val sv = matvec(vvec)
     val lambda = vvec.zip(sv).map { case (a, b) => a * b }.sum
     val trace = (0 until d).map(a => scatter(a)(a)).sum
-    (vvec, lambda, trace)
+    PcaResult(vvec, lambda, trace, mu, n)
+  }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath,
+    * ICLR'18): center on the corpus mean and remove the projection onto
+    * the top principal component — x' = (x−μ) − ((x−μ)·c)c — the
+    * standard isotropy repair for embedding spaces dominated by a
+    * common direction. `outCol` holds the processed array<double>.
+    *
+    * Scale: one [[topPrincipalComponent]] pass (treeAggregate, O(d²)
+    * per partition) to fit μ and c, then ONE narrow codegen'd map with
+    * μ/c shipped as literals — nothing shuffles, nothing is collected
+    * beyond the d-sized model. */
+  def removeTopComponent(
+      df: DataFrame, vecCol: String = "embedding", iters: Int = 8,
+      outCol: String = "embedding_abt"): DataFrame = {
+    val fit = topPrincipalComponent(df, vecCol, iters)
+    val muLit = typedLit(fit.mean)
+    val cLit = typedLit(fit.component)
+    val centered = zip_with(col(vecCol).cast("array<double>"), muLit, (x, m) => x - m)
+    val out = df.withColumn("__centered", centered)
+      .withColumn("__coef",
+        aggregate(zip_with(col("__centered"), cLit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+    out.withColumn(outCol,
+        zip_with(col("__centered"), cLit, (xc, c) => xc - col("__coef") * c))
+      .withColumn("__abt_coef", col("__coef"))
+      .drop("__centered", "__coef")
+      .withColumnRenamed("__abt_coef", outCol + "_coef")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold (id_a < id_b),

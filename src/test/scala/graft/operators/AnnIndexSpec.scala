@@ -282,6 +282,45 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(indexed == (0L until 40L).toSet)
   }
 
+  test("REAL streaming probe loop: checkpointed restart + retry never duplicates results") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_probe_stream")
+    val (src, ckpt, outDir, idx) = (s"$base/src", s"$base/ckpt", s"$base/out", s"$base/idx")
+    AnnIndex.build(emb.filter(col("vec_id") < 40), idx, nCentroids = 8)
+    // two single-file query micro-batches before the restart
+    emb.filter(col("vec_id") >= 40 && col("vec_id") < 44)
+      .coalesce(1).write.mode("append").parquet(src)
+    emb.filter(col("vec_id") >= 44 && col("vec_id") < 48)
+      .coalesce(1).write.mode("append").parquet(src)
+    def startStream() = spark.readStream
+      .schema(emb.schema).option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        AnnIndex.probeBatch(b, idx, outDir, id, k = 3)
+      }.start()
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+    // a third query file lands after a full stop; the restarted query
+    // resumes from the checkpoint with the NEXT batchId
+    emb.filter(col("vec_id") >= 48 && col("vec_id") < 50)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    // a redelivered batch (same id) must REPLACE its own results
+    AnnIndex.probeBatch(
+      emb.filter(col("vec_id") >= 48 && col("vec_id") < 50), idx, outDir, 2L, k = 3)
+    val streamed = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .select("query_id", "rk", "neighbor_id", "sim")
+    // every query answered exactly once (k rows each), equal to the
+    // one-shot probe of the full query set against the same index
+    val oneShot = AnnIndex.probe(
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 50), idx, k = 3)
+    assert(streamed.count() == 10 * 3)
+    assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty)
+  }
+
   test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

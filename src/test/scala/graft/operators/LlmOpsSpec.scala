@@ -1543,21 +1543,44 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("top principal component: partition-invariant, unit norm, dominant") {
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val (pc, lambda, trace) = Similarity.topPrincipalComponent(emb, "embedding", 8)
-    assert(pc.length == 64)
+    val fit = Similarity.topPrincipalComponent(emb, "embedding", 8)
+    val pc = fit.component
+    assert(pc.length == 64 && fit.mean.length == 64 && fit.n == emb.count())
     assert(math.abs(math.sqrt(pc.map(x => x * x).sum) - 1.0) < 1e-12)
     // the 6-dp scatter rounding makes the result EXACTLY reproducible
     // under any partitioning / accumulation order
-    val (pc2, lambda2, trace2) =
-      Similarity.topPrincipalComponent(emb.repartition(7), "embedding", 8)
-    assert(pc.toSeq == pc2.toSeq && lambda == lambda2 && trace == trace2)
+    val fit2 = Similarity.topPrincipalComponent(emb.repartition(7), "embedding", 8)
+    assert(pc.toSeq == fit2.component.toSeq &&
+      fit.lambda == fit2.lambda && fit.trace == fit2.trace)
     // dominance sanity: better than the average direction, bounded by trace
-    assert(lambda > trace / pc.length && lambda <= trace)
+    assert(fit.lambda > fit.trace / pc.length && fit.lambda <= fit.trace)
     // a ragged corpus must fail loudly, never mis-accumulate
     val sp = spark; import sp.implicits._
     val ragged = Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)).toDF("embedding")
     intercept[Exception] {
       Similarity.topPrincipalComponent(ragged, "embedding", 2)
+    }
+  }
+
+  test("all-but-the-top: output orthogonal to the component, norms shrink") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val fit = Similarity.topPrincipalComponent(emb, "embedding", 8)
+    val out = Similarity.removeTopComponent(emb, "embedding", 8)
+    val rows = out.select("vec_id", "embedding", "embedding_abt", "embedding_abt_coef")
+      .collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1).map(_.toDouble).toArray
+      val abt = r.getSeq[Double](2).toArray
+      val coef = r.getDouble(3)
+      // x' ⟂ c: the removed direction carries no remaining mass
+      val ortho = abt.zip(fit.component).map { case (a, b) => a * b }.sum
+      assert(math.abs(ortho) < 1e-9, s"vec ${r.getLong(0)} ortho residual $ortho")
+      // Pythagoras on the centered vector: |x'|² = |x−μ|² − coef²
+      val ctr = orig.zip(fit.mean).map { case (a, b) => a - b }
+      val lhs = abt.map(x => x * x).sum
+      val rhs = ctr.map(x => x * x).sum - coef * coef
+      assert(math.abs(lhs - rhs) < 1e-9)
     }
   }
 }

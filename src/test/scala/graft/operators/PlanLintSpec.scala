@@ -280,4 +280,26 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countOf(p, "Exchange") == 0,
       s"hashedBowScore must be shuffle-free (broadcast weights, narrow map):\n$p")
   }
+
+  test("temperature sampling: rate dim broadcast to the corpus, which never shuffles") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val p = plan(graft.operators.Sampling.temperatureSampleByStrata(
+      docs, "doc_id", "source", col("n_chars").cast("long"), 0.5, "t"))
+    // the CORPUS side of the final join must arrive broadcast-joined,
+    // not shuffled: the only Exchanges allowed are inside the tiny rate
+    // derivation (per-source totals agg + its 1-row min)
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the rate join:\n$p")
+  }
+
+  test("quality buckets: one threshold aggregation broadcast back, corpus stays narrow") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val p = plan(graft.operators.TextOps.qualityBuckets(docs, "text", "doc_id"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row threshold table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must never shuffle against the thresholds:\n$p")
+  }
 }
