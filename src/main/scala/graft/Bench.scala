@@ -44,10 +44,7 @@ object Bench {
       val warmPqDir = warmPq.resolve("t").toString
       spark.range(10).write.mode("overwrite").parquet(warmPqDir)
       spark.read.parquet(warmPqDir).write.format("noop").mode("overwrite").save()
-      val pw = java.nio.file.Files.walk(warmPq)
-      try pw.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally pw.close()
+      TempDirs.deleteRecursively(warmPq)
       // One throwaway streaming query warms MicroBatchExecution, the
       // checkpoint metadata logs, and the streaming codegen paths —
       // otherwise the alphabetically-first CHECKPOINTED gate absorbs all
@@ -62,10 +59,7 @@ object Bench {
       if (!wq.awaitTermination(30000)) wq.stop()
       // the warm checkpoint is disposable: reclaim it now instead of
       // leaking one metadata dir per bench run into the temp volume
-      val walk = java.nio.file.Files.walk(warmCkpt)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      TempDirs.deleteRecursively(warmCkpt)
     } catch { case _: Throwable => () }
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -1,0 +1,18 @@
+package graft
+
+/** The one recursive temp-dir delete behind the harness mains (Bench's
+  * warm-up dirs, Verify's stale-gate-output removal) and the gate
+  * staging (LlmQueries staged inputs / scratch indexes). One
+  * definition: a fix (symlink handling, locked-file retry) cannot reach
+  * some call sites and miss others. Swallows errors by design — every
+  * caller treats reclamation as best-effort cleanup, never as
+  * correctness. */
+private[graft] object TempDirs {
+  def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Throwable => () }
+}

@@ -48,12 +48,12 @@ object Verify {
         // reused outDir: the comparator only fails on a MISSING dir, so
         // stale output would read as a green gate on a real regression.
         val staleDir = Paths.get(s"$outDir/$name")
-        if (Files.exists(staleDir)) {
-          val walk = Files.walk(staleDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally walk.close()
-        }
+        TempDirs.deleteRecursively(staleDir)
+        if (Files.exists(staleDir))
+          // removal is load-bearing here (stale parquet reads as a green
+          // gate) — if it survives the delete, say so unmissably
+          System.err.println(s"[verify] WARNING: could not remove stale " +
+            s"output $staleDir — the comparator may report a STALE pass")
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -147,7 +147,16 @@ object AnnIndex {
   }
 
   /** One encode + write pass: `dirName` empty = root append (batchId-less
-    * layout), otherwise overwrite that batch subdir (retry-safe). */
+    * layout), otherwise that batch subdir is STAGED under an invisible
+    * tmp name and committed by one atomic rename (retry-safe, and a
+    * concurrent reader can never observe a half-written batch dir).
+    * `vectors` commits BEFORE `codes`: candidates come from codes and
+    * rescoring needs vectors, so the commit order gives a concurrent
+    * probe the invariant "codes/batch_N visible ⇒ vectors/batch_N
+    * visible". (The one remaining race is a REDELIVERY of a failed
+    * batch, whose replace deletes the failed attempt's dirs — a probe
+    * concurrent with exactly that may fail and should retry; normal
+    * ingest never deletes anything a probe can be reading.) */
   private def writeBatch(batch: DataFrame, indexDir: String,
       dirName: String, idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
@@ -158,20 +167,34 @@ object AnnIndex {
     val codes = Similarity.quantizeInt8(batch, idCol, vecCol, keepVecAs = Some("__v"))
       .select(col("vec_id").cast("long").as("vec_id"), col("scale"),
         col("qvec"), assignUdf(col("__v")).cast("long").as("cid"))
-    def dest(sub: String) =
-      if (dirName.nonEmpty) (s"$indexDir/$sub/$dirName", "overwrite")
-      else (s"$indexDir/$sub", "append")
-    val (codeDir, mode) = dest("codes")
+    def staged(sub: String)(write: String => Unit): Unit =
+      if (dirName.isEmpty) write(s"$indexDir/$sub")
+      else {
+        val (fs, root) = fsOf(spark, s"$indexDir/$sub")
+        val tmpName = s"tmp_ingest_$dirName"
+        val tmpPath = new org.apache.hadoop.fs.Path(root, tmpName)
+        if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // crashed leftover
+        write(s"$indexDir/$sub/$tmpName")
+        val destPath = new org.apache.hadoop.fs.Path(root, dirName)
+        if (fs.exists(destPath)) fs.delete(destPath, true) // redelivery replaces
+        if (!fs.rename(tmpPath, destPath))
+          throw new IllegalStateException(
+            s"ingest commit rename failed: $tmpPath -> $destPath")
+      }
+    val mode = if (dirName.isEmpty) "append" else "overwrite"
+    staged("vectors") { d =>
+      batch.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).cast("array<float>").as("embedding"))
+        .write.mode(mode).parquet(d)
+    }
     // cluster rows by cell before the partitioned write: each task then
     // writes whole cells (≈1 file per cell) instead of every task
     // opening a file per cell it happens to hold — at corpus scale the
     // difference between O(cells) and O(tasks·cells) files per batch
-    codes.repartition(col("cid"))
-      .write.mode(mode).partitionBy("cid").parquet(codeDir)
-    val (vecDir, mode2) = dest("vectors")
-    batch.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<float>").as("embedding"))
-      .write.mode(mode2).parquet(vecDir)
+    staged("codes") { d =>
+      codes.repartition(col("cid"))
+        .write.mode(mode).partitionBy("cid").parquet(d)
+    }
   }
 
   /** All live `batch_<id>` subdirs of one state subtree. Empty when the
@@ -217,9 +240,11 @@ object AnnIndex {
       val dir = s"$indexDir/$sub"
       val (fs, root) = fsOf(spark, dir)
       if (!fs.exists(root)) return 0
-      // clean leftovers of earlier crashed runs
+      // clean leftovers of earlier crashed runs (compaction staging AND
+      // abandoned ingest staging — an uncommitted tmp_ dir is garbage by
+      // construction, the rename that would have committed it never ran)
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("tmp_compact_"))
+        .filter(_.startsWith("tmp_"))
         .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
       val live = batchDirs(spark, dir, Set.empty).map(_.split('/').last)
       // finish a half-done delete from a committed earlier compaction
@@ -513,9 +538,12 @@ object AnnIndex {
     * newest-batch protection or compaction sidecar applies.
     *
     * Probing is read-only on the index, so probe and ingest streams can
-    * run concurrently; a probe sees the index state as of its own read
-    * (per-subtree batch-dir listing — the crash-safe boundary every
-    * reader honors). */
+    * run concurrently: ingest stages each batch dir under a tmp name and
+    * commits by atomic rename, vectors before codes, so a probe that
+    * sees codes/batch_N always finds vectors/batch_N. The one excluded
+    * window is the REDELIVERY of a failed ingest batch (its replace
+    * deletes the failed attempt's dirs) — a probe concurrent with
+    * exactly that may fail and should rely on its own stream retry. */
   def probeBatch(
       queries: DataFrame,
       indexDir: String,
@@ -525,7 +553,8 @@ object AnnIndex {
       nProbes: Int = 4,
       rescoreFactor: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit =
-    probe(queries, indexDir, k, nProbes, rescoreFactor, idCol, vecCol)
+      vecCol: String = "embedding",
+      maxQueries: Int = 10000): Unit =
+    probe(queries, indexDir, k, nProbes, rescoreFactor, idCol, vecCol, maxQueries)
       .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
 }

@@ -115,15 +115,9 @@ object LlmQueries {
   // reclaimed when the JVM exits, so repeated bench/test processes don't
   // accumulate corpus-sized re-lays in the temp volume
   sys.addShutdownHook {
-    stagedParquetDirs.values.forEach(deleteRecursively)
+    stagedParquetDirs.values.forEach(graft.TempDirs.deleteRecursively)
   }
-  private def deleteRecursively(dir: java.nio.file.Path): Unit =
-    try {
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    } catch { case _: Throwable => () }
+
   private def stageOnce(key: String)(write: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedParquetDirs.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_stage")
@@ -131,7 +125,7 @@ object LlmQueries {
       catch { case e: Throwable =>
         // a failed staging write must not leave a partial, unregistered
         // corpus re-lay behind (the retry would stage a second full copy)
-        deleteRecursively(dir)
+        graft.TempDirs.deleteRecursively(dir)
         throw e
       }
       dir
@@ -147,7 +141,7 @@ object LlmQueries {
     val root = java.nio.file.Files.createTempDirectory(prefix)
     stagedParquetDirs.put(s"reclaim:$root", root)
     val out = body(root.resolve("idx").toString).localCheckpoint(true)
-    deleteRecursively(root)
+    graft.TempDirs.deleteRecursively(root)
     out
   }
 
@@ -2129,7 +2123,8 @@ object LlmQueries {
        |raw AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(x.e[a.i] * x.e[b.i]) AS v
        |        FROM x, idx a, idx b GROUP BY a.i, b.i),
        |S AS MATERIALIZED (SELECT r.i, r.j,
-       |        round(r.v - (SELECT c FROM nn) * ma.m * mb.m, 6) AS val
+       |        round((r.v - (SELECT c FROM nn) * ma.m * mb.m)
+       |              / (SELECT c FROM nn), 6) AS val
        |      FROM raw r JOIN mu ma ON ma.i = r.i JOIN mu mb ON mb.i = r.j),
        |v0 AS (SELECT i, 1.0 / sqrt(64) AS val FROM idx)$rounds""".stripMargin
   }

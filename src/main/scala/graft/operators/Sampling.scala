@@ -137,12 +137,26 @@ object Sampling {
       alpha: Double,
       seed: String): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
-    val tok = df.groupBy(col(strataCol))
+    // degenerate inputs fail LOUDLY, never silently empty the corpus:
+    //  - a NULL stratum would bind min(__tok) yet its rows can never
+    //    join back (null ≠ null), skewing every real source's rate
+    //    while vanishing from the output;
+    //  - a zero-token stratum makes __min 0, every other rate
+    //    pow(∞, α−1) = 0 and its own pow(NaN) — "keep nothing"
+    //    masquerading as a sample.
+    val strataChecked = when(col(strataCol).isNull,
+      raise_error(lit(s"temperatureSampleByStrata: NULL $strataCol stratum")))
+      .otherwise(col(strataCol))
+    val tok = df.groupBy(strataChecked.as(strataCol))
       .agg(sum(tokenCount).cast("double").as("__tok"))
     val minTok = tok.agg(min(col("__tok")).as("__min"))
+    val rateRaw = round(pow(col("__tok") / col("__min"), alpha - 1.0), 9)
     val rates = tok.crossJoin(broadcast(minTok))
       .select(col(strataCol),
-        round(pow(col("__tok") / col("__min"), alpha - 1.0), 9).as("rate"))
+        when(col("__min").isNull || col("__min") <= 0.0 || isnan(rateRaw),
+          raise_error(lit("temperatureSampleByStrata: degenerate stratum " +
+            "(zero/negative/null token total) — rates would be NaN/0")))
+          .otherwise(rateRaw).as("rate"))
     stratifiedHashSampleByRates(df, keyCol, strataCol, rates, seed)
   }
 

@@ -655,18 +655,25 @@ object Similarity {
     * S = Σxxᵀ − n·μμᵀ. This is the right split at 100 TB: data passes
     * don't scale with iterations, and the driver work is O(iters·d²).
     *
-    * Engine portability: scatter entries are rounded HALF_UP to 6
-    * decimals before iterating. Partition/order resampling perturbs a
-    * double-sum entry at ~1e-13 while the rounding window is 1e-6, so
-    * every engine and every row order iterates the IDENTICAL matrix,
-    * and the matvec itself (64-term sums from identical inputs) agrees
-    * to ~1e-16 — far inside the 6-decimal output rounding. Seed is the
-    * deterministic all-ones/√d vector; `iters` fixed rounds, NOT
-    * convergence-tested, so the result is a pinned deterministic
-    * computation even when the eigengap is small. */
+    * Engine portability: the matrix iterated is the COVARIANCE
+    * (scatter/n), rounded HALF_UP to 6 decimals. Normalizing by n first
+    * is what keeps the absolute 1e-6 rounding window valid at ANY
+    * corpus size: covariance entries stay O(vector scale²) while
+    * partition/order resampling perturbs them at ~machine epsilon ×
+    * entry magnitude — a raw scatter's entries (and their absolute
+    * noise) would instead grow with n until the noise crossed the
+    * window. So every engine and every row order iterates the
+    * IDENTICAL matrix, and the matvec itself (d-term sums from
+    * identical inputs) agrees to ~1e-16 — far inside the 6-decimal
+    * output rounding. λ and trace are on the covariance scale
+    * (per-vector variance); λ/trace is the scale-free explained share.
+    * Seed is the deterministic all-ones/√d vector; `iters` fixed
+    * rounds, NOT convergence-tested, so the result is a pinned
+    * deterministic computation even when the eigengap is small. */
   /** Result of [[topPrincipalComponent]]: the unit component, its
-    * Rayleigh eigenvalue, the scatter trace (λ/trace = explained-variance
-    * share), the corpus mean, and the row count. */
+    * Rayleigh eigenvalue and the matrix trace (both on the covariance
+    * scale — λ/trace is the explained-variance share), the corpus mean,
+    * and the row count. */
   final case class PcaResult(
       component: Array[Double], lambda: Double, trace: Double,
       mean: Array[Double], n: Long)
@@ -718,7 +725,7 @@ object Similarity {
     while (i < d) {
       var j = i
       while (j < d) {
-        val v = round6(tri(k) - n * mu(i) * mu(j))
+        val v = round6((tri(k) - n * mu(i) * mu(j)) / n)
         scatter(i)(j) = v; scatter(j)(i) = v
         j += 1; k += 1
       }
@@ -769,11 +776,13 @@ object Similarity {
       .withColumn("__coef",
         aggregate(zip_with(col("__centered"), cLit, (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x))
+    // withColumn (not withColumnRenamed): it REPLACES an existing column
+    // of the same name, so iterated application (input already carrying
+    // outCol_coef) can never produce a duplicate/ambiguous column
     out.withColumn(outCol,
         zip_with(col("__centered"), cLit, (xc, c) => xc - col("__coef") * c))
-      .withColumn("__abt_coef", col("__coef"))
+      .withColumn(outCol + "_coef", col("__coef"))
       .drop("__centered", "__coef")
-      .withColumnRenamed("__abt_coef", outCol + "_coef")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold (id_a < id_b),

@@ -1531,14 +1531,24 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // quartile cut: no band can hold more than half the corpus unless
       // ties collapse a threshold (not the case in these fixtures)
       assert(buckets.map(_._2).max <= docs.count() / 2)
-      // a doc sitting exactly AT a threshold belongs to the LOWER band:
-      // every bucket's max is <= the next bucket's min (asserted above),
-      // and equality across the boundary never happens by construction
-      buckets.sliding(2).foreach {
-        case Array((_, _, _, hi0), (_, _, lo1, _)) => assert(hi0 < lo1 || hi0 == lo1)
-        case _ => ()
-      }
     } finally out.unpersist()
+    // a doc sitting exactly AT a threshold belongs to the LOWER band —
+    // constructed, not assumed: two duplicate lowest-quality docs make
+    // the p25 position (n−1)·0.25 = 0.75 interpolate between two EQUAL
+    // order statistics, so t1 equals their quality exactly; the strict
+    // `quality > t` rule must put both in bucket 0 (a `>=` regression
+    // would bump them to 1). No stopwords/punct → quality = n_tok/200.
+    val sp = spark; import sp.implicits._
+    val crafted = Seq(
+      (1L, "w w w w"), (2L, "v v v v"),
+      (3L, Seq.fill(8)("w").mkString(" ")),
+      (4L, Seq.fill(12)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextOps.qualityBuckets(crafted, "text", "doc_id")
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0 && got(2L) == 0,
+      s"boundary docs must take the LOWER band, got $got")
+    assert(got(3L) == 2 && got(4L) == 3, s"ordering bands, got $got")
   }
 
   test("top principal component: partition-invariant, unit norm, dominant") {
