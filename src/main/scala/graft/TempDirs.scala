@@ -8,6 +8,20 @@ package graft
   * caller treats reclamation as best-effort cleanup, never as
   * correctness. */
 private[graft] object TempDirs {
+
+  /** Exit-time reclaim registry: every harness-created temp dir (feed
+    * re-lays, streaming sinks, checkpoints, staged waves) registers
+    * here, so repeated bench/verify runs in one process — and the
+    * process itself — never strand corpus-sized directories in the temp
+    * volume. Registration is idempotent per path. */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook { registered.forEach(deleteRecursively) }
+  def reclaimOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+    registered.add(dir)
+    dir
+  }
+
   def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
       val walk = java.nio.file.Files.walk(dir)

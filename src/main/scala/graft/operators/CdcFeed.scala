@@ -22,6 +22,14 @@ object CdcFeed extends Serializable {
 
   val DefaultShards = 4
 
+  /** Wave tx-seq offsets (wave 2 = tx + WaveOffset, wave 3 = tx +
+    * 2*WaveOffset) and the per-tx FeedLine.seq stride (seq = tx *
+    * EventsPerTx + eventIndex). Exposed because gate wave boundaries,
+    * time-travel cutoff ranks, and oracle SQL literals in CdcQueries
+    * all key off them — one definition, not five scattered copies. */
+  val WaveOffset = 10000000L
+  val EventsPerTx = 8L
+
   val OrdersFields: Seq[FieldDef] = Seq(
     FieldDef("o_orderkey", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
     FieldDef("o_custkey", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull),
@@ -194,8 +202,8 @@ object CdcFeed extends Serializable {
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
         col("o_orderpriority"))
       .as[(String, Long, Long, Long, String, Double, String, String)]
-    val W2 = 10000000L // wave offsets keep per-shard tx seq monotone
-    val W3 = 20000000L
+    val W2 = WaveOffset // wave offsets keep per-shard tx seq monotone
+    val W3 = 2 * WaveOffset
     src.flatMap { case (shard, tx, okey, ckey, status, price, odate, prio) =>
       val row = Seq(okey.toString, ckey.toString, status, price.toString, odate, prio)
         .map(Option(_))
@@ -240,8 +248,8 @@ object CdcFeed extends Serializable {
       .withColumn("tx", row_number().over(w).cast("long"))
       .select(col("shard"), col("tx"), col("doc_id"), col("text"), col("lang"), col("source"))
       .as[(String, Long, Long, String, String, String)]
-    val W2 = 10000000L // wave offsets keep per-shard tx seq monotone
-    val W3 = 20000000L
+    val W2 = WaveOffset // wave offsets keep per-shard tx seq monotone
+    val W3 = 2 * WaveOffset
     src.flatMap { case (shard, tx, id, text, lang, source) =>
       val row = Seq(id.toString, text, lang, source).map(Option(_))
       def mk(txSeq: Long, change: RowChange): Seq[FeedLine] =
@@ -276,7 +284,7 @@ object CdcFeed extends Serializable {
   def backfillWaves(s: SparkSession, d: String, nShards: Int = DefaultShards)
       : (Dataset[FeedLine], Vgtid) = {
     import s.implicits._
-    val B1 = 10000000L // customer history follows orders history
+    val B1 = 10000000L // customer history follows orders history (independent of WaveOffset — only needs to exceed the orders tx count)
     val B2 = 20000000L // orders updates (post-snapshot)
     val B3 = 30000000L // customer updates (post-snapshot)
     val wOrd = Window.partitionBy("shard").orderBy("o_orderkey")

@@ -19,13 +19,33 @@ object CdcQueries {
 
   /** The default orders change log, computed once per scale dir and
     * persisted — several gates query the same log, exactly like a real
-    * deployment materializes one change log for many consumers. */
+    * deployment materializes one change log for many consumers.
+    *
+    * One entry per dir, validated against the CURRENT session on every
+    * lookup (the sharedPairs/LSH-cache hardening): a dir-only cache
+    * would hand a later session in the same JVM plans bound to a
+    * stopped SparkContext, and replacing an entry unpersists the old
+    * blocks when the context is still live (SparkSession.newSession
+    * shares one context — leaking them lasts the process lifetime). */
+  private def cachedLog(
+      cache: java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      val cached = cache.get(d)
+      if (cached != null && (cached._1 eq s) && !s.sparkContext.isStopped) cached._2
+      else {
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (cached != null && !cached._1.sparkContext.isStopped)
+          try cached._2.unpersist(blocking = false) catch { case _: Throwable => () }
+        cache.put(d, (s, df))
+        df
+      }
+    }
   private val sharedRecords =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
   private def ordersChangeLog(s: SparkSession, d: String): DataFrame =
-    sharedRecords.computeIfAbsent(d, _ =>
-      CdcPipeline.changeRecords(s, CdcFeed.orders(s, d)).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cachedLog(sharedRecords, s, d)(
+      CdcPipeline.changeRecords(s, CdcFeed.orders(s, d)).toDF())
 
   private def afterStr(field: String) = get_json_object(col("after"), s"$$.$field")
 
@@ -250,15 +270,29 @@ object CdcQueries {
     val env = Envelope.toEnvelope(recs)
     val t1 = Transforms.removeField(env, "source.vgtid")
     val t2 = Transforms.replaceFieldValue(t1, "transaction.id")
+    // the field must be gone from the SCHEMA, not just null-valued:
+    // to_json omits null struct fields, so a regression that nulled
+    // instead of dropped would read identically through JSON — the
+    // schema probe cannot be fooled that way. Likewise the blanked
+    // txid counts null separately: `=!= \"\"` on a NULL is NULL and
+    // falls to otherwise(0), so a null-instead-of-empty regression was
+    // previously invisible.
+    val vgtidStillInSchema = t2.schema("source").dataType match {
+      case st: org.apache.spark.sql.types.StructType => st.fieldNames.contains("vgtid")
+      case _ => true
+    }
     t2.filter(col("op") === "c")
       .select(
-        sum(when(to_json(col("source")).contains("vgtid"), 1L).otherwise(0L)).as("n_source_vgtid"),
-        sum(when(col("transaction.id") =!= "", 1L).otherwise(0L)).as("n_nonempty_txid"),
+        sum(when(lit(vgtidStillInSchema), 1L).otherwise(0L)).as("n_source_vgtid"),
+        sum(when(col("transaction.id").isNotNull && col("transaction.id") =!= "", 1L)
+          .otherwise(0L)).as("n_nonempty_txid"),
+        sum(when(col("transaction.id").isNull, 1L).otherwise(0L)).as("n_null_txid"),
         count(lit(1)).as("n_total"))
   }
 
   val qCdcRemoveReplaceSql: String =
     """SELECT CAST(0 AS BIGINT) AS n_source_vgtid, CAST(0 AS BIGINT) AS n_nonempty_txid,
+      |  CAST(0 AS BIGINT) AS n_null_txid,
       |  count(*) AS n_total FROM orders""".stripMargin
 
   // -------------------------------------------------- boundaries filter
@@ -304,6 +338,9 @@ object CdcQueries {
       .select(col("line"), col("shard")) // narrow projection keeps sort order
       .write.partitionBy("shard").mode("overwrite").text(tmp.toString)
     collectShardFiles(tmp, feedDir)
+    // the staging skeleton (_SUCCESS, .crc litter) must not live inside
+    // a feed dir a streaming source will list for the process lifetime
+    graft.TempDirs.deleteRecursively(tmp)
   }
 
   /** Move each `shard=<name>` directory's single ordered part file from
@@ -324,7 +361,7 @@ object CdcQueries {
       val listing = Files.list(shardDir)
       val parts =
         try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
         finally listing.close()
       require(parts.size == 1, s"expected one ordered part per shard, got ${parts.size}")
       Files.move(parts.head, target.resolve(s"$shard.jsonl"))
@@ -368,7 +405,7 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private def ordersFeedDir(s: SparkSession, d: String): java.nio.file.Path =
     sharedFeedDirs.computeIfAbsent(s"orders:$d", _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_feed_orders")
+      val dir = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_feed_orders"))
       writeFeedFiles(s, CdcFeed.orders(s, d), dir)
       dir
     })
@@ -394,20 +431,32 @@ object CdcQueries {
       val tagged = ws.zipWithIndex
         .map { case (w, i) => w.withColumn("wave", lit(i)) }
         .reduce(_ unionByName _)
-      val tmp = Files.createTempDirectory("graft_stage_tmp")
-      tagged
-        .repartition(CdcFeed.DefaultShards, col("shard"))
-        // leading (wave, shard) satisfies the dynamic-partition writer's
-        // required ordering exactly, so no extra (order-destroying) sort
-        // is injected and each (wave, shard) file stays seq-ordered
-        .sortWithinPartitions(col("wave"), col("shard"), col("seq"))
-        .select(col("line"), col("wave"), col("shard"))
-        .write.partitionBy("wave", "shard").mode("overwrite").text(tmp.toString)
-      ws.indices.map { i =>
-        val dir = Files.createTempDirectory(s"graft_stage_$i")
-        val waveDir = tmp.resolve(s"wave=$i")
-        if (Files.exists(waveDir)) collectShardFiles(waveDir, dir)
-        dir
+      val tmp = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stage_tmp"))
+      val made = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      try {
+        tagged
+          .repartition(CdcFeed.DefaultShards, col("shard"))
+          // leading (wave, shard) satisfies the dynamic-partition writer's
+          // required ordering exactly, so no extra (order-destroying) sort
+          // is injected and each (wave, shard) file stays seq-ordered
+          .sortWithinPartitions(col("wave"), col("shard"), col("seq"))
+          .select(col("line"), col("wave"), col("shard"))
+          .write.partitionBy("wave", "shard").mode("overwrite").text(tmp.toString)
+        val staged = ws.indices.map { i =>
+          val dir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"graft_stage_$i"))
+          made += dir
+          val waveDir = tmp.resolve(s"wave=$i")
+          if (Files.exists(waveDir)) collectShardFiles(waveDir, dir)
+          dir
+        }
+        // the partitioned-write skeleton is pure staging residue
+        graft.TempDirs.deleteRecursively(tmp)
+        staged
+      } catch { case e: Throwable =>
+        // a failed staging must not strand a partial re-lay NOR let the
+        // retry stage a second full copy next to it (stageOnce discipline)
+        (tmp +: made.toSeq).foreach(graft.TempDirs.deleteRecursively)
+        throw e
       }
     })
   /** Append (or create) every staged `<shard>.jsonl` into `feedDir` —
@@ -429,8 +478,8 @@ object CdcQueries {
   val qCdcStreamSource: Q = (s, d) => {
     import java.nio.file.Files
     val feedDir = ordersFeedDir(s, d)
-    val outDir = Files.createTempDirectory("graft_stream_out")
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stream_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stream_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
@@ -454,8 +503,8 @@ object CdcQueries {
   val qCdcShardOption: Q = (s, d) => {
     import java.nio.file.Files
     val feedDir = ordersFeedDir(s, d)
-    val outDir = Files.createTempDirectory("graft_shopt_out")
-    val ckpt = Files.createTempDirectory("graft_shopt_ckpt")
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_shopt_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_shopt_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt, Map("shard" -> "1,3"))
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
@@ -480,9 +529,9 @@ object CdcQueries {
     * and the feed-position byte seek. */
   val qCdcRestartReplay: Q = (s, d) => {
     import java.nio.file.Files
-    val feedDir = Files.createTempDirectory("graft_feed_rr")
-    val outDir = Files.createTempDirectory("graft_rr_out")
-    val ckpt = Files.createTempDirectory("graft_rr_ckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_rr"))
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_rr_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_rr_ckpt"))
     // FeedLine.seq = tx*8 + eventIndex (tx from 1): seq < 800 puts
     // transactions 1..99 of each shard in wave 1 (tx 100 spans seq
     // 800-804), the rest arrive after the restart
@@ -515,8 +564,8 @@ object CdcQueries {
   val qCdcSplitPartitions: Q = (s, d) => {
     import java.nio.file.Files
     val feedDir = ordersFeedDir(s, d)
-    val outDir = Files.createTempDirectory("graft_split_out")
-    val ckpt = Files.createTempDirectory("graft_split_ckpt")
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_split_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_split_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt, Map("split.partition.bytes" -> "65536"))
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
@@ -544,9 +593,9 @@ object CdcQueries {
     * max(parent epochs)+1 = 2 for every one of its transactions. */
   val qCdcReshardEpoch: Q = (s, d) => {
     import java.nio.file.Files
-    val feedDir = Files.createTempDirectory("graft_feed_rs")
-    val outDir = Files.createTempDirectory("graft_rs_out")
-    val ckpt = Files.createTempDirectory("graft_rs_ckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_rs"))
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_rs_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_rs_ckpt"))
     // fan each shard's ~25 MB window across decode tasks (the at-scale
     // reader config; cdc_split_partitions pins hash-identity under it)
     val opts = Map("inherit.epoch" -> "true", "split.partition.bytes" -> "4194304")
@@ -593,12 +642,12 @@ object CdcQueries {
     * and the update/delete waves all carry epoch 1. */
   val qCdcGeneration: Q = (s, d) => {
     import java.nio.file.Files
-    val feedDir = Files.createTempDirectory("graft_feed_gen")
-    val outDir = Files.createTempDirectory("graft_gen_out")
-    val ckpt = Files.createTempDirectory("graft_gen_ckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_gen"))
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_gen_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_gen_ckpt"))
     val waves = stageWaves(s"gen:$d", s) {
       val all = CdcFeed.ordersVersioned(s, d)
-      val waveBoundary = 8L * 10000000L // feed seq = txSeq*8+i; wave 2 starts at W2
+      val waveBoundary = CdcFeed.EventsPerTx * CdcFeed.WaveOffset // wave 2 starts at WaveOffset
       Seq(all.filter(col("seq") < waveBoundary), all.filter(col("seq") >= waveBoundary))
     }
     val split = Map("split.partition.bytes" -> "4194304")
@@ -635,9 +684,9 @@ object CdcQueries {
     * carry lastpk progress in their VGTID. */
   val qCdcCopyPhase: Q = (s, d) => {
     import java.nio.file.Files
-    val feedDir = Files.createTempDirectory("graft_feed_cp")
-    val outDir = Files.createTempDirectory("graft_cp_out")
-    val ckpt = Files.createTempDirectory("graft_cp_ckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_cp"))
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_cp_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_cp_ckpt"))
     copyWave(stageWaves(s"cp:$d", s)(Seq(CdcFeed.copyPhase(s, d))).head, feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt,
       Map("snapshot.tables" -> "ks\\.orders", "split.partition.bytes" -> "4194304"))
@@ -677,9 +726,9 @@ object CdcQueries {
     * (replay) or missing `u` rows (gap) and fails the hash. */
   val qCdcCopyBackfill: Q = (s, d) => {
     import java.nio.file.Files
-    val feedDir = Files.createTempDirectory("graft_feed_bf")
-    val outDir = Files.createTempDirectory("graft_bf_out")
-    val ckpt = Files.createTempDirectory("graft_bf_ckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_bf"))
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_bf_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_bf_ckpt"))
     // the feed dataset is lazy — only the tiny handover job runs per
     // call; the staged bytes are memoized like the restart-gate waves
     val (feed, handover) = CdcFeed.backfillWaves(s, d)
@@ -724,8 +773,8 @@ object CdcQueries {
   val qCdcHeartbeat: Q = (s, d) => {
     import java.nio.file.Files
     val feedDir = ordersFeedDir(s, d)
-    val outDir = Files.createTempDirectory("graft_hb_out")
-    val ckpt = Files.createTempDirectory("graft_hb_ckpt")
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_hb_out"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_hb_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt, Map("heartbeat.batch" -> "true"))
     s.read.parquet(outDir.toString)
       .groupBy(col("op"))
@@ -789,7 +838,7 @@ object CdcQueries {
   val qCdcMetadata: Q = (s, d) => {
     import java.nio.file.Files
     import graft.sources.Metadata
-    val feedDir = Files.createTempDirectory("graft_feed_meta")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_meta"))
     copyWave(stageWaves(s"meta:$d", s)(Seq(CdcFeed.twoTables(s, d))).head, feedDir)
     Files.writeString(feedDir.resolve("9.jsonl"), "") // empty shard
     val sp = s; import sp.implicits._
@@ -824,11 +873,10 @@ object CdcQueries {
     * the materialize, time-travel, and SCD2 gates all consume the same
     * log, like three readers of one landed CDC table. */
   private val sharedVersioned =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
   private def ordersVersionedLog(s: SparkSession, d: String): DataFrame =
-    sharedVersioned.computeIfAbsent(d, _ =>
-      CdcPipeline.changeRecords(s, CdcFeed.ordersVersioned(s, d)).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cachedLog(sharedVersioned, s, d)(
+      CdcPipeline.changeRecords(s, CdcFeed.ordersVersioned(s, d)).toDF())
 
   /** S7 + SURVEY §2.9: CDC→table upsert — latest state per key ordered by
     * (epoch, rank, total_order); deletes drop the key. The multi-version
@@ -875,7 +923,7 @@ object CdcQueries {
     * is applied per transaction, not per wave. */
   val qCdcTimeTravel: Q = (s, d) => {
     Temporal.snapshotAt(ordersVersionedLog(s, d), "orders",
-        OrdersMaterializeSchema, epoch = 0L, rank = 10000050L)
+        OrdersMaterializeSchema, epoch = 0L, rank = CdcFeed.WaveOffset + 50L)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
   }
