@@ -150,6 +150,14 @@ object AnnIndex {
     * layout), otherwise that batch subdir is STAGED under an invisible
     * tmp name and committed by one atomic rename (retry-safe, and a
     * concurrent reader can never observe a half-written batch dir).
+    *
+    * The root-append layout is SINGLE-WRITER, NO CONCURRENT READERS: it
+    * appends vectors and codes in place (no staging, no atomic commit),
+    * so a reader racing a root append can observe codes rows whose
+    * vectors are not yet visible — the silently-wrong-neighbors race the
+    * batch layout's commit ordering exists to prevent. Any index that
+    * serves probes while ingesting MUST use batchIds; root append is for
+    * one-shot offline builds only.
     * `vectors` commits BEFORE `codes`: candidates come from codes and
     * rescoring needs vectors, so the commit order gives a concurrent
     * probe the invariant "codes/batch_N visible ⇒ vectors/batch_N
@@ -208,8 +216,12 @@ object AnnIndex {
     require(fs.exists(root), s"no index state at $dir")
     val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
     val batches = entries.filter(_.startsWith("batch_"))
+    // ANY tmp_-prefixed dir is invisible staging (tmp_ingest_* while an
+    // ingest is mid-commit, tmp_compact_* while a compaction is) — a
+    // concurrent probe treating one as a loose root-append entry would
+    // throw the mixed-layout error during every ingest's staging window
     val loose = entries.filterNot(n =>
-      n.startsWith("batch_") || n.startsWith("tmp_compact_"))
+      n.startsWith("batch_") || n.startsWith("tmp_"))
     require(batches.isEmpty || loose.isEmpty,
       s"$dir mixes per-batch (batch_*) and root-append ingest layouts — " +
         "use a consistent batchId policy per index")
@@ -439,24 +451,91 @@ object AnnIndex {
     * tombstone changes nothing), so retries just append; the read cost
     * is one anti-join against the (deletion-bounded) tombstone set.
     * A deleted id must NOT be re-ingested later — the tombstone
-    * suppresses the id for the index's lifetime. */
+    * suppresses the id for the index's lifetime. Each call appends ONE
+    * file (deletes are small); [[compactTombstones]] folds the pile. */
   def delete(ids: DataFrame, indexDir: String, idCol: String = "vec_id"): Unit =
     ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+      .coalesce(1).write.mode("append").parquet(s"$indexDir/tombstones")
 
+  /** The live tombstone surface: root-level appended files plus
+    * committed `compact_<n>` fold dirs, with files a fold's `_SUBSUMES`
+    * sidecar names excluded from the instant the fold's rename lands —
+    * so a committed-but-not-yet-deleted fold never double-counts (deletes
+    * are idempotent anyway) and a crashed fold's `tmp_compact_*` staging
+    * is never read. */
   private def readTombstones(spark: SparkSession, indexDir: String): DataFrame = {
     val (fs, root) = fsOf(spark, s"$indexDir/tombstones")
-    if (!fs.exists(root)) spark.createDataFrame(
+    if (!fs.exists(root)) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombstoneSchema)
-    else spark.read.schema(tombstoneSchema)
-      .option("recursiveFileLookup", "true").parquet(s"$indexDir/tombstones")
+    val entries = fs.listStatus(root)
+    val subsumed = entries.iterator
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("compact_"))
+      .flatMap(e => Dedup.readSubsumes(fs, e.getPath)).toSet
+    val paths = entries.iterator.filter { e =>
+      val n = e.getPath.getName
+      if (e.isDirectory) n.startsWith("compact_") && !subsumed(n)
+      else !n.startsWith("_") && !n.startsWith(".") && !subsumed(n)
+    }.map(_.getPath.toString).toSeq
+    if (paths.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombstoneSchema)
+    else spark.read.schema(tombstoneSchema).parquet(paths: _*)
+  }
+
+  /** Fold the appended tombstone files into ONE deduplicated parquet —
+    * [[delete]] appends a file per call and every probe/ingest anti-joins
+    * the union of all of them, so an index taking routine takedowns grows
+    * an unbounded small-file pile whose LISTING (not its row count)
+    * becomes the per-probe cost. The suppression contract is lifetime, so
+    * the fold only ever merges, never drops, under the staged-rename +
+    * `_SUBSUMES` protocol: data + sidecar under invisible
+    * `tmp_compact_<n>`, one atomic rename as the commit, folded files
+    * deleted after (a rerun finishes a half-done delete; a crash before
+    * the rename leaves only invisible staging). A [[delete]] landing
+    * concurrently is safe — its new file is not in the fold's listing and
+    * no sidecar names it — but folds must not race probes' parquet scans
+    * (same maintenance-window rule as [[compact]]). Returns the number of
+    * entries folded (0 = nothing to do). */
+  def compactTombstones(spark: SparkSession, indexDir: String): Int = {
+    val dir = s"$indexDir/tombstones"
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return 0
+    def path(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    // crashed staging is garbage by construction; a committed fold's
+    // half-done deletes finish here
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("tmp_compact_")).foreach(n => fs.delete(path(n), true))
+    val subsumed = fs.listStatus(root)
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("compact_"))
+      .flatMap(e => Dedup.readSubsumes(fs, e.getPath)).toSet
+    subsumed.foreach(n => fs.delete(path(n), true))
+    val live = fs.listStatus(root).filter { e =>
+      val n = e.getPath.getName
+      if (e.isDirectory) n.startsWith("compact_")
+      else !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName).sorted.toSeq
+    if (live.length < 2) return 0
+    val gen = live.filter(_.startsWith("compact_"))
+      .map(_.stripPrefix("compact_").takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong).foldLeft(0L)(math.max) + 1
+    spark.read.schema(tombstoneSchema).parquet(live.map(n => s"$dir/$n"): _*)
+      .distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tmp_compact_$gen")
+    val out = fs.create(path(s"tmp_compact_$gen/_SUBSUMES"), true)
+    try out.write(live.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(path(s"tmp_compact_$gen"), path(s"compact_$gen")))
+      throw new IllegalStateException(
+        s"tombstone compaction commit rename failed: $dir/compact_$gen")
+    live.foreach(n => fs.delete(path(n), true))
+    live.length
   }
 
   private def requireBatchLayout(spark: SparkSession, dir: String): Unit = {
     val (fs, root) = fsOf(spark, dir)
     if (fs.exists(root)) {
       val loose = fs.listStatus(root)
-        .exists(e => e.isDirectory && !e.getPath.getName.startsWith("batch_"))
+        .exists(e => e.isDirectory && !e.getPath.getName.startsWith("batch_") &&
+          !e.getPath.getName.startsWith("tmp_")) // in-flight/crashed staging is not state
       require(!loose,
         s"$dir uses the root-append layout — batchId-based ingest requires " +
           "per-batch state (build/ingest with a batchId from the start)")
@@ -557,4 +636,123 @@ object AnnIndex {
       maxQueries: Int = 10000): Unit =
     probe(queries, indexDir, k, nProbes, rescoreFactor, idCol, vecCol, maxQueries)
       .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+
+  private val probeResultSchema = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("rk", LongType),
+    StructField("neighbor_id", LongType),
+    StructField("sim", DoubleType)))
+
+  /** Everything [[probeBatch]] has answered under `outDir`: the live
+    * `batch_<id>` result dirs plus committed `compact_<n>` folds, with
+    * dirs a fold's `_SUBSUMES` sidecar names excluded (so a
+    * committed-but-not-yet-deleted fold never yields duplicate rows). */
+  def readProbeResults(spark: SparkSession, outDir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, outDir)
+    if (!fs.exists(root)) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeResultSchema)
+    val entries = fs.listStatus(root).filter(_.isDirectory)
+    val subsumed = entries.iterator
+      .filter(_.getPath.getName.startsWith("compact_"))
+      .flatMap(e => Dedup.readSubsumes(fs, e.getPath)).toSet
+    val dirs = entries.iterator.map(_.getPath.getName)
+      .filter(n => (n.startsWith("batch_") || n.startsWith("compact_")) && !subsumed(n))
+      .map(n => s"$outDir/$n").toSeq
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probeResultSchema)
+    else spark.read.schema(probeResultSchema).parquet(dirs: _*)
+  }
+
+  /** Retention for the [[probeBatch]] result side: without it a
+    * continuous retrieval stream strands one `batch_<id>` dir per
+    * micro-batch forever — the same small-files growth the index state
+    * dirs had before [[compact]], just on results. Batches with
+    * `id <= horizonBatchId` are folded into one `compact_<n>` dir
+    * (`retain = true`, reader union unchanged) or DROPPED outright
+    * (`retain = false`, a TTL horizon: results expire). The numerically
+    * newest batch is never touched regardless of the horizon — it is the
+    * only one an at-least-once redelivery can retry, and its
+    * retry-overwrite contract needs the dir intact. Fold staging follows
+    * the `_SUBSUMES` protocol ([[compactTombstones]]), so every crash
+    * point leaves the reader surface consistent. Returns the number of
+    * batch dirs folded or dropped. */
+  def compactProbeResults(spark: SparkSession, outDir: String,
+      horizonBatchId: Long, retain: Boolean = true,
+      targetPartitions: Int = 1): Int = {
+    val (fs, root) = fsOf(spark, outDir)
+    if (!fs.exists(root)) return 0
+    def path(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("tmp_compact_")).foreach(n => fs.delete(path(n), true))
+    val subsumed = fs.listStatus(root)
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("compact_"))
+      .flatMap(e => Dedup.readSubsumes(fs, e.getPath)).toSet
+    subsumed.foreach(n => fs.delete(path(n), true))
+    val names = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq
+    def num(n: String): Option[Long] = {
+      val d = n.stripPrefix("batch_").takeWhile(_.isDigit)
+      if (n.startsWith("batch_") && d.nonEmpty) Some(d.toLong) else None
+    }
+    val numbered = names.flatMap(n => num(n).map(_ -> n)).sortBy(_._1)
+    val newest = numbered.lastOption.map(_._2)
+    val horizon = numbered
+      .filter { case (id, n) => id <= horizonBatchId && !newest.contains(n) }
+      .map(_._2)
+    if (horizon.isEmpty) return 0
+    if (!retain) { // TTL drop: expired results are simply gone
+      horizon.foreach(n => fs.delete(path(n), true))
+      return horizon.length
+    }
+    // prior folds below the horizon merge in, so repeated retention
+    // passes keep exactly one compact dir, not a chain
+    val priorFolds = names.filter(_.startsWith("compact_")).sorted
+    val fold = horizon ++ priorFolds
+    val gen = priorFolds.map(_.stripPrefix("compact_").takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong).foldLeft(0L)(math.max) + 1
+    spark.read.schema(probeResultSchema).parquet(fold.map(n => s"$outDir/$n"): _*)
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(s"$outDir/tmp_compact_$gen")
+    val out = fs.create(path(s"tmp_compact_$gen/_SUBSUMES"), true)
+    try out.write(fold.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(path(s"tmp_compact_$gen"), path(s"compact_$gen")))
+      throw new IllegalStateException(
+        s"probe-result compaction commit rename failed: $outDir/compact_$gen")
+    fold.foreach(n => fs.delete(path(n), true))
+    horizon.length
+  }
+
+  /** Migrate the index to a NEW coarse quantizer — the lifecycle step the
+    * frozen-at-build centroids ([[build]]) eventually demand: SemDeDup's
+    * own contract is nCentroids ∝ corpus, so a corpus that grows far past
+    * its build leaves every cell proportionally fat and probe candidate
+    * scans plus [[ingestSemDedupBatch]]'s same-cell compare degrade
+    * linearly. `rebuild` retrains from the PERSISTED state (tombstoned
+    * ids physically excluded) into a fresh `newDir` — the old index stays
+    * fully readable until the caller cuts probes over, because rebuild
+    * only ever reads it. The tombstone set is carried over (deduplicated,
+    * one file): suppression is a lifetime contract and must survive the
+    * migration, or a later re-ingest of a taken-down id would resurface
+    * it. `trainIters = 0` keeps the replay rule (centroids = first
+    * `nCentroids` surviving ids), making the rebuilt index
+    * oracle-checkable end to end. */
+  def rebuild(
+      spark: SparkSession,
+      indexDir: String,
+      newDir: String,
+      nCentroids: Int,
+      trainIters: Int = 0,
+      trainRows: Int = 4096): Unit = {
+    val (fs, newRoot) = fsOf(spark, newDir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(newRoot, "centroids")),
+      s"rebuild target $newDir already holds an index — pick a fresh dir")
+    val corpus = readVectors(spark, indexDir)
+      .join(readTombstones(spark, indexDir), Seq("vec_id"), "left_anti")
+    build(corpus, newDir, nCentroids, trainIters, "vec_id", "embedding", trainRows)
+    val (oldFs, oldTombs) = fsOf(spark, s"$indexDir/tombstones")
+    if (oldFs.exists(oldTombs))
+      readTombstones(spark, indexDir).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$newDir/tombstones")
+  }
 }

@@ -321,6 +321,187 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty)
   }
 
+  test("in-flight/crashed ingest staging dirs are invisible to probe, ingest and compact") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = tmp("graft_ann_staging")
+    AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
+    // simulate a concurrent (or crashed) ingest mid-staging: tmp_ingest_*
+    // dirs exist under codes/ and vectors/ but the commit rename has not
+    // happened — probes and further batchId ingests must not treat them
+    // as loose root-append state (the mixed-layout error) or as batches
+    for (sub <- Seq("codes", "vectors")) {
+      val d = new java.io.File(s"$dir/$sub/tmp_ingest_batch_9")
+      assert(d.mkdirs())
+      java.nio.file.Files.write(d.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2))
+    }
+    val rows = AnnIndex.probe(emb.filter(col("vec_id") === 0), dir, k = 3).collect()
+    assert(rows.length == 3)
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 25 && col("vec_id") < 30), dir, Some(1L))
+    assert(AnnIndex.probe(emb.filter(col("vec_id") === 0), dir, k = 3).count() == 3)
+    // compaction sweeps the abandoned staging away with the other leftovers
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 30 && col("vec_id") < 35), dir, Some(2L))
+    assert(AnnIndex.compact(spark, dir) == 4)
+    assert(!new java.io.File(s"$dir/codes/tmp_ingest_batch_9").exists())
+  }
+
+  test("rebuild retrains into a fresh dir: probe == fresh build, tombstones carried") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_rebuild")
+    val (v1, v2, fresh) = (s"$base/v1", s"$base/v2", s"$base/fresh")
+    // the index grows past its build: 8 cells over a corpus that arrived
+    // in two ingests, with takedowns along the way
+    AnnIndex.build(emb.filter(col("vec_id") < 25), v1, nCentroids = 8)
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 25), v1, Some(1L))
+    AnnIndex.delete(Seq(3L, 13L, 23L).toDF("vec_id"), v1)
+    // migrate to 16 cells; the old index is only READ
+    AnnIndex.rebuild(spark, v1, v2, nCentroids = 16)
+    val queries = emb.filter(col("vec_id") < 6)
+    def probeRows(dir: String) = AnnIndex.probe(queries, dir, k = 5)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    // the old index still answers (cutover is the caller's switch)
+    assert(probeRows(v1).nonEmpty)
+    // equivalence: a fresh one-shot build of the surviving corpus at the
+    // new nCentroids answers identically
+    AnnIndex.build(emb.filter(!col("vec_id").isin(3L, 13L, 23L)), fresh, nCentroids = 16)
+    assert(probeRows(v2).nonEmpty && probeRows(v2) == probeRows(fresh))
+    // deleted ids are physically gone from the rebuilt store
+    val v2Ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$v2/vectors").select("vec_id").as[Long].collect().toSet
+    assert(!v2Ids.contains(3L) && !v2Ids.contains(13L) && !v2Ids.contains(23L))
+    // lifetime suppression survives the migration: re-ingesting a
+    // taken-down id into the REBUILT index must not resurface it
+    AnnIndex.ingest(emb.filter(col("vec_id") === 3L), v2, Some(1L))
+    val neighbors = AnnIndex.probe(queries, v2, k = 5, nProbes = 16)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!neighbors.contains(3L))
+  }
+
+  test("compactTombstones folds delete files to one, behavior byte-identical, crash-safe") {
+    val sp = spark; import sp.implicits._
+    def unit(dm: Int, scale: Float) =
+      Array.tabulate(8)(i => if (i == dm * 2) scale else 0f)
+    val corpus = (0L until 12L).map(i => (i, unit((i % 4).toInt, 1f + i)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft_ann_tomb_compact")
+    AnnIndex.build(corpus, dir, nCentroids = 4)
+    // three separate takedowns = three appended files (plus a crashed
+    // fold's staging leftover, which must be swept not read)
+    AnnIndex.delete(Seq(4L).toDF("vec_id"), dir)
+    AnnIndex.delete(Seq(8L).toDF("vec_id"), dir)
+    AnnIndex.delete(Seq(4L, 5L).toDF("vec_id"), dir) // duplicate id across files
+    val crashed = new java.io.File(s"$dir/tombstones/tmp_compact_7")
+    assert(crashed.mkdirs())
+    val q = Seq((500L, unit(0, 1f))).toDF("vec_id", "embedding")
+    def probeRows() = AnnIndex.probe(q, dir, k = 5, nProbes = 1)
+      .orderBy("rk").collect().map(_.toSeq).toSeq
+    val before = probeRows()
+    assert(AnnIndex.compactTombstones(spark, dir) == 3)
+    assert(!crashed.exists())
+    val entries = new java.io.File(s"$dir/tombstones").listFiles()
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted.toSeq
+    assert(entries == Seq("compact_1"))
+    val dataFiles = new java.io.File(s"$dir/tombstones/compact_1").listFiles()
+      .map(_.getName).count(_.endsWith(".parquet"))
+    assert(dataFiles == 1) // N delete files -> ONE deduped parquet
+    assert(probeRows() == before) // suppression surface unchanged
+    // fold is a merge, never a drop: all three ids still suppressed
+    val neighbors = AnnIndex.probe(q, dir, k = 12, nProbes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((neighbors & Set(4L, 5L, 8L)).isEmpty)
+    assert(AnnIndex.compactTombstones(spark, dir) == 0) // idempotent
+    // a later takedown re-enables folding: compact_1 + new file -> compact_2
+    AnnIndex.delete(Seq(0L).toDF("vec_id"), dir)
+    assert(AnnIndex.compactTombstones(spark, dir) == 2)
+    val after = new java.io.File(s"$dir/tombstones").listFiles()
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted.toSeq
+    assert(after == Seq("compact_2"))
+    val alive = AnnIndex.probe(q, dir, k = 12, nProbes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((alive & Set(0L, 4L, 5L, 8L)).isEmpty)
+  }
+
+  test("compactProbeResults: fold keeps the reader union, TTL drop expires, newest protected") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_probe_retention")
+    val (idx, outA, outB) = (s"$base/idx", s"$base/outA", s"$base/outB")
+    AnnIndex.build(emb.filter(col("vec_id") < 40), idx, nCentroids = 8)
+    def qb(lo: Long, hi: Long) = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def results(out: String) = AnnIndex.readProbeResults(spark, out)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    def dirsOf(out: String) = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    // --- retain mode: batches fold, the reader surface never changes
+    for ((lo, id) <- Seq((40L, 0L), (43L, 1L), (46L, 2L)))
+      AnnIndex.probeBatch(qb(lo, lo + 3), idx, outA, id, k = 3)
+    val before = results(outA)
+    assert(before.length == 9 * 3)
+    assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 1L) == 2)
+    assert(dirsOf(outA) == Seq("batch_2", "compact_1"))
+    assert(results(outA) == before)
+    // a later pass folds the prior compact dir in — one compact dir, not a chain
+    AnnIndex.probeBatch(qb(49L, 52L), idx, outA, 3L, k = 3)
+    assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 2L) == 1)
+    assert(dirsOf(outA) == Seq("batch_3", "compact_2"))
+    assert(results(outA).length == 12 * 3)
+    // the numerically newest batch never folds, whatever the horizon
+    assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 99L) == 0)
+    // --- TTL drop mode: expired results are gone, kept batches untouched
+    for ((lo, id) <- Seq((40L, 0L), (43L, 1L), (46L, 2L)))
+      AnnIndex.probeBatch(qb(lo, lo + 3), idx, outB, id, k = 3)
+    assert(AnnIndex.compactProbeResults(spark, outB, horizonBatchId = 1L,
+      retain = false) == 2)
+    assert(dirsOf(outB) == Seq("batch_2"))
+    val kept = results(outB)
+    assert(kept.length == 3 * 3 &&
+      kept.map(_.head.asInstanceOf[Long]).toSet == Set(46L, 47L, 48L))
+  }
+
+  test("compact() and compactTombstones() during a LIVE checkpointed probe stream") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_compact_probe")
+    val (src, ckpt, outDir, idx) = (s"$base/src", s"$base/ckpt", s"$base/out", s"$base/idx")
+    // an index with foldable history: seed + 2 ingests + a tombstone
+    AnnIndex.build(emb.filter(col("vec_id") < 20), idx, nCentroids = 8)
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 20 && col("vec_id") < 30), idx, Some(1L))
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 30 && col("vec_id") < 40), idx, Some(2L))
+    AnnIndex.delete(Seq(7L).toDF("vec_id"), idx)
+    AnnIndex.delete(Seq(17L).toDF("vec_id"), idx)
+    // three single-file query micro-batches; the index is COMPACTED while
+    // the stream is mid-flight (between its first and second probes), so
+    // later probes read through the folded state + _SUBSUMES sidecars
+    for (lo <- Seq(40L, 44L, 48L))
+      emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 2)
+        .coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream
+      .schema(emb.schema).option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        AnnIndex.probeBatch(b, idx, outDir, id, k = 3)
+        if (id == 0L) {
+          assert(AnnIndex.compact(spark, idx) == 4)
+          assert(AnnIndex.compactTombstones(spark, idx) == 2)
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = AnnIndex.readProbeResults(spark, outDir)
+      .select("query_id", "rk", "neighbor_id", "sim")
+    val oneShot = AnnIndex.probe(
+      emb.filter(Seq(40L, 41L, 44L, 45L, 48L, 49L)
+        .map(col("vec_id") === _).reduce(_ || _)), idx, k = 3)
+    assert(streamed.count() == 6 * 3)
+    assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty)
+    val ns = streamed.select("neighbor_id").as[Long].collect().toSet
+    assert(!ns.contains(7L) && !ns.contains(17L)) // tombstones held through the fold
+  }
+
   test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
