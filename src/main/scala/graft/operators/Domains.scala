@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-level curation: URL canonicalization, registered-domain
+  * extraction, and per-domain blocklist/cap policy — the provenance
+  * stage every large crawl-derived corpus runs before mixing.
+  *
+  * Everything here is pure `Column` expression composition (regexes +
+  * higher-order array functions), deliberately NOT `parse_url`: the
+  * exact same regexes replay in any engine with regexp_extract
+  * (DuckDB, Trino, ...), so canonical URLs computed by an upstream
+  * system and by this library agree byte-for-byte — the property that
+  * makes URL-keyed dedup and blocklists composable across systems.
+  * Scale: narrow maps, fully codegen'd, no shuffle; the blocklist is a
+  * broadcast anti-join and the cap is [[Sampling.capPerGroup]]'s
+  * group-limit-pushed window.
+  */
+object Domains {
+
+  /** RFC-3986-shaped component extraction. Each regex returns "" when
+    * the component is absent (both Spark and DuckDB `regexp_extract`
+    * contract), so downstream CASEs need no null handling. */
+  private def scheme(c: Column): Column =
+    lower(regexp_extract(c, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+  private def authority(c: Column): Column =
+    regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Lowercased host with any userinfo@ and :port stripped. */
+  def hostOf(c: Column): Column =
+    lower(regexp_extract(authority(c), "^(?:[^@]*@)?([^:]*)", 1))
+
+  private def port(c: Column): Column =
+    regexp_extract(authority(c), ":([0-9]+)$", 1)
+  private def rawPath(c: Column): Column =
+    regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+  private def rawQuery(c: Column): Column =
+    regexp_extract(c, "\\?([^#]*)", 1)
+
+  /** Query params that identify a CLICK, not a resource — their removal
+    * is what lets the same article fetched from a newsletter and from
+    * search collapse to one canonical key. */
+  private val TrackingParam = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+  /** Canonical form of a URL, the key for URL-level dedup and domain
+    * policy: lowercase scheme+host, `www.` prefix dropped, default
+    * ports (http:80, https:443) dropped, duplicate slashes collapsed
+    * and the trailing slash trimmed (root stays `/`, empty path becomes
+    * `/`), tracking params dropped and the survivors sorted by byte
+    * order, fragment dropped. Non-default ports and non-tracking param
+    * VALUES are preserved — canonicalization must never merge two
+    * genuinely different resources. Input without a `scheme://` yields
+    * "" (callers filter, nothing invents a scheme). */
+  def canonicalizeUrl(c: Column): Column = {
+    val host = regexp_replace(hostOf(c), "^www\\.", "")
+    val sch = scheme(c)
+    val portPart = when(
+      port(c) === "" ||
+        (sch === "http" && port(c) === "80") ||
+        (sch === "https" && port(c) === "443"), "")
+      .otherwise(concat(lit(":"), port(c)))
+    val path0 = regexp_replace(rawPath(c), "/{2,}", "/")
+    val path = when(path0 === "", "/")
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val params = array_sort(filter(
+      split(rawQuery(c), "&"),
+      p => p =!= "" && !p.rlike(TrackingParam)))
+    val queryPart = when(size(params) === 0, "")
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    when(sch === "" || host === "", "")
+      .otherwise(concat(sch, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** The second-level public suffixes under which the registered domain
+    * is the THIRD label from the right. A deliberately small embedded
+    * list (the common ccTLD second levels), not the full Mozilla PSL —
+    * the policy decisions this feeds (blocklists, per-domain caps) key
+    * on these; swap in the full list as a dim table join if a corpus
+    * needs exotic suffixes. */
+  private val SecondLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "com.tw",
+    "co.in", "co.kr", "com.mx", "com.sg", "com.tr", "com.ar")
+
+  /** eTLD+1 of a URL's host: the last two labels, or the last three
+    * when the last two are a second-level public suffix (`a.b.co.uk` →
+    * `b.co.uk`). Hosts with fewer labels than that pass through
+    * unchanged (a bare `localhost` is its own domain). */
+  def registeredDomain(c: Column): Column = {
+    val host = regexp_replace(hostOf(c), "^www\\.", "")
+    val labels = split(host, "\\.")
+    val last2 = array_join(slice(labels, -2, 2), ".")
+    val last3 = array_join(slice(labels, -3, 3), ".")
+    when(size(labels) <= lit(2), host)
+      .otherwise(when(last2.isin(SecondLevelSuffixes: _*), last3)
+        .otherwise(last2))
+  }
+
+  /** Drop every row whose URL's registered domain is blocklisted.
+    * Blocklists are curated by hand — thousands of entries at most — so
+    * the list ships as a broadcast anti-join and the corpus never
+    * shuffles. Matching is on the registered domain (the unit takedown
+    * requests name), not the full host: blocking `spam.example`
+    * blocks `cdn.spam.example` too. */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val block = blockedDomains.map(_.toLowerCase).distinct.toDF("__blocked")
+    df.join(broadcast(block),
+        registeredDomain(col(urlCol)) === col("__blocked"), "left_anti")
+  }
+
+  /** Keep at most `n` rows per registered domain, best-first by
+    * `orderBy` — the anti-monoculture cap that stops one mega-site from
+    * dominating a training mix. Delegates to [[Sampling.capPerGroup]],
+    * so the map-side WindowGroupLimit bounds a hot domain's shuffle
+    * cost at O(n), not O(domain). */
+  def capPerDomain(df: DataFrame, urlCol: String,
+      orderBy: Seq[Column], n: Int): DataFrame =
+    Sampling.capPerGroup(
+      df.withColumn("domain", registeredDomain(col(urlCol))),
+      "domain", orderBy, n)
+}

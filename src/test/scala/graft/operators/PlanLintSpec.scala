@@ -302,4 +302,30 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"the corpus must never shuffle against the thresholds:\n$p")
   }
+
+  test("url canonicalization: a pure narrow map — zero exchanges") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val p = plan(docs.select(col("doc_id"),
+      Domains.canonicalizeUrl(col("source")).as("canon"),
+      Domains.registeredDomain(col("source")).as("domain")))
+    assert(!p.contains("Exchange"),
+      s"canonicalizeUrl/registeredDomain must stay a narrow projection:\n$p")
+  }
+
+  test("domain policy: blocklist is a broadcast anti-join; cap is a pushed group limit") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), col("source").as("url"))
+    val p = plan(Domains.capPerDomain(
+      Domains.filterBlockedDomains(docs, "url", Seq("spam.example")),
+      "url", Seq(col("n_chars").desc, col("doc_id").asc), n = 4))
+    // the hand-curated blocklist must never shuffle the corpus
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the blocklist:\n$p")
+    // the rank<=n filter must push a partial WindowGroupLimit below the
+    // exchange — a hot domain then costs O(n) network, not O(domain)
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"per-domain cap must run map-side group limit before the shuffle:\n$p")
+  }
 }
