@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.core._
 import graft.streaming._
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -405,6 +405,31 @@ object CdcFeed extends Serializable {
       .unionByName(s.createDataset(hbTx))
   }
 
+  /** Global dense rank by `orderCol` as column `tx` (+ `base`), in the
+    * scale-correct TWO-PASS shape instead of an unpartitioned window
+    * (which funnels the whole table through one task): range-partition
+    * on the key, rank within each partition, add broadcast exclusive
+    * prefix counts. The ranged data persists across the two passes so
+    * both see the SAME sampled range boundaries; values are identical
+    * to the single-partition window's, so feed bytes don't change. */
+  private def globalSeq(df: DataFrame, orderCol: String, base: Long): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts: Map[Int, Long] = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = counts.keys.toSeq.sorted
+      .map(pid => (pid, counts.filter(_._1 < pid).values.sum))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = offsets.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    ranged.join(broadcast(dim), Seq("__pid"))
+      .withColumn("tx", col("__off") + row_number().over(w).cast("long") + base)
+      .drop("__pid", "__off")
+  }
+
   /** VStream-copy feed (S5/F3 gate fixture), single shard `s0` — the
     * server copies tables sequentially with lastpk progress in every
     * VGTID, signals COPY_COMPLETED, then switches to streaming:
@@ -446,11 +471,9 @@ object CdcFeed extends Serializable {
         VgtidEvent(shard, vgtid),
         CommitEvent(shard, "ks", 1700000000L + txSeq)))
 
-    val wOrd = Window.orderBy("o_orderkey")
-    val wCust = Window.orderBy("c_custkey")
     def ordSlice(res: Long, base: Long, copy: Boolean) =
-      Tables.orders(s, d).filter(col("o_orderkey") % 4 === res)
-        .withColumn("tx", row_number().over(wOrd).cast("long") + base)
+      globalSeq(Tables.orders(s, d).filter(col("o_orderkey") % 4 === res),
+          "o_orderkey", base)
         .select(col("tx"), col("o_orderkey"), col("o_orderstatus"))
         .as[(Long, Long, String)]
         .flatMap { case (t, okey, status) =>
@@ -459,8 +482,8 @@ object CdcFeed extends Serializable {
           tx("orders", ordFields, Seq(okey.toString, status), t, v, copyLabels = copy)
         }
     def custSlice(res: Long, base: Long, copy: Boolean) =
-      Tables.customer(s, d).filter(col("c_custkey") % 4 === res)
-        .withColumn("tx", row_number().over(wCust).cast("long") + base)
+      globalSeq(Tables.customer(s, d).filter(col("c_custkey") % 4 === res),
+          "c_custkey", base)
         .select(col("tx"), col("c_custkey"), col("c_mktsegment"))
         .as[(Long, Long, String)]
         .flatMap { case (t, ckey, seg) =>

@@ -140,7 +140,15 @@ object LlmQueries {
   private def withScratchIndex(prefix: String)(body: String => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory(prefix)
     stagedParquetDirs.put(s"reclaim:$root", root)
-    val out = body(root.resolve("idx").toString).localCheckpoint(true)
+    val res = body(root.resolve("idx").toString)
+    // pin the small gate result on the DRIVER before deleting the index
+    // files (the qDedupStreaming pattern): a localCheckpoint would live in
+    // non-replicated executor storage, and eviction or executor loss
+    // before the result is consumed would force a recompute from the
+    // now-deleted parquet
+    val rows = res.collect()
+    val out = res.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), res.schema)
     graft.TempDirs.deleteRecursively(root)
     out
   }
@@ -1028,6 +1036,87 @@ object LlmQueries {
       |               c.neighbor_id) AS rk
       |  FROM cand c
       |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+      |  JOIN embeddings q ON q.vec_id = c.query_id
+      |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // ---------------------------------------------- ANN index rebuild
+  /** [[AnnIndex.rebuild]] under the oracle: an index built in two ingest
+    * batches at 16 cells takes two takedown waves (folded by
+    * [[AnnIndex.compactTombstones]]), then migrates to a NEW quantizer at
+    * 32 cells — the lifecycle step for a corpus that outgrew its build.
+    * The oracle never sees the old index at all: it replays a one-shot
+    * 32-cell index over the SURVIVING corpus (deleted ids excluded), so a
+    * hash match proves rebuild ≡ fresh-build-of-survivors — retrain,
+    * re-encode, tombstone purge and the folded-tombstone read path all at
+    * once. Queries deliberately include deleted ids: takedown removes a
+    * vector from the index, not the right to query near it. */
+  val qAnnRebuild: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    withScratchIndex("graft_gate_annrebuild_") { dir =>
+      val (v1, v2) = (s"$dir/v1", s"$dir/v2")
+      AnnIndex.build(emb.filter(col("vec_id") < 300), v1, nCentroids = 16)
+      AnnIndex.ingest(emb.filter(col("vec_id") >= 300), v1, batchId = Some(1L))
+      AnnIndex.delete(emb.filter(col("vec_id") % 10 === 3).select("vec_id"), v1)
+      AnnIndex.delete(emb.filter(col("vec_id") % 10 === 7).select("vec_id"), v1)
+      AnnIndex.compactTombstones(s, v1)
+      AnnIndex.rebuild(s, v1, v2, nCentroids = 32)
+      AnnIndex.probe(emb.filter(col("vec_id") < 10), v2,
+        k = 5, nProbes = 4, rescoreFactor = 4)
+    }.orderBy(col("query_id"), col("rk"))
+  }
+
+  val qAnnRebuildSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 10 NOT IN (3, 7)
+      |), cent AS (
+      |  SELECT vec_id AS cid, embedding FROM corpus ORDER BY vec_id LIMIT 32
+      |), assigned AS (
+      |  SELECT vec_id AS neighbor_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM corpus e CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |), qz AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale,
+      |    embedding
+      |  FROM corpus
+      |), deq AS (
+      |  SELECT vec_id AS neighbor_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+      |         ELSE list_transform(embedding::DOUBLE[],
+      |                x -> CAST(floor(x / scale + 0.5) AS INT) * scale) END AS vec_deq
+      |  FROM qz
+      |), probes AS (
+      |  SELECT query_id, query_vec, cid FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+      |  ) WHERE prn <= 4
+      |), cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY round(list_cosine_similarity(p.query_vec::DOUBLE[], d.vec_deq), 9) DESC,
+      |                 a.neighbor_id) AS ark
+      |    FROM probes p JOIN assigned a USING (cid)
+      |    JOIN deq d ON d.neighbor_id = a.neighbor_id
+      |    WHERE a.neighbor_id <> p.query_id
+      |  ) WHERE ark <= 20
+      |)
+      |SELECT query_id, rk, neighbor_id, sim FROM (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY c.query_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |               c.neighbor_id) AS rk
+      |  FROM cand c
+      |  JOIN corpus e ON e.vec_id = c.neighbor_id
       |  JOIN embeddings q ON q.vec_id = c.query_id
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
@@ -2549,7 +2638,244 @@ object LlmQueries {
       |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
       |) WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------- domain-level curation
+  /** Deterministic URL per document, exercising every canonicalization
+    * rule at once: upper-case scheme/host + `www.` (case-folding,
+    * www-strip), default ports 80/443 (dropped) next to a real :8080
+    * (kept), duplicate slashes + trailing slash, tracking params
+    * (utm_source/gclid/ref) interleaved with real ones, unsorted param
+    * order, a fragment, and a co.uk second-level suffix for the
+    * registered-domain rule. Derived with the same CASE in Spark and
+    * the oracle, so both engines canonicalize the identical input. */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    val m = col("doc_id") % 4
+    when(m === 0, concat(lit("HTTP://WWW."), upper(col("source")),
+        lit("-News.COM:80/a//b/"), id, lit("/?utm_source=feed&b=2&a=1#frag")))
+      .when(m === 1, concat(lit("https://cdn."), col("source"),
+        lit(".co.uk:443/x/"), id))
+      .when(m === 2, concat(lit("https://"), col("source"),
+        lit(".org/p/"), id, lit("/?gclid=xyz&id="), id))
+      .otherwise(concat(lit("http://blog."), col("source"),
+        lit(".net:8080/q?ref=home&z="), (col("doc_id") % 5).cast("string")))
+  }
+
+  private val syntheticUrlSql: String =
+    """CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '-News.COM:80/a//b/' || doc_id || '/?utm_source=feed&b=2&a=1#frag'
+      |      WHEN 1 THEN 'https://cdn.' || source || '.co.uk:443/x/' || doc_id
+      |      WHEN 2 THEN 'https://' || source || '.org/p/' || doc_id || '/?gclid=xyz&id=' || doc_id
+      |      ELSE 'http://blog.' || source || '.net:8080/q?ref=home&z=' || (doc_id % 5)
+      |    END""".stripMargin
+
+  /** DuckDB twin of [[Domains.canonicalizeUrl]]/[[Domains.registeredDomain]]
+    * over a CTE named `urls(doc_id, n_chars, url)` — the same component
+    * regexes (regexp_extract is engine-portable by design), the same
+    * param filter/sort, the same suffix list. */
+  private val domainCtesSql: String =
+    """comp AS (
+      |  SELECT doc_id, n_chars, url,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM urls
+      |), comp2 AS (
+      |  SELECT *,
+      |    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)), '^www\.', '') AS host,
+      |    regexp_extract(auth, ':([0-9]+)$', 1) AS prt
+      |  FROM comp
+      |), canon0 AS (
+      |  SELECT doc_id, n_chars, url, host,
+      |    sch || '://' || host ||
+      |    (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80') OR (sch = 'https' AND prt = '443')
+      |          THEN '' ELSE ':' || prt END) ||
+      |    (CASE WHEN regexp_replace(rawpath, '/{2,}', '/') = '' THEN '/'
+      |          ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/'), '(.)/$', '\1') END) ||
+      |    (CASE WHEN len(list_sort(list_filter(string_split(rawq, '&'),
+      |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)=')))) = 0
+      |          THEN ''
+      |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&') END)
+      |    AS canon
+      |  FROM comp2
+      |), rd AS (
+      |  SELECT doc_id, n_chars, url, canon,
+      |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |         WHEN array_to_string(string_split(host, '.')[-2:], '.') IN
+      |           ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
+      |            'com.au','net.au','org.au','co.nz','com.br','com.cn','com.tw',
+      |            'co.in','co.kr','com.mx','com.sg','com.tr','com.ar')
+      |           THEN array_to_string(string_split(host, '.')[-3:], '.')
+      |         ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+      |  FROM canon0
+      |)""".stripMargin
+
+  /** [[Domains.canonicalizeUrl]] + [[Domains.registeredDomain]] per doc:
+    * the oracle replays the full component-regex pipeline, so a drift in
+    * ANY rule — port defaults, param sort, suffix list — changes bytes
+    * and fails the hash. */
+  val qTextUrlCanon: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), syntheticUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        Domains.canonicalizeUrl(col("url")).as("canon"),
+        Domains.registeredDomain(col("url")).as("domain"))
+      .orderBy(col("doc_id"))
+
+  val qTextUrlCanonSql: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id, n_chars, $syntheticUrlSql AS url FROM documents
+       |), $domainCtesSql
+       |SELECT doc_id, url, canon, domain FROM rd ORDER BY doc_id""".stripMargin
+
+  /** Per-domain policy end to end: registered-domain blocklist
+    * (broadcast anti-join — [[Domains.filterBlockedDomains]]) then a
+    * keep-at-most-4-per-domain cap, longest doc first
+    * ([[Domains.capPerDomain]], the WindowGroupLimit shape). The corpus
+    * correlates source with doc_id (source = src(doc_id % 20)), so each
+    * source lands on ONE url variant; the four blocked domains are
+    * picked one per variant FROM domains that actually occur, so every
+    * canonicalization branch feeds a real anti-join hit. */
+  val qTextDomainPolicy: Q = (s, d) => {
+    val blocked = Seq("src4-news.com", "src9.co.uk", "src2.org", "src15.net")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), syntheticUrl.as("url"))
+    Domains.capPerDomain(
+        Domains.filterBlockedDomains(docs, "url", blocked),
+        "url", Seq(col("n_chars").desc, col("doc_id").asc), n = 4)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+      .orderBy(col("domain"))
+  }
+
+  val qTextDomainPolicySql: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id, n_chars, $syntheticUrlSql AS url FROM documents
+       |), $domainCtesSql
+       |SELECT domain, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept
+       |FROM (
+       |  SELECT domain, doc_id,
+       |    row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM rd
+       |  WHERE domain NOT IN ('src4-news.com', 'src9.co.uk', 'src2.org', 'src15.net')
+       |) WHERE rn <= 4
+       |GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ----------------------------- composed semantic-curation pipeline
+  /** The persisted-index curation chain as ONE composed plan: quality
+    * filter → temperature (α=0.5) source rebalance → semantic dedup of
+    * the incoming batch against a PERSISTED ANN index
+    * ([[AnnIndex.ingestSemDedupBatch]] — already-indexed corpus wins) →
+    * per-source token budget, best-quality first. Every stage has its
+    * own green gate; this pins that they COMPOSE through the
+    * index-state path: the temperature sample decides what gets
+    * indexed, the index decides what survives dedup, and the survivors'
+    * quality ordering decides the budget boundary — a drift anywhere
+    * moves the final per-source yields. Injected +10000 exact copies
+    * are the over-threshold pairs (natural max cos ≈ 0.6 < 0.95); the
+    * corpus is the low-id (< 250) prefix of the FILTERED survivors, so
+    * the oracle's one-shot keep-lowest-id replay coincides with
+    * already-indexed-wins exactly as in dedup_semantic_ingest. */
+  val qPipelineSemantic: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val allDocs = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("source"), col("text")))
+    val allEmb = emb.unionByName(emb.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val filt = allDocs
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("n_tok", TextOps.wsTokenCount(col("text")))
+      .filter(col("quality") > 0.2)
+    val samp = Sampling.temperatureSampleByStrata(
+      filt, "doc_id", "source", col("n_tok"), alpha = 0.5, SampleSeed)
+    val withVec = samp.join(allEmb, col("doc_id") === col("vec_id"))
+    withScratchIndex("graft_gate_pipesem_") { dir =>
+      val corpus = withVec.filter(col("doc_id") < 250)
+      val fresh = withVec.filter(col("doc_id") >= 250)
+      AnnIndex.build(corpus.select(col("vec_id"), col("embedding")), dir, nCentroids = 32)
+      val keptNew = AnnIndex.ingestSemDedupBatch(
+          fresh.select(col("vec_id"), col("embedding")), dir,
+          threshold = 0.95, batchId = Some(1L))
+        .filter(col("kept")).select(col("vec_id").as("doc_id"))
+      val kept = corpus.select("doc_id", "source", "quality", "n_tok")
+        .unionByName(fresh.select("doc_id", "source", "quality", "n_tok")
+          .join(keptNew, Seq("doc_id")))
+      Sampling.selectUnderTokenBudgetPerGroup(kept, "source",
+          Seq(col("quality").desc, col("doc_id").asc), "n_tok",
+          budgets = Map("src0" -> 1200L), defaultBudget = 1500L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          sum(col("doc_id")).as("sum_kept"))
+    }.orderBy(col("source"))
+  }
+
+  val qPipelineSemanticSql: String = {
+    val toks = """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+    val nTok = s"""CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0) THEN 0 ELSE len($toks) END"""
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, source, text FROM documents WHERE doc_id % 9 = 0
+       |), all_emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 9 = 0
+       |), filt AS (
+       |  SELECT doc_id, source, quality, (($nTok))::BIGINT AS n_tok
+       |  FROM (SELECT doc_id, source, text, $qualitySqlExpr AS quality FROM all_docs)
+       |  WHERE quality > 0.2
+       |), tok AS (
+       |  SELECT source, CAST(sum(n_tok) AS DOUBLE) AS t FROM filt GROUP BY source
+       |), m AS (SELECT min(t) AS mn FROM tok),
+       |r AS (SELECT source, round(pow(t / mn, -0.5), 9) AS rate FROM tok, m),
+       |samp AS (
+       |  SELECT f.* FROM filt f JOIN r ON f.source = r.source
+       |  WHERE substring(md5(CAST(f.doc_id AS VARCHAR) || '$SampleSeed'), 1, 4) <
+       |    CASE WHEN r.rate >= 1 THEN 'g'
+       |         ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END
+       |), wv AS (
+       |  SELECT s.*, e.embedding FROM samp s JOIN all_emb e ON e.vec_id = s.doc_id
+       |), cent AS (
+       |  SELECT doc_id AS cid, embedding AS cemb FROM wv WHERE doc_id < 250
+       |  ORDER BY doc_id LIMIT 32
+       |), assigned AS (
+       |  SELECT doc_id, embedding, cid FROM (
+       |    SELECT w.doc_id, w.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY w.doc_id
+       |        ORDER BY list_cosine_similarity(c.cemb::DOUBLE[], w.embedding::DOUBLE[]) DESC,
+       |                 c.cid) AS arn
+       |    FROM wv w CROSS JOIN cent c
+       |  ) WHERE arn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id >= 250
+       |    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+       |), kept AS (
+       |  SELECT w.doc_id, w.source, w.quality, w.n_tok
+       |  FROM wv w LEFT JOIN dropped d ON d.doc_id = w.doc_id
+       |  WHERE d.doc_id IS NULL
+       |), c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM kept
+       |)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_kept
+       |FROM c
+       |WHERE cum_tok <= CASE WHEN source = 'src0' THEN 1200 ELSE 1500 END
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_url_canon"      -> qTextUrlCanon,
+    "text_domain_policy"  -> qTextDomainPolicy,
+    "pipeline_semantic"   -> qPipelineSemantic,
     "dedup_substring"     -> qDedupSubstring,
     "text_repetition"     -> qTextRepetition,
     "text_bpe_pairs"      -> qTextBpePairs,
@@ -2597,6 +2923,7 @@ object LlmQueries {
     "emb_quantize"        -> qEmbQuantize,
     "ann_int8"            -> qAnnInt8,
     "ann_index_ingest"    -> qAnnIndexIngest,
+    "ann_rebuild"         -> qAnnRebuild,
     "dedup_semantic_ingest" -> qDedupSemanticIngest,
     "text_heavy_hitters"  -> qTextHeavyHitters,
     "text_stats"          -> qTextStats,
@@ -2661,9 +2988,13 @@ object LlmQueries {
     "dedup_embedding"     -> qDedupEmbeddingSql,
     "dedup_semantic"      -> qDedupSemanticSql,
     "text_classifier"     -> qTextClassifierSql,
+    "text_url_canon"      -> qTextUrlCanonSql,
+    "text_domain_policy"  -> qTextDomainPolicySql,
+    "pipeline_semantic"   -> qPipelineSemanticSql,
     "emb_quantize"        -> qEmbQuantizeSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_index_ingest"    -> qAnnIndexIngestSql,
+    "ann_rebuild"         -> qAnnRebuildSql,
     "dedup_semantic_ingest" -> qDedupSemanticIngestSql,
     "text_heavy_hitters"  -> qTextHeavyHittersSql,
     "text_stats"          -> qTextStatsSql,
