@@ -2790,8 +2790,14 @@ object LlmQueries {
       .filter(col("quality") > 0.2)
     val samp = Sampling.temperatureSampleByStrata(
       filt, "doc_id", "source", col("n_tok"), alpha = 0.5, SampleSeed)
+    // the curated+sampled corpus feeds FOUR downstream consumers (index
+    // build, ingest decisions, the kept-join, the budget walk) across
+    // many index-state jobs — persist it once instead of re-running the
+    // quality regexes, the rate aggregation and the md5 sample per job
+    // (the same cache a real pipeline would hold at this point)
     val withVec = samp.join(allEmb, col("doc_id") === col("vec_id"))
-    withScratchIndex("graft_gate_pipesem_") { dir =>
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = withScratchIndex("graft_gate_pipesem_") { dir =>
       val corpus = withVec.filter(col("doc_id") < 250)
       val fresh = withVec.filter(col("doc_id") >= 250)
       AnnIndex.build(corpus.select(col("vec_id"), col("embedding")), dir, nCentroids = 32)
@@ -2809,7 +2815,11 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tok")).as("tok_kept"),
           sum(col("doc_id")).as("sum_kept"))
-    }.orderBy(col("source"))
+    }
+    // withScratchIndex pinned the result rows on the driver, so the
+    // cache can go before the caller consumes the frame
+    withVec.unpersist(false)
+    out.orderBy(col("source"))
   }
 
   val qPipelineSemanticSql: String = {
