@@ -253,16 +253,11 @@ object AnnIndex {
       val (fs, root) = fsOf(spark, dir)
       if (!fs.exists(root)) return 0
       // clean leftovers of earlier crashed runs (compaction staging AND
-      // abandoned ingest staging — an uncommitted tmp_ dir is garbage by
-      // construction, the rename that would have committed it never ran)
-      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("tmp_"))
-        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+      // abandoned ingest staging) and finish a committed fold's
+      // half-done deletes; folds here are batch_<gen>_c dirs, and only
+      // they carry sidecars
+      Dedup.sweepFoldLeftovers(fs, root, "tmp_", "batch_")
       val live = batchDirs(spark, dir, Set.empty).map(_.split('/').last)
-      // finish a half-done delete from a committed earlier compaction
-      val subsumed = fs.listStatus(root).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("batch_")).toSet -- live.toSet
-      subsumed.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
       def num(n: String): Long = {
         val d = n.stripPrefix("batch_").takeWhile(_.isDigit)
         if (d.nonEmpty) d.toLong else -1L
@@ -280,16 +275,7 @@ object AnnIndex {
           .parquet(fold.map(n => s"$dir/$n"): _*)
       }).join(tombs, Seq("vec_id"), "left_anti") // deletes become physical
       write(data, staging)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$staging/_SUBSUMES"), true)
-      try out.write(fold.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      val target = s"batch_${gen}_c"
-      if (!fs.rename(new org.apache.hadoop.fs.Path(root, s"tmp_compact_$gen"),
-          new org.apache.hadoop.fs.Path(root, target)))
-        throw new IllegalStateException(
-          s"compaction commit rename failed: $staging -> $target")
-      fold.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+      Dedup.commitFold(fs, root, s"tmp_compact_$gen", s"batch_${gen}_c", fold)
       fold.length
     }
     one("codes", (df, d) => df.repartition(col("cid"))
@@ -502,12 +488,7 @@ object AnnIndex {
     def path(n: String) = new org.apache.hadoop.fs.Path(root, n)
     // crashed staging is garbage by construction; a committed fold's
     // half-done deletes finish here
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("tmp_compact_")).foreach(n => fs.delete(path(n), true))
-    val subsumed = fs.listStatus(root)
-      .filter(e => e.isDirectory && e.getPath.getName.startsWith("compact_"))
-      .flatMap(e => Dedup.readSubsumes(fs, e.getPath)).toSet
-    subsumed.foreach(n => fs.delete(path(n), true))
+    Dedup.sweepFoldLeftovers(fs, root, "tmp_compact_", "compact_")
     val live = fs.listStatus(root).filter { e =>
       val n = e.getPath.getName
       if (e.isDirectory) n.startsWith("compact_")
@@ -520,13 +501,7 @@ object AnnIndex {
     spark.read.schema(tombstoneSchema).parquet(live.map(n => s"$dir/$n"): _*)
       .distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/tmp_compact_$gen")
-    val out = fs.create(path(s"tmp_compact_$gen/_SUBSUMES"), true)
-    try out.write(live.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(path(s"tmp_compact_$gen"), path(s"compact_$gen")))
-      throw new IllegalStateException(
-        s"tombstone compaction commit rename failed: $dir/compact_$gen")
-    live.foreach(n => fs.delete(path(n), true))
+    Dedup.commitFold(fs, root, s"tmp_compact_$gen", s"compact_$gen", live)
     live.length
   }
 
@@ -669,7 +644,10 @@ object AnnIndex {
     * dirs had before [[compact]], just on results. Batches with
     * `id <= horizonBatchId` are folded into one `compact_<n>` dir
     * (`retain = true`, reader union unchanged) or DROPPED outright
-    * (`retain = false`, a TTL horizon: results expire). The numerically
+    * (`retain = false`, a TTL horizon: results expire — including prior
+    * FOLDS once the `_UPTO` coverage sidecar they were committed with
+    * falls at or below the horizon, so switching from a retention policy
+    * to a TTL one still expires everything). The numerically
     * newest batch is never touched regardless of the horizon — it is the
     * only one an at-least-once redelivery can retry, and its
     * retry-overwrite contract needs the dir intact. Fold staging follows
@@ -682,12 +660,7 @@ object AnnIndex {
     val (fs, root) = fsOf(spark, outDir)
     if (!fs.exists(root)) return 0
     def path(n: String) = new org.apache.hadoop.fs.Path(root, n)
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("tmp_compact_")).foreach(n => fs.delete(path(n), true))
-    val subsumed = fs.listStatus(root)
-      .filter(e => e.isDirectory && e.getPath.getName.startsWith("compact_"))
-      .flatMap(e => Dedup.readSubsumes(fs, e.getPath)).toSet
-    subsumed.foreach(n => fs.delete(path(n), true))
+    Dedup.sweepFoldLeftovers(fs, root, "tmp_compact_", "compact_")
     val names = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).toSeq
     def num(n: String): Option[Long] = {
@@ -699,27 +672,40 @@ object AnnIndex {
     val horizon = numbered
       .filter { case (id, n) => id <= horizonBatchId && !newest.contains(n) }
       .map(_._2)
-    if (horizon.isEmpty) return 0
-    if (!retain) { // TTL drop: expired results are simply gone
-      horizon.foreach(n => fs.delete(path(n), true))
-      return horizon.length
+    // a fold's `_UPTO` sidecar records the max batch id it covers —
+    // without it a TTL pass could never expire results that a retention
+    // pass folded earlier (the fold dir's own name carries no coverage);
+    // a fold missing the sidecar reads as MaxValue = never TTL-dropped
+    def uptoOf(n: String): Long = {
+      val p = path(s"$n/_UPTO")
+      if (!fs.exists(p)) Long.MaxValue
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
     }
+    if (!retain) { // TTL drop: expired results are simply gone —
+      // including prior FOLDS whose entire coverage is past the horizon
+      val expiredFolds = names.filter(_.startsWith("compact_"))
+        .filter(n => uptoOf(n) <= horizonBatchId)
+      (horizon ++ expiredFolds).foreach(n => fs.delete(path(n), true))
+      return horizon.length + expiredFolds.length
+    }
+    if (horizon.isEmpty) return 0
     // prior folds below the horizon merge in, so repeated retention
     // passes keep exactly one compact dir, not a chain
     val priorFolds = names.filter(_.startsWith("compact_")).sorted
     val fold = horizon ++ priorFolds
     val gen = priorFolds.map(_.stripPrefix("compact_").takeWhile(_.isDigit))
       .filter(_.nonEmpty).map(_.toLong).foldLeft(0L)(math.max) + 1
+    val upto = (horizon.flatMap(num) ++
+      priorFolds.map(uptoOf).filter(_ != Long.MaxValue)).max
     spark.read.schema(probeResultSchema).parquet(fold.map(n => s"$outDir/$n"): _*)
       .repartition(targetPartitions)
       .write.mode("overwrite").parquet(s"$outDir/tmp_compact_$gen")
-    val out = fs.create(path(s"tmp_compact_$gen/_SUBSUMES"), true)
-    try out.write(fold.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(path(s"tmp_compact_$gen"), path(s"compact_$gen")))
-      throw new IllegalStateException(
-        s"probe-result compaction commit rename failed: $outDir/compact_$gen")
-    fold.foreach(n => fs.delete(path(n), true))
+    Dedup.commitFold(fs, root, s"tmp_compact_$gen", s"compact_$gen", fold,
+      extraSidecars = Seq("_UPTO" -> s"$upto\n"))
     horizon.length
   }
 
@@ -747,12 +733,18 @@ object AnnIndex {
     val (fs, newRoot) = fsOf(spark, newDir)
     require(!fs.exists(new org.apache.hadoop.fs.Path(newRoot, "centroids")),
       s"rebuild target $newDir already holds an index — pick a fresh dir")
-    val corpus = readVectors(spark, indexDir)
-      .join(readTombstones(spark, indexDir), Seq("vec_id"), "left_anti")
-    build(corpus, newDir, nCentroids, trainIters, "vec_id", "embedding", trainRows)
+    // tombstones FIRST: an index becomes probe-able once build() commits
+    // its centroids, so writing them after would leave a crash window in
+    // which newDir looks complete but has forgotten every takedown — a
+    // later re-ingest of a taken-down id would resurface it, and the
+    // centroids guard above blocks the retry that would have fixed it.
+    // Tombstones over a not-yet-built index are inert.
     val (oldFs, oldTombs) = fsOf(spark, s"$indexDir/tombstones")
     if (oldFs.exists(oldTombs))
       readTombstones(spark, indexDir).distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$newDir/tombstones")
+    val corpus = readVectors(spark, indexDir)
+      .join(readTombstones(spark, indexDir), Seq("vec_id"), "left_anti")
+    build(corpus, newDir, nCentroids, trainIters, "vec_id", "embedding", trainRows)
   }
 }

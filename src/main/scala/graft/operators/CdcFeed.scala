@@ -425,9 +425,16 @@ object CdcFeed extends Serializable {
     import spark.implicits._
     val dim = offsets.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-    ranged.join(broadcast(dim), Seq("__pid"))
+    val out = ranged.join(broadcast(dim), Seq("__pid"))
       .withColumn("tx", col("__off") + row_number().over(w).cast("long") + base)
       .drop("__pid", "__off")
+      // cut the cached-exchange lineage so the cache can be released
+      // without a recompute hazard (selectUnderTokenBudget's discipline)
+      // — under the harness's long-lived shared session an unreleased
+      // persist per feed generation would strand blocks forever
+      .localCheckpoint()
+    ranged.unpersist()
+    out
   }
 
   /** VStream-copy feed (S5/F3 gate fixture), single shard `s0` — the

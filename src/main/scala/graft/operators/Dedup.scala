@@ -576,6 +576,55 @@ object Dedup {
     }
   }
 
+  /** Shared HEAD of every staged fold (ingest state, ANN batch dirs,
+    * tombstones, probe results): delete crashed staging — an uncommitted
+    * `tmpPrefix` entry is garbage by construction, the rename that would
+    * have committed it never ran — and finish a committed fold's
+    * half-done deletes (every entry named by a `foldDirPrefix` dir's
+    * `_SUBSUMES` sidecar; dirs without a sidecar contribute nothing). */
+  private[operators] def sweepFoldLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      tmpPrefix: String,
+      foldDirPrefix: String): Unit = {
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(tmpPrefix))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith(foldDirPrefix))
+      .flatMap(e => readSubsumes(fs, e.getPath)).toSet
+      .foreach((n: String) => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+  }
+
+  /** Shared TAIL of every staged fold — this sequence IS the crash-safety
+    * argument, so it exists ONCE: the `_SUBSUMES` sidecar (and any extra
+    * sidecar files) are written INSIDE the invisible staging dir, one
+    * atomic rename to `targetName` is the commit point (from that
+    * instant readers honor the sidecar and the folded entries are
+    * invisible), and the folded entries are deleted after (a crash
+    * mid-delete leaves duplicates on DISK, never in a read — the next
+    * sweep finishes the job). */
+  private[operators] def commitFold(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stagingName: String,
+      targetName: String,
+      folded: Seq[String],
+      extraSidecars: Seq[(String, String)] = Nil): Unit = {
+    def writeSidecar(name: String, body: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, s"$stagingName/$name"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    writeSidecar("_SUBSUMES", folded.mkString("", "\n", "\n"))
+    extraSidecars.foreach { case (n, b) => writeSidecar(n, b) }
+    if (!fs.rename(new org.apache.hadoop.fs.Path(root, stagingName),
+        new org.apache.hadoop.fs.Path(root, targetName)))
+      throw new IllegalStateException(
+        s"fold commit rename failed: $root/$stagingName -> $targetName")
+    folded.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+  }
+
   /** Compact the per-batch state subdirs [[ingestNearDupBatch]] leaves
     * behind: the ingest loop writes one small parquet dir per
     * micro-batch, a linear small-files pile at 100 TB ingest cadence.
@@ -612,12 +661,7 @@ object Dedup {
     def dirs() = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
     // clean up leftovers of earlier crashed runs: orphan staging dirs
     // and subdirs an already-committed compaction subsumed
-    dirs().filter(_.startsWith("tmp_compact_"))
-      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
-    val subsumed = fs.listStatus(root).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("compact_"))
-      .flatMap(e => readSubsumes(fs, e.getPath)).toSet
-    subsumed.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    sweepFoldLeftovers(fs, root, "tmp_compact_", "compact_")
     val all = dirs()
       .filter(n => n.startsWith("batch_") || n.startsWith("compact_"))
       .sorted.toSeq
@@ -639,15 +683,7 @@ object Dedup {
     spark.read.schema(schema).parquet(live.map(n => s"$dir/$n"): _*)
       .repartition(targetPartitions)
       .write.mode("overwrite").parquet(s"$dir/$staging")
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$staging/_SUBSUMES"), true)
-    try out.write(live.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    // commit point: atomic rename makes the compact dir + sidecar visible
-    if (!fs.rename(new org.apache.hadoop.fs.Path(root, staging),
-        new org.apache.hadoop.fs.Path(root, s"compact_$gen")))
-      throw new IllegalStateException(
-        s"compaction commit rename failed: $dir/$staging -> compact_$gen")
-    live.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    commitFold(fs, root, staging, s"compact_$gen", live)
     live.length
   }
 

@@ -26,17 +26,32 @@ object Domains {
     lower(regexp_extract(c, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
   private def authority(c: Column): Column =
     regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+  private def afterUserinfo(c: Column): Column =
+    regexp_extract(authority(c), "^(?:[^@]*@)?(.*)$", 1)
 
-  /** Lowercased host with any userinfo@ and :port stripped. */
-  def hostOf(c: Column): Column =
-    lower(regexp_extract(authority(c), "^(?:[^@]*@)?([^:]*)", 1))
+  /** Lowercased host with any userinfo@ and :port stripped. A bracketed
+    * IPv6 literal keeps its brackets and its inner colons — a bare
+    * `[^:]*` capture would truncate `[::1]` to `[`, merging every IPv6
+    * host into one key. */
+  def hostOf(c: Column): Column = {
+    val a = afterUserinfo(c)
+    lower(when(a.startsWith("["), regexp_extract(a, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(a, "^([^:]*)", 1)))
+  }
 
-  private def port(c: Column): Column =
-    regexp_extract(authority(c), ":([0-9]+)$", 1)
+  private def port(c: Column): Column = {
+    val a = afterUserinfo(c)
+    when(a.startsWith("["), regexp_extract(a, "^\\[[^\\]]*\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(a, "^[^:]*:([0-9]+)$", 1))
+  }
   private def rawPath(c: Column): Column =
     regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+  /** Query = after the first `?` of the PRE-FRAGMENT prefix. Matching
+    * `\?` over the whole URL would find a `?` inside the fragment
+    * (`#/route?tab=2`) and leak fragment content into the canonical
+    * query, splitting identical resources. */
   private def rawQuery(c: Column): Column =
-    regexp_extract(c, "\\?([^#]*)", 1)
+    regexp_extract(regexp_extract(c, "^([^#]*)", 1), "\\?(.*)$", 1)
 
   /** Query params that identify a CLICK, not a resource — their removal
     * is what lets the same article fetched from a newsletter and from
@@ -86,15 +101,19 @@ object Domains {
   /** eTLD+1 of a URL's host: the last two labels, or the last three
     * when the last two are a second-level public suffix (`a.b.co.uk` →
     * `b.co.uk`). Hosts with fewer labels than that pass through
-    * unchanged (a bare `localhost` is its own domain). */
+    * unchanged (a bare `localhost` is its own domain), and IP literals
+    * — bracketed IPv6 or dotted IPv4 — are their own domain whole (the
+    * public-suffix rule is for DNS names; slicing an IPv4's last two
+    * octets would pool unrelated addresses under one policy key). */
   def registeredDomain(c: Column): Column = {
     val host = regexp_replace(hostOf(c), "^www\\.", "")
     val labels = split(host, "\\.")
     val last2 = array_join(slice(labels, -2, 2), ".")
     val last3 = array_join(slice(labels, -3, 3), ".")
-    when(size(labels) <= lit(2), host)
-      .otherwise(when(last2.isin(SecondLevelSuffixes: _*), last3)
-        .otherwise(last2))
+    when(host.startsWith("[") || host.rlike("^[0-9.]+$"), host)
+      .otherwise(when(size(labels) <= lit(2), host)
+        .otherwise(when(last2.isin(SecondLevelSuffixes: _*), last3)
+          .otherwise(last2)))
   }
 
   /** Drop every row whose URL's registered domain is blocklisted.

@@ -2676,14 +2676,19 @@ object LlmQueries {
     """comp AS (
       |  SELECT doc_id, n_chars, url,
       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
-      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |    regexp_extract(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      |      '^(?:[^@]*@)?(.*)$', 1) AS au,
       |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |    regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\?(.*)$', 1) AS rawq
       |  FROM urls
       |), comp2 AS (
       |  SELECT *,
-      |    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)), '^www\.', '') AS host,
-      |    regexp_extract(auth, ':([0-9]+)$', 1) AS prt
+      |    regexp_replace(lower(CASE WHEN au LIKE '[%'
+      |      THEN regexp_extract(au, '^(\[[^\]]*\])', 1)
+      |      ELSE regexp_extract(au, '^([^:]*)', 1) END), '^www\.', '') AS host,
+      |    CASE WHEN au LIKE '[%'
+      |      THEN regexp_extract(au, '^\[[^\]]*\]:([0-9]+)$', 1)
+      |      ELSE regexp_extract(au, '^[^:]*:([0-9]+)$', 1) END AS prt
       |  FROM comp
       |), canon0 AS (
       |  SELECT doc_id, n_chars, url, host,
@@ -2701,7 +2706,8 @@ object LlmQueries {
       |  FROM comp2
       |), rd AS (
       |  SELECT doc_id, n_chars, url, canon,
-      |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |    CASE WHEN host LIKE '[%' OR regexp_matches(host, '^[0-9.]+$') THEN host
+      |         WHEN len(string_split(host, '.')) <= 2 THEN host
       |         WHEN array_to_string(string_split(host, '.')[-2:], '.') IN
       |           ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
       |            'com.au','net.au','org.au','co.nz','com.br','com.cn','com.tw',

@@ -459,6 +459,22 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = results(outB)
     assert(kept.length == 3 * 3 &&
       kept.map(_.head.asInstanceOf[Long]).toSet == Set(46L, 47L, 48L))
+    // --- retention -> TTL policy switch: a prior FOLD expires too, via
+    // its _UPTO coverage sidecar (its name carries no batch ids)
+    AnnIndex.probeBatch(qb(49L, 52L), idx, outA, 4L, k = 3)
+    assert(dirsOf(outA).contains("compact_2")) // covers batches 0..2
+    assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 3L,
+      retain = false) == 2) // batch_3 dropped + the fold dropped
+    assert(dirsOf(outA) == Seq("batch_4"))
+    assert(results(outA).map(_.head.asInstanceOf[Long]).toSet ==
+      Set(49L, 50L, 51L))
+    // a fold NOT fully past the horizon survives a TTL pass
+    AnnIndex.probeBatch(qb(52L, 55L), idx, outA, 5L, k = 3)
+    assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 4L) == 1)
+    assert(dirsOf(outA) == Seq("batch_5", "compact_1")) // _UPTO = 4
+    assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 3L,
+      retain = false) == 0)
+    assert(dirsOf(outA) == Seq("batch_5", "compact_1"))
   }
 
   test("compact() and compactTombstones() during a LIVE checkpointed probe stream") {

@@ -58,6 +58,33 @@ class DomainsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon("not a url") == "")
   }
 
+  test("canonicalizeUrl: a '?' inside the fragment is NOT a query") {
+    // SPA-style fragment routes carry their own '?' — the query must
+    // come from the pre-fragment prefix only, or fragment content leaks
+    // into the canonical key and splits identical resources
+    assert(canon("http://example.com/p#sec?x=1") == "http://example.com/p")
+    assert(canon("http://example.com/p#/route?tab=2") == "http://example.com/p")
+    // a real query followed by a querying fragment keeps only the real one
+    assert(canon("http://example.com/p?a=1#frag?b=2") == "http://example.com/p?a=1")
+  }
+
+  test("IPv6 and IPv4 hosts: brackets survive, ports parse, IPs are their own domain") {
+    // a bare [^:]* host capture would truncate every IPv6 literal to
+    // '[' and merge genuinely different hosts into one canonical key
+    assert(canon("http://[::1]:8080/x") == "http://[::1]:8080/x")
+    assert(canon("http://[2001:db8::2]:8080/x") == "http://[2001:db8::2]:8080/x")
+    assert(canon("http://[::1]:8080/x") != canon("http://[2001:db8::2]:8080/x"))
+    // default-port drop applies to bracketed hosts too
+    assert(canon("https://[::1]:443/x") == "https://[::1]/x")
+    assert(canon("HTTP://user@[::A]/x") == "http://[::a]/x")
+    // IP literals are their own policy key — never sliced by the
+    // DNS-label suffix rule (192.168.0.1 must not pool with 10.9.0.1
+    // under a common '0.1' domain)
+    assert(domain("http://[2001:db8::2]:8080/x") == "[2001:db8::2]")
+    assert(domain("http://192.168.0.1:8080/x") == "192.168.0.1")
+    assert(domain("http://10.9.0.1/x") == "10.9.0.1")
+  }
+
   test("registeredDomain: eTLD+1 with second-level public suffixes") {
     assert(domain("http://a.b.example.com/x") == "example.com")
     assert(domain("http://example.com/x") == "example.com")
