@@ -22,6 +22,15 @@ private[graft] object TempDirs {
     dir
   }
 
+  /** Delete a registered dir NOW and drop it from the exit registry —
+    * for per-invocation dirs (scratch indexes, checkpoints) whose
+    * lifetime ends with the call, so the registry doesn't grow by one
+    * dead path per invocation for the process lifetime. */
+  def release(dir: java.nio.file.Path): Unit = {
+    registered.remove(dir)
+    deleteRecursively(dir)
+  }
+
   def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
       val walk = java.nio.file.Files.walk(dir)

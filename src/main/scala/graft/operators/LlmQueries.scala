@@ -111,21 +111,17 @@ object LlmQueries {
     * process lifetime. */
   private val stagedParquetDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  // the old per-invocation recursive delete moved here: staged dirs are
-  // reclaimed when the JVM exits, so repeated bench/test processes don't
-  // accumulate corpus-sized re-lays in the temp volume
-  sys.addShutdownHook {
-    stagedParquetDirs.values.forEach(graft.TempDirs.deleteRecursively)
-  }
 
   private def stageOnce(key: String)(write: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedParquetDirs.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stage")
+      // registered BEFORE the write so even a crash mid-stage reclaims
+      // at exit; a failed staging write is released immediately (the
+      // retry would otherwise stage a second full copy next to it)
+      val dir = graft.TempDirs.reclaimOnExit(
+        java.nio.file.Files.createTempDirectory("graft_stage"))
       try write(dir)
       catch { case e: Throwable =>
-        // a failed staging write must not leave a partial, unregistered
-        // corpus re-lay behind (the retry would stage a second full copy)
-        graft.TempDirs.deleteRecursively(dir)
+        graft.TempDirs.release(dir)
         throw e
       }
       dir
@@ -133,24 +129,25 @@ object LlmQueries {
 
   /** Run a gate body against a fresh per-invocation scratch dir (an ANN
     * index the gate builds and probes), eagerly materialize its small
-    * result, and delete the dir right away: repeated invocations in one
-    * process (bench medians, Verify loops) no longer accumulate a full
-    * index copy each until JVM exit. The exit-time hook stays registered
-    * as the backstop for a crash between build and delete. */
+    * result, and delete the dir right away — SUCCESS OR FAILURE:
+    * repeated invocations in one process (bench medians, Verify loops of
+    * a red gate) must not accumulate a full index copy each until JVM
+    * exit. The exit registry is the backstop for a hard crash between
+    * create and release. */
   private def withScratchIndex(prefix: String)(body: String => DataFrame): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory(prefix)
-    stagedParquetDirs.put(s"reclaim:$root", root)
-    val res = body(root.resolve("idx").toString)
-    // pin the small gate result on the DRIVER before deleting the index
-    // files (the qDedupStreaming pattern): a localCheckpoint would live in
-    // non-replicated executor storage, and eviction or executor loss
-    // before the result is consumed would force a recompute from the
-    // now-deleted parquet
-    val rows = res.collect()
-    val out = res.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), res.schema)
-    graft.TempDirs.deleteRecursively(root)
-    out
+    val root = graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory(prefix))
+    try {
+      val res = body(root.resolve("idx").toString)
+      // pin the small gate result on the DRIVER before deleting the index
+      // files (the qDedupStreaming pattern): a localCheckpoint would live
+      // in non-replicated executor storage, and eviction or executor loss
+      // before the result is consumed would force a recompute from the
+      // now-deleted parquet
+      val rows = res.collect()
+      res.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
+    } finally graft.TempDirs.release(root)
   }
 
   // --------------------------------------------------- streaming dedup
@@ -171,24 +168,34 @@ object LlmQueries {
         .repartition(4).write.mode("append").parquet(dir.toString)
     }
     val schema = s.read.parquet(dir.toString).schema
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(dir.toString)
-    val q = Dedup.streamingExactDedup(stream, "text")
-      .writeStream.outputMode("append").format("memory")
-      .queryName("graft_sdedup_out").start()
-    try q.processAllAvailable() finally q.stop()
-    val resDf = s.table("graft_sdedup_out")
-      .agg(
-        count(lit(1)).as("n_kept"),
-        sum(length(TextOps.normText(col("text")))).as("sum_norm_len"))
-    val rows = resDf.collect()
-    val outSchema = resDf.schema
-    // the staged dir is memoized for re-runs; only the sink view is
-    // per-invocation state (best-effort — the result is already pinned)
-    try s.catalog.dropTempView("graft_sdedup_out")
-    catch { case _: Throwable => () }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    // explicit registered+released checkpoint (the CdcQueries
+    // convention): Spark deletes its own temp checkpoint only on an
+    // error-free stop, and this one's state store holds a key per
+    // distinct normalized text — corpus-scale state a failed run would
+    // otherwise strand in the temp volume forever
+    val ckpt = graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt"))
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(dir.toString)
+      val q = Dedup.streamingExactDedup(stream, "text")
+        .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName("graft_sdedup_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val resDf = s.table("graft_sdedup_out")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(length(TextOps.normText(col("text")))).as("sum_norm_len"))
+      val rows = resDf.collect()
+      val outSchema = resDf.schema
+      // the staged dir is memoized for re-runs; only the sink view is
+      // per-invocation state (best-effort — the result is already pinned)
+      try s.catalog.dropTempView("graft_sdedup_out")
+      catch { case _: Throwable => () }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally graft.TempDirs.release(ckpt)
   }
 
   // one survivor per DISTINCT normalized text (natural duplicate pairs in
@@ -1226,31 +1233,39 @@ object LlmQueries {
         .write.mode("overwrite").parquet(dir.toString)
     }
     val schema = s.read.parquet(dir.toString).schema
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2")
-      .parquet(dir.toString)
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        Analytics.fixed4(sum(col("value").cast("decimal(18,4)"))).as("total_value"))
-      .select(
-        col("window.start").cast("date").as("day"),
-        col("event_type"), col("n"), col("total_value"))
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("graft_stream_daily").start()
-    try q.processAllAvailable() finally q.stop()
-    // The result is ~150 rows (days × event types), so pin it on the
-    // driver and rebuild a local DataFrame: the memory-sink table and the
-    // temp re-lay directory can then be released immediately instead of
-    // accumulating session state and disk across gate/bench invocations.
-    val resDf = s.table("graft_stream_daily").orderBy(col("day"), col("event_type"))
-    val rows = resDf.collect()
-    val outSchema = resDf.schema
-    // the staged re-lay is memoized for re-runs; only the sink view is
-    // per-invocation state (best-effort — the result is already pinned)
-    try s.catalog.dropTempView("graft_stream_daily")
-    catch { case _: Throwable => () }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    // explicit registered+released checkpoint — a failed run would
+    // strand Spark's auto temp checkpoint (window state) otherwise
+    val ckpt = graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory("graft_evstream_ckpt"))
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dir.toString)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Analytics.fixed4(sum(col("value").cast("decimal(18,4)"))).as("total_value"))
+        .select(
+          col("window.start").cast("date").as("day"),
+          col("event_type"), col("n"), col("total_value"))
+        .writeStream.outputMode("complete").format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName("graft_stream_daily").start()
+      try q.processAllAvailable() finally q.stop()
+      // The result is ~150 rows (days × event types), so pin it on the
+      // driver and rebuild a local DataFrame: the memory-sink table and
+      // the temp re-lay directory can then be released immediately
+      // instead of accumulating session state and disk across
+      // gate/bench invocations.
+      val resDf = s.table("graft_stream_daily").orderBy(col("day"), col("event_type"))
+      val rows = resDf.collect()
+      val outSchema = resDf.schema
+      // the staged re-lay is memoized for re-runs; only the sink view is
+      // per-invocation state (best-effort — the result is already pinned)
+      try s.catalog.dropTempView("graft_stream_daily")
+      catch { case _: Throwable => () }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally graft.TempDirs.release(ckpt)
   }
 
   val qEventsStreamDailySql: String =
@@ -2803,7 +2818,7 @@ object LlmQueries {
     // (the same cache a real pipeline would hold at this point)
     val withVec = samp.join(allEmb, col("doc_id") === col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = withScratchIndex("graft_gate_pipesem_") { dir =>
+    try withScratchIndex("graft_gate_pipesem_") { dir =>
       val corpus = withVec.filter(col("doc_id") < 250)
       val fresh = withVec.filter(col("doc_id") >= 250)
       AnnIndex.build(corpus.select(col("vec_id"), col("embedding")), dir, nCentroids = 32)
@@ -2821,11 +2836,12 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tok")).as("tok_kept"),
           sum(col("doc_id")).as("sum_kept"))
-    }
+    }.orderBy(col("source"))
     // withScratchIndex pinned the result rows on the driver, so the
-    // cache can go before the caller consumes the frame
-    withVec.unpersist(false)
-    out.orderBy(col("source"))
+    // cache can go before the caller consumes the frame — and it MUST go
+    // on the failure path too, or every red run of a long session pins
+    // another copy of the curated corpus until SparkContext stop
+    finally withVec.unpersist(false)
   }
 
   val qPipelineSemanticSql: String = {

@@ -83,9 +83,12 @@ object VtWire {
     VtType.byValue.getOrElse(id, throw new IllegalStateException(
       s"unknown vitess type id $id for $ctx — refusing to degrade to NULL_TYPE"))
 
-  private def typeIdOf(name: String, ctx: String): Option[Int] =
-    Some(VtType.byName.getOrElse(name, throw new IllegalStateException(
-      s"unknown vitess type name '$name' for $ctx — refusing to encode typeless")))
+  /** Unknown names THROW (never encode typeless); the only zero is the
+    * legitimate NULL_TYPE enum, which proto3 omits on the wire — so the
+    * contract is a plain Int, not an Option. */
+  private def typeIdOf(name: String, ctx: String): Int =
+    VtType.byName.getOrElse(name, throw new IllegalStateException(
+      s"unknown vitess type name '$name' for $ctx — refusing to encode typeless"))
 
   /** binlogdata.VEventType */
   object VEventType {
@@ -152,8 +155,8 @@ object VtWire {
 
   private def encodeField(f: FieldDef): Array[Byte] = out { c =>
     if (f.name.nonEmpty) c.writeString(1, f.name)
-    typeIdOf(f.wireType, s"FIELD column '${f.name}'").filter(_ != 0)
-      .foreach(c.writeEnum(2, _))
+    val fieldType = typeIdOf(f.wireType, s"FIELD column '${f.name}'")
+    if (fieldType != 0) c.writeEnum(2, fieldType)
     if (f.columnLength != 0) c.writeUInt32(7, f.columnLength)
     if (f.decimals != 0) c.writeUInt32(9, f.decimals)
     if (f.flags != 0) c.writeUInt32(10, f.flags.toInt)
@@ -167,8 +170,8 @@ object VtWire {
 
   private def encodePkField(f: PkField): Array[Byte] = out { c =>
     if (f.name.nonEmpty) c.writeString(1, f.name)
-    typeIdOf(f.typeName, s"lastpk PK column '${f.name}'").filter(_ != 0)
-      .foreach(c.writeEnum(2, _))
+    val pkType = typeIdOf(f.typeName, s"lastpk PK column '${f.name}'")
+    if (pkType != 0) c.writeEnum(2, pkType)
     if (f.charset != 0) c.writeUInt32(8, f.charset)
     // Some(0) encodes as an EXPLICIT zero (legal proto3): dropping it
     // would decode back as None, breaking checkpoint-vs-wire equality
