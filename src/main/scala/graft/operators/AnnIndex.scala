@@ -709,6 +709,63 @@ object AnnIndex {
     horizon.length
   }
 
+  /** Per-cell occupancy of the LIVE index (tombstones excluded) — the
+    * [[rebuild]]-decision signal. [[build]] freezes the quantizer, so
+    * cells only ever grow; once max/mean live-cell size runs far past
+    * corpus/nCentroids, every probe's candidate scan and
+    * [[ingestSemDedupBatch]]'s same-cell compare pay that factor and a
+    * rebuild at a larger nCentroids is due. Reads only the codes
+    * relation (ids + cells, partition-pruned columns — never the float
+    * vectors), one map-side-combined aggregation. */
+  def cellStats(spark: SparkSession, indexDir: String): DataFrame =
+    readCodes(spark, indexDir)
+      .join(readTombstones(spark, indexDir), Seq("vec_id"), "left_anti")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_live"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+
+  /** One-row maintenance summary joining the data-side signal
+    * ([[cellStats]]: live count, used cells, occupancy skew) with the
+    * LAYOUT pressure (state dirs per subtree, tombstone entries) that
+    * decides when [[compact]] / [[compactTombstones]] are due. Dir and
+    * tombstone-entry counts are driver-side listings — bounded by the
+    * very small-files problem they watch for. */
+  def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val nCentroids = readCentroids(spark, indexDir).length
+    def stateDirs(sub: String): Int = {
+      val (fs, root) = fsOf(spark, s"$indexDir/$sub")
+      if (!fs.exists(root)) 0
+      else {
+        val batches = batchDirs(spark, s"$indexDir/$sub", Set.empty).length
+        if (batches > 0) batches
+        else 1 // root-append layout: one flat relation
+      }
+    }
+    def tombstoneEntries: Int = {
+      val (fs, root) = fsOf(spark, s"$indexDir/tombstones")
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).count { e =>
+        val n = e.getPath.getName
+        if (e.isDirectory) n.startsWith("compact_")
+        else !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    cellStats(spark, indexDir)
+      .agg(
+        coalesce(sum(col("n_live")), lit(0L)).as("n_live"),
+        count(lit(1)).as("n_cells_used"),
+        coalesce(max(col("n_live")), lit(0L)).as("max_cell"))
+      .withColumn("n_cells_total", lit(nCentroids))
+      .withColumn("mean_cell",
+        round(col("n_live") / greatest(col("n_cells_used"), lit(1L)), 2))
+      .withColumn("n_tombstone_ids",
+        lit(readTombstones(spark, indexDir).distinct().count()))
+      .withColumn("n_code_dirs", lit(stateDirs("codes")))
+      .withColumn("n_vector_dirs", lit(stateDirs("vectors")))
+      .withColumn("n_tombstone_entries", lit(tombstoneEntries))
+  }
+
   /** Migrate the index to a NEW coarse quantizer — the lifecycle step the
     * frozen-at-build centroids ([[build]]) eventually demand: SemDeDup's
     * own contract is nCentroids ∝ corpus, so a corpus that grows far past

@@ -1127,6 +1127,42 @@ object LlmQueries {
       |  JOIN embeddings q ON q.vec_id = c.query_id
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------- ANN index cell stats
+  /** [[AnnIndex.cellStats]] under the oracle: the live per-cell
+    * occupancy of a built+ingested+takedown index — the signal that
+    * decides when the frozen quantizer is due a [[AnnIndex.rebuild]].
+    * The oracle replays the whole surface the stats summarize: centroid
+    * selection, argmax cell assignment over BOTH the seed corpus and the
+    * ingested batch, and the tombstone exclusion. */
+  val qAnnIndexStats: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    withScratchIndex("graft_gate_annstats_") { dir =>
+      AnnIndex.build(emb.filter(col("vec_id") < 400), dir, nCentroids = 16)
+      AnnIndex.ingest(emb.filter(col("vec_id") >= 400), dir, batchId = Some(1L))
+      AnnIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"), dir)
+      AnnIndex.cellStats(s, dir)
+    }.orderBy(col("cid"))
+  }
+
+  val qAnnIndexStatsSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      |  WHERE vec_id < 400 ORDER BY vec_id LIMIT 16
+      |), assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.cemb::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM embeddings e CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |)
+      |SELECT cid, count(*) AS n_live,
+      |  CAST(min(vec_id) AS BIGINT) AS min_id,
+      |  CAST(max(vec_id) AS BIGINT) AS max_id
+      |FROM assigned WHERE vec_id % 7 <> 0
+      |GROUP BY cid ORDER BY cid""".stripMargin
+
   // ---------------------------------------------- int8 quantization
   /** quantizeInt8 under the oracle: scale, the full int8 code vector,
     * and the max reconstruction error all replay exactly in SQL because
@@ -2956,6 +2992,7 @@ object LlmQueries {
     "ann_int8"            -> qAnnInt8,
     "ann_index_ingest"    -> qAnnIndexIngest,
     "ann_rebuild"         -> qAnnRebuild,
+    "ann_index_stats"     -> qAnnIndexStats,
     "dedup_semantic_ingest" -> qDedupSemanticIngest,
     "text_heavy_hitters"  -> qTextHeavyHitters,
     "text_stats"          -> qTextStats,
@@ -3027,6 +3064,7 @@ object LlmQueries {
     "ann_int8"            -> qAnnInt8Sql,
     "ann_index_ingest"    -> qAnnIndexIngestSql,
     "ann_rebuild"         -> qAnnRebuildSql,
+    "ann_index_stats"     -> qAnnIndexStatsSql,
     "dedup_semantic_ingest" -> qDedupSemanticIngestSql,
     "text_heavy_hitters"  -> qTextHeavyHittersSql,
     "text_stats"          -> qTextStatsSql,

@@ -518,6 +518,39 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ns.contains(7L) && !ns.contains(17L)) // tombstones held through the fold
   }
 
+  test("indexStats: occupancy and layout pressure track ingest, deletes and compaction") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val dir = tmp("graft_ann_stats")
+    AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 25 && col("vec_id") < 30), dir, Some(1L))
+    AnnIndex.ingest(emb.filter(col("vec_id") >= 30 && col("vec_id") < 35), dir, Some(2L))
+    AnnIndex.delete(Seq(3L).toDF("vec_id"), dir)
+    AnnIndex.delete(Seq(26L).toDF("vec_id"), dir)
+    val st = AnnIndex.indexStats(spark, dir).head()
+    def l(n: String) = st.getLong(st.fieldIndex(n))
+    def i(n: String) = st.getInt(st.fieldIndex(n))
+    assert(l("n_live") == 33) // 35 ingested - 2 tombstoned
+    assert(i("n_cells_total") == 8 && l("n_cells_used") <= 8)
+    assert(l("max_cell") >= 1 && l("n_tombstone_ids") == 2)
+    // layout pressure: seed + 2 ingests per subtree, 2 appended tombstone files
+    assert(i("n_code_dirs") == 3 && i("n_vector_dirs") == 3)
+    assert(i("n_tombstone_entries") == 2)
+    // per-cell view sums to the live total and carries id ranges
+    val cells = AnnIndex.cellStats(spark, dir)
+    assert(cells.agg(sum("n_live")).head().getLong(0) == 33)
+    // after compaction the DATA signal is unchanged, the LAYOUT one drops
+    assert(AnnIndex.compact(spark, dir) == 4)
+    assert(AnnIndex.compactTombstones(spark, dir) == 2)
+    val st2 = AnnIndex.indexStats(spark, dir).head()
+    def l2(n: String) = st2.getLong(st2.fieldIndex(n))
+    def i2(n: String) = st2.getInt(st2.fieldIndex(n))
+    assert(l2("n_live") == 33 && l2("n_tombstone_ids") == 2)
+    assert(i2("n_code_dirs") == 2 && i2("n_vector_dirs") == 2) // fold + protected newest
+    assert(i2("n_tombstone_entries") == 1)
+  }
+
   test("trained index (Lloyd) probe reaches recall@5 >= 0.9 vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
