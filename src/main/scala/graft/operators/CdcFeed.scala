@@ -67,7 +67,8 @@ object CdcFeed extends Serializable {
   }
 
   private def feedLines(shard: String, txSeq: Long, events: Seq[VEvent]): Seq[FeedLine] =
-    events.zipWithIndex.map { case (e, i) => FeedLine(shard, txSeq * 8 + i, VEventJson.write(e)) }
+    events.zipWithIndex.map { case (e, i) =>
+      FeedLine(shard, txSeq * EventsPerTx + i, VEventJson.write(e)) }
 
   /** The VGTID emitted with transaction `txSeq` of `shard`: the shard's
     * own position advances; with `multiShard` every other shard is listed

@@ -304,10 +304,15 @@ object CdcQueries {
     // union branches (persist + count would pay an extra full action)
     val df = recs.toDF().localCheckpoint(true)
     val kept = Transforms.filterTransactionTopicRecords(df)
-    df.groupBy(col("op")).agg(count(lit(1)).as("n"))
+    val out = df.groupBy(col("op")).agg(count(lit(1)).as("n"))
       .unionByName(
         kept.select(lit("kept_after_filter").as("op"), count(lit(1)).as("n")))
       .orderBy(col("op"))
+    // pin the ~4-row result and drop every reference to the checkpointed
+    // corpus-sized record set — returning a plan over it would keep its
+    // blocks pinned for as long as the harness holds the result
+    val rows = out.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   val qCdcBoundariesSql: String =
@@ -468,9 +473,15 @@ object CdcQueries {
     try ls.iterator().asScala.filter(_.toString.endsWith(".jsonl")).toSeq.sortBy(_.toString)
       .foreach { f =>
         val target = feedDir.resolve(f.getFileName.toString)
-        if (Files.exists(target))
-          Files.write(target, Files.readAllBytes(f), StandardOpenOption.APPEND)
-        else { Files.copy(f, target); () }
+        if (Files.exists(target)) {
+          // stream the append — readAllBytes would buffer a whole shard's
+          // feed (GBs at large SF) on the driver heap per wave per gate
+          val in = Files.newInputStream(f)
+          try {
+            val out = Files.newOutputStream(target, StandardOpenOption.APPEND)
+            try { in.transferTo(out); () } finally out.close()
+          } finally in.close()
+        } else { Files.copy(f, target); () }
       }
     finally ls.close()
   }
@@ -481,6 +492,7 @@ object CdcQueries {
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stream_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stream_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt)
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -506,6 +518,7 @@ object CdcQueries {
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_shopt_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_shopt_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt, Map("shard" -> "1,3"))
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -532,18 +545,22 @@ object CdcQueries {
     val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_rr"))
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_rr_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_rr_ckpt"))
-    // FeedLine.seq = tx*8 + eventIndex (tx from 1): seq < 800 puts
-    // transactions 1..99 of each shard in wave 1 (tx 100 spans seq
-    // 800-804), the rest arrive after the restart
+    // FeedLine.seq = tx*EventsPerTx + eventIndex (tx from 1): the cut at
+    // tx 100's first event puts transactions 1..99 of each shard in wave
+    // 1, the rest arrive after the restart; a tx-aligned boundary by
+    // construction, whatever the stride
+    val cut = 100 * CdcFeed.EventsPerTx
     val waves = stageWaves(s"rr:$d", s) {
       val feed = CdcFeed.orders(s, d)
-      Seq(feed.filter(col("seq") < 800), feed.filter(col("seq") >= 800))
+      Seq(feed.filter(col("seq") < cut), feed.filter(col("seq") >= cut))
     }
     val split = Map("split.partition.bytes" -> "4194304")
     copyWave(waves(0), feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt, split) // run 1, then stop ("kill")
     copyWave(waves(1), feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt, split) // resume from checkpoint
+    graft.TempDirs.release(feedDir)
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -567,6 +584,7 @@ object CdcQueries {
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_split_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_split_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt, Map("split.partition.bytes" -> "65536"))
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -609,6 +627,8 @@ object CdcQueries {
     runStreamOnce(s, feedDir, outDir, ckpt, opts)
     copyWave(waves(1), feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt, opts)
+    graft.TempDirs.release(feedDir)
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .filter(col("op") === "c")
       .groupBy(col("shard"), col("epoch"))
@@ -655,6 +675,8 @@ object CdcQueries {
     runStreamOnce(s, feedDir, outDir, ckpt, split)
     copyWave(waves(1), feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt, split + ("generation" -> "2"))
+    graft.TempDirs.release(feedDir)
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("op"), col("epoch").cast(LongType).as("epoch"))
       .agg(
@@ -690,6 +712,8 @@ object CdcQueries {
     copyWave(stageWaves(s"cp:$d", s)(Seq(CdcFeed.copyPhase(s, d))).head, feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt,
       Map("snapshot.tables" -> "ks\\.orders", "split.partition.bytes" -> "4194304"))
+    graft.TempDirs.release(feedDir)
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .filter(col("op") === "c")
       // copy positions carry a lastpk object; streaming ones serialize
@@ -735,6 +759,8 @@ object CdcQueries {
     copyWave(stageWaves(s"bf:$d", s)(Seq(feed)).head, feedDir)
     runStreamOnce(s, feedDir, outDir, ckpt,
       Map("vgtid" -> handover.json, "split.partition.bytes" -> "4194304"))
+    graft.TempDirs.release(feedDir)
+    graft.TempDirs.release(ckpt)
     val snapshot = CdcBackfill.snapshotRecords(
         graft.Tables.orders(s, d), "ks", "orders", Seq("o_orderkey"),
         col("o_orderkey") % 4, handover)
@@ -776,6 +802,7 @@ object CdcQueries {
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_hb_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_hb_ckpt"))
     runStreamOnce(s, feedDir, outDir, ckpt, Map("heartbeat.batch" -> "true"))
+    graft.TempDirs.release(ckpt)
     s.read.parquet(outDir.toString)
       .groupBy(col("op"))
       .agg(count(lit(1)).as("n"))
@@ -810,15 +837,16 @@ object CdcQueries {
         .groupBy(col("table").as("tbl"))
         .agg(count(lit(1)).as("n"))
         .withColumn("mode", lit(mode))
-    val out = run("default", streamHeartbeats = false)
+    try run("default", streamHeartbeats = false)
       .unionByName(run("with_heartbeats", streamHeartbeats = true))
       .select(col("mode"), col("tbl"), col("n"))
       .orderBy(col("mode"), col("tbl"))
       // materialize, then release the per-invocation feed cache — the
-      // result is ~5 rows, the cached feed is the whole generated corpus
+      // result is ~5 rows, the cached feed is the whole generated
+      // corpus, and it must be released on the FAILURE path too or a
+      // red run pins it for the session lifetime
       .localCheckpoint()
-    feed.unpersist()
-    out
+    finally feed.unpersist()
   }
 
   val qCdcHeartbeatTablesSql: String =
@@ -843,10 +871,14 @@ object CdcQueries {
     Files.writeString(feedDir.resolve("9.jsonl"), "") // empty shard
     val sp = s; import sp.implicits._
     val dir = feedDir.toString
-    (Metadata.shards(dir).map(("shard", _)) ++
+    val inventory = Metadata.shards(dir).map(("shard", _)) ++
       Metadata.nonEmptyShards(dir).map(("shard_nonempty", _)) ++
       Metadata.tables(s, dir).map(("table", _)) ++
-      Metadata.keyspaces(s, dir).map(("keyspace", _)))
+      Metadata.keyspaces(s, dir).map(("keyspace", _))
+    // the scans above are eager (driver-side Seqs), so the feed copy's
+    // lifetime ends here
+    graft.TempDirs.release(feedDir)
+    inventory
       .toDF("kind", "name")
       .orderBy(col("kind"), col("name"))
   }
