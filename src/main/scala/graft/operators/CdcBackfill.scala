@@ -62,13 +62,12 @@ object CdcBackfill {
       // position here would silently gap or replay pre-snapshot history
       // downstream — exactly the error class this backfill exists to
       // prevent — so fail the job instead
-      coalesce(element_at(vmap, shard),
-        raise_error(concat(lit("backfill row's shard '"), shard,
+      ColumnGuards.requireNonNull(element_at(vmap, shard),
+        concat(lit("backfill row's shard '"), shard,
           lit("' is not covered by the handover vgtid — was it recorded " +
-            "against a different (pre-reshard) topology?")))).as("vgtid"),
-      coalesce(element_at(vmap, shard),
-        raise_error(lit("unreachable: vgtid column raises first")))
-        .as("restart_vgtid"),
+            "against a different (pre-reshard) topology?"))).as("vgtid"),
+      ColumnGuards.requireNonNull(element_at(vmap, shard),
+        "unreachable: vgtid column raises first").as("restart_vgtid"),
       lit(null).cast("string").as("tx_id"),
       lit(0L).as("epoch"),
       lit(null).cast("string").as("rank"),

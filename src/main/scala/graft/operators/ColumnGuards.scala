@@ -1,0 +1,20 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, raise_error, when}
+
+/** The one fail-fast-on-null column guard. Operators that feed a null
+  * into a non-nullable encoder or a keyed shuffle die mid-job with an
+  * opaque executor error (or worse, compute silently with a null key);
+  * the contract here is fail FAST and NAMED: the first null evaluates a
+  * raise_error with an operator-specific message. One definition —
+  * every hardened operator shares the semantics and message
+  * convention. */
+object ColumnGuards {
+
+  def requireNonNull(c: Column, msg: Column): Column =
+    when(c.isNull, raise_error(msg)).otherwise(c)
+
+  def requireNonNull(c: Column, msg: String): Column =
+    requireNonNull(c, lit(msg))
+}

@@ -18,20 +18,29 @@ import org.apache.spark.sql.functions._
   * high-cardinality grouping at scale. */
 object Outliers {
 
-  /** Degenerate-MAD contract: when at least half a group's values equal
-    * its median, mad = 0 and EVERY nonzero deviation is flagged at any
-    * `k` — the classic MAD definition with no epsilon floor, mirrored
-    * verbatim by the oracle. Callers cleaning near-constant columns
-    * should pre-filter or floor the MAD themselves; silently injecting
-    * an epsilon here would diverge from the published definition.
+  /** Degenerate-MAD contract: when the interpolated MEDIAN OF THE
+    * ABSOLUTE DEVIATIONS is 0 — i.e. MORE than half a group's values
+    * equal its median, or the two interpolation anchors are both zero
+    * (exactly half equal is NOT enough: values 4,5,5,9 give deviations
+    * 0,0,1,4 and mad = 0.5) — mad = 0 and EVERY nonzero deviation is
+    * flagged at any `k`. That is the classic MAD definition with no
+    * epsilon floor, mirrored verbatim by the oracle; callers cleaning
+    * near-constant columns should pre-filter or floor the MAD
+    * themselves, since silently injecting an epsilon here would diverge
+    * from the published definition.
     *
-    * Output: the input columns plus `adev` (the absolute deviation —
-    * replacing any input column of that name). Intermediates are
-    * __-prefixed and dropped, so an input column named med or mad can
-    * no longer collide (previously an ambiguous-reference error). */
+    * Output: the input columns plus `adev` (the absolute deviation).
+    * Internal names are __-prefixed and the input must not carry any
+    * __-prefixed column — rejected up front with a named error, so all
+    * collisions fail identically instead of `__adev` being silently
+    * overwritten while `__med`/`__mad` threw ambiguous-reference. */
   def madOutliers(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       k: Double): DataFrame = {
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"madOutliers: __-prefixed input columns collide with internals: " +
+        reserved.mkString(", "))
     val keys = groupCols.map(col)
     val med = df.groupBy(keys: _*)
       .agg(percentile(col(valueCol), lit(0.5)).as("__med"))

@@ -32,14 +32,16 @@ object Packing {
       capacity: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // fail FAST and NAMED on a null id/token: the non-nullable Long
-    // encoder would otherwise kill the job mid-shuffle with an opaque
-    // "Null value appeared in non-nullable field" executor error
-    def requireSet(c: String) = when(col(c).isNull,
-      raise_error(lit(s"packSequences: null $c — pack order/fill would be undefined")))
-      .otherwise(col(c))
+    // fail FAST and NAMED on a null group/id/token: a null id or token
+    // would kill the job mid-shuffle with an opaque "Null value appeared
+    // in non-nullable field" encoder error, and a null GROUP would
+    // silently coalesce every bad-join row into one null-keyed pack —
+    // a data-quality error sailing through an operator that advertises
+    // fail-fast on bad keys
+    def requireSet(c: String) = ColumnGuards.requireNonNull(col(c),
+      s"packSequences: null $c — pack order/fill would be undefined")
     df.select(
-        col(groupCol).cast("string").as("grp"),
+        requireSet(groupCol).cast("string").as("grp"),
         requireSet(idCol).cast("long").as("id"),
         requireSet(tokensCol).cast("long").as("tokens"))
       .as[(String, Long, Long)]

@@ -144,9 +144,8 @@ object Sampling {
     //  - a zero-token stratum makes __min 0, every other rate
     //    pow(∞, α−1) = 0 and its own pow(NaN) — "keep nothing"
     //    masquerading as a sample.
-    val strataChecked = when(col(strataCol).isNull,
-      raise_error(lit(s"temperatureSampleByStrata: NULL $strataCol stratum")))
-      .otherwise(col(strataCol))
+    val strataChecked = ColumnGuards.requireNonNull(col(strataCol),
+      s"temperatureSampleByStrata: NULL $strataCol stratum")
     val tok = df.groupBy(strataChecked.as(strataCol))
       .agg(sum(tokenCount).cast("double").as("__tok"))
     val minTok = tok.agg(min(col("__tok")).as("__min"))

@@ -844,6 +844,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == got)
   }
 
+  test("sequence packing: a null GROUP fails loudly, not a silent null-keyed pack") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((Some("a"), 1L, 10L), (None, 2L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packSequences(docs, "source", "doc_id", "n_tokens", 512).collect()
+    }
+    assert(e.getMessage.contains("null source") ||
+      Option(e.getCause).exists(_.getMessage.contains("null source")))
+  }
+
+  test("mad outliers: __-prefixed input columns are rejected up front, named") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "g", 1.0, 9.0)).toDF("id", "grp", "v", "__adev")
+    val e = intercept[IllegalArgumentException] {
+      Outliers.madOutliers(df, "v", Seq("grp"), k = 3.0)
+    }
+    assert(e.getMessage.contains("__adev"))
+  }
+
   test("pii redaction: emails then long digit runs, in order") {
     val sp = spark; import sp.implicits._
     val df = Seq(
