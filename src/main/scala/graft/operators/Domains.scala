@@ -93,7 +93,7 @@ object Domains {
     * the policy decisions this feeds (blocklists, per-domain caps) key
     * on these; swap in the full list as a dim table join if a corpus
     * needs exotic suffixes. */
-  private val SecondLevelSuffixes: Seq[String] = Seq(
+  val SecondLevelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
     "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "com.tw",
     "co.in", "co.kr", "com.mx", "com.sg", "com.tr", "com.ar")
@@ -114,6 +114,39 @@ object Domains {
       .otherwise(when(size(labels) <= lit(2), host)
         .otherwise(when(last2.isin(SecondLevelSuffixes: _*), last3)
           .otherwise(last2)))
+  }
+
+  /** [[registeredDomain]] with the suffix list as a DIM TABLE instead of
+    * the embedded constant — the shape for a FULL public-suffix list
+    * (Mozilla's PSL is ~10k second-level entries): the list ships as
+    * one broadcast left join keyed on the host's last two labels, so
+    * the corpus never shuffles and the suffix set updates without a
+    * code change. One column `suffix` ("co.uk", "com.bd", ...); hosts
+    * whose last two labels match a row take three labels, all others
+    * two — the identical rule as the embedded list, IP-literal and
+    * short-host cases included. Adds `outCol`; input must not carry
+    * __-prefixed columns (reserved for internals, rejected loudly). */
+  def withRegisteredDomain(df: DataFrame, urlCol: String, outCol: String,
+      suffixes: DataFrame): DataFrame = {
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      "withRegisteredDomain: __-prefixed input columns collide with " +
+        s"internals: ${reserved.mkString(", ")}")
+    val host = regexp_replace(hostOf(col(urlCol)), "^www\\.", "")
+    val dim = broadcast(
+      suffixes.select(lower(col("suffix")).as("__sfx")).distinct())
+    val labels = split(col("__host"), "\\.")
+    df.withColumn("__host", host)
+      .withColumn("__l2", array_join(slice(labels, -2, 2), "."))
+      .withColumn("__l3", array_join(slice(labels, -3, 3), "."))
+      .join(dim, col("__l2") === col("__sfx"), "left")
+      .withColumn(outCol,
+        when(col("__host").startsWith("[") ||
+            col("__host").rlike("^[0-9.]+$"), col("__host"))
+          .otherwise(when(size(labels) <= lit(2), col("__host"))
+            .otherwise(when(col("__sfx").isNotNull, col("__l3"))
+              .otherwise(col("__l2")))))
+      .drop("__host", "__l2", "__l3", "__sfx")
   }
 
   /** Drop every row whose URL's registered domain is blocklisted.

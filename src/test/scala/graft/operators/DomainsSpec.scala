@@ -97,6 +97,36 @@ class DomainsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(domain("http://www.example.org/") == "example.org")
   }
 
+  test("withRegisteredDomain(dim) == registeredDomain over the embedded list; dim extends it") {
+    val sp = spark; import sp.implicits._
+    val urls = Seq(
+      "http://a.b.example.com/x", "https://deep.cdn.shop.co.uk/x",
+      "http://news.com.au/", "http://localhost:8080/x",
+      "http://www.example.org/", "http://[2001:db8::2]:8080/x",
+      "http://192.168.0.1/x", "HTTP://WWW.Example.COM:80/a",
+      "http://pages.site.com.bd/p" // exotic suffix: NOT in the embedded list
+    ).toDF("url")
+    val embeddedDim = Domains.SecondLevelSuffixes.toDF("suffix")
+    val both = Domains.withRegisteredDomain(urls, "url", "dim_domain", embeddedDim)
+      .withColumn("const_domain", Domains.registeredDomain(col("url")))
+    // same dim = same answer, row for row
+    assert(both.filter(col("dim_domain") =!= col("const_domain")).count() == 0)
+    // a suffix present only in the dim flips that host to eTLD+1 depth 3
+    val extended = Domains.withRegisteredDomain(
+      urls, "url", "d", (Domains.SecondLevelSuffixes :+ "com.bd").toDF("suffix"))
+    val bd = extended.filter(col("url").contains("com.bd"))
+      .select("d").as[String].head()
+    assert(bd == "site.com.bd")
+    assert(both.filter(col("url").contains("com.bd"))
+      .select("const_domain").as[String].head() == "com.bd") // embedded list: 2 labels
+    // reserved internals rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Domains.withRegisteredDomain(urls.withColumn("__host", lit("x")),
+        "url", "d", embeddedDim)
+    }
+    assert(e.getMessage.contains("__host"))
+  }
+
   test("blocklist filters by registered domain (subdomains included); cap bounds per domain") {
     val sp = spark; import sp.implicits._
     val rows = Seq(

@@ -312,6 +312,22 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"canonicalizeUrl/registeredDomain must stay a narrow projection:\n$p")
   }
 
+  test("suffix dim table broadcasts onto the corpus, which never shuffles") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source").as("url"))
+    val dim = Domains.SecondLevelSuffixes.toDF("suffix")
+    val p = plan(Domains.withRegisteredDomain(docs, "url", "domain", dim))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the suffix list must broadcast-join the corpus:\n$p")
+    // the one allowed exchange is the tiny dim's own distinct; the
+    // corpus side must stay a scan -> project into the broadcast join
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the suffix lookup:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"only the dim's distinct may exchange:\n$p")
+  }
+
   test("domain policy: blocklist is a broadcast anti-join; cap is a pushed group limit") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"), col("source").as("url"))
