@@ -686,10 +686,23 @@ object AnnIndex {
       }
     }
     if (!retain) { // TTL drop: expired results are simply gone —
-      // including prior FOLDS whose entire coverage is past the horizon
+      // including prior FOLDS whose entire coverage is past the horizon.
+      // Drops go rename-THEN-delete: a bare recursive delete can crash
+      // after removing a fold's _UPTO but before its part files, leaving
+      // a half-dir that reads as live results AND (sidecar gone) as
+      // MaxValue coverage no later TTL pass would ever expire. The
+      // atomic rename to an invisible tmp_compact_ name is the commit
+      // point; a crash mid-delete leaves only invisible garbage the next
+      // pass's sweep reclaims.
       val expiredFolds = names.filter(_.startsWith("compact_"))
         .filter(n => uptoOf(n) <= horizonBatchId)
-      (horizon ++ expiredFolds).foreach(n => fs.delete(path(n), true))
+      (horizon ++ expiredFolds).foreach { n =>
+        val tmp = s"tmp_compact_drop_$n"
+        if (!fs.rename(path(n), path(tmp)))
+          throw new IllegalStateException(
+            s"TTL drop rename failed: $outDir/$n -> $tmp")
+        fs.delete(path(tmp), true)
+      }
       return horizon.length + expiredFolds.length
     }
     if (horizon.isEmpty) return 0
@@ -728,9 +741,11 @@ object AnnIndex {
   /** One-row maintenance summary joining the data-side signal
     * ([[cellStats]]: live count, used cells, occupancy skew) with the
     * LAYOUT pressure (state dirs per subtree, tombstone entries) that
-    * decides when [[compact]] / [[compactTombstones]] are due. Dir and
-    * tombstone-entry counts are driver-side listings — bounded by the
-    * very small-files problem they watch for. */
+    * decides when [[compact]] / [[compactTombstones]] are due.
+    * Construction-time work is the centroid load and driver-side dir
+    * listings (bounded by the very small-files problem they watch for);
+    * everything data-sized — the codes scan, the tombstone scan and its
+    * distinct count — is ONE lazy plan that runs when the frame does. */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
     val nCentroids = readCentroids(spark, indexDir).length
     def stateDirs(sub: String): Int = {
@@ -751,6 +766,8 @@ object AnnIndex {
         else !n.startsWith("_") && !n.startsWith(".")
       }
     }
+    val tombIds = readTombstones(spark, indexDir)
+      .agg(count_distinct(col("vec_id")).as("n_tombstone_ids"))
     cellStats(spark, indexDir)
       .agg(
         coalesce(sum(col("n_live")), lit(0L)).as("n_live"),
@@ -759,8 +776,7 @@ object AnnIndex {
       .withColumn("n_cells_total", lit(nCentroids))
       .withColumn("mean_cell",
         round(col("n_live") / greatest(col("n_cells_used"), lit(1L)), 2))
-      .withColumn("n_tombstone_ids",
-        lit(readTombstones(spark, indexDir).distinct().count()))
+      .crossJoin(broadcast(tombIds)) // 1 row x 1 row — stays in the plan
       .withColumn("n_code_dirs", lit(stateDirs("codes")))
       .withColumn("n_vector_dirs", lit(stateDirs("vectors")))
       .withColumn("n_tombstone_entries", lit(tombstoneEntries))

@@ -418,24 +418,25 @@ object CdcFeed extends Serializable {
     val ranged = df.repartitionByRange(parts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts: Map[Int, Long] = ranged.groupBy(col("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = counts.keys.toSeq.sorted
-      .map(pid => (pid, counts.filter(_._1 < pid).values.sum))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val dim = offsets.toDF("__pid", "__off")
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-    val out = ranged.join(broadcast(dim), Seq("__pid"))
-      .withColumn("tx", col("__off") + row_number().over(w).cast("long") + base)
-      .drop("__pid", "__off")
-      // cut the cached-exchange lineage so the cache can be released
-      // without a recompute hazard (selectUnderTokenBudget's discipline)
-      // — under the harness's long-lived shared session an unreleased
-      // persist per feed generation would strand blocks forever
-      .localCheckpoint()
-    ranged.unpersist()
-    out
+    // unpersist in a finally: under the harness's long-lived shared
+    // session, ONE failed generation (a task failure in either eager
+    // pass) would otherwise pin the cached feed for the session lifetime
+    try {
+      val counts: Map[Int, Long] = ranged.groupBy(col("__pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = counts.keys.toSeq.sorted
+        .map(pid => (pid, counts.filter(_._1 < pid).values.sum))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dim = offsets.toDF("__pid", "__off")
+      val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      ranged.join(broadcast(dim), Seq("__pid"))
+        .withColumn("tx", col("__off") + row_number().over(w).cast("long") + base)
+        .drop("__pid", "__off")
+        // cut the cached-exchange lineage so the cache can be released
+        // without a recompute hazard (selectUnderTokenBudget's discipline)
+        .localCheckpoint()
+    } finally ranged.unpersist()
   }
 
   /** VStream-copy feed (S5/F3 gate fixture), single shard `s0` — the

@@ -464,6 +464,15 @@ object CdcQueries {
         throw e
       }
     })
+  /** Run a gate's copy/stream section, then release its per-invocation
+    * dirs SUCCESS OR FAILURE: a red gate under a Verify loop or a
+    * multi-run bench must not accumulate corpus-sized feed copies and
+    * checkpoints until JVM exit (the exit registry stays as the
+    * hard-crash backstop). Only the parquet sink dir outlives a gate —
+    * the returned frame reads it lazily. */
+  private def releasing[A](dirs: java.nio.file.Path*)(body: => A): A =
+    try body finally dirs.foreach(graft.TempDirs.release)
+
   /** Append (or create) every staged `<shard>.jsonl` into `feedDir` —
     * the byte-level replay of what writeFeedFiles(append=...) produced. */
   private def copyWave(src: java.nio.file.Path, feedDir: java.nio.file.Path): Unit = {
@@ -491,8 +500,7 @@ object CdcQueries {
     val feedDir = ordersFeedDir(s, d)
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stream_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stream_ckpt"))
-    runStreamOnce(s, feedDir, outDir, ckpt)
-    graft.TempDirs.release(ckpt)
+    releasing(ckpt) { runStreamOnce(s, feedDir, outDir, ckpt) }
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -517,8 +525,7 @@ object CdcQueries {
     val feedDir = ordersFeedDir(s, d)
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_shopt_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_shopt_ckpt"))
-    runStreamOnce(s, feedDir, outDir, ckpt, Map("shard" -> "1,3"))
-    graft.TempDirs.release(ckpt)
+    releasing(ckpt) { runStreamOnce(s, feedDir, outDir, ckpt, Map("shard" -> "1,3")) }
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -555,12 +562,12 @@ object CdcQueries {
       Seq(feed.filter(col("seq") < cut), feed.filter(col("seq") >= cut))
     }
     val split = Map("split.partition.bytes" -> "4194304")
-    copyWave(waves(0), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, split) // run 1, then stop ("kill")
-    copyWave(waves(1), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, split) // resume from checkpoint
-    graft.TempDirs.release(feedDir)
-    graft.TempDirs.release(ckpt)
+    releasing(feedDir, ckpt) {
+      copyWave(waves(0), feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt, split) // run 1, then stop ("kill")
+      copyWave(waves(1), feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt, split) // resume from checkpoint
+    }
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -583,8 +590,9 @@ object CdcQueries {
     val feedDir = ordersFeedDir(s, d)
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_split_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_split_ckpt"))
-    runStreamOnce(s, feedDir, outDir, ckpt, Map("split.partition.bytes" -> "65536"))
-    graft.TempDirs.release(ckpt)
+    releasing(ckpt) {
+      runStreamOnce(s, feedDir, outDir, ckpt, Map("split.partition.bytes" -> "65536"))
+    }
     s.read.parquet(outDir.toString)
       .groupBy(col("shard"))
       .agg(
@@ -623,12 +631,12 @@ object CdcQueries {
         CdcFeed.orders(s, d, nShards = 4, shardNames = Seq("p0", "p1", "p2", "40-c0"))
           .filter(col("shard") === "40-c0"))
     }
-    copyWave(waves(0), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, opts)
-    copyWave(waves(1), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, opts)
-    graft.TempDirs.release(feedDir)
-    graft.TempDirs.release(ckpt)
+    releasing(feedDir, ckpt) {
+      copyWave(waves(0), feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt, opts)
+      copyWave(waves(1), feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt, opts)
+    }
     s.read.parquet(outDir.toString)
       .filter(col("op") === "c")
       .groupBy(col("shard"), col("epoch"))
@@ -671,12 +679,12 @@ object CdcQueries {
       Seq(all.filter(col("seq") < waveBoundary), all.filter(col("seq") >= waveBoundary))
     }
     val split = Map("split.partition.bytes" -> "4194304")
-    copyWave(waves(0), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, split)
-    copyWave(waves(1), feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt, split + ("generation" -> "2"))
-    graft.TempDirs.release(feedDir)
-    graft.TempDirs.release(ckpt)
+    releasing(feedDir, ckpt) {
+      copyWave(waves(0), feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt, split)
+      copyWave(waves(1), feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt, split + ("generation" -> "2"))
+    }
     s.read.parquet(outDir.toString)
       .groupBy(col("op"), col("epoch").cast(LongType).as("epoch"))
       .agg(
@@ -709,11 +717,11 @@ object CdcQueries {
     val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_cp"))
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_cp_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_cp_ckpt"))
-    copyWave(stageWaves(s"cp:$d", s)(Seq(CdcFeed.copyPhase(s, d))).head, feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt,
-      Map("snapshot.tables" -> "ks\\.orders", "split.partition.bytes" -> "4194304"))
-    graft.TempDirs.release(feedDir)
-    graft.TempDirs.release(ckpt)
+    releasing(feedDir, ckpt) {
+      copyWave(stageWaves(s"cp:$d", s)(Seq(CdcFeed.copyPhase(s, d))).head, feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt,
+        Map("snapshot.tables" -> "ks\\.orders", "split.partition.bytes" -> "4194304"))
+    }
     s.read.parquet(outDir.toString)
       .filter(col("op") === "c")
       // copy positions carry a lastpk object; streaming ones serialize
@@ -756,11 +764,11 @@ object CdcQueries {
     // the feed dataset is lazy — only the tiny handover job runs per
     // call; the staged bytes are memoized like the restart-gate waves
     val (feed, handover) = CdcFeed.backfillWaves(s, d)
-    copyWave(stageWaves(s"bf:$d", s)(Seq(feed)).head, feedDir)
-    runStreamOnce(s, feedDir, outDir, ckpt,
-      Map("vgtid" -> handover.json, "split.partition.bytes" -> "4194304"))
-    graft.TempDirs.release(feedDir)
-    graft.TempDirs.release(ckpt)
+    releasing(feedDir, ckpt) {
+      copyWave(stageWaves(s"bf:$d", s)(Seq(feed)).head, feedDir)
+      runStreamOnce(s, feedDir, outDir, ckpt,
+        Map("vgtid" -> handover.json, "split.partition.bytes" -> "4194304"))
+    }
     val snapshot = CdcBackfill.snapshotRecords(
         graft.Tables.orders(s, d), "ks", "orders", Seq("o_orderkey"),
         col("o_orderkey") % 4, handover)
@@ -801,8 +809,9 @@ object CdcQueries {
     val feedDir = ordersFeedDir(s, d)
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_hb_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_hb_ckpt"))
-    runStreamOnce(s, feedDir, outDir, ckpt, Map("heartbeat.batch" -> "true"))
-    graft.TempDirs.release(ckpt)
+    releasing(ckpt) {
+      runStreamOnce(s, feedDir, outDir, ckpt, Map("heartbeat.batch" -> "true"))
+    }
     s.read.parquet(outDir.toString)
       .groupBy(col("op"))
       .agg(count(lit(1)).as("n"))
@@ -871,13 +880,14 @@ object CdcQueries {
     Files.writeString(feedDir.resolve("9.jsonl"), "") // empty shard
     val sp = s; import sp.implicits._
     val dir = feedDir.toString
-    val inventory = Metadata.shards(dir).map(("shard", _)) ++
-      Metadata.nonEmptyShards(dir).map(("shard_nonempty", _)) ++
-      Metadata.tables(s, dir).map(("table", _)) ++
-      Metadata.keyspaces(s, dir).map(("keyspace", _))
-    // the scans above are eager (driver-side Seqs), so the feed copy's
-    // lifetime ends here
-    graft.TempDirs.release(feedDir)
+    // the scans are eager (driver-side Seqs), so the feed copy's
+    // lifetime ends with them — released success or failure
+    val inventory = releasing(feedDir) {
+      Metadata.shards(dir).map(("shard", _)) ++
+        Metadata.nonEmptyShards(dir).map(("shard_nonempty", _)) ++
+        Metadata.tables(s, dir).map(("table", _)) ++
+        Metadata.keyspaces(s, dir).map(("keyspace", _))
+    }
     inventory
       .toDF("kind", "name")
       .orderBy(col("kind"), col("name"))

@@ -125,7 +125,13 @@ object Domains {
     * whose last two labels match a row take three labels, all others
     * two — the identical rule as the embedded list, IP-literal and
     * short-host cases included. Adds `outCol`; input must not carry
-    * __-prefixed columns (reserved for internals, rejected loudly). */
+    * __-prefixed columns (reserved for internals, rejected loudly).
+    * The join key is the host's LAST TWO labels, so only two-label
+    * suffix rows can ever match — a full PSL carries deeper entries
+    * ("pref.aichi.jp") and wildcards ("*.ck") this rule cannot honor,
+    * and silently ignoring them would hand out wrong policy keys; such
+    * rows fail the job loudly instead (filter the PSL to its two-label
+    * subset deliberately if that is the intended policy). */
   def withRegisteredDomain(df: DataFrame, urlCol: String, outCol: String,
       suffixes: DataFrame): DataFrame = {
     val reserved = df.columns.filter(_.startsWith("__"))
@@ -133,8 +139,14 @@ object Domains {
       "withRegisteredDomain: __-prefixed input columns collide with " +
         s"internals: ${reserved.mkString(", ")}")
     val host = regexp_replace(hostOf(col(urlCol)), "^www\\.", "")
-    val dim = broadcast(
-      suffixes.select(lower(col("suffix")).as("__sfx")).distinct())
+    val sfx = lower(col("suffix"))
+    val dim = broadcast(suffixes.select(
+      when(size(split(sfx, "\\.")) === 2, sfx)
+        .otherwise(raise_error(concat(
+          lit("withRegisteredDomain: suffix '"), sfx,
+          lit("' is not a two-label public suffix — this rule matches the " +
+            "host's last two labels only; filter deeper/wildcard PSL " +
+            "entries out deliberately")))).as("__sfx")).distinct())
     val labels = split(col("__host"), "\\.")
     df.withColumn("__host", host)
       .withColumn("__l2", array_join(slice(labels, -2, 2), "."))

@@ -30,16 +30,16 @@ object Outliers {
     * from the published definition.
     *
     * Output: the input columns plus `adev` (the absolute deviation).
-    * Internal names are __-prefixed and the input must not carry any
-    * __-prefixed column — rejected up front with a named error, so all
-    * collisions fail identically instead of `__adev` being silently
-    * overwritten while `__med`/`__mad` threw ambiguous-reference. */
+    * Internal names are __-prefixed; the input must not carry any
+    * __-prefixed column NOR a column already named `adev` (the output
+    * would silently clobber it) — every collision is rejected up front
+    * with a named error, none overwrites silently. */
   def madOutliers(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       k: Double): DataFrame = {
-    val reserved = df.columns.filter(_.startsWith("__"))
+    val reserved = df.columns.filter(c => c.startsWith("__") || c == "adev")
     require(reserved.isEmpty,
-      s"madOutliers: __-prefixed input columns collide with internals: " +
+      s"madOutliers: input columns collide with internals/output: " +
         reserved.mkString(", "))
     val keys = groupCols.map(col)
     val med = df.groupBy(keys: _*)

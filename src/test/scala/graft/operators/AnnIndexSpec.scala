@@ -475,6 +475,15 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 3L,
       retain = false) == 0)
     assert(dirsOf(outA) == Seq("batch_5", "compact_1"))
+    // a TTL drop that crashed mid-delete left only the invisible
+    // renamed dir: readers never see it, the next pass sweeps it
+    val crashed = new java.io.File(s"$outA/tmp_compact_drop_compact_9")
+    assert(crashed.mkdirs())
+    val beforeCrashSweep = results(outA)
+    assert(results(outA) == beforeCrashSweep) // reader surface unaffected
+    assert(AnnIndex.compactProbeResults(spark, outA, horizonBatchId = 0L,
+      retain = false) == 0)
+    assert(!crashed.exists()) // swept with the other tmp_compact_ staging
   }
 
   test("compact() and compactTombstones() during a LIVE checkpointed probe stream") {

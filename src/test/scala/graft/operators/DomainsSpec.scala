@@ -125,6 +125,16 @@ class DomainsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "url", "d", embeddedDim)
     }
     assert(e.getMessage.contains("__host"))
+    // a full-PSL entry deeper than two labels can never match the
+    // last-two-labels join key — it must fail the job LOUDLY, not hand
+    // out silently wrong policy keys
+    val e2 = intercept[Exception] {
+      Domains.withRegisteredDomain(urls, "url", "d",
+        (Domains.SecondLevelSuffixes :+ "pref.aichi.jp").toDF("suffix")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e2).exists(m => m != null && m.contains("pref.aichi.jp")))
   }
 
   test("blocklist filters by registered domain (subdomains included); cap bounds per domain") {

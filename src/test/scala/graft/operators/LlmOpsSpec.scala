@@ -855,13 +855,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("null source")))
   }
 
-  test("mad outliers: __-prefixed input columns are rejected up front, named") {
+  test("mad outliers: __-prefixed and output-name input columns are rejected up front, named") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "g", 1.0, 9.0)).toDF("id", "grp", "v", "__adev")
     val e = intercept[IllegalArgumentException] {
       Outliers.madOutliers(df, "v", Seq("grp"), k = 3.0)
     }
     assert(e.getMessage.contains("__adev"))
+    // an input already named like the OUTPUT would be silently clobbered
+    val df2 = Seq((1L, "g", 1.0, 9.0)).toDF("id", "grp", "v", "adev")
+    val e2 = intercept[IllegalArgumentException] {
+      Outliers.madOutliers(df2, "v", Seq("grp"), k = 3.0)
+    }
+    assert(e2.getMessage.contains("adev"))
   }
 
   test("pii redaction: emails then long digit runs, in order") {
