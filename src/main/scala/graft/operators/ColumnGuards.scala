@@ -17,4 +17,16 @@ object ColumnGuards {
 
   def requireNonNull(c: Column, msg: String): Column =
     requireNonNull(c, lit(msg))
+
+  /** Reject input columns that collide with an operator's internal
+    * working names or output names — the repo convention (see
+    * Outliers.madOutliers): a silent withColumn-overwrite-then-drop
+    * loses the caller's column with no error, so every collision fails
+    * identically up front instead. */
+  def requireNoReserved(df: org.apache.spark.sql.DataFrame, op: String,
+      reserved: Set[String]): Unit = {
+    val hit = df.columns.filter(reserved)
+    require(hit.isEmpty,
+      s"$op: input columns collide with internals: ${hit.mkString(", ")}")
+  }
 }

@@ -320,21 +320,9 @@ object Dedup {
     // bucket minimum: O(K) pairs instead of O(K²). Buckets that large are
     // overwhelmingly same-content clusters, where the star is enough for
     // the drop policy (everything pairs with the min and is dropped).
-    val hotBucketThreshold = 64
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("band_hash"))))
-      .withColumn("bucket_min", min(col("id")).over(
-        Window.partitionBy(col("band"), col("band_hash"))))
-    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
-    val a = small.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = small.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val smallPairs = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val hotPairs = sized.filter(col("bucket_n") > hotBucketThreshold && col("id") =!= col("bucket_min"))
-      .select(col("bucket_min").as("id_a"), col("id").as("id_b"))
-    val pairs = smallPairs.unionByName(hotPairs).distinct()
+    val pairs = bucketCandidatePairs(
+      banded.select(col("band"), col("band_hash"), col("id")),
+      Seq("band", "band_hash"), "id", hotThreshold = 64)
     pairs
       .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -574,6 +562,38 @@ object Dedup {
         .map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
     }
+  }
+
+  /** The shared PAIRING CORE of every banded near-dup scheme here
+    * (minhash LSH bands, simhash 16-bit chunks, perceptual-hash bands):
+    * rows sharing a bucket meet through an equi-join on the bucket key —
+    * never a cartesian — and buckets past `hotThreshold` switch to STAR
+    * pairing against the bucket minimum: O(K) pairs instead of O(K²),
+    * sound because buckets that large are overwhelmingly same-content
+    * piles, where the star suffices for a keep-min drop policy. One
+    * definition so a recall-policy fix cannot land in one scheme and
+    * drift from the others. Input: `idCol` + the bucket key columns;
+    * output: DISTINCT (id_a < id_b) id pairs only — callers join their
+    * payloads (shingles, signatures, hashes) back per CANDIDATE, which
+    * stays linear in candidates however hot the bucket. */
+  private[operators] def bucketCandidatePairs(
+      buckets: DataFrame, bucketCols: Seq[String], idCol: String,
+      hotThreshold: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val sized = buckets
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .withColumn("__bucket_min", min(col(idCol)).over(w))
+    val small = sized.filter(col("__bucket_n") <= hotThreshold)
+    val smallPairs = small
+      .select(bucketCols.map(col) :+ col(idCol).as("id_a"): _*)
+      .join(small.select(bucketCols.map(col) :+ col(idCol).as("id_b"): _*),
+        bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val hotPairs = sized
+      .filter(col("__bucket_n") > hotThreshold && col(idCol) =!= col("__bucket_min"))
+      .select(col("__bucket_min").as("id_a"), col(idCol).as("id_b"))
+    smallPairs.unionByName(hotPairs).distinct()
   }
 
   /** Shared HEAD of every staged fold (ingest state, ANN batch dirs,
@@ -855,23 +875,12 @@ object Dedup {
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
-    val w = Window.partitionBy(col("band"), col("chunk"))
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .withColumn("bucket_min", min(col("id")).over(w))
-    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
-    val a = small.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = small.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val smallPairs = a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-    val hotPairs = sized
-      .filter(col("bucket_n") > hotBucketThreshold && col("id") =!= col("bucket_min"))
-      .select(col("bucket_min").as("id_a"), col("id").as("id_b"), col("sig").as("sig_b"))
+    bucketCandidatePairs(banded.select(col("band"), col("chunk"), col("id")),
+        Seq("band", "chunk"), "id", hotBucketThreshold)
+      // signatures join back per CANDIDATE (linear in candidates however
+      // hot the bucket), exactly like the shingle/phash join-backs
       .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-    smallPairs.unionByName(hotPairs)
-      .dropDuplicates("id_a", "id_b")
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

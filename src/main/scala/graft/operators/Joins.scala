@@ -42,15 +42,24 @@ object Joins {
     require(buckets > 1, s"salting needs >1 bucket, got $buckets")
     require(Set("inner", "left", "left_outer")(joinType),
       s"salted join preserves semantics only for inner/left joins, got $joinType")
-    // salt by a per-row counter, NOT row content: content-hashing sends
-    // duplicate rows (the classic hot-key shape — many identical
-    // denormalized facts) to ONE bucket, silently undoing the
-    // mitigation while still paying the right-side replication. The
-    // counter is per-partition-monotonic, so mod-buckets round-robins
-    // every partition's rows evenly regardless of content; the JOIN
-    // result is salt-independent, so nondeterminism here is invisible.
+    ColumnGuards.requireNoReserved(left, "saltedJoin", Set("__salt"))
+    ColumnGuards.requireNoReserved(right, "saltedJoin", Set("__salt"))
+    // salt by ROW CONTENT, not a per-row counter: a counter
+    // (monotonically_increasing_id) round-robins exact-duplicate piles
+    // better, but it is NONDETERMINISTIC under partial stage retry — a
+    // fetch failure recomputes some map tasks with different salt
+    // assignments, and a reducer that already consumed attempt 0's
+    // output next to one re-fetching attempt 1's can double-read or drop
+    // the rows whose salt moved (the join RESULT is salt-independent;
+    // the delivered multiset under retry is not, and Spark's
+    // indeterminate-stage rollback does not cover DataFrame expressions).
+    // The residual caveat: EXACT-duplicate rows hash to one bucket —
+    // if the hot key is a pile of identical facts, pre-aggregate the
+    // duplicates (count column) before joining; determinism is the
+    // contract exactly-once sinks need and content hashing is the only
+    // salt that survives retries.
     val saltedLeft = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(buckets.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")
@@ -82,16 +91,40 @@ object Joins {
       startCol: String,
       endCol: String,
       bucketMicros: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketMicros > 0, s"bucket width must be positive, got $bucketMicros")
+    require(maxBucketsPerInterval > 0,
+      s"bucket cap must be positive, got $maxBucketsPerInterval")
+    ColumnGuards.requireNoReserved(points, "pointInIntervalJoin", Set("__bucket"))
+    ColumnGuards.requireNoReserved(intervals, "pointInIntervalJoin", Set("__bucket"))
     // accept TIMESTAMP and TIMESTAMP_NTZ alike (parquet scans yield NTZ);
     // the cast is lossless under the engine's fixed UTC session timezone
     def micros(c: String) = unix_micros(col(c).cast("timestamp"))
     val p = points.withColumn("__bucket", floor(micros(pointCol) / bucketMicros))
+    val startB = floor(micros(startCol) / bucketMicros)
+    val endB = floor(micros(endCol) / bucketMicros)
+    // two data errors this rewrite would otherwise ABSORB fail loudly:
+    //  - an inverted interval (end < start): Spark's `sequence` silently
+    //    DESCENDS when start > stop, paying full replication for rows
+    //    the containment filter then discards — the bug never surfaces;
+    //  - a sentinel/open-ended interval (end = 9999-12-31 at a 1-day
+    //    bucket ≈ 2.9M replicas) would turn one input row into a
+    //    multi-million-row hot partition; the cap names the row instead.
+    //    Raise it deliberately for genuinely long intervals.
+    val guardedEnd = when(endB < startB, raise_error(concat(
+        lit("pointInIntervalJoin: interval end before start ("),
+        col(startCol).cast("string"), lit(" > "), col(endCol).cast("string"),
+        lit(")"))))
+      .when(endB - startB >= maxBucketsPerInterval, raise_error(concat(
+        lit("pointInIntervalJoin: interval ["), col(startCol).cast("string"),
+        lit(", "), col(endCol).cast("string"),
+        lit(s"] spans more than $maxBucketsPerInterval buckets — a " +
+          "sentinel end date? widen bucketMicros or raise " +
+          "maxBucketsPerInterval deliberately"))))
+      .otherwise(endB)
     val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(micros(startCol) / bucketMicros),
-        floor(micros(endCol) / bucketMicros))))
+      explode(sequence(startB, guardedEnd)))
     p.join(iv, keys :+ "__bucket")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")

@@ -199,11 +199,22 @@ object Multimodal {
     * [[decodeBmpPixels]]. Hostile-input stance matches the BMP parser:
     * anything that is not a decodable PNG yields None, never an
     * executor-killing exception (the signature fast-path avoids handing
-    * arbitrary junk to ImageIO at all). */
+    * arbitrary junk to ImageIO at all, and the IHDR dims are checked
+    * BEFORE ImageIO touches pixel data — a decompression bomb declaring
+    * 44k x 44k would otherwise allocate its multi-GB raster inside
+    * ImageIO.read and kill the executor with an OutOfMemoryError the
+    * NonFatal catch deliberately does not swallow). */
   private[operators] def decodePngPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (payload == null || payload.length < 8) return None
+    if (payload == null || payload.length < 24) return None
     if ((payload(0) & 0xFF) != 0x89 || payload(1) != 'P' ||
       payload(2) != 'N' || payload(3) != 'G') return None
+    // IHDR is mandated first chunk: width/height are big-endian int32 at
+    // bytes 16..23 — the declared raster size, available pre-decode
+    def be32(o: Int): Long =
+      ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+        ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+    val dw = be32(16); val dh = be32(20)
+    if (dw <= 0 || dh <= 0 || dw * dh > Int.MaxValue / 3) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) return None
@@ -371,20 +382,9 @@ object Multimodal {
           b => col("phash").substr(b * 16 + 1, lit(16)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
-    val w = Window.partitionBy(col("band"), col("chunk"))
-    val sized = withBands
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .withColumn("bucket_min", min(col("media_id")).over(w))
-    val small = sized.filter(col("bucket_n") <= hotBucketThreshold)
-    val a = small.select(col("band"), col("chunk"), col("media_id").as("id_a"))
-    val b = small.select(col("band"), col("chunk"), col("media_id").as("id_b"))
-    val smallPairs = a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val hotPairs = sized
-      .filter(col("bucket_n") > hotBucketThreshold && col("media_id") =!= col("bucket_min"))
-      .select(col("bucket_min").as("id_a"), col("media_id").as("id_b"))
-    smallPairs.unionByName(hotPairs).distinct()
+    Dedup.bucketCandidatePairs(
+        withBands.select(col("band"), col("chunk"), col("media_id")),
+        Seq("band", "chunk"), "media_id", hotBucketThreshold)
       .join(hashes.select(col("media_id").as("id_a"), col("phash").as("ph_a")), Seq("id_a"))
       .join(hashes.select(col("media_id").as("id_b"), col("phash").as("ph_b")), Seq("id_b"))
       .withColumn("hamming",
@@ -566,7 +566,11 @@ object Multimodal {
     * `frames` equal byte ranges and emit one row per sampled frame —
     * the explode-shaped op a real frame extractor would use. Pure
     * column expressions (codegen'd). */
-  def sampleFrames(media: DataFrame, frames: Int): DataFrame =
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
+    // frames = 0 would emit sequence(0, -1) = [0, -1] (Spark descends
+    // when start > stop) plus a division by zero — two garbage rows per
+    // media with null bytes instead of a loud error
+    require(frames > 0, s"frames must be positive, got $frames")
     media.select(
       col("media_id"),
       col("meta"),
@@ -583,4 +587,5 @@ object Multimodal {
         })))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_bytes")
+  }
 }

@@ -94,6 +94,7 @@ object Sink {
       extraOptions: Map[String, String] = Map.empty): StreamingQuery = {
     require(records.columns.contains("key"),
       "streamToKafka requires a 'key' column (the change record key) on the input")
+    ColumnGuards.requireNoReserved(records, "streamToKafka", Set("__topic"))
     val payload = records.columns.map(col)
     val out = records
       .withColumn("__topic", topicColumn(cfg))

@@ -73,32 +73,56 @@ object Temporal {
   }
 
   /** SCD2 history: one row per (key, version) with its validity interval
-    * in change-log rank space. A version opens at its own rank and closes
-    * at the next op's rank for the same key (a delete closes the last
-    * version without opening a new one); `valid_to` is null — and
-    * `is_current` true — only for a live latest version.
+    * in change-log POSITION space. A version opens at its own position
+    * and closes at the next op's position for the same key (a delete
+    * closes the last version without opening one); `valid_to` is null —
+    * and `is_current` true — only for a live latest version.
+    *
+    * A position is the PAIR (epoch, rank): rank restarts when the epoch
+    * bumps (failover, reshard — Sink's ordering doc), so a bare rank
+    * interval would be incoherent for any key whose versions span a
+    * bump ([900, 5) after a failover). Consumers compare positions
+    * lexicographically: `(e1, r1) <= (e2, r2)` iff
+    * `e1 < e2 OR (e1 = e2 AND r1 <= r2)`. Null-rank records (batch
+    * backfill, copy phase — the oldest rows of their epoch, exactly as
+    * [[snapshotAt]] orders them) take rank −1 in validity space, below
+    * every real GTID sequence: a backfill base version is then visible
+    * to ordinary range predicates instead of carrying a SQL-null
+    * `valid_from` that no comparison matches, and a version closed BY a
+    * null-rank successor closes at (nextEpoch, −1) instead of
+    * masquerading as a second `is_current` row.
     *
     * Output: every `schema` field (decoded from the version's after
-    * image) plus `version` (1-based per key), `valid_from`, `valid_to`,
-    * `is_current`. Single shuffle on key; both windows share the
+    * image) plus `version` (1-based per key), `valid_from_epoch`,
+    * `valid_from`, `valid_to_epoch`, `valid_to`, `is_current`
+    * (`*_epoch` sits beside the rank so single-epoch consumers can keep
+    * ignoring it). Single shuffle on key; both windows share the
     * partitioning and sort, so Catalyst plans one Sort + two Window ops
     * back to back.
     */
   def scd2(records0: DataFrame, table: String, schema: StructType): DataFrame = {
     val byKey = Window.partitionBy(col("key"))
       .orderBy(col("epoch"), rankDec, col("totalOrder"))
+    // −1 = "before every real rank of the epoch"; lead over the COALESCED
+    // value is null only at end-of-key (live), never because the next
+    // version happens to be a null-rank backfill row
+    val pos = coalesce(rankDec, lit(-1)).cast(LongType)
     val versions = changeRows(records0, table)
-      .withColumn("valid_to", lead(rankDec, 1).over(byKey).cast(LongType))
+      .withColumn("valid_to", lead(pos, 1).over(byKey))
+      .withColumn("valid_to_epoch", lead(col("epoch"), 1).over(byKey))
       .filter(col("op") =!= "d")
     versions
       .withColumn("version", row_number().over(byKey).cast(LongType))
       .select(
         from_json(col("after"), schema).as("r"),
         col("version"),
-        rankDec.cast(LongType).as("valid_from"),
+        col("epoch").as("valid_from_epoch"),
+        pos.as("valid_from"),
+        col("valid_to_epoch"),
         col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .select(col("r.*"), col("version"), col("valid_from"), col("valid_to"),
+      .select(col("r.*"), col("version"), col("valid_from_epoch"),
+        col("valid_from"), col("valid_to_epoch"), col("valid_to"),
         col("is_current"))
   }
 

@@ -140,4 +140,40 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", 1L) -> ("b1", 2L, -1L, true),
       ("C", 1L) -> ("c1", 4L, 6L, false)))
   }
+
+  test("scd2 positions are (epoch, rank) pairs: backfill base visible, epoch bump coherent") {
+    val s = spark; import s.implicits._
+    // key A: epoch-0 BACKFILL base (rank null), epoch-0 update @900,
+    // then a failover bumps the epoch and rank RESTARTS: an epoch-1
+    // COPY row (rank null) then an epoch-1 update @5
+    val base = Seq(
+      ("A", "c", null: String, 0L, 1L, """{"id":"A","x":"snap"}"""),
+      ("A", "u", "900", 0L, 2L, """{"id":"A","x":"v900"}"""),
+      ("A", "u", null: String, 1L, 3L, """{"id":"A","x":"copy1"}"""),
+      ("A", "u", "5", 1L, 4L, """{"id":"A","x":"v5"}"""))
+      .toDF("key0", "op", "rank", "epoch", "totalOrder", "after")
+      .select(
+        concat(lit("""{"id":""""), col("key0"), lit(""""}""")).as("key"),
+        col("op"), lit("t").as("table"), col("rank"), col("epoch"),
+        col("totalOrder"), col("after"))
+    val hist = Temporal.scd2(base, "t", schema)
+      .orderBy("version")
+      .select("x", "valid_from_epoch", "valid_from", "valid_to_epoch",
+        "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -99L else r.getLong(3),
+        if (r.isNullAt(4)) -99L else r.getLong(4), r.getBoolean(5)))
+    assert(hist.toSeq == Seq(
+      // the backfill base opens at (0, -1) — a REAL position every range
+      // predicate matches, not a SQL-null hole — and closes at (0, 900)
+      ("snap", 0L, -1L, 0L, 900L, false),
+      // v900 closes at the NEXT EPOCH's copy row (1, -1): with bare rank
+      // intervals this row would have been [900, null) = a second
+      // "current" version, and a bare-rank [900, 5) is inverted garbage
+      ("v900", 0L, 900L, 1L, -1L, false),
+      ("copy1", 1L, -1L, 1L, 5L, false),
+      ("v5", 1L, 5L, -99L, -99L, true))) // the ONE live current version
+    assert(hist.count(_._6) == 1)
+  }
 }
