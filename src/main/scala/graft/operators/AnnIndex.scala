@@ -78,13 +78,9 @@ object AnnIndex {
       s"ANN index already exists at $indexDir — ingest into it or pick a new dir")
     // trainIters = 0 keeps cid = vec_id of the first `nCentroids` vectors
     // in id order — byte-for-byte the ivfTopK replay rule, so the whole
-    // index is oracle-checkable
+    // index is oracle-checkable (the ONE shared acquisition)
     val centroids: Array[(Long, Array[Double])] =
-      if (trainIters > 0)
-        Similarity.trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
-      else corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol), col(vecCol)).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      Similarity.coarseCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
     val sp = spark
     import sp.implicits._
     centroids.toSeq.toDF("cid", "centroid")

@@ -32,9 +32,9 @@ object LlmQueries {
       |  CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0) THEN 0
       |       ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END::BIGINT AS n_tokens,
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
-      |  len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
-      |      x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS n_stopwords,
-      |  len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::BIGINT AS n_punct,
+      |  COALESCE(len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is'))), 0)::BIGINT AS n_stopwords,
+      |  COALESCE(len(regexp_extract_all(text, '[.,;:!?''"()\-]')), 0)::BIGINT AS n_punct,
       |  <<QUALITY>> AS quality
       |FROM documents""".stripMargin
     .replace("<<QUALITY>>", qualitySqlExpr)
@@ -1347,8 +1347,8 @@ object LlmQueries {
   private def qualitySqlExpr: String = {
     val toks = """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
     val nTok = s"CASE WHEN (text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0) THEN 0 ELSE len($toks) END::DOUBLE"
-    val stop = s"len(list_filter($toks, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE"
-    val punct = """len(regexp_extract_all(text, '[.,;:!?''"()\-]'))::DOUBLE"""
+    val stop = s"COALESCE(len(list_filter($toks, x -> x IN ('the','a','of','and','to','in','is'))), 0)::DOUBLE"
+    val punct = """COALESCE(len(regexp_extract_all(text, '[.,;:!?''"()\-]')), 0)::DOUBLE"""
     s"""round(least($nTok, 200.0) / 200.0
        |    * (1.0 - ($stop / greatest($nTok, 1.0)) * 0.5)
        |    - ($punct / greatest(length(text)::DOUBLE, 1.0)) * 0.25, 6)""".stripMargin

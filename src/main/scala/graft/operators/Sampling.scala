@@ -106,9 +106,21 @@ object Sampling {
       strataCol: String,
       weights: DataFrame,
       tokenCount: Column): DataFrame = {
-    val tok = df.groupBy(col(strataCol))
+    // degenerate strata fail LOUDLY (temperatureSampleByStrata's rule):
+    // a zero/null-token stratum would drive min(tokens/w) to 0, zeroing
+    // EVERY stratum's rate — "keep nothing" masquerading as a mixture —
+    // and a NULL stratum key could never join its weight back
+    val strataChecked = ColumnGuards.requireNonNull(col(strataCol),
+      s"mixtureWeights: NULL $strataCol stratum")
+    val tok = df.groupBy(strataChecked.as(strataCol))
       .agg(sum(tokenCount).cast("long").as("tokens"))
-    val j = tok.join(broadcast(weights), Seq(strataCol))
+    val tokChecked = when(col("tokens").isNull || col("tokens") <= 0L,
+        raise_error(concat(lit("mixtureWeights: stratum '"),
+          col(strataCol).cast("string"),
+          lit("' has zero/null token total — its budget would zero every rate"))))
+      .otherwise(col("tokens"))
+    val j = tok.select(col(strataCol), tokChecked.as("tokens"))
+      .join(broadcast(weights), Seq(strataCol))
     val budget = j.agg(min(col("tokens").cast("double") / col("w")).as("__budget"))
     j.crossJoin(broadcast(budget))
       .select(col(strataCol), col("tokens"),
@@ -152,7 +164,12 @@ object Sampling {
     val rateRaw = round(pow(col("__tok") / col("__min"), alpha - 1.0), 9)
     val rates = tok.crossJoin(broadcast(minTok))
       .select(col(strataCol),
-        when(col("__min").isNull || col("__min") <= 0.0 || isnan(rateRaw),
+        // rateRaw.isNull: a stratum whose every tokenCount is SQL NULL
+        // sums to NULL (min() skips it, so __min stays positive) and
+        // isnan(NULL) is false — without this clause the NULL rate
+        // quantizes to threshold "0000" and the stratum silently empties
+        when(col("__min").isNull || col("__min") <= 0.0 ||
+            rateRaw.isNull || isnan(rateRaw),
           raise_error(lit("temperatureSampleByStrata: degenerate stratum " +
             "(zero/negative/null token total) — rates would be NaN/0")))
           .otherwise(rateRaw).as("rate"))
@@ -176,6 +193,7 @@ object Sampling {
     val thresh = when(col("rate") >= 1.0, lit("g"))
       .otherwise(lower(lpad(
         hex(greatest(floor(col("rate") * 65536), lit(0.0)).cast("int")), 4, "0")))
+    ColumnGuards.requireNoReserved(df, "stratifiedHashSampleByRates", Set("__thresh"))
     df.join(broadcast(rates.select(col(strataCol), thresh.as("__thresh"))),
         Seq(strataCol))
       .filter(hashPrefix(col(keyCol), seed) < col("__thresh"))
@@ -195,6 +213,7 @@ object Sampling {
     * rank-then-filter without it would sort whole groups. */
   def capPerGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column], n: Int): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
+    ColumnGuards.requireNoReserved(df, "capPerGroup", Set("__rank"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(orderBy: _*)
     df.withColumn("__rank", row_number().over(w))
@@ -216,6 +235,7 @@ object Sampling {
       defaultRate: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    ColumnGuards.requireNoReserved(df, "stratifiedHashSample", Set("__thresh"))
     val rateDim = rates.toSeq.map { case (k, v) => (k, hexThreshold(v)) }
       .toDF(strataCol, "__thresh")
     df.join(broadcast(rateDim), Seq(strataCol), "left")
@@ -238,6 +258,8 @@ object Sampling {
       defaultBudget: Long = Long.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    ColumnGuards.requireNoReserved(df, "selectUnderTokenBudgetPerGroup",
+      Set("cum_tok", "__budget"))
     val dim = budgets.toSeq.toDF(groupCol, "__budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(orderCols: _*)
@@ -270,6 +292,8 @@ object Sampling {
   def selectUnderTokenBudget(df: DataFrame, orderCols: Seq[Column],
       tokenCol: String, budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    ColumnGuards.requireNoReserved(df, "selectUnderTokenBudget",
+      Set("cum_tok", "__pid", "__offset"))
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions

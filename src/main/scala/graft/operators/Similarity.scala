@@ -111,8 +111,13 @@ object Similarity {
       @transient private var signs: Array[Array[Double]] = _
       def apply(v: Seq[Float]): Long = {
         // Catalyst parity for a NULL vector: zip_with yields null, every
-        // per-bit `when` falls to otherwise(0) — signature 0, row kept
-        if (v == null) return 0L
+        // per-bit `when` falls to otherwise(0) — signature 0, row kept.
+        // An EMPTY vector is the same on the Catalyst side for a
+        // different reason (sequence(0,-1) = [0,-1] pads null through
+        // zip_with, so proj is NULL and every bit falls to 0) — the
+        // scalar loop would instead compute proj = 0.0 >= 0 and set
+        // EVERY bit, breaking the bit-identical parity contract
+        if (v == null || v.isEmpty) return 0L
         if (signs == null || signs.length == 0 || signs(0).length < v.length) {
           signs = Array.tabulate(bits, v.length) { (b, j) =>
             val h = org.apache.spark.sql.catalyst.expressions.XXH64
@@ -146,8 +151,15 @@ object Similarity {
     val sigU = hyperplaneSignatureScalar(bits)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .withColumn("bucket", sigU(col("vec")))
-    val masks: Seq[Long] =
-      (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    // enumerate the C(bits, 0..probeHamming) masks DIRECTLY — scanning
+    // all 2^bits longs for bitCount <= h is O(2^bits) driver work for an
+    // O(bits^h)-sized result (16.7M boxed longs for 301 masks at bits=24)
+    val masks: Seq[Long] = {
+      def combos(start: Int, remaining: Int, acc: Long): Seq[Long] =
+        if (remaining == 0) Seq(acc)
+        else (start until bits).flatMap(b => combos(b + 1, remaining - 1, acc | (1L << b)))
+      (0 to probeHamming).flatMap(h => combos(0, h, 0L)).sorted
+    }
     val probes = array(masks.map(lit(_)): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .withColumn("sig", sigU(col("query_vec")))
@@ -243,12 +255,29 @@ object Similarity {
     * assignment (identical semantics to the scoring-side
     * nearestCentroid: argmax cosine, ties → lower cid) → mean. Empty
     * clusters keep their previous centroid. */
+  /** The ONE coarse-quantizer acquisition (ivfTopK, ivfPqTopK, semDedup,
+    * AnnIndex.build all share it): Lloyd-trained when `trainIters` > 0,
+    * else the replay rule — the first `nCentroids` vectors in plain id
+    * order, byte-for-byte oracle-checkable. Ids are cast to long BEFORE
+    * the collect, so an IntegerType id column doesn't ClassCastException
+    * the driver while the operator's distributed side (which casts)
+    * works fine. */
+  private[operators] def coarseCentroids(
+      corpus: DataFrame, nCentroids: Int, trainIters: Int,
+      idCol: String, vecCol: String, trainRows: Int): Array[(Long, Array[Double])] =
+    if (trainIters > 0)
+      trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
+    else corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainRows: Int = 4096): Array[(Long, Array[Double])] = {
     val sample: Array[(Long, Array[Double])] =
       corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(math.max(nCentroids, trainRows))
-        .select(col(idCol), col(vecCol))
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     require(sample.length >= nCentroids, s"corpus must hold at least $nCentroids vectors")
@@ -283,11 +312,7 @@ object Similarity {
     // closures — the coarse quantizer then runs as a tight per-row loop
     // with no join or shuffle at all.
     val centroids: Array[(Long, Array[Double])] =
-      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
-      else corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol), col(vecCol))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      coarseCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
     val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(centroids, v) }
     val probeUdf = udf { (v: Seq[Float]) =>
       centroids.map { case (cid, c) => (cosTo(c, v), cid) }
@@ -440,9 +465,10 @@ object Similarity {
             if (nid != qid) {
               var s = 0.0; var sub = 0
               while (sub < cs.length) { s += table(sub)(cs(sub)); sub += 1 }
+              val s9 = round9(s) // the heap must order on the RANK's grid
               val h = heaps(qi)._2
-              if (h.size < candidates) h.enqueue((s, nid))
-              else if (worstFirst.gt(h.head, (s, nid))) { h.dequeue(); h.enqueue((s, nid)) }
+              if (h.size < candidates) h.enqueue((s9, nid))
+              else if (worstFirst.gt(h.head, (s9, nid))) { h.dequeue(); h.enqueue((s9, nid)) }
             }
             qi += 1
           }
@@ -481,11 +507,7 @@ object Similarity {
     requireBroadcastSmall(queries, maxQueries, "ivfPqTopK")
     // coarse quantizer: bounded by nCentroids, same contract as ivfTopK
     val centroids: Array[(Long, Array[Double])] =
-      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
-      else corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol), col(vecCol))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      coarseCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
     val centMap: Map[Long, Array[Double]] = centroids.toMap
     // PQ books over residuals, trained on a deterministic bounded sample
     // (trainRows·dim doubles — never corpus-sized; see trainPq)
@@ -540,9 +562,10 @@ object Similarity {
             if (nid != qid && centDot.contains(cid)) {
               var s = centDot(cid); var sub = 0
               while (sub < cs.length) { s += table(sub)(cs(sub)); sub += 1 }
+              val s9 = round9(s) // the heap must order on the RANK's grid
               val h = heaps(qi)._2
-              if (h.size < candidates) h.enqueue((s, nid))
-              else if (worstFirst.gt(h.head, (s, nid))) { h.dequeue(); h.enqueue((s, nid)) }
+              if (h.size < candidates) h.enqueue((s9, nid))
+              else if (worstFirst.gt(h.head, (s9, nid))) { h.dequeue(); h.enqueue((s9, nid)) }
             }
             qi += 1
           }
@@ -551,6 +574,20 @@ object Similarity {
       }
       .toDF("query_id", "neighbor_id", "approx")
     adcRescore(corpus, queries, localTop, candidates, k, idCol, vecCol)
+  }
+
+  /** 9-dp half-away-from-zero rounding for the HEAP's order — the same
+    * grid [[adcRescore]] ranks on. Cutting candidates on the UNROUNDED
+    * score would make the kept set summation-order dependent: two
+    * scores tying at 9 dp but 1 ulp apart raw can evict the lower-id
+    * candidate locally even though the rounded global order (approx
+    * desc, id asc) prefers it. (A float landing exactly ON a 9th-decimal
+    * .5 boundary can still round apart from Spark's BigDecimal-based
+    * round — the same accepted residual the other fixed-point cuts
+    * carry.) */
+  @inline private def round9(x: Double): Double = {
+    val y = x * 1e9
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 1e9
   }
 
   /** Dequeues the WORST kept candidate: lowest score first, highest id on
@@ -772,6 +809,8 @@ object Similarity {
     val muLit = typedLit(fit.mean)
     val cLit = typedLit(fit.component)
     val centered = zip_with(col(vecCol).cast("array<double>"), muLit, (x, m) => x - m)
+    ColumnGuards.requireNoReserved(df, "removeTopComponent",
+      Set("__centered", "__coef"))
     val out = df.withColumn("__centered", centered)
       .withColumn("__coef",
         aggregate(zip_with(col("__centered"), cLit, (a, b) => a * b),
@@ -974,11 +1013,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainRows: Int = 4096): DataFrame = {
     val centroids: Array[(Long, Array[Double])] =
-      if (trainIters > 0) trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
-      else corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol), col(vecCol))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      coarseCentroids(corpus, nCentroids, trainIters, idCol, vecCol, trainRows)
     val assignUdf = udf { (v: Seq[Float]) => nearestCentroid(centroids, v) }
     // persisted across the window/pairing passes and the two vector
     // join-backs, then RELEASED: the dropped-id set (tiny) is eagerly

@@ -470,7 +470,13 @@ object TextOps {
     val totals = raw.agg(
       count(lit(1)).cast("double").as("vocab"),
       sum(col("n_raw")).cast("double").as("total_raw"))
-      .crossJoin(tgt.agg(sum(col("n_tgt")).cast("double").as("total_tgt")))
+      // an EMPTY target slice (typo'd predicate) sums to SQL NULL, which
+      // would null every doc's score silently — importance sampling
+      // against nothing is a caller error, not a degraded answer
+      .crossJoin(tgt.agg(ColumnGuards.requireNonNull(
+        sum(col("n_tgt")).cast("double"),
+        "dsirScores: target predicate matched no rows — every score " +
+          "would be NULL").as("total_tgt")))
     tf.join(raw, Seq("term"))
       .join(tgt, Seq("term"), "left_outer")
       .na.fill(0L, Seq("n_tgt"))
@@ -587,15 +593,21 @@ object TextOps {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Count of stopword tokens (array filter — exact, not substring
-    * counting). */
+    * counting). NULL text counts 0, like [[wsTokenCount]] — otherwise
+    * [[qualityScore]] goes SQL-NULL on a NULL doc and silently escapes
+    * its documented [-0.25, 1] range (landing such docs in curriculum
+    * bucket 0 with a NULL score instead of a real one). */
   def stopwordCount(c: Column): Column = {
     val toks = tokens(c)
-    size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))).cast("long")
+    coalesce(
+      size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))),
+      lit(0)).cast("long")
   }
 
-  /** Punctuation character count over the raw text. */
+  /** Punctuation character count over the raw text; NULL text counts 0
+    * (the [[stopwordCount]] rationale). */
   def punctCount(c: Column): Column =
-    regexp_count(c, lit("[.,;:!?'\"()\\-]")).cast("long")
+    coalesce(regexp_count(c, lit("[.,;:!?'\"()\\-]")), lit(0L)).cast("long")
 
   /** Deterministic quality score in [-0.25, 1]: rewards length up to 200
     * tokens, penalizes stopword share and punctuation density. */
