@@ -161,6 +161,123 @@ object Domains {
       .drop("__host", "__l2", "__l3", "__sfx")
   }
 
+  /** Registered domain under FULL public-suffix-list semantics — the
+    * Mozilla PSL algorithm (publicsuffix.org/list): among all rules
+    * matching the host, an exception rule (`!www.ck`) prevails and its
+    * public suffix is the rule minus its first label; otherwise the rule
+    * with the MOST labels prevails, a wildcard label (`*.ck`) matching
+    * exactly one host label; no match falls back to the implicit `*`
+    * rule (the bare TLD is the suffix). The registered domain is the
+    * public suffix plus one more label.
+    *
+    * `psl` is one column `rule` in raw PSL file syntax — comment lines
+    * (`//`) and blanks are dropped (that is file syntax, not data);
+    * anything else malformed — embedded whitespace, empty labels, a `*`
+    * anywhere but as the whole first label, a wildcard exception, or a
+    * rule deeper than `maxLabels` — fails the job loudly (raising
+    * `maxLabels` is a deliberate caller decision; the real PSL's deepest
+    * rules are 5 labels).
+    *
+    * Shape at scale: the PSL ships ONCE as a broadcast dim keyed by rule
+    * pattern; the corpus takes `2·maxLabels−1` broadcast-hash probes (one
+    * exact key per depth, one wildcard key per depth ≥ 2 — the broadcast
+    * exchange is built once and reused) and never shuffles. Per-row cost
+    * is a handful of hash lookups, NOT a scan of the 10k-rule list —
+    * this is why the rules pre-aggregate to a (pattern → kind) map
+    * instead of a per-TLD rule array evaluated with interpreted
+    * higher-order functions.
+    *
+    * Unlike [[registeredDomain]] the host is NOT `www.`-stripped: the
+    * algorithm already collapses `www.example.com` → `example.com`, and
+    * stripping would corrupt exception domains (`www.ck` IS the
+    * registered domain for `*.www.ck`). IP literals (bracketed IPv6 or
+    * dotted IPv4), hosts carrying a literal `*`, and empty hosts pass
+    * through whole — the PSL is a DNS-name rule set. Hosts with no more
+    * labels than their public suffix (the host IS a suffix) also pass
+    * through whole, matching [[registeredDomain]]'s convention. */
+  def withRegisteredDomainPsl(df: DataFrame, urlCol: String, outCol: String,
+      psl: DataFrame, maxLabels: Int = 4): DataFrame = {
+    require(maxLabels >= 2 && maxLabels <= 8,
+      s"withRegisteredDomainPsl: maxLabels must be in [2,8], got $maxLabels")
+    val reservedHit = df.columns.filter(_.startsWith("__"))
+    require(reservedHit.isEmpty,
+      "withRegisteredDomainPsl: __-prefixed input columns collide with " +
+        s"internals: ${reservedHit.mkString(", ")}")
+
+    // ---- dim: validate + normalize rules, aggregate to pattern → kinds
+    val raw = lower(trim(col("rule")))
+    val isE = col("__raw").startsWith("!")
+    val body0 = when(isE, expr("substring(__raw, 2)")).otherwise(col("__raw"))
+    val checked = when(
+        col("__body").rlike("\\s") || col("__body") === "" ||
+          col("__body").startsWith(".") || col("__body").endsWith(".") ||
+          col("__body").contains(".."),
+        raise_error(concat(lit("withRegisteredDomainPsl: malformed PSL rule '"),
+          col("__raw"), lit("'"))))
+      .when(col("__body").contains("*") &&
+          (isE || !col("__body").rlike("^\\*\\.[^*]+$")),
+        raise_error(concat(lit("withRegisteredDomainPsl: rule '"), col("__raw"),
+          lit("' — '*' is only valid as the whole first label of a " +
+            "non-exception rule"))))
+      .when(size(split(col("__body"), "\\.")) > maxLabels,
+        raise_error(concat(lit("withRegisteredDomainPsl: rule '"), col("__raw"),
+          lit(s"' is deeper than maxLabels=$maxLabels labels — raise " +
+            "maxLabels deliberately"))))
+      .otherwise(col("__body"))
+    val dim = broadcast(psl
+      .select(raw.as("__raw"))
+      .filter(col("__raw") =!= "" && !col("__raw").startsWith("//"))
+      .select(col("__raw"), body0.as("__body"))
+      .select(checked.as("__pat"), isE.as("__is_e"))
+      .groupBy("__pat")
+      .agg(max(when(col("__is_e"), 1).otherwise(0)).===(1).as("__has_e"),
+        max(when(col("__is_e"), 0).otherwise(1)).===(1).as("__has_r")))
+
+    // ---- corpus: one candidate key per (depth, kind), one broadcast
+    // probe each; a key is null when the host is too shallow for it, so
+    // a short host can never false-match a deeper rule
+    val host = hostOf(col(urlCol))
+    val labels = split(col("__h"), "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    var cur = df.withColumn("__h", host)
+    for (d <- 1 to maxLabels)
+      cur = cur.withColumn(s"__x$d", when(n >= d, lastK(d)))
+    for (d <- 2 to maxLabels)
+      cur = cur.withColumn(s"__y$d",
+        when(n >= d, concat(lit("*."), lastK(d - 1))))
+    for (d <- 1 to maxLabels)
+      cur = cur.join(
+        dim.select(col("__pat").as(s"__px$d"), col("__has_e").as(s"__e$d"),
+          col("__has_r").as(s"__r$d")),
+        col(s"__x$d") === col(s"__px$d"), "left")
+    for (d <- 2 to maxLabels)
+      cur = cur.join(
+        dim.select(col("__pat").as(s"__py$d"), col("__has_r").as(s"__w$d")),
+        col(s"__y$d") === col(s"__py$d"), "left")
+
+    // exception prevails (deepest first; suffix = rule minus first
+    // label), else the deepest normal/wildcard rule, else implicit `*`
+    val exc = (maxLabels to 1 by -1).foldRight(lit(null).cast("int")) {
+      (d, elseC) => when(coalesce(col(s"__e$d"), lit(false)), lit(d - 1)).otherwise(elseC)
+    }
+    def hit(d: Int): Column = {
+      val r = coalesce(col(s"__r$d"), lit(false))
+      if (d >= 2) r || coalesce(col(s"__w$d"), lit(false)) else r
+    }
+    val norm = (maxLabels to 2 by -1).foldRight(lit(1)) {
+      (d, elseC) => when(hit(d), lit(d)).otherwise(elseC)
+    }
+    val ps = coalesce(exc, norm)
+    val out = when(col("__h").startsWith("[") ||
+        col("__h").rlike("^[0-9.]+$") || col("__h").contains("*") ||
+        col("__h") === "", col("__h"))
+      .otherwise(when(n <= ps, col("__h"))
+        .otherwise(array_join(slice(labels, -(ps + lit(1)), ps + lit(1)), ".")))
+    val internal = cur.columns.filter(_.startsWith("__"))
+    cur.withColumn(outCol, out).drop(internal: _*)
+  }
+
   /** Drop every row whose URL's registered domain is blocklisted.
     * Blocklists are curated by hand — thousands of entries at most — so
     * the list ships as a broadcast anti-join and the corpus never

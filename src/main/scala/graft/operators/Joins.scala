@@ -58,8 +58,22 @@ object Joins {
     // duplicates (count column) before joining; determinism is the
     // contract exactly-once sinks need and content hashing is the only
     // salt that survives retries.
+    // xxhash64 rejects MapType at analysis (map ordering is undefined, so
+    // Spark keeps spark.sql.legacy.allowHashOnMapType=false); salting from
+    // the hashable columns only keeps map-carrying frames working — the
+    // salt needs determinism and spread, not every byte of the row
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "saltedJoin: every left column contains a MapType (unhashable) — " +
+        "project a hashable salt source column first")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(saltCols: _*), lit(buckets.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")

@@ -2819,6 +2819,125 @@ object LlmQueries {
        |) WHERE rn <= 4
        |GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** URL mix for the FULL-PSL gate: every rule class the Mozilla list
+    * carries gets a live host — deep exact suffix (pref.aichi.jp, with
+    * aichi.jp and jp shallower so longest-match is exercised), wildcard
+    * (*.ck), exception (!www.ck), two-label private suffix (github.io
+    * vs io), the plain com/co.uk pair, and a www. host proving the
+    * algorithm collapses www WITHOUT the simple variant's strip. */
+  private def pslSyntheticUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    val m = col("doc_id") % 6
+    when(m === 0, concat(lit("https://a.b."), col("source"),
+        lit(".pref.aichi.jp/p/"), id))
+      .when(m === 1, concat(lit("http://x."), col("source"), lit(".ck/q/"), id))
+      .when(m === 2, concat(lit("http://"), col("source"), lit(".www.ck/r/"), id))
+      .when(m === 3, concat(lit("https://www."), col("source"), lit(".com/a/"), id))
+      .when(m === 4, concat(lit("https://deep.a."), col("source"),
+        lit(".co.uk/x/"), id))
+      .otherwise(concat(lit("http://cdn."), col("source"), lit(".github.io/p/"), id))
+  }
+
+  private val pslSyntheticUrlSql: String =
+    """CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN 'https://a.b.' || source || '.pref.aichi.jp/p/' || doc_id
+      |      WHEN 1 THEN 'http://x.' || source || '.ck/q/' || doc_id
+      |      WHEN 2 THEN 'http://' || source || '.www.ck/r/' || doc_id
+      |      WHEN 3 THEN 'https://www.' || source || '.com/a/' || doc_id
+      |      WHEN 4 THEN 'https://deep.a.' || source || '.co.uk/x/' || doc_id
+      |      ELSE 'http://cdn.' || source || '.github.io/p/' || doc_id
+      |    END""".stripMargin
+
+  /** [[Domains.withRegisteredDomainPsl]] end to end: a PSL slice with
+    * comments/blanks (file syntax), 1/2/3-label exact rules, a wildcard
+    * and its exception, fed the six-variant URL mix. The oracle replays
+    * the IDENTICAL algorithm — per-depth candidate keys, the same seven
+    * left joins against the same (pattern → kinds) dim, exception-first
+    * then deepest-match — so a drift anywhere (key construction, match
+    * precedence, the pass-through guards) moves bytes and fails the
+    * hash. */
+  val qTextPslDomain: Q = (s, d) => {
+    import s.implicits._
+    val psl = Seq(
+      "// ===BEGIN GATE PSL SLICE===", "",
+      "com", "net", "org", "uk", "co.uk", "jp", "aichi.jp", "pref.aichi.jp",
+      "*.ck", "!www.ck", "io", "github.io",
+      "// ===END===").toDF("rule")
+    Domains.withRegisteredDomainPsl(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          pslSyntheticUrl.as("url")),
+        "url", "domain", psl)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("domain"))
+  }
+
+  val qTextPslDomainSql: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id, $pslSyntheticUrlSql AS url FROM documents
+       |), psl(pat, has_e, has_r) AS (
+       |  VALUES ('com', false, true), ('net', false, true), ('org', false, true),
+       |         ('uk', false, true), ('co.uk', false, true), ('jp', false, true),
+       |         ('aichi.jp', false, true), ('pref.aichi.jp', false, true),
+       |         ('*.ck', false, true), ('www.ck', true, false),
+       |         ('io', false, true), ('github.io', false, true)
+       |), h AS (
+       |  SELECT doc_id,
+       |    lower(CASE WHEN au LIKE '[%' THEN regexp_extract(au, '^(\\[[^\\]]*\\])', 1)
+       |               ELSE regexp_extract(au, '^([^:]*)', 1) END) AS host
+       |  FROM (SELECT doc_id,
+       |          regexp_extract(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+       |            '^(?:[^@]*@)?(.*)$$', 1) AS au
+       |        FROM urls)
+       |), k AS (
+       |  SELECT doc_id, host, string_split(host, '.') AS ls,
+       |    len(string_split(host, '.')) AS n
+       |  FROM h
+       |), c AS (
+       |  SELECT doc_id, host, ls, n,
+       |    CASE WHEN n >= 1 THEN array_to_string(ls[-1:], '.') END AS x1,
+       |    CASE WHEN n >= 2 THEN array_to_string(ls[-2:], '.') END AS x2,
+       |    CASE WHEN n >= 3 THEN array_to_string(ls[-3:], '.') END AS x3,
+       |    CASE WHEN n >= 4 THEN array_to_string(ls[-4:], '.') END AS x4,
+       |    CASE WHEN n >= 2 THEN '*.' || array_to_string(ls[-1:], '.') END AS y2,
+       |    CASE WHEN n >= 3 THEN '*.' || array_to_string(ls[-2:], '.') END AS y3,
+       |    CASE WHEN n >= 4 THEN '*.' || array_to_string(ls[-3:], '.') END AS y4
+       |  FROM k
+       |), j AS (
+       |  SELECT c.doc_id, c.host, c.ls, c.n,
+       |    p1.has_e AS e1, p1.has_r AS r1, p2.has_e AS e2, p2.has_r AS r2,
+       |    p3.has_e AS e3, p3.has_r AS r3, p4.has_e AS e4, p4.has_r AS r4,
+       |    w2.has_r AS wm2, w3.has_r AS wm3, w4.has_r AS wm4
+       |  FROM c
+       |  LEFT JOIN psl p1 ON c.x1 = p1.pat
+       |  LEFT JOIN psl p2 ON c.x2 = p2.pat
+       |  LEFT JOIN psl p3 ON c.x3 = p3.pat
+       |  LEFT JOIN psl p4 ON c.x4 = p4.pat
+       |  LEFT JOIN psl w2 ON c.y2 = w2.pat
+       |  LEFT JOIN psl w3 ON c.y3 = w3.pat
+       |  LEFT JOIN psl w4 ON c.y4 = w4.pat
+       |), p AS (
+       |  SELECT doc_id, host, ls, n, COALESCE(
+       |    CASE WHEN COALESCE(e4, false) THEN 3
+       |         WHEN COALESCE(e3, false) THEN 2
+       |         WHEN COALESCE(e2, false) THEN 1
+       |         WHEN COALESCE(e1, false) THEN 0 END,
+       |    CASE WHEN COALESCE(r4, false) OR COALESCE(wm4, false) THEN 4
+       |         WHEN COALESCE(r3, false) OR COALESCE(wm3, false) THEN 3
+       |         WHEN COALESCE(r2, false) OR COALESCE(wm2, false) THEN 2
+       |         ELSE 1 END) AS ps
+       |  FROM j
+       |), rd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN host LIKE '[%' OR regexp_matches(host, '^[0-9.]+$$')
+       |              OR contains(host, '*') OR host = '' THEN host
+       |         WHEN n <= ps THEN host
+       |         ELSE array_to_string(list_slice(ls, n - ps, n), '.') END AS domain
+       |  FROM p
+       |)
+       |SELECT domain, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM rd GROUP BY domain ORDER BY domain""".stripMargin
+
   // ----------------------------- composed semantic-curation pipeline
   /** The persisted-index curation chain as ONE composed plan: quality
     * filter → temperature (α=0.5) source rebalance → semantic dedup of
@@ -2943,6 +3062,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "text_url_canon"      -> qTextUrlCanon,
     "text_domain_policy"  -> qTextDomainPolicy,
+    "text_psl_domain"     -> qTextPslDomain,
     "pipeline_semantic"   -> qPipelineSemantic,
     "dedup_substring"     -> qDedupSubstring,
     "text_repetition"     -> qTextRepetition,
@@ -3059,6 +3179,7 @@ object LlmQueries {
     "text_classifier"     -> qTextClassifierSql,
     "text_url_canon"      -> qTextUrlCanonSql,
     "text_domain_policy"  -> qTextDomainPolicySql,
+    "text_psl_domain"     -> qTextPslDomainSql,
     "pipeline_semantic"   -> qPipelineSemanticSql,
     "emb_quantize"        -> qEmbQuantizeSql,
     "ann_int8"            -> qAnnInt8Sql,

@@ -213,8 +213,17 @@ object Multimodal {
     def be32(o: Int): Long =
       ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
         ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+    // bytes 12-15 must literally be "IHDR" — otherwise 16..23 is not a
+    // dimension field and the bomb guard below guards nothing
+    if (payload(12) != 'I' || payload(13) != 'H' ||
+      payload(14) != 'D' || payload(15) != 'R') return None
     val dw = be32(16); val dh = be32(20)
-    if (dw <= 0 || dh <= 0 || dw * dh > Int.MaxValue / 3) return None
+    // each dim is bounded FIRST: with dw,dh up to 0xFFFFFFFF the product
+    // can exceed Long.MaxValue and wrap negative, silently passing the
+    // area check — the guard must not depend on ImageIO rejecting
+    // dims >= 2^31 as negative ints
+    if (dw <= 0 || dh <= 0 || dw > Int.MaxValue || dh > Int.MaxValue ||
+      dw * dh > Int.MaxValue / 3) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) return None

@@ -119,8 +119,24 @@ object Sampling {
           col(strataCol).cast("string"),
           lit("' has zero/null token total — its budget would zero every rate"))))
       .otherwise(col("tokens"))
+    // the weights dim joins LEFT with loud guards, same fail-loud class
+    // as the token checks above: an inner join would silently DROP a
+    // data stratum missing from the weights dim (its tokens vanish from
+    // the mixture), and a null/non-positive w would null or invert the
+    // budget minimum without a trace
+    val wChecked = when(col("w").isNull,
+        raise_error(concat(lit("mixtureWeights: stratum '"),
+          col(strataCol).cast("string"),
+          lit("' has no weight (no row in the weights dim, or a null w) — " +
+            "every data stratum needs a positive weight"))))
+      .when(col("w") <= 0.0,
+        raise_error(concat(lit("mixtureWeights: stratum '"),
+          col(strataCol).cast("string"),
+          lit("' has non-positive weight — rates would be null/negative"))))
+      .otherwise(col("w"))
     val j = tok.select(col(strataCol), tokChecked.as("tokens"))
-      .join(broadcast(weights), Seq(strataCol))
+      .join(broadcast(weights), Seq(strataCol), "left")
+      .select(col(strataCol), col("tokens"), wChecked.as("w"))
     val budget = j.agg(min(col("tokens").cast("double") / col("w")).as("__budget"))
     j.crossJoin(broadcast(budget))
       .select(col(strataCol), col("tokens"),

@@ -137,6 +137,119 @@ class DomainsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(e2).exists(m => m != null && m.contains("pref.aichi.jp")))
   }
 
+  private def pslDomain(host: String, rules: Seq[String], maxLabels: Int = 4): String = {
+    val sp = spark; import sp.implicits._
+    Domains.withRegisteredDomainPsl(
+        Seq(s"http://$host/x").toDF("url"), "url", "d",
+        rules.toDF("rule"), maxLabels)
+      .select("d").as[String].head()
+  }
+
+  test("withRegisteredDomainPsl: longest match over exact rules of any depth") {
+    val rules = Seq("com", "jp", "aichi.jp", "pref.aichi.jp", "co.uk")
+    assert(pslDomain("a.b.example.com", rules) == "example.com")
+    assert(pslDomain("example.com", rules) == "example.com")
+    assert(pslDomain("deep.cdn.shop.co.uk", rules) == "shop.co.uk")
+    // the DEEPEST matching rule prevails: jp < aichi.jp < pref.aichi.jp
+    assert(pslDomain("x.aichi.jp", rules) == "x.aichi.jp")
+    assert(pslDomain("www.x.aichi.jp", rules) == "x.aichi.jp")
+    assert(pslDomain("x.pref.aichi.jp", rules) == "x.pref.aichi.jp")
+    assert(pslDomain("www.x.pref.aichi.jp", rules) == "x.pref.aichi.jp")
+    // a TLD with no rule falls back to the implicit `*` rule (ps = 1)
+    assert(pslDomain("a.foo.example", rules) == "foo.example")
+    // the host IS a public suffix → passes through whole (repo convention)
+    assert(pslDomain("pref.aichi.jp", rules) == "pref.aichi.jp")
+    assert(pslDomain("com", rules) == "com")
+  }
+
+  test("withRegisteredDomainPsl: wildcard and exception semantics") {
+    val ck = Seq("com", "*.ck", "!www.ck")
+    // *.ck: any single label under ck is itself a public suffix
+    assert(pslDomain("b.test.ck", ck) == "b.test.ck")
+    assert(pslDomain("a.b.test.ck", ck) == "b.test.ck")
+    // !www.ck: exception carves www.ck back OUT of the wildcard — the
+    // suffix is the rule minus its first label ("ck"), so www.ck is a
+    // registered domain and everything below it collapses to it
+    assert(pslDomain("www.ck", ck) == "www.ck")
+    assert(pslDomain("foo.www.ck", ck) == "www.ck")
+    assert(pslDomain("a.foo.www.ck", ck) == "www.ck")
+    // host equal to the wildcarded suffix depth passes through whole
+    assert(pslDomain("test.ck", ck) == "test.ck")
+    // deep wildcard + exception (the kawasaki.jp shape)
+    val kw = Seq("jp", "*.kawasaki.jp", "!city.kawasaki.jp")
+    assert(pslDomain("a.b.kawasaki.jp", kw) == "a.b.kawasaki.jp")
+    assert(pslDomain("x.a.b.kawasaki.jp", kw) == "a.b.kawasaki.jp")
+    assert(pslDomain("a.city.kawasaki.jp", kw) == "city.kawasaki.jp")
+    assert(pslDomain("x.a.city.kawasaki.jp", kw) == "city.kawasaki.jp")
+  }
+
+  test("withRegisteredDomainPsl: www is NOT stripped; IPs/'*'-hosts/empty pass through") {
+    val rules = Seq("com", "*.ck", "!www.ck")
+    // the algorithm collapses www by itself; stripping it would corrupt
+    // the exception domain www.ck
+    assert(pslDomain("www.example.com", rules) == "example.com")
+    assert(pslDomain("192.168.0.1", rules) == "192.168.0.1")
+    assert(pslDomain("[2001:db8::2]", rules) == "[2001:db8::2]")
+    val sp = spark; import sp.implicits._
+    val weird = Domains.withRegisteredDomainPsl(
+      Seq("http://*.ck/x", "not a url").toDF("url"), "url", "d",
+      rules.toDF("rule"))
+    assert(weird.select("d").as[String].collect().toSeq == Seq("*.ck", ""))
+  }
+
+  test("withRegisteredDomainPsl: file syntax tolerated, malformed rules fail loudly") {
+    val sp = spark; import sp.implicits._
+    // comments and blank lines are PSL FILE syntax — dropped, not data
+    assert(pslDomain("a.example.com",
+      Seq("// ===BEGIN ICANN DOMAINS===", "", "com", "  ", "// end")) == "example.com")
+    def loud(rules: Seq[String]): String = {
+      val e = intercept[Exception] {
+        Domains.withRegisteredDomainPsl(
+          Seq("http://a.example.com/x").toDF("url"), "url", "d",
+          rules.toDF("rule")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      messages(e).mkString("\n")
+    }
+    assert(loud(Seq("com", "bad rule")).contains("malformed"))
+    assert(loud(Seq("com", "a..b")).contains("malformed"))
+    assert(loud(Seq("com", ".com")).contains("malformed"))
+    // '*' anywhere but as the whole first label of a non-exception rule
+    assert(loud(Seq("com", "a.*.b")).contains("'*'"))
+    assert(loud(Seq("com", "x*.ck")).contains("'*'"))
+    assert(loud(Seq("com", "!*.ck")).contains("'*'"))
+    // deeper than maxLabels: refuse loudly, tell the caller the knob
+    assert(loud(Seq("com", "a.b.c.d.e")).contains("maxLabels"))
+    // ...and raising the knob accepts the same rule
+    assert(pslDomain("x.a.b.c.d.e", Seq("com", "a.b.c.d.e"), maxLabels = 5)
+      == "x.a.b.c.d.e")
+    // reserved internals rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Domains.withRegisteredDomainPsl(
+        Seq("http://a.com/x").toDF("url").withColumn("__h", lit("x")),
+        "url", "d", Seq("com").toDF("rule"))
+    }
+    assert(e.getMessage.contains("__h"))
+  }
+
+  test("withRegisteredDomainPsl agrees with registeredDomain on the embedded two-label list") {
+    val sp = spark; import sp.implicits._
+    // over non-www hosts the full algorithm with ONLY two-label rules
+    // reduces to the embedded-list rule: implicit `*` → last two labels,
+    // listed suffix → last three
+    val urls = Seq(
+      "http://a.b.example.com/x", "https://deep.cdn.shop.co.uk/x",
+      "http://news.com.au/", "http://localhost:8080/x",
+      "http://example.org/", "http://[2001:db8::2]:8080/x",
+      "http://192.168.0.1/x", "http://pages.site.com.bd/p"
+    ).toDF("url")
+    val both = Domains.withRegisteredDomainPsl(
+        urls, "url", "psl_domain", Domains.SecondLevelSuffixes.toDF("rule"))
+      .withColumn("const_domain", Domains.registeredDomain(col("url")))
+    assert(both.filter(col("psl_domain") =!= col("const_domain")).count() == 0)
+  }
+
   test("blocklist filters by registered domain (subdomains included); cap bounds per domain") {
     val sp = spark; import sp.implicits._
     val rows = Seq(

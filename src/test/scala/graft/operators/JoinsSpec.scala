@@ -47,21 +47,43 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.size == 1000)
   }
 
-  test("salted join: identical-content hot rows spread across buckets (salt not content-derived)") {
+  test("salted join: distinct-content hot rows spread across buckets (content-hash salt)") {
     val sp = spark; import sp.implicits._
-    // 1000 BYTE-IDENTICAL left rows for one hot key: a content-derived
-    // salt maps them all to one bucket, silently undoing the mitigation
-    val left = Seq.fill(1000)(("hot", 1L)).toDF("k", "lv")
-    val salts = left.withColumn("__salt",
+    // 1000 DISTINCT payloads under one hot key: the content-hash salt
+    // must spread them (the documented caveat is the inverse case —
+    // byte-identical rows share a bucket; pre-aggregate those)
+    val left = (0 until 1000).map(i => ("hot", i.toLong)).toDF("k", "lv")
+    val salted = left.withColumn("__salt",
         org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.monotonically_increasing_id(),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("k"),
+            org.apache.spark.sql.functions.col("lv")),
           org.apache.spark.sql.functions.lit(8L)).cast("int"))
       .select("__salt").distinct().count()
-    assert(salts > 1) // the operator's salt rule, pinned structurally
+    assert(salted > 1) // the operator's salt rule, pinned structurally
     // and the join result stays exactly the plain join's
     val right = Seq(("hot", "r")).toDF("k", "rv")
     val out = Joins.saltedJoin(left, right, Seq("k"), buckets = 8)
     assert(out.count() == 1000)
+  }
+
+  test("salted join: map columns are skipped by the salt, all-map left fails loudly") {
+    val sp = spark; import sp.implicits._
+    // xxhash64 rejects MapType at analysis — the salt must come from the
+    // hashable columns only, or any map-carrying frame dies
+    val left = (0 until 100).map(i => ("hot", i.toLong, Map("m" -> i))).toDF("k", "lv", "mv")
+    val right = Seq(("hot", "r")).toDF("k", "rv")
+    val out = Joins.saltedJoin(left, right, Seq("k"), buckets = 8)
+    assert(out.count() == 100)
+    assert(out.columns.toSet == Set("k", "lv", "mv", "rv"))
+    // a left side with NO hashable column cannot be salted — named error,
+    // not an opaque analysis exception
+    val allMap = (0 until 4).map(i => Map("k" -> i)).toDF("mv")
+      .withColumn("k", org.apache.spark.sql.functions.lit("hot")).select("mv")
+    val e = intercept[IllegalArgumentException] {
+      Joins.saltedJoin(allMap, allMap, Seq("mv"), buckets = 4)
+    }
+    assert(e.getMessage.contains("MapType"))
   }
 
   test("salted join: left join keeps unmatched left rows exactly once") {

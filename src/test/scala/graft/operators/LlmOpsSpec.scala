@@ -810,6 +810,27 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("c") == ((300L, 1.0, true)))
   }
 
+  test("mixture weights: missing/null/non-positive weight rows fail loudly, never drop strata") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("d1", "a", 100L), ("d2", "b", 100L)).toDF("id", "src", "ntok")
+    def loud(weights: org.apache.spark.sql.DataFrame): String = {
+      val e = intercept[Exception] {
+        Sampling.mixtureWeights(df, "src", weights, col("ntok")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      messages(e).mkString("\n")
+    }
+    // a data stratum absent from the weights dim must not silently
+    // vanish from the mixture (the inner-join failure class)
+    assert(loud(Seq(("a", 1.0)).toDF("src", "w")).contains("no weight"))
+    // null / non-positive weights must not null or invert the budget
+    assert(loud(Seq(("a", Option(1.0)), ("b", Option.empty[Double])).toDF("src", "w"))
+      .contains("no weight"))
+    assert(loud(Seq(("a", 1.0), ("b", -2.0)).toDF("src", "w"))
+      .contains("non-positive weight"))
+  }
+
   test("stratified sample by rates DataFrame matches the Map-based sampler") {
     val sp = spark; import sp.implicits._
     val df = (1L to 2000L).map(i => (i, s"s${i % 2}")).toDF("id", "stratum")
