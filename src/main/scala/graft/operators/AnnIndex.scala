@@ -604,15 +604,30 @@ object AnnIndex {
       rescoreFactor: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxQueries: Int = 10000): Unit =
-    probe(queries, indexDir, k, nProbes, rescoreFactor, idCol, vecCol, maxQueries)
+      maxQueries: Int = 10000,
+      ingestTsMs: Option[Long] = None): Unit = {
+    // the optional ingestion stamp is a CALLER-supplied wall clock
+    // (`Some(System.currentTimeMillis())` in a real stream), constant for
+    // the batch and never computed in-plan — the operator itself stays
+    // deterministic (replayable, spec-checkable) and age-based retention
+    // ([[compactProbeResultsByAge]]) gets the column it folds on. A
+    // redelivery re-stamps its batch — the overwrite replaces the old
+    // rows, so the batch keeps ONE consistent stamp either way.
+    val res = probe(queries, indexDir, k, nProbes, rescoreFactor,
+      idCol, vecCol, maxQueries)
+    ingestTsMs.fold(res)(ts => res.withColumn("ingest_ts", lit(ts)))
       .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+  }
 
+  /** `ingest_ts` (epoch millis, stamped DRIVER-side at write when the
+    * caller opts in) is nullable: batches written without stamping read
+    * as null under this schema, and null never age-expires. */
   private val probeResultSchema = StructType(Seq(
     StructField("query_id", LongType),
     StructField("rk", LongType),
     StructField("neighbor_id", LongType),
-    StructField("sim", DoubleType)))
+    StructField("sim", DoubleType),
+    StructField("ingest_ts", LongType)))
 
   /** Everything [[probeBatch]] has answered under `outDir`: the live
     * `batch_<id>` result dirs plus committed `compact_<n>` folds, with
@@ -655,67 +670,147 @@ object AnnIndex {
       targetPartitions: Int = 1): Int = {
     val (fs, root) = fsOf(spark, outDir)
     if (!fs.exists(root)) return 0
-    def path(n: String) = new org.apache.hadoop.fs.Path(root, n)
     Dedup.sweepFoldLeftovers(fs, root, "tmp_compact_", "compact_")
     val names = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).toSeq
-    def num(n: String): Option[Long] = {
-      val d = n.stripPrefix("batch_").takeWhile(_.isDigit)
-      if (n.startsWith("batch_") && d.nonEmpty) Some(d.toLong) else None
-    }
-    val numbered = names.flatMap(n => num(n).map(_ -> n)).sortBy(_._1)
+    val numbered = names.flatMap(n => probeBatchNum(n).map(_ -> n)).sortBy(_._1)
     val newest = numbered.lastOption.map(_._2)
     val horizon = numbered
       .filter { case (id, n) => id <= horizonBatchId && !newest.contains(n) }
       .map(_._2)
-    // a fold's `_UPTO` sidecar records the max batch id it covers —
-    // without it a TTL pass could never expire results that a retention
-    // pass folded earlier (the fold dir's own name carries no coverage);
-    // a fold missing the sidecar reads as MaxValue = never TTL-dropped
-    def uptoOf(n: String): Long = {
-      val p = path(s"$n/_UPTO")
-      if (!fs.exists(p)) Long.MaxValue
-      else {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
-    }
-    if (!retain) { // TTL drop: expired results are simply gone —
-      // including prior FOLDS whose entire coverage is past the horizon.
-      // Drops go rename-THEN-delete: a bare recursive delete can crash
-      // after removing a fold's _UPTO but before its part files, leaving
-      // a half-dir that reads as live results AND (sidecar gone) as
-      // MaxValue coverage no later TTL pass would ever expire. The
-      // atomic rename to an invisible tmp_compact_ name is the commit
-      // point; a crash mid-delete leaves only invisible garbage the next
-      // pass's sweep reclaims.
+    if (!retain) {
+      // TTL drop: expired results are simply gone — including prior
+      // FOLDS whose entire `_UPTO` coverage is past the horizon
       val expiredFolds = names.filter(_.startsWith("compact_"))
-        .filter(n => uptoOf(n) <= horizonBatchId)
-      (horizon ++ expiredFolds).foreach { n =>
-        val tmp = s"tmp_compact_drop_$n"
-        if (!fs.rename(path(n), path(tmp)))
-          throw new IllegalStateException(
-            s"TTL drop rename failed: $outDir/$n -> $tmp")
-        fs.delete(path(tmp), true)
-      }
-      return horizon.length + expiredFolds.length
+        .filter(n => probeUptoOf(fs, root, n) <= horizonBatchId)
+      return ttlDropProbeDirs(fs, root, outDir, horizon ++ expiredFolds)
     }
     if (horizon.isEmpty) return 0
-    // prior folds below the horizon merge in, so repeated retention
-    // passes keep exactly one compact dir, not a chain
+    // prior folds merge in, so repeated retention passes keep exactly
+    // one compact dir, not a chain
     val priorFolds = names.filter(_.startsWith("compact_")).sorted
-    val fold = horizon ++ priorFolds
+    val upto = (horizon.flatMap(probeBatchNum) ++
+      priorFolds.map(probeUptoOf(fs, root, _)).filter(_ != Long.MaxValue)).max
+    foldProbeDirs(spark, outDir, fs, root, horizon ++ priorFolds, priorFolds,
+      upto, targetPartitions)
+    horizon.length
+  }
+
+  /** Wall-clock retention for [[probeBatch]] results: a batch-id horizon
+    * ([[compactProbeResults]]) is the right policy for harness/replay
+    * pipelines, but a production stream wants "drop results older than
+    * N days" — which needs the `ingest_ts` stamp [[probeBatch]] writes
+    * when the caller passes `ingestTsMs`. A dir is expired when EVERY
+    * row is stamped and its newest stamp is strictly below
+    * `cutoffTsMs` (the caller computes the cutoff — now minus the
+    * retention window; the operator itself never reads a clock). An
+    * unstamped or partially-stamped dir never age-expires — age policy
+    * over unstamped data would otherwise silently drop results of
+    * unknown age — and the numerically newest batch keeps its
+    * redelivery protection regardless. `retain = true` folds the
+    * expired dirs (reader surface unchanged) under the same
+    * `_SUBSUMES`/`_UPTO` staging as the id-horizon pass; `retain =
+    * false` drops them. Returns dirs folded or dropped. */
+  def compactProbeResultsByAge(spark: SparkSession, outDir: String,
+      cutoffTsMs: Long, retain: Boolean = false,
+      targetPartitions: Int = 1): Int = {
+    val (fs, root) = fsOf(spark, outDir)
+    if (!fs.exists(root)) return 0
+    Dedup.sweepFoldLeftovers(fs, root, "tmp_compact_", "compact_")
+    val names = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq
+    val numbered = names.flatMap(n => probeBatchNum(n).map(_ -> n)).sortBy(_._1)
+    val newest = numbered.lastOption.map(_._2)
+    // folds hold result rows like any batch, so age applies to them too
+    // (their rows carry the stamps they were folded with); in retain
+    // mode they merge into the new fold instead
+    val candidates = numbered.map(_._2).filterNot(newest.contains) ++
+      names.filter(_.startsWith("compact_")).sorted
+    if (candidates.isEmpty) return 0
+    // ONE scan over the candidate dirs decides expiry: per-dir newest
+    // stamp and unstamped-row count (input_file_name → dir name, no
+    // per-dir driver jobs)
+    val dirCol = regexp_extract(input_file_name(),
+      "/((?:batch|compact)_[0-9]+[^/]*)/[^/]*$", 1)
+    val stats = spark.read.schema(probeResultSchema)
+      .parquet(candidates.map(n => s"$outDir/$n"): _*)
+      .groupBy(dirCol.as("__dir"))
+      .agg(max(col("ingest_ts")).as("__max_ts"),
+        sum(when(col("ingest_ts").isNull, 1L).otherwise(0L)).as("__n_null"))
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getLong(2)))).toMap
+    val expired = candidates.filter { n =>
+      stats.get(n) match {
+        case None => true // zero-row dir: nothing of unknown age to lose
+        case Some((Some(maxTs), 0L)) => maxTs < cutoffTsMs
+        case _ => false // any unstamped row: age unknown, never expire
+      }
+    }
+    if (expired.isEmpty) return 0
+    if (!retain) return ttlDropProbeDirs(fs, root, outDir, expired)
+    val priorFolds = names.filter(_.startsWith("compact_")).sorted
+    val fold = (expired ++ priorFolds).distinct
+    val upto = (fold.flatMap(probeBatchNum) ++
+      priorFolds.map(probeUptoOf(fs, root, _)).filter(_ != Long.MaxValue))
+      .foldLeft(-1L)(math.max)
+    foldProbeDirs(spark, outDir, fs, root, fold, priorFolds,
+      upto, targetPartitions)
+    expired.length
+  }
+
+  private def probeBatchNum(n: String): Option[Long] = {
+    val d = n.stripPrefix("batch_").takeWhile(_.isDigit)
+    if (n.startsWith("batch_") && d.nonEmpty) Some(d.toLong) else None
+  }
+
+  /** A fold's `_UPTO` sidecar records the max batch id it covers —
+    * without it a TTL pass could never expire results that a retention
+    * pass folded earlier (the fold dir's own name carries no coverage);
+    * a fold missing the sidecar reads as MaxValue = never TTL-dropped. */
+  private def probeUptoOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, n: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$n/_UPTO")
+    if (!fs.exists(p)) Long.MaxValue
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Drops go rename-THEN-delete: a bare recursive delete can crash
+    * after removing a fold's `_UPTO` but before its part files, leaving
+    * a half-dir that reads as live results AND (sidecar gone) as
+    * MaxValue coverage no later TTL pass would ever expire. The atomic
+    * rename to an invisible `tmp_compact_` name is the commit point; a
+    * crash mid-delete leaves only invisible garbage the next pass's
+    * sweep reclaims. */
+  private def ttlDropProbeDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, outDir: String,
+      names: Seq[String]): Int = {
+    names.foreach { n =>
+      val tmp = s"tmp_compact_drop_$n"
+      if (!fs.rename(new org.apache.hadoop.fs.Path(root, n),
+          new org.apache.hadoop.fs.Path(root, tmp)))
+        throw new IllegalStateException(
+          s"TTL drop rename failed: $outDir/$n -> $tmp")
+      fs.delete(new org.apache.hadoop.fs.Path(root, tmp), true)
+    }
+    names.length
+  }
+
+  private def foldProbeDirs(spark: SparkSession, outDir: String,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      fold: Seq[String], priorFolds: Seq[String], upto: Long,
+      targetPartitions: Int): Unit = {
     val gen = priorFolds.map(_.stripPrefix("compact_").takeWhile(_.isDigit))
       .filter(_.nonEmpty).map(_.toLong).foldLeft(0L)(math.max) + 1
-    val upto = (horizon.flatMap(num) ++
-      priorFolds.map(uptoOf).filter(_ != Long.MaxValue)).max
     spark.read.schema(probeResultSchema).parquet(fold.map(n => s"$outDir/$n"): _*)
       .repartition(targetPartitions)
       .write.mode("overwrite").parquet(s"$outDir/tmp_compact_$gen")
     Dedup.commitFold(fs, root, s"tmp_compact_$gen", s"compact_$gen", fold,
       extraSidecars = Seq("_UPTO" -> s"$upto\n"))
-    horizon.length
   }
 
   /** Per-cell occupancy of the LIVE index (tombstones excluded) — the
@@ -792,6 +887,165 @@ object AnnIndex {
     * it. `trainIters = 0` keeps the replay rule (centroids = first
     * `nCentroids` surviving ids), making the rebuilt index
     * oracle-checkable end to end. */
+  /** Atomic index cutover — the step after [[rebuild]] that was
+    * previously caller-coordinated: a `_current/` pointer log inside
+    * `rootDir` names which child index dir is authoritative, so a crash
+    * between rebuild completion and re-pointing can no longer leave two
+    * valid index dirs with no marker. The commit protocol is
+    * append-only-highest-wins (the Structured Streaming metadata-log
+    * shape), NOT delete-then-rename: each promote stages
+    * `tmp_v_<n>` and atomically renames it to `_current/v_<n>` — a
+    * fresh name, so the rename never clobbers and there is no window
+    * with no pointer at all. [[resolveCurrent]] reads the
+    * highest-version file; a crash leaves either the old set (old index
+    * wins) or the new file complete (new wins) — every point in time
+    * resolves to exactly one readable index. Older pointer files are
+    * pruned after the commit; a crash mid-prune is harmless (highest
+    * still wins). Concurrent promotes are last-committer-wins on
+    * version number; a version collision (two maintainers racing) fails
+    * the loser's rename loudly rather than silently reordering.
+    *
+    * `indexDirName` is a child dir of `rootDir` (relative, so moving the
+    * root wholesale keeps the pointer valid) and must already hold a
+    * built index — promoting a half-built dir is refused. Returns the
+    * committed version. */
+  def promote(spark: SparkSession, rootDir: String,
+      indexDirName: String): Long = {
+    require(indexDirName.nonEmpty && !indexDirName.contains("/") &&
+      !indexDirName.startsWith("_") && !indexDirName.startsWith("tmp_"),
+      s"promote: indexDirName must be a plain child dir name, got '$indexDirName'")
+    val (fs, root) = fsOf(spark, rootDir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, indexDirName), "centroids")),
+      s"promote: $rootDir/$indexDirName does not hold a built index " +
+        "(no centroids) — build/rebuild it first")
+    val curDir = new org.apache.hadoop.fs.Path(root, "_current")
+    fs.mkdirs(curDir)
+    // crashed stagings are invisible garbage; reclaim them here
+    fs.listStatus(curDir).map(_.getPath)
+      .filter(_.getName.startsWith("tmp_"))
+      .foreach(fs.delete(_, false))
+    val versions = currentVersions(fs, curDir)
+    val next = versions.map(_._1).foldLeft(0L)(math.max) + 1
+    val tmp = new org.apache.hadoop.fs.Path(curDir, s"tmp_v_$next")
+    val out = fs.create(tmp, false)
+    try out.write(s"$indexDirName\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(curDir, s"v_$next")))
+      throw new IllegalStateException(
+        s"promote commit rename failed (concurrent promote?): $rootDir v_$next")
+    // prune older pointers AFTER the commit — tiny files, and highest
+    // wins regardless of how far a crashed prune got
+    versions.foreach { case (_, p) => fs.delete(p, false) }
+    next
+  }
+
+  /** The authoritative index dir under `rootDir` as committed by the
+    * latest [[promote]] — the full path, ready for [[probe]] /
+    * [[ingest]]. Probe loops that must see cutover-atomically resolve
+    * once per micro-batch: every row of a batch then probes the same
+    * index, old or new, never a mix. */
+  def resolveCurrent(spark: SparkSession, rootDir: String): String = {
+    val (fs, root) = fsOf(spark, rootDir)
+    val curDir = new org.apache.hadoop.fs.Path(root, "_current")
+    require(fs.exists(curDir),
+      s"no _current pointer under $rootDir — promote an index dir first")
+    val versions = currentVersions(fs, curDir)
+    require(versions.nonEmpty,
+      s"no committed _current version under $rootDir — promote an index dir first")
+    val (_, newest) = versions.maxBy(_._1)
+    val in = fs.open(newest)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    s"$rootDir/$name"
+  }
+
+  private def currentVersions(fs: org.apache.hadoop.fs.FileSystem,
+      curDir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(curDir).map(_.getPath).toSeq
+      .filter(p => p.getName.startsWith("v_"))
+      .flatMap { p =>
+        val d = p.getName.stripPrefix("v_")
+        if (d.nonEmpty && d.forall(_.isDigit)) Some(d.toLong -> p) else None
+      }
+
+  /** Thresholds that decide when index maintenance is due. Every knob
+    * watches a cost that grows without its op: state dirs per subtree
+    * (listing + union-plan width per probe → [[compact]]), tombstone
+    * surface entries (listing per read → [[compactTombstones]]),
+    * probe-result batch dirs (listing per [[readProbeResults]] →
+    * [[compactProbeResults]]), and mean live vectors per cell against
+    * the frozen quantizer's capacity (candidate-scan factor per probe →
+    * [[rebuild]] due). `maxMeanCell` compares `n_live / n_cells_total`
+    * — occupancy against CAPACITY, the SemDeDup nCentroids ∝ corpus
+    * contract — so a corpus that grew k× past its build reads as k× the
+    * build-time mean. */
+  final case class MaintenancePolicy(
+      maxStateDirs: Int = 8,
+      maxTombstoneEntries: Int = 8,
+      maxMeanCell: Double = 4096.0,
+      probeMaxBatchDirs: Int = 16,
+      probeKeepBatches: Int = 4)
+
+  /** What [[maintain]] did and what it recommends: counts from the ops
+    * it ran (0 = that op was not due) plus the rebuild flag — rebuild
+    * itself is never auto-run (it needs a fresh dir, a retrain budget
+    * and a [[promote]] cutover decision; `maintain` is a routine
+    * background pass, and those are not routine). */
+  final case class MaintenanceReport(
+      foldedStateDirs: Int,
+      foldedTombstoneEntries: Int,
+      foldedProbeBatches: Int,
+      rebuildDue: Boolean,
+      nLive: Long,
+      meanCell: Double)
+
+  /** The consumer of [[cellStats]]/[[indexStats]]: one routine pass that
+    * runs exactly the compactions the thresholds say are due and flags
+    * rebuild-due, so an operator can schedule `maintain` on a timer
+    * instead of hand-reading stats. Runs the stats plan ONCE (one
+    * collect of the 1-row summary), then:
+    *
+    *  - `n_code_dirs` or `n_vector_dirs` over `maxStateDirs` →
+    *    [[compact]] (both subtrees — one fold pass);
+    *  - `n_tombstone_entries` over `maxTombstoneEntries` →
+    *    [[compactTombstones]];
+    *  - with `probeOutDir`: live `batch_<id>` result dirs over
+    *    `probeMaxBatchDirs` → [[compactProbeResults]] retention fold up
+    *    to (newest id − `probeKeepBatches`), keeping the redelivery
+    *    window intact (age policies stay explicit:
+    *    [[compactProbeResultsByAge]] needs a caller-supplied clock);
+    *  - `n_live / n_cells_total` over `maxMeanCell` → `rebuildDue=true`.
+    *
+    * A below-threshold index is untouched — every op here is a no-op
+    * exactly when its signal is; the pass must be safe to over-schedule. */
+  def maintain(spark: SparkSession, indexDir: String,
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      probeOutDir: Option[String] = None): MaintenanceReport = {
+    val row = indexStats(spark, indexDir).collect().head
+    val nLive = row.getAs[Long]("n_live")
+    val nCellsTotal = row.getAs[Int]("n_cells_total")
+    val meanCell = if (nCellsTotal == 0) 0.0 else nLive.toDouble / nCellsTotal
+    val stateDirsDue = row.getAs[Int]("n_code_dirs") > policy.maxStateDirs ||
+      row.getAs[Int]("n_vector_dirs") > policy.maxStateDirs
+    val tombsDue = row.getAs[Int]("n_tombstone_entries") > policy.maxTombstoneEntries
+    val folded = if (stateDirsDue) compact(spark, indexDir) else 0
+    val foldedTombs = if (tombsDue) compactTombstones(spark, indexDir) else 0
+    val foldedProbe = probeOutDir.fold(0) { out =>
+      val (fs, root) = fsOf(spark, out)
+      if (!fs.exists(root)) 0
+      else {
+        val ids = fs.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.getName).flatMap(probeBatchNum).sorted
+        if (ids.length <= policy.probeMaxBatchDirs) 0
+        else compactProbeResults(spark, out,
+          horizonBatchId = ids.max - policy.probeKeepBatches)
+      }
+    }
+    MaintenanceReport(folded, foldedTombs, foldedProbe,
+      rebuildDue = meanCell > policy.maxMeanCell, nLive = nLive,
+      meanCell = meanCell)
+  }
+
   def rebuild(
       spark: SparkSession,
       indexDir: String,

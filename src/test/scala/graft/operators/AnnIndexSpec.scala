@@ -486,6 +486,189 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!crashed.exists()) // swept with the other tmp_compact_ staging
   }
 
+  test("promote/resolveCurrent: atomic cutover, crash at every point resolves one index") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_promote")
+    val root = base.toString
+    AnnIndex.build(emb.filter(col("vec_id") < 30), s"$root/v1", nCentroids = 8)
+    // promoting a dir with no built index is refused
+    val e0 = intercept[IllegalArgumentException] {
+      AnnIndex.promote(spark, root, "v2")
+    }
+    assert(e0.getMessage.contains("centroids"))
+    // ...as is resolving before any promote
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.resolveCurrent(spark, root)
+    }
+    assert(e1.getMessage.contains("promote"))
+    assert(AnnIndex.promote(spark, root, "v1") == 1L)
+    assert(AnnIndex.resolveCurrent(spark, root) == s"$root/v1")
+    AnnIndex.build(emb.filter(col("vec_id") < 60), s"$root/v2", nCentroids = 8)
+    assert(AnnIndex.promote(spark, root, "v2") == 2L)
+    assert(AnnIndex.resolveCurrent(spark, root) == s"$root/v2")
+    // crash BEFORE the commit rename: staged tmp pointer is invisible
+    val cur = new java.io.File(s"$root/_current")
+    java.nio.file.Files.write(cur.toPath.resolve("tmp_v_9"),
+      "v1\n".getBytes("UTF-8"))
+    assert(AnnIndex.resolveCurrent(spark, root) == s"$root/v2")
+    // crash mid-PRUNE: an older pointer file left behind — highest wins
+    java.nio.file.Files.write(cur.toPath.resolve("v_1"),
+      "v1\n".getBytes("UTF-8"))
+    assert(AnnIndex.resolveCurrent(spark, root) == s"$root/v2")
+    // the next promote sweeps the crashed staging and prunes old pointers
+    assert(AnnIndex.promote(spark, root, "v1") == 3L)
+    assert(AnnIndex.resolveCurrent(spark, root) == s"$root/v1")
+    assert(cur.listFiles().map(_.getName).filterNot(_.startsWith("."))
+      .sorted.toSeq == Seq("v_3"))
+  }
+
+  test("checkpointed probe stream spanning a promote: each batch exactly-old or exactly-new") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_cutover_stream")
+    val (root, src, ckpt, outDir) = (s"$base/idxroot", s"$base/src", s"$base/ckpt", s"$base/out")
+    // two indexes over DIFFERENT corpora, so old/new answers differ
+    AnnIndex.build(emb.filter(col("vec_id") < 30), s"$root/v1", nCentroids = 8)
+    AnnIndex.build(emb.filter(col("vec_id") < 60), s"$root/v2", nCentroids = 8)
+    AnnIndex.promote(spark, root, "v1")
+    def qb(lo: Long, hi: Long) = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    qb(100, 103).coalesce(1).write.mode("append").parquet(src)
+    qb(103, 106).coalesce(1).write.mode("append").parquet(src)
+    // each micro-batch RESOLVES ONCE, so the whole batch probes one index
+    def startStream() = spark.readStream
+      .schema(emb.schema).option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        AnnIndex.probeBatch(b, AnnIndex.resolveCurrent(spark, root), outDir, id, k = 3)
+      }.start()
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+    AnnIndex.promote(spark, root, "v2") // the cutover
+    qb(106, 109).coalesce(1).write.mode("append").parquet(src)
+    qb(109, 112).coalesce(1).write.mode("append").parquet(src)
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    def oneShot(idx: String, lo: Long, hi: Long) =
+      AnnIndex.probe(qb(lo, hi), idx, k = 3)
+        .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    def streamed(b: Long, lo: Long, hi: Long) =
+      spark.read.parquet(s"$outDir/batch_$b")
+        .select("query_id", "rk", "neighbor_id", "sim")
+        .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    // pre-promote batches answered by v1, post-promote by v2 — never a mix
+    assert(streamed(0, 100, 103) == oneShot(s"$root/v1", 100, 103))
+    assert(streamed(1, 103, 106) == oneShot(s"$root/v1", 103, 106))
+    assert(streamed(2, 106, 109) == oneShot(s"$root/v2", 106, 109))
+    assert(streamed(3, 109, 112) == oneShot(s"$root/v2", 109, 112))
+    // and the two indexes genuinely answer differently (the assertion
+    // above would be vacuous otherwise)
+    assert(oneShot(s"$root/v1", 106, 109) != oneShot(s"$root/v2", 106, 109))
+  }
+
+  test("compactProbeResultsByAge: stamped dirs expire by wall clock, unstamped never") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_probe_age")
+    val (idx, out) = (s"$base/idx", s"$base/out")
+    AnnIndex.build(emb.filter(col("vec_id") < 40), idx, nCentroids = 8)
+    def qb(lo: Long, hi: Long) = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def dirsOf = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    AnnIndex.probeBatch(qb(40, 43), idx, out, 0L, k = 3, ingestTsMs = Some(1000L))
+    AnnIndex.probeBatch(qb(43, 46), idx, out, 1L, k = 3) // UNSTAMPED
+    AnnIndex.probeBatch(qb(46, 49), idx, out, 2L, k = 3, ingestTsMs = Some(2000L))
+    AnnIndex.probeBatch(qb(49, 52), idx, out, 3L, k = 3, ingestTsMs = Some(3000L))
+    // cutoff 2500: batch_0 (1000) and batch_2 (2000) are old enough, but
+    // batch_1 has no stamp (age unknown — never expires) and batch_3 is
+    // the newest (redelivery protection); default is TTL drop
+    assert(AnnIndex.compactProbeResultsByAge(spark, out, cutoffTsMs = 2500L) == 2)
+    assert(dirsOf == Seq("batch_1", "batch_3"))
+    // readProbeResults surfaces the stamp column (null where unstamped)
+    val rows = AnnIndex.readProbeResults(spark, out)
+    assert(rows.filter(col("ingest_ts").isNull).count() == 3 * 3)
+    assert(rows.filter(col("ingest_ts") === 3000L).count() == 3 * 3)
+    // retain mode: expired dirs FOLD (reader union unchanged), and the
+    // fold's rows keep their stamps so a later age pass can expire it
+    AnnIndex.probeBatch(qb(52, 55), idx, out, 4L, k = 3, ingestTsMs = Some(4000L))
+    val before = AnnIndex.readProbeResults(spark, out)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    assert(AnnIndex.compactProbeResultsByAge(spark, out, cutoffTsMs = 3500L,
+      retain = true) == 1) // batch_3 folds; batch_1 unstamped, batch_4 newest
+    assert(dirsOf == Seq("batch_1", "batch_4", "compact_1"))
+    assert(AnnIndex.readProbeResults(spark, out)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq == before)
+    // the fold expires once EVERY row in it is past the cutoff
+    AnnIndex.probeBatch(qb(55, 58), idx, out, 5L, k = 3, ingestTsMs = Some(5000L))
+    assert(AnnIndex.compactProbeResultsByAge(spark, out, cutoffTsMs = 4500L) == 2)
+    assert(dirsOf == Seq("batch_1", "batch_5")) // fold + batch_4 dropped
+    // below-cutoff pass: nothing to do
+    assert(AnnIndex.compactProbeResultsByAge(spark, out, cutoffTsMs = 100L) == 0)
+  }
+
+  test("maintain: each threshold crossing triggers exactly its op; below-threshold untouched") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_maintain")
+    val (idx, out) = (s"$base/idx", s"$base/out")
+    AnnIndex.build(emb.filter(col("vec_id") < 20), idx, nCentroids = 8)
+    for (i <- 1 to 3)
+      AnnIndex.ingest(
+        emb.filter(col("vec_id") >= 20 * i && col("vec_id") < 20 * (i + 1)),
+        idx, batchId = Some(i.toLong))
+    AnnIndex.delete(emb.filter(col("vec_id") === 5).select("vec_id"), idx)
+    AnnIndex.delete(emb.filter(col("vec_id") === 7).select("vec_id"), idx)
+    for ((lo, id) <- Seq((80L, 0L), (83L, 1L), (86L, 2L)))
+      AnnIndex.probeBatch(emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 3),
+        idx, out, id, k = 3)
+    def codeDirs = new java.io.File(s"$idx/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def outDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def tombEntries = new java.io.File(s"$idx/tombstones").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).length
+    val (dirs0, outs0, tombs0) = (codeDirs, outDirs, tombEntries)
+    assert(dirs0.length == 4 && tombs0 == 2 && outs0.length == 3)
+    // --- every threshold comfortably above the signals: a no-op pass
+    val lax = AnnIndex.MaintenancePolicy(maxStateDirs = 10,
+      maxTombstoneEntries = 10, maxMeanCell = 1e9,
+      probeMaxBatchDirs = 10, probeKeepBatches = 1)
+    val r0 = AnnIndex.maintain(spark, idx, lax, probeOutDir = Some(out))
+    assert(r0 == AnnIndex.MaintenanceReport(0, 0, 0, rebuildDue = false,
+      r0.nLive, r0.meanCell))
+    assert(codeDirs == dirs0 && outDirs == outs0 && tombEntries == tombs0)
+    assert(r0.nLive == 78 && r0.meanCell == 78.0 / 8) // 80 vectors - 2 tombstoned
+    // --- state-dir pressure alone: compact() runs, nothing else
+    val r1 = AnnIndex.maintain(spark, idx,
+      lax.copy(maxStateDirs = 2), probeOutDir = Some(out))
+    assert(r1.foldedStateDirs > 0 && r1.foldedTombstoneEntries == 0 &&
+      r1.foldedProbeBatches == 0 && !r1.rebuildDue)
+    assert(codeDirs.length < dirs0.length && tombEntries == tombs0 && outDirs == outs0)
+    // --- tombstone pressure alone: compactTombstones() runs
+    val r2 = AnnIndex.maintain(spark, idx,
+      lax.copy(maxTombstoneEntries = 1), probeOutDir = Some(out))
+    assert(r2.foldedTombstoneEntries == 2 && r2.foldedStateDirs == 0 &&
+      r2.foldedProbeBatches == 0)
+    assert(tombEntries < tombs0 && outDirs == outs0)
+    // --- probe-result pressure alone: retention fold up to newest - keep
+    val r3 = AnnIndex.maintain(spark, idx,
+      lax.copy(probeMaxBatchDirs = 2), probeOutDir = Some(out))
+    assert(r3.foldedProbeBatches > 0 && r3.foldedStateDirs == 0 &&
+      r3.foldedTombstoneEntries == 0)
+    assert(outDirs.exists(_.startsWith("compact_")) && outDirs.contains("batch_2"))
+    // the reader surface survived every pass: all 9 queries still answered
+    assert(AnnIndex.readProbeResults(spark, out).count() == 9 * 3)
+    // --- mean-cell pressure: rebuild flagged, never auto-run
+    val r4 = AnnIndex.maintain(spark, idx,
+      lax.copy(maxMeanCell = 1.0), probeOutDir = Some(out))
+    assert(r4.rebuildDue && r4.foldedStateDirs == 0)
+    assert(new java.io.File(s"$idx/centroids").exists()) // untouched
+  }
+
   test("compact() and compactTombstones() during a LIVE checkpointed probe stream") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
