@@ -106,13 +106,6 @@ object Bench {
     val sp = spreads.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
-    println(json)
-    // The driver captures stdout with a bounded tail that can truncate the
-    // early per-query timings; persist the full line (cwd-relative — the
-    // repo root under sbt) so round-over-round comparison always covers
-    // every query. A failed write must not fail the bench, but say so.
     // bench_full.json's CONTRACT is "multi-run sf0.1 full-sweep medians":
     // a BENCH_ONLY-filtered run, a single-run sweep (the driver's own
     // per-round invocation), or any other SF dir is local/driver
@@ -120,6 +113,54 @@ object Bench {
     // used to live in operator memory as a manual `git checkout` step.
     val isRecordRun =
       only.isEmpty && runs >= 2 && new java.io.File(sfDir).getName == "sf0.1"
+    // Ambient-drift diagnostic, recorded at record time: a pinned basket
+    // of TPC-H gates whose code no round touches. If the basket's total
+    // moved in lockstep with the overall total since the PREVIOUS record,
+    // the movement is machine drift, not a code regression — the r8/r9
+    // adjudication rule, previously re-derived by hand each round from
+    // two checkouts of bench_full.json.
+    val driftBasket = Vector(
+      "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+      "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+      "q9_nation_profit", "q10_returned_custs", "q13_order_dist",
+      "q14_promo_share", "q15_top_supplier", "q17_small_qty",
+      "q18_large_orders", "q19_disjunctive_rev", "q21_sole_supplier",
+      "q22_global_balance")
+    val basketJson: String =
+      if (!isRecordRun || !driftBasket.forall(timings.contains)) ""
+      else {
+        val now = driftBasket.map(timings).sum
+        // previous record's basket, parsed from the file this run is
+        // about to overwrite. Keys also appear in its "spread" map, so
+        // keep the FIRST occurrence per gate (the "queries" median —
+        // "queries" precedes "spread" in the rendered line).
+        val prev: Option[Double] =
+          try {
+            val old = java.nio.file.Files.readString(
+              java.nio.file.Paths.get("bench_full.json"))
+            val re = ("\"(" + driftBasket.mkString("|") +
+              ")\":([0-9][0-9.eE+-]*)").r
+            val first = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+            re.findAllMatchIn(old).foreach { m =>
+              if (!first.contains(m.group(1)))
+                first(m.group(1)) = m.group(2).toDouble
+            }
+            if (driftBasket.forall(first.contains))
+              Some(driftBasket.map(first).sum)
+            else None
+          } catch { case _: Throwable => None }
+        val prevPart = prev.fold("") { p =>
+          s""","drift_basket_prev_sec":${jnum(p)},"drift_ratio":${jnum(if (p > 0) now / p else 0.0)}"""
+        }
+        s""","drift_basket_sec":${jnum(now)}$prevPart"""
+      }
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"errors":$es,"n_failed":${errors.size}$basketJson,"sf":${jstr(sfDir)}}"""
+    println(json)
+    // The driver captures stdout with a bounded tail that can truncate the
+    // early per-query timings; persist the full line (cwd-relative — the
+    // repo root under sbt) so round-over-round comparison always covers
+    // every query. A failed write must not fail the bench, but say so.
     if (isRecordRun) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] bench_full.json not written: $e") }

@@ -994,7 +994,13 @@ object LlmQueries {
     }.orderBy(col("query_id"), col("rk"))
   }
 
-  val qAnnIndexIngestSql: String =
+  /** The one-shot replay-mode index probe as SQL — cells from the
+    * first-32-ids centroids, int8 candidate scan in the 4 probed cells,
+    * exact rescore of the k·4 survivors — parameterized on the query-set
+    * predicate so every gate that proves "some persisted-state lifecycle
+    * ≡ one-shot probe" (batch composition, streaming retrieval) replays
+    * the identical math over its own queries. */
+  private def annOneShotProbeSql(queryPred: String): String =
     """WITH cent AS (
       |  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 32
       |), assigned AS (
@@ -1022,7 +1028,7 @@ object LlmQueries {
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
       |                 c.cid) AS prn
-      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+      |    FROM embeddings q CROSS JOIN cent c WHERE <<QPRED>>
       |  ) WHERE prn <= 4
       |), cand AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -1045,6 +1051,60 @@ object LlmQueries {
       |  JOIN embeddings e ON e.vec_id = c.neighbor_id
       |  JOIN embeddings q ON q.vec_id = c.query_id
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+      .replace("<<QPRED>>", queryPred)
+
+  val qAnnIndexIngestSql: String = annOneShotProbeSql("q.vec_id < 10")
+
+  // ------------------------------------------- streaming ANN retrieval
+  /** [[AnnIndex.probeBatch]] + [[readProbeResults]] under the oracle: a
+    * REAL checkpointed micro-batch retrieval stream — four query files,
+    * one per trigger, probing the same two-batch persisted index as
+    * `ann_index_ingest` — with a [[AnnIndex.compactProbeResults]]
+    * retention fold BETWEEN the two stream legs (the first leg's oldest
+    * result dir folds while the newest keeps its redelivery protection)
+    * and a checkpoint RESTART for the second leg. The oracle is the
+    * one-shot probe replay over the union of all streamed queries, so a
+    * hash match pins the whole result-side lifecycle: per-batch writes,
+    * the fold's `_SUBSUMES` bookkeeping, and the reader union after a
+    * resume — batch boundaries must not change retrieval answers. */
+  val qAnnProbeStream: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    withScratchIndex("graft_gate_annstream_") { dir =>
+      val (src, ckpt, out) = (s"${dir}_feed", s"${dir}_ckpt", s"${dir}_res")
+      AnnIndex.build(
+        emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0),
+        dir, nCentroids = 32)
+      AnnIndex.ingest(
+        emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1),
+        dir, batchId = Some(1L))
+      val qs = emb.select(col("vec_id"), col("embedding"))
+      def feedFile(lo: Int): Unit =
+        qs.filter(col("vec_id") >= lo && col("vec_id") < lo + 3)
+          .coalesce(1).write.mode("append").parquet(src)
+      def runLeg(): Unit = {
+        val q = s.readStream.schema(qs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              AnnIndex.probeBatch(b, dir, out, id, k = 5, nProbes = 4)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      feedFile(40); feedFile(43)
+      runLeg() // batches 0, 1
+      // mid-stream retention: batch_0 folds; batch_1 (newest) protected
+      AnnIndex.compactProbeResults(s, out, horizonBatchId = 0, retain = true)
+      feedFile(46); feedFile(49)
+      runLeg() // checkpoint resume: batches 2, 3
+      AnnIndex.readProbeResults(s, out)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+    }.orderBy(col("query_id"), col("rk"))
+  }
+
+  val qAnnProbeStreamSql: String =
+    annOneShotProbeSql("q.vec_id >= 40 AND q.vec_id < 52")
 
   // ---------------------------------------------- ANN index rebuild
   /** [[AnnIndex.rebuild]] under the oracle: an index built in two ingest
@@ -2938,6 +2998,87 @@ object LlmQueries {
        |SELECT domain, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
        |FROM rd GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ------------------------------- composed domain-curation pipeline
+  /** Domain ops composed into the curation chain: URL canonicalization →
+    * registered-domain blocklist (broadcast anti-join) → at-most-4-per-
+    * domain cap (longest doc first) → hashed-classifier quality filter →
+    * per-source token budget, best-score first. Each stage has its own
+    * green gate (text_url_canon, text_domain_policy, text_classifier,
+    * pipeline_curation); this pins the COMPOSITION: the cap decides
+    * which docs reach scoring, the scores order the budget walk, and
+    * the final per-source yields carry a distinct-domain count — a
+    * drift in any stage moves boundary docs and fails the hash. */
+  val qPipelineDomains: Q = (s, d) => {
+    val blocked = Seq("src4-news.com", "src9.co.uk", "src2.org", "src15.net")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        syntheticUrl.as("url"))
+    val capped = Domains.capPerDomain(
+      Domains.filterBlockedDomains(docs, "url", blocked),
+      "url", Seq(col("n_chars").desc, col("doc_id").asc), n = 4)
+    val scored = TextOps.hashedBowScore(capped, "text", "doc_id",
+        classifierWeights, intercept = 0.05)
+      .join(capped.select(col("doc_id"), col("source"), col("domain")),
+        Seq("doc_id"))
+      .filter(col("quality_pass"))
+    Sampling.selectUnderTokenBudgetPerGroup(
+        scored, "source", Seq(col("score").desc, col("doc_id").asc), "n_tok",
+        budgets = Map("src1" -> 800L), defaultBudget = 1500L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct(col("domain")).as("n_domains"),
+        sum(col("n_tok")).as("tok_kept"),
+        sum(col("doc_id")).as("sum_kept"))
+      .orderBy(col("source"))
+  }
+
+  val qPipelineDomainsSql: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id, n_chars, $syntheticUrlSql AS url FROM documents
+       |), $domainCtesSql
+       |, capped AS (
+       |  SELECT doc_id, domain FROM (
+       |    SELECT domain, doc_id,
+       |      row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM rd
+       |    WHERE domain NOT IN ('src4-news.com', 'src9.co.uk', 'src2.org', 'src15.net')
+       |  ) WHERE rn <= 4
+       |), docs AS (
+       |  SELECT d.doc_id, d.source, c.domain,
+       |    lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS t
+       |  FROM documents d JOIN capped c USING (doc_id)
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+       |  FROM docs WHERE length(t) > 0
+       |), sc AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |    sum((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 65536)
+       |          * 2654435761 + 1234567) % 2000001) - 1000000) AS sm
+       |  FROM toks GROUP BY doc_id
+       |), scored AS (
+       |  SELECT d.doc_id, d.source, d.domain, COALESCE(s.n_tok, 0) AS n_tok,
+       |    (CASE WHEN COALESCE(s.sm, 0) < 0
+       |          THEN -((-COALESCE(s.sm, 0) * 2 + greatest(COALESCE(s.n_tok, 0), 1))
+       |                 // (greatest(COALESCE(s.n_tok, 0), 1) * 2))
+       |          ELSE (COALESCE(s.sm, 0) * 2 + greatest(COALESCE(s.n_tok, 0), 1))
+       |               // (greatest(COALESCE(s.n_tok, 0), 1) * 2) END
+       |     + 50000) / 1000000.0 AS score
+       |  FROM docs d LEFT JOIN sc s USING (doc_id)
+       |  WHERE COALESCE(s.sm, 0) + 50000 * greatest(COALESCE(s.n_tok, 0), 1) >= 0
+       |), c AS (
+       |  SELECT doc_id, source, domain, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM scored
+       |)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+       |  CAST(sum(n_tok) AS BIGINT) AS tok_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_kept
+       |FROM c
+       |WHERE cum_tok <= CASE WHEN source = 'src1' THEN 800 ELSE 1500 END
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------- composed semantic-curation pipeline
   /** The persisted-index curation chain as ONE composed plan: quality
     * filter → temperature (α=0.5) source rebalance → semantic dedup of
@@ -3064,6 +3205,8 @@ object LlmQueries {
     "text_domain_policy"  -> qTextDomainPolicy,
     "text_psl_domain"     -> qTextPslDomain,
     "pipeline_semantic"   -> qPipelineSemantic,
+    "pipeline_domains"    -> qPipelineDomains,
+    "ann_probe_stream"    -> qAnnProbeStream,
     "dedup_substring"     -> qDedupSubstring,
     "text_repetition"     -> qTextRepetition,
     "text_bpe_pairs"      -> qTextBpePairs,
@@ -3181,6 +3324,8 @@ object LlmQueries {
     "text_domain_policy"  -> qTextDomainPolicySql,
     "text_psl_domain"     -> qTextPslDomainSql,
     "pipeline_semantic"   -> qPipelineSemanticSql,
+    "pipeline_domains"    -> qPipelineDomainsSql,
+    "ann_probe_stream"    -> qAnnProbeStreamSql,
     "emb_quantize"        -> qEmbQuantizeSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_index_ingest"    -> qAnnIndexIngestSql,
