@@ -894,16 +894,21 @@ object AnnIndex {
     * valid index dirs with no marker. The commit protocol is
     * append-only-highest-wins (the Structured Streaming metadata-log
     * shape), NOT delete-then-rename: each promote stages
-    * `tmp_v_<n>` and atomically renames it to `_current/v_<n>` — a
-    * fresh name, so the rename never clobbers and there is no window
-    * with no pointer at all. [[resolveCurrent]] reads the
+    * `tmp_v_<n>_<nonce>` and atomically renames it to `_current/v_<n>`
+    * — the commit name is fresh, so there is no window with no pointer
+    * at all. The nonce makes each attempt's STAGING name unique too:
+    * without it, two same-version promotes share one staging path and
+    * the sweep below could delete A's in-flight staging, B could
+    * restage the same name, and A's rename would then commit B's
+    * pointer CONTENT under A's successful return — the race would
+    * invert which index the "winner" promoted. With unique stagings, a
+    * racer whose staging was swept or whose version was taken just
+    * fails its own rename loudly. [[resolveCurrent]] reads the
     * highest-version file; a crash leaves either the old set (old index
     * wins) or the new file complete (new wins) — every point in time
     * resolves to exactly one readable index. Older pointer files are
     * pruned after the commit; a crash mid-prune is harmless (highest
-    * still wins). Concurrent promotes are last-committer-wins on
-    * version number; a version collision (two maintainers racing) fails
-    * the loser's rename loudly rather than silently reordering.
+    * still wins).
     *
     * `indexDirName` is a child dir of `rootDir` (relative, so moving the
     * root wholesale keeps the pointer valid) and must already hold a
@@ -927,7 +932,8 @@ object AnnIndex {
       .foreach(fs.delete(_, false))
     val versions = currentVersions(fs, curDir)
     val next = versions.map(_._1).foldLeft(0L)(math.max) + 1
-    val tmp = new org.apache.hadoop.fs.Path(curDir, s"tmp_v_$next")
+    val tmp = new org.apache.hadoop.fs.Path(curDir,
+      s"tmp_v_${next}_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(s"$indexDirName\n".getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(curDir, s"v_$next")))
@@ -943,20 +949,36 @@ object AnnIndex {
     * latest [[promote]] — the full path, ready for [[probe]] /
     * [[ingest]]. Probe loops that must see cutover-atomically resolve
     * once per micro-batch: every row of a batch then probes the same
-    * index, old or new, never a mix. */
+    * index, old or new, never a mix.
+    *
+    * The read races a concurrent promote's post-commit PRUNE: the file
+    * picked as newest from the listing can be deleted before the open
+    * (a prune only ever removes files that are no longer the highest,
+    * so the miss proves a NEWER version exists). The standard
+    * metadata-log reader shape closes it: re-list and retry on a
+    * missing file, bounded so a genuinely broken layout still fails
+    * loudly instead of spinning. */
   def resolveCurrent(spark: SparkSession, rootDir: String): String = {
     val (fs, root) = fsOf(spark, rootDir)
     val curDir = new org.apache.hadoop.fs.Path(root, "_current")
     require(fs.exists(curDir),
       s"no _current pointer under $rootDir — promote an index dir first")
-    val versions = currentVersions(fs, curDir)
-    require(versions.nonEmpty,
-      s"no committed _current version under $rootDir — promote an index dir first")
-    val (_, newest) = versions.maxBy(_._1)
-    val in = fs.open(newest)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    s"$rootDir/$name"
+    var attempt = 0
+    while (true) {
+      val versions = currentVersions(fs, curDir)
+      require(versions.nonEmpty,
+        s"no committed _current version under $rootDir — promote an index dir first")
+      val (_, newest) = versions.maxBy(_._1)
+      try {
+        val in = fs.open(newest)
+        val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        return s"$rootDir/$name"
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 5 => attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $rootDir") // while(true) above
   }
 
   private def currentVersions(fs: org.apache.hadoop.fs.FileSystem,

@@ -3013,23 +3013,34 @@ object LlmQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
         syntheticUrl.as("url"))
+    // the capped corpus (scan → blocklist anti-join → cap window) feeds
+    // TWO consumers — the classifier pass and the source/domain
+    // re-attachment — so persist it once instead of running the
+    // dominant sub-plan twice; the ~20-row result is pinned on the
+    // driver below so the cache can be released before the caller
+    // consumes the frame, on the failure path too
     val capped = Domains.capPerDomain(
-      Domains.filterBlockedDomains(docs, "url", blocked),
-      "url", Seq(col("n_chars").desc, col("doc_id").asc), n = 4)
-    val scored = TextOps.hashedBowScore(capped, "text", "doc_id",
-        classifierWeights, intercept = 0.05)
-      .join(capped.select(col("doc_id"), col("source"), col("domain")),
-        Seq("doc_id"))
-      .filter(col("quality_pass"))
-    Sampling.selectUnderTokenBudgetPerGroup(
-        scored, "source", Seq(col("score").desc, col("doc_id").asc), "n_tok",
-        budgets = Map("src1" -> 800L), defaultBudget = 1500L)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_kept"),
-        countDistinct(col("domain")).as("n_domains"),
-        sum(col("n_tok")).as("tok_kept"),
-        sum(col("doc_id")).as("sum_kept"))
-      .orderBy(col("source"))
+        Domains.filterBlockedDomains(docs, "url", blocked),
+        "url", Seq(col("n_chars").desc, col("doc_id").asc), n = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val scored = TextOps.hashedBowScore(capped, "text", "doc_id",
+          classifierWeights, intercept = 0.05)
+        .join(capped.select(col("doc_id"), col("source"), col("domain")),
+          Seq("doc_id"))
+        .filter(col("quality_pass"))
+      val res = Sampling.selectUnderTokenBudgetPerGroup(
+          scored, "source", Seq(col("score").desc, col("doc_id").asc), "n_tok",
+          budgets = Map("src1" -> 800L), defaultBudget = 1500L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("domain")).as("n_domains"),
+          sum(col("n_tok")).as("tok_kept"),
+          sum(col("doc_id")).as("sum_kept"))
+        .orderBy(col("source"))
+      val rows = res.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally capped.unpersist(false)
   }
 
   val qPipelineDomainsSql: String =

@@ -119,11 +119,15 @@ object Sampling {
           col(strataCol).cast("string"),
           lit("' has zero/null token total — its budget would zero every rate"))))
       .otherwise(col("tokens"))
-    // the weights dim joins LEFT with loud guards, same fail-loud class
-    // as the token checks above: an inner join would silently DROP a
-    // data stratum missing from the weights dim (its tokens vanish from
-    // the mixture), and a null/non-positive w would null or invert the
-    // budget minimum without a trace
+    // the weights dim joins FULL OUTER with loud guards on both
+    // unmatched directions, same fail-loud class as the token checks
+    // above: an inner join would silently DROP a data stratum missing
+    // from the weights dim (its tokens vanish from the mixture), a
+    // left join would silently IGNORE a weight stratum with no data
+    // rows (the produced mixture misses the target distribution with
+    // no error), and a null/non-positive w would null or invert the
+    // budget minimum without a trace. No broadcast hint: both sides
+    // are tiny post-aggregation, and full outer can't broadcast-hash
     val wChecked = when(col("w").isNull,
         raise_error(concat(lit("mixtureWeights: stratum '"),
           col(strataCol).cast("string"),
@@ -134,9 +138,15 @@ object Sampling {
           col(strataCol).cast("string"),
           lit("' has non-positive weight — rates would be null/negative"))))
       .otherwise(col("w"))
+    val tokOfWeight = when(col("tokens").isNull,
+        raise_error(concat(lit("mixtureWeights: weight stratum '"),
+          col(strataCol).cast("string"),
+          lit("' has no data rows — the mixture would silently miss " +
+            "its target share"))))
+      .otherwise(col("tokens"))
     val j = tok.select(col(strataCol), tokChecked.as("tokens"))
-      .join(broadcast(weights), Seq(strataCol), "left")
-      .select(col(strataCol), col("tokens"), wChecked.as("w"))
+      .join(weights, Seq(strataCol), "full_outer")
+      .select(col(strataCol), tokOfWeight.as("tokens"), wChecked.as("w"))
     val budget = j.agg(min(col("tokens").cast("double") / col("w")).as("__budget"))
     j.crossJoin(broadcast(budget))
       .select(col(strataCol), col("tokens"),

@@ -829,6 +829,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("no weight"))
     assert(loud(Seq(("a", 1.0), ("b", -2.0)).toDF("src", "w"))
       .contains("non-positive weight"))
+    // ...and the symmetric direction: a weight stratum with NO data rows
+    // must not be silently ignored (the mixture would miss its target
+    // share with no error)
+    assert(loud(Seq(("a", 1.0), ("b", 1.0), ("ghost", 2.0)).toDF("src", "w"))
+      .contains("no data rows"))
   }
 
   test("stratified sample by rates DataFrame matches the Map-based sampler") {

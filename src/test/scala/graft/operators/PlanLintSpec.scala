@@ -344,4 +344,31 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countOf(p, "WindowGroupLimit") >= 2,
       s"per-domain cap must run map-side group limit before the shuffle:\n$p")
   }
+
+  test("composed domain pipeline: blocklist/cap shapes survive composition; no cartesian") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        col("source").as("url"))
+    val capped = Domains.capPerDomain(
+      Domains.filterBlockedDomains(docs, "url", Seq("spam.example")),
+      "url", Seq(col("n_chars").desc, col("doc_id").asc), n = 4)
+    val scored = TextOps.hashedBowScore(capped, "text", "doc_id",
+        Array.fill(16)(0.1), intercept = 0.05)
+      .join(capped.select(col("doc_id"), col("source"), col("domain")),
+        Seq("doc_id"))
+      .filter(col("quality_pass"))
+    val p = plan(Sampling.selectUnderTokenBudgetPerGroup(
+      scored, "source", Seq(col("score").desc, col("doc_id").asc), "n_tok",
+      budgets = Map("a" -> 800L), defaultBudget = 1500L))
+    // composing the stages must not degrade the per-stage shapes: the
+    // blocklist stays a broadcast anti-join, the cap keeps its map-side
+    // group limit, and nothing in the chain plans a cartesian
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"composed blocklist must stay a broadcast anti-join:\n$p")
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"composed cap must keep the map-side group limit:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composed domain pipeline must not plan a cartesian:\n$p")
+  }
 }
