@@ -776,6 +776,220 @@ object Analytics {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q2
+  /** TPC-H Q2-style minimum-cost supplier (adapted: testdata has no
+    * partsupp, so "offers" are lineitem rows and the offered cost is
+    * l_extendedprice). The Q2 signature shape is the CORRELATED MIN
+    * subquery, decorrelated the scalable way: one per-part MIN aggregate
+    * over the eligible offers, joined back on (partkey, price = min) —
+    * never a per-row subquery. The part band and the region's supplier
+    * set are both filtered-small and broadcast, so lineitem is pruned to
+    * the eligible slice before the aggregate; the min join-back is a
+    * partkey-keyed shuffle join (both sides SF-scaling). min/price are
+    * raw doubles COMPARED, never arithmetic — exact on both engines. */
+  val q2MinCostSupplier: Q = (s, d) => {
+    val parts = Tables.part(s, d)
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    val eurNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val eurSupp = Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+      .join(broadcast(parts), Seq("p_partkey"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+    val mn = offers.groupBy(col("p_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    offers
+      .join(mn, Seq("p_partkey"))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("min_price"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+  }
+
+  val q2Sql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  min_price
+      |FROM (
+      |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |    l_extendedprice,
+      |    min(l_extendedprice) OVER (PARTITION BY p_partkey) AS min_price
+      |  FROM lineitem
+      |    JOIN part ON p_partkey = l_partkey
+      |      AND p_size <= 15 AND p_type = 'STANDARD'
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN nation ON n_nationkey = s_nationkey
+      |    JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+      |)
+      |WHERE l_extendedprice = min_price
+      |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  /** TPC-H Q11-style important parts (adapted: no partsupp, so "stock
+    * value" is the revenue one nation's suppliers shipped per part). The
+    * Q11 signature shape is HAVING group_sum > fraction × GLOBAL sum —
+    * a 1-row scalar aggregate broadcast back over the grouped rows. The
+    * fraction is self-normalizing (share > 2× the mean part's share, i.e.
+    * v·n_parts > 2·total) so the kept population is SF-stable, and the
+    * comparison is CROSS-MULTIPLIED to stay in exact DECIMAL×BIGINT
+    * arithmetic on both engines — an actual division would go through
+    * doubles and could flip boundary parts between engines. */
+  val q11ImportantParts: Q = (s, d) => {
+    val natSupp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_9").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("v"))
+    val tot = vals.agg(sum(col("v")).as("t"), count(lit(1)).as("n_parts"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("v") * col("n_parts") > col("t") * lit(2))
+      .select(col("l_partkey"), fixed4(col("v")).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    s"""WITH vals AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+      |  FROM lineitem
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_9'
+      |  GROUP BY l_partkey
+      |), tot AS (SELECT sum(v) AS t, count(*) AS n_parts FROM vals)
+      |SELECT l_partkey, ${fixed4Sql("v")} AS value
+      |FROM vals, tot
+      |WHERE v * n_parts > t * 2
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  /** TPC-H Q12-style priority shipping split (adapted: testdata has no
+    * l_shipmode, so the group key is l_returnflag). The Q12 signature
+    * shape: a year of lineitem equi-joined to orders (fact-to-fact
+    * shuffle join on the order key — orders scales with SF, never
+    * broadcast), then a CONDITIONAL aggregation splitting order
+    * priorities into high/low counts per group. The date filter pushes
+    * to the lineitem scan; only three lineitem columns are read. */
+  val q12PriorityLines: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .select("l_orderkey", "l_returnflag")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  /** TPC-H Q16-style supplier diversity per part attribute (adapted: no
+    * partsupp/s_comment, so the part-supplier relation is lineitem and
+    * the excluded-supplier file is the negative-balance set). Two Q16
+    * signature shapes in one plan: the NOT IN supplier exclusion as a
+    * BROADCAST LEFT-ANTI join (the excluded set is filtered-tiny), and
+    * count(DISTINCT supplier) per (brand, size) — Spark plans the
+    * distinct as a two-phase aggregate, partials before the shuffle. */
+  val q16SupplierDiversity: Q = (s, d) => {
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_size")
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  // --------------------------------------------------------------- q20
+  /** TPC-H Q20-style excess shippers (adapted: no partsupp availqty, so
+    * the threshold is an absolute shipped-quantity floor). The Q20
+    * signature shape is the CHAINED SEMI-JOIN with a correlated
+    * aggregate threshold: parts of one type → two years of their
+    * lineitems → per-supplier shipped quantity → the over-threshold
+    * supplier KEY SET → a left-semi join onto supplier, then the nation
+    * filter. Quantities are integer-valued doubles summed exactly; the
+    * supplier set is derived (not broadcast-hinted) so the semi join
+    * keys the shuffle — at 100 TB the key set is still ~#suppliers. */
+  val q20ExcessShippers: Q = (s, d) => {
+    val smallParts = Tables.part(s, d)
+      .filter(col("p_type") === "SMALL").select("p_partkey")
+    val shippers = Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 400.0)
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_9", "NATION_11", "NATION_6"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    """SELECT s_name, s_acctbal, n_name
+      |FROM supplier
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |    AND n_name IN ('NATION_9', 'NATION_11', 'NATION_6')
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_type = 'SMALL'
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING sum(l_quantity) > 400.0)
+      |ORDER BY s_name""".stripMargin
+
   // ---------------------------------------------------------------- q9
   /** TPC-H Q9-style product-profit by nation and year (adapted: testdata
     * has no partsupp, so supply cost is proxied by the part's retail
@@ -952,6 +1166,11 @@ object Analytics {
     "q9_nation_profit"     -> q9NationProfit,
     "q21_sole_supplier"    -> q21SoleSupplier,
     "q22_global_balance"   -> q22GlobalBalance,
+    "q2_min_cost_supp"     -> q2MinCostSupplier,
+    "q11_important_parts"  -> q11ImportantParts,
+    "q12_priority_lines"   -> q12PriorityLines,
+    "q16_supplier_diversity" -> q16SupplierDiversity,
+    "q20_excess_shippers"  -> q20ExcessShippers,
     "events_funnel"        -> qEventsFunnel,
     "q_interval_signup"    -> qIntervalSignup,
     "q_salted_brands"      -> qSaltedBrands)
@@ -980,6 +1199,11 @@ object Analytics {
     "q9_nation_profit"     -> q9Sql,
     "q21_sole_supplier"    -> q21Sql,
     "q22_global_balance"   -> q22Sql,
+    "q2_min_cost_supp"     -> q2Sql,
+    "q11_important_parts"  -> q11Sql,
+    "q12_priority_lines"   -> q12Sql,
+    "q16_supplier_diversity" -> q16Sql,
+    "q20_excess_shippers"  -> q20Sql,
     "events_funnel"        -> qEventsFunnelSql,
     "q_interval_signup"    -> qIntervalSignupSql,
     "q_salted_brands"      -> qTopBrandsSql)

@@ -61,7 +61,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q9_nation_profit", "q_rollup_revenue",
     "q_top_brands", "q_order_priority", "q_customers_no_orders",
     "q_running_supplier", "q_events_daily", "events_funnel",
-    "q_interval_signup")
+    "q_interval_signup", "q2_min_cost_supp", "q11_important_parts",
+    "q12_priority_lines", "q16_supplier_diversity", "q20_excess_shippers")
 
   private def q(name: String): DataFrame =
     Analytics.queries(name)(spark, sfDir)
@@ -108,6 +109,45 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     // inner region⋈nation build may itself plan 1-2 exchanges)
     val c8 = countOf(plan(q("q8_market_share")), "BroadcastExchange")
     assert(c8 >= 2 && c8 <= 3, s"q8_market_share: dim broadcasts expected, got $c8")
+  }
+
+  test("q2: correlated min decorrelates to one aggregate + partkey join-back, dims broadcast") {
+    val p = plan(q("q2_min_cost_supp"))
+    // the part band, the region→nation chain and the supplier dim are
+    // all filtered-small and hinted; the min join-back is NOT hinted
+    // (both sides SF-scaling) so it keys the shuffle on partkey
+    assert(countOf(p, "BroadcastExchange") >= 3,
+      s"q2: part band + region/nation + supplier dims must broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"q2: the min join-back must be a shuffle join, not broadcast:\n$p")
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"q2: the per-part MIN must be a partial+final aggregate:\n$p")
+  }
+
+  test("q11: the global fraction is a 1-row broadcast, the comparison never divides") {
+    val p = plan(q("q11_important_parts"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q11: the 1-row global total must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q11 has a cartesian:\n$p")
+  }
+
+  test("q16: supplier exclusion is a broadcast anti join; distinct agg is two-phase") {
+    val p = plan(q("q16_supplier_diversity"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"q16: the filtered-tiny excluded set must anti-join broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q16: lineitem must not shuffle for the dims:\n$p")
+    assert(countOf(p, "HashAggregate") >= 3,
+      s"q16: count(DISTINCT) must plan as the two-phase expand aggregate:\n$p")
+  }
+
+  test("q20: the over-threshold supplier set semi-joins; parts broadcast; dates pushed") {
+    val p = plan(q("q20_excess_shippers"))
+    assert(p.contains("LeftSemi"),
+      s"q20: the derived key set must be a semi join:\n$p")
+    val f = formatted(q("q20_excess_shippers"))
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(f.contains("LessThan(l_shipdate"), "shipdate upper bound not pushed")
   }
 
   test("q21: the self-correlation is a semi join plus an anti join, both shuffle-based") {
