@@ -886,6 +886,61 @@ object LlmQueries {
     * bucket hashes, integer counters), so the oracle rebuilds the whole
     * depth×width sketch in SQL and the estimates hash-match exactly —
     * including any collision inflation, which is itself reproducible. */
+  // ------------------------------------------------ KMV distinct count
+  /** [[TextOps.kmvSketchByGroup]]/[[kmvEstimateByGroup]] under the
+    * oracle: per-source distinct-term estimates next to the exact
+    * distinct counts, the oracle replaying the identical md5 hash,
+    * per-group k-smallest rank and `(k-1)/x_(k)` estimator — the
+    * estimate column is deterministic on both engines (one IEEE double
+    * division of exact integers, floored half-up to BIGINT), so the
+    * hash match pins the whole sketch path, not a tolerance band.
+    * k=16 sits BELOW the corpus's per-source distinct-term count (31 at
+    * every SF — the synthetic vocabulary is fixed), so the gate drives
+    * the at-capacity ESTIMATOR branch; the below-capacity exact branch
+    * is spec-covered. */
+  val qTextKmvDistinct: Q = (s, d) => {
+    val k = 16
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val exact = toks.select("source", "term").distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    TextOps.kmvEstimateByGroup(
+        TextOps.kmvSketchByGroup(toks, "source", "term", k), "source", k)
+      .join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("n_distinct_est"))
+      .orderBy(col("source"))
+  }
+
+  val qTextKmvDistinctSql: String =
+    """WITH docs AS (
+      |  SELECT source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT DISTINCT source, unnest(string_split(t, ' ')) AS term
+      |  FROM docs WHERE length(t) > 0
+      |), tk AS (
+      |  SELECT source, term FROM toks WHERE term <> ''
+      |), dh AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+      |  FROM tk
+      |), kept AS (
+      |  SELECT source, count(*) AS n_kept, max(h) AS hk FROM (
+      |    SELECT source, h,
+      |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |    FROM dh
+      |  ) WHERE rn <= 16 GROUP BY source
+      |), ex AS (
+      |  SELECT source, count(*) AS n_exact FROM tk GROUP BY source
+      |)
+      |SELECT e.source, e.n_exact,
+      |  CASE WHEN k.n_kept < 16 THEN k.n_kept
+      |       ELSE CAST(floor(CAST(64424509440 AS DOUBLE)
+      |                       / CAST(k.hk + 1 AS DOUBLE) + 0.5) AS BIGINT)
+      |  END AS n_distinct_est
+      |FROM ex e JOIN kept k USING (source)
+      |ORDER BY source""".stripMargin
+
   val qTextHeavyHitters: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val sketch = TextOps.cmsBuild(docs, "text")
@@ -3269,6 +3324,7 @@ object LlmQueries {
     "ann_index_stats"     -> qAnnIndexStats,
     "dedup_semantic_ingest" -> qDedupSemanticIngest,
     "text_heavy_hitters"  -> qTextHeavyHitters,
+    "text_kmv_distinct"   -> qTextKmvDistinct,
     "text_stats"          -> qTextStats,
     "text_langid"         -> qTextLangid,
     "text_fingerprint"    -> qTextFingerprint,
@@ -3344,6 +3400,7 @@ object LlmQueries {
     "ann_index_stats"     -> qAnnIndexStatsSql,
     "dedup_semantic_ingest" -> qDedupSemanticIngestSql,
     "text_heavy_hitters"  -> qTextHeavyHittersSql,
+    "text_kmv_distinct"   -> qTextKmvDistinctSql,
     "text_stats"          -> qTextStatsSql,
     "text_langid"         -> qTextLangidSql,
     "text_fingerprint"    -> qTextFingerprintSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -358,6 +359,89 @@ object TextOps {
   private def cmsBucket(term: Column, r: Column, width: Int): Column =
     conv(substring(md5(concat(term, lit("cms"), r.cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("long") % width
+
+  // ------------------------------------------- KMV distinct sketch
+  /** Engine-portable 32-bit value hash for the KMV sketch: first 8 md5
+    * hex chars as an unsigned int — the same md5-prefix idiom every
+    * sampling/sketch op here uses, so the DuckDB oracle replays it as
+    * `('0x' || substr(md5(v), 1, 8))::BIGINT`. */
+  private def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** K-minimum-values sketch of a column's distinct values: the `k`
+    * smallest DISTINCT hashes, one `h` row each — the MERGEABLE
+    * fixed-size summary that replaces count(DISTINCT) at corpus scale.
+    * Exact distinct needs a shuffle of every distinct value; the sketch
+    * shuffles at most k rows per partition (distinct is map-side
+    * partial, the k-smallest is TakeOrdered's per-partition heap — no
+    * global sort at any SF), and shard sketches merge losslessly with
+    * [[kmvMerge]]. Estimation error is ~1/sqrt(k-2) (Beyer et al.,
+    * SIGMOD'07); k=256 gives ~6%. Deterministic: same input, same
+    * sketch, on every engine that can md5. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 1, s"kmv needs k > 1, got $k")
+    df.select(kmvHash(col(valueCol)).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Per-group [[kmvSketch]]: `(groupCol, h)` rows, at most `k` per
+    * group. The `row_number <= k` filter plans a map-side
+    * WindowGroupLimit, so a hot group's shuffle contribution is bounded
+    * by k, not by its distinct count. */
+  def kmvSketchByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 1, s"kmv needs k > 1, got $k")
+    ColumnGuards.requireNoReserved(df, "kmvSketchByGroup", Set("__rk"))
+    val hashed = df
+      .select(col(groupCol), kmvHash(col(valueCol)).as("h")).distinct()
+    hashed
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("h"))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Lossless sketch union: the k smallest of the combined hash sets is
+    * exactly the sketch of the combined corpora — shards sketch
+    * independently, the coordinator merges k-sized frames. */
+  def kmvMerge(sketches: Seq[DataFrame], k: Int): DataFrame = {
+    require(sketches.nonEmpty, "kmvMerge needs at least one sketch")
+    kmvEstimateInputCheck(sketches)
+    sketches.reduce(_ unionByName _).distinct().orderBy(col("h")).limit(k)
+  }
+
+  private def kmvEstimateInputCheck(dfs: Seq[DataFrame]): Unit =
+    dfs.foreach(df => require(df.columns.contains("h"),
+      "kmv sketch frames carry the hash column 'h'"))
+
+  /** Distinct-count estimate from a [[kmvSketch]]: with fewer than k
+    * kept hashes the sketch IS the distinct hash set (exact, modulo
+    * 32-bit collisions); at capacity the classic estimator
+    * `(k-1) / x_(k)` with the k-th smallest hash normalized to (0,1]
+    * via `(h+1)/2^32` (the +1 keeps a zero hash dividable). The
+    * division is one IEEE double op on two exact integers — identically
+    * rounded on every engine — and the result floors half-up to a
+    * BIGINT so the gate surface is integer. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    kmvEstimateInputCheck(Seq(sketch))
+    sketch.agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+      .select(kmvEstCol(k).as("n_distinct_est"))
+  }
+
+  /** Per-group twin of [[kmvEstimate]] over a [[kmvSketchByGroup]]. */
+  def kmvEstimateByGroup(sketch: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    kmvEstimateInputCheck(Seq(sketch))
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+      .select(col(groupCol), kmvEstCol(k).as("n_distinct_est"))
+  }
+
+  private def kmvEstCol(k: Int): Column =
+    when(col("n_kept") < k, col("n_kept"))
+      .otherwise(floor(
+        lit((k - 1).toDouble * 4294967296.0) / (col("__hk") + lit(1L)).cast("double")
+          + lit(0.5)).cast("long"))
 
   /** Per-document term frequencies: one row per (doc, term) with its
     * count. The groupBy carries map-side partial aggregation, so the

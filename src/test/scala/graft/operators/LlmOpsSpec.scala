@@ -404,6 +404,51 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == whole)
   }
 
+  test("kmv: below capacity the estimate is the exact distinct hash count") {
+    val sp = spark; import sp.implicits._
+    val df = Seq("a", "b", "c", "a", "b").toDF("v")
+    val est = TextOps.kmvEstimate(TextOps.kmvSketch(df, "v", k = 256), k = 256)
+      .as[Long].head()
+    assert(est == 3L)
+  }
+
+  test("kmv: shard sketches merge losslessly — merge == whole-corpus sketch") {
+    val sp = spark; import sp.implicits._
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val a = toks.filter(length(col("term")) % 2 === 0)
+    val b = toks.filter(length(col("term")) % 2 =!= 0)
+    val merged = TextOps.kmvMerge(
+        Seq(TextOps.kmvSketch(a, "term", 64), TextOps.kmvSketch(b, "term", 64)), 64)
+      .as[Long].collect().sorted.toSeq
+    val whole = TextOps.kmvSketch(toks, "term", 64).as[Long].collect().sorted.toSeq
+    assert(merged == whole && whole.nonEmpty && whole.size <= 64)
+  }
+
+  test("kmv: estimate within the k=256 error band on real per-source distincts") {
+    val sp = spark; import sp.implicits._
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val sketch = TextOps.kmvSketchByGroup(toks, "source", "term", k = 256)
+    // per-group bound holds: never more than k rows per source
+    val maxPerGroup = sketch.groupBy("source").count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxPerGroup <= 256)
+    val est = TextOps.kmvEstimateByGroup(sketch, "source", k = 256)
+      .as[(String, Long)].collect().toMap
+    val exact = toks.distinct().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    for ((src, ex) <- exact) {
+      val e = est(src)
+      // ~1/sqrt(k-2) ≈ 6.3% standard error; 4 sigma of slack
+      assert(math.abs(e - ex).toDouble / ex < 0.25,
+        s"$src: est $e vs exact $ex")
+    }
+  }
+
   test("hashedBowScore: buckets match the md5-prefix contract, exact micro sums") {
     val sp = spark; import sp.implicits._
     val n = 16
