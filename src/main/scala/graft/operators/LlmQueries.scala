@@ -1426,6 +1426,72 @@ object LlmQueries {
       |GROUP BY CAST(ts AS DATE), event_type
       |ORDER BY day, event_type""".stripMargin
 
+  // --------------------------------------- stream-stream join (attribution)
+  /** Click→purchase attribution as a REAL stream-stream inner join —
+    * Spark's StreamingSymmetricHashJoin, the streaming surface none of
+    * the other gates touch: two watermarked event streams (clicks,
+    * purchases) from the same checkpointed file feed, equi-joined on
+    * user with a one-hour event-time range condition. Each matching
+    * pair is emitted exactly once when its second side arrives, so the
+    * appended result equals the batch join NO MATTER how the files
+    * split into micro-batches — batch-boundary invariance for join
+    * state, the analogue of what dedup_streaming pins for agg state.
+    * The watermark delay is deliberately generous (the feed is a replay
+    * of history, not a live clock): state-cleanup timing is a resource
+    * concern the spec layer covers; CORRECTNESS here must not depend on
+    * which micro-batch a row landed in. */
+  val qEventsStreamAttrib: Q = (s, d) => {
+    val dir = stageOnce(s"evstream:$d") { dir =>
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(8, col("event_id"))
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    val schema = s.read.parquet(dir.toString).schema
+    val ckpt = graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory("graft_evattrib_ckpt"))
+    try {
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(dir.toString)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+        .withWatermark("cts", "365 days")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"), col("value"))
+        .withWatermark("pts", "365 days")
+      val q = clicks.join(purchases,
+          col("cu") === col("pu") &&
+            col("pts") >= col("cts") &&
+            col("pts") < col("cts") + expr("interval 1 hour"))
+        .select(col("cu").as("user_id"), col("click_id"),
+          col("purchase_id"), col("value"))
+        .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName("graft_stream_attrib").start()
+      try q.processAllAvailable() finally q.stop()
+      val resDf = s.table("graft_stream_attrib")
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      val rows = resDf.collect()
+      val outSchema = resDf.schema
+      try s.catalog.dropTempView("graft_stream_attrib")
+      catch { case _: Throwable => () }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally graft.TempDirs.release(ckpt)
+  }
+
+  val qEventsStreamAttribSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  p.value
+      |FROM (SELECT user_id, ts, event_id FROM events
+      |      WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, ts, event_id, value FROM events
+      |      WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   // ------------------------------------------------- props extraction
   /** Semi-structured analytics over the events props JSON column. */
   val qEventsProps: Q = (s, d) =>
@@ -3311,6 +3377,7 @@ object LlmQueries {
     "dedup_sentences"     -> qDedupSentences,
     "events_sessions"     -> qEventsSessions,
     "events_stream_daily" -> qEventsStreamDaily,
+    "events_stream_attrib" -> qEventsStreamAttrib,
     "events_outliers"     -> qEventsOutliers,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -3381,6 +3448,7 @@ object LlmQueries {
     "dedup_sentences"     -> qDedupSentencesSql,
     "events_sessions"     -> qEventsSessionsSql,
     "events_stream_daily" -> qEventsStreamDailySql,
+    "events_stream_attrib" -> qEventsStreamAttribSql,
     "events_outliers"     -> qEventsOutliersSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,

@@ -252,4 +252,61 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows == Seq(("a", 2L), ("b", 1L)))
     } finally q.stop()
   }
+
+  test("stream-stream join: buffered side survives a checkpoint restart, each pair once") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    val Hour = 60 * Minute
+    // timestamps sit WELL ABOVE the initial watermark (epoch 0): a row
+    // exactly AT the watermark is boundary-evictable (cleanup is <=),
+    // which is an artifact of synthetic epoch-0 data, not the property
+    // under test
+    val Base = 10000 * Hour
+    // wave 1: clicks ONLY — they must be BUFFERED in join state
+    Seq((1L, 10L, Base), (2L, 11L, Base), (1L, 12L, Base + 2 * Hour))
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .withColumn("kind", lit("click"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = sp.read.parquet(src).schema
+    def run(): Unit = {
+      def s0 = sp.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val clicks = s0.filter(col("kind") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+        .withWatermark("cts", "365 days")
+      val purch = s0.filter(col("kind") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("pts", "365 days")
+      val q = clicks.join(purch,
+          col("cu") === col("pu") && col("pts") >= col("cts") &&
+            col("pts") < col("cts") + expr("interval 1 hour"))
+        .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // no purchases yet: nothing can join
+    // wave 2 arrives AFTER the restart — matches must come from
+    // checkpoint-recovered click state, not from re-reading wave 1
+    Seq((1L, 20L, Base + 30 * Minute), (2L, 21L, Base + 2 * Hour),
+        (1L, 22L, Base + 2 * Hour + Minute))
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .withColumn("kind", lit("purchase"))
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    val got = sp.read.parquet(out)
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // click 10 (base) ← purchase 20 (+30m); click 12 (+2h) ← purchase 22
+    // (2h+1m); purchase 21 is 2h after user 2's only click — out of range
+    assert(got == Seq((1L, 10L, 20L), (1L, 12L, 22L)))
+    graft.TempDirs.deleteRecursively(base)
+  }
 }
