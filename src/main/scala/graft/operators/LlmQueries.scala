@@ -1450,9 +1450,22 @@ object LlmQueries {
     val schema = s.read.parquet(dir.toString).schema
     val ckpt = graft.TempDirs.reclaimOnExit(
       java.nio.file.Files.createTempDirectory("graft_evattrib_ckpt"))
+    // Stateful-stream partitioning is a DELIBERATE sizing decision, not
+    // an inherited default: the state partition count freezes into the
+    // checkpoint at first run, and every micro-batch then pays commit +
+    // maintenance on 4 join state stores PER state partition whatever
+    // the key cardinality. This stream keys on user_id (hundreds to
+    // thousands of keys), so a cloned session right-sizes it to 8 —
+    // a higher-throughput deployment would size up BEFORE first start.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      def src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(dir.toString)
+      // 2 micro-batches (4 files each), not 8×1: the property under the
+      // oracle is batch-boundary INVARIANCE, which two boundaries prove
+      // as well as eight — while each extra micro-batch pays the full
+      // symmetric-join state machinery, the dominant cost here
+      def src = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4").parquet(dir.toString)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("cu"), col("ts").as("cts"),
           col("event_id").as("click_id"))
@@ -1471,11 +1484,11 @@ object LlmQueries {
         .option("checkpointLocation", ckpt.toString)
         .queryName("graft_stream_attrib").start()
       try q.processAllAvailable() finally q.stop()
-      val resDf = s.table("graft_stream_attrib")
+      val resDf = ss.table("graft_stream_attrib")
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
       val rows = resDf.collect()
       val outSchema = resDf.schema
-      try s.catalog.dropTempView("graft_stream_attrib")
+      try ss.catalog.dropTempView("graft_stream_attrib")
       catch { case _: Throwable => () }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally graft.TempDirs.release(ckpt)
