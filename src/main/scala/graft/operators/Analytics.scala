@@ -782,11 +782,14 @@ object Analytics {
     * l_extendedprice). The Q2 signature shape is the CORRELATED MIN
     * subquery, decorrelated the scalable way: one per-part MIN aggregate
     * over the eligible offers, joined back on (partkey, price = min) —
-    * never a per-row subquery. The part band and the region's supplier
-    * set are both filtered-small and broadcast, so lineitem is pruned to
-    * the eligible slice before the aggregate; the min join-back is a
-    * partkey-keyed shuffle join (both sides SF-scaling). min/price are
-    * raw doubles COMPARED, never arithmetic — exact on both engines. */
+    * never a per-row subquery. Only the constant dims broadcast (5-row
+    * region folded into 25-row nation); the part band and the region's
+    * supplier set SCALE with SF, so they are left to AQE exactly like
+    * q9/q14 leave part — a forced broadcast would override size
+    * thresholds and blow up at the 100 TB target. The min join-back is
+    * a partkey-keyed shuffle join (both sides SF-scaling). min/price
+    * are raw doubles COMPARED, never arithmetic — exact on both
+    * engines. */
   val q2MinCostSupplier: Q = (s, d) => {
     val parts = Tables.part(s, d)
       .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
@@ -803,8 +806,8 @@ object Analytics {
     val offers = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
         col("l_extendedprice"))
-      .join(broadcast(parts), Seq("p_partkey"))
-      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(parts, Seq("p_partkey"))
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
     val mn = offers.groupBy(col("p_partkey"))
       .agg(min(col("l_extendedprice")).as("min_price"))
     offers
@@ -851,7 +854,7 @@ object Analytics {
       .select("s_suppkey")
     val vals = Tables.lineitem(s, d)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice"))).as("v"))
     val tot = vals.agg(sum(col("v")).as("t"), count(lit(1)).as("n_parts"))
@@ -915,9 +918,11 @@ object Analytics {
     * partsupp/s_comment, so the part-supplier relation is lineitem and
     * the excluded-supplier file is the negative-balance set). Two Q16
     * signature shapes in one plan: the NOT IN supplier exclusion as a
-    * BROADCAST LEFT-ANTI join (the excluded set is filtered-tiny), and
-    * count(DISTINCT supplier) per (brand, size) — Spark plans the
-    * distinct as a two-phase aggregate, partials before the shuffle. */
+    * LEFT-ANTI join, and count(DISTINCT supplier) per (brand, size) —
+    * Spark plans the distinct as a two-phase aggregate, partials before
+    * the shuffle. The part band and the excluded-supplier set both
+    * scale with SF, so neither is broadcast-hinted (AQE decides — the
+    * q9/q14 convention); at the 100 TB target both joins key shuffles. */
   val q16SupplierDiversity: Q = (s, d) => {
     val parts = Tables.part(s, d)
       .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
@@ -926,8 +931,8 @@ object Analytics {
     val excluded = Tables.supplier(s, d)
       .filter(col("s_acctbal") < 0.0).select("s_suppkey")
     Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy(col("p_brand"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -950,9 +955,10 @@ object Analytics {
     * aggregate threshold: parts of one type → two years of their
     * lineitems → per-supplier shipped quantity → the over-threshold
     * supplier KEY SET → a left-semi join onto supplier, then the nation
-    * filter. Quantities are integer-valued doubles summed exactly; the
-    * supplier set is derived (not broadcast-hinted) so the semi join
-    * keys the shuffle — at 100 TB the key set is still ~#suppliers. */
+    * filter. Quantities are integer-valued doubles summed exactly.
+    * Nothing SF-scaling is broadcast-hinted: the type-filtered part set
+    * and the derived supplier key set both grow with SF (AQE decides),
+    * and only the constant 25-row nation dim carries a hint. */
   val q20ExcessShippers: Q = (s, d) => {
     val smallParts = Tables.part(s, d)
       .filter(col("p_type") === "SMALL").select("p_partkey")
@@ -961,7 +967,7 @@ object Analytics {
         col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
       .select("l_partkey", "l_suppkey", "l_quantity")
-      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("qty"))
       .filter(col("qty") > 400.0)

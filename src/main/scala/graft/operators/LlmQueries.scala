@@ -1376,13 +1376,19 @@ object LlmQueries {
     * production path (late-data drop, state expiry) is spec-covered in
     * StreamingOpsSpec; complete mode here keeps the gate deterministic
     * (append would hold back windows the final watermark never passes). */
-  val qEventsStreamDaily: Q = (s, d) => {
-    val dir = stageOnce(s"evstream:$d") { dir =>
+  /** The staged event feed BOTH streaming gates read (stageOnce key
+    * "evstream:<sf>"): one definition, so an edit to the layout cannot
+    * silently apply to whichever gate happens to run first. */
+  private def stagedEvents(s: SparkSession, d: String): java.nio.file.Path =
+    stageOnce(s"evstream:$d") { dir =>
       Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(8, col("event_id"))
         .write.mode("overwrite").parquet(dir.toString)
     }
+
+  val qEventsStreamDaily: Q = (s, d) => {
+    val dir = stagedEvents(s, d)
     val schema = s.read.parquet(dir.toString).schema
     // explicit registered+released checkpoint — a failed run would
     // strand Spark's auto temp checkpoint (window state) otherwise
@@ -1441,12 +1447,7 @@ object LlmQueries {
     * concern the spec layer covers; CORRECTNESS here must not depend on
     * which micro-batch a row landed in. */
   val qEventsStreamAttrib: Q = (s, d) => {
-    val dir = stageOnce(s"evstream:$d") { dir =>
-      Tables.events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .repartition(8, col("event_id"))
-        .write.mode("overwrite").parquet(dir.toString)
-    }
+    val dir = stagedEvents(s, d)
     val schema = s.read.parquet(dir.toString).schema
     val ckpt = graft.TempDirs.reclaimOnExit(
       java.nio.file.Files.createTempDirectory("graft_evattrib_ckpt"))

@@ -369,50 +369,84 @@ object TextOps {
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** K-minimum-values sketch of a column's distinct values: the `k`
-    * smallest DISTINCT hashes, one `h` row each — the MERGEABLE
-    * fixed-size summary that replaces count(DISTINCT) at corpus scale.
-    * Exact distinct needs a shuffle of every distinct value; the sketch
-    * shuffles at most k rows per partition (distinct is map-side
-    * partial, the k-smallest is TakeOrdered's per-partition heap — no
-    * global sort at any SF), and shard sketches merge losslessly with
-    * [[kmvMerge]]. Estimation error is ~1/sqrt(k-2) (Beyer et al.,
-    * SIGMOD'07); k=256 gives ~6%. Deterministic: same input, same
-    * sketch, on every engine that can md5. */
+    * smallest DISTINCT hashes, one `h` row each plus the constant `k`
+    * the sketch was built at — the MERGEABLE fixed-size summary that
+    * replaces count(DISTINCT) at corpus scale. The plan: map-side
+    * PARTIAL distinct dedups each partition before the exchange (the
+    * shuffle carries per-partition distinct hash sets, never raw rows),
+    * then the k-smallest runs as TakeOrdered's per-partition heap — no
+    * global sort at any SF. A NULL value fails LOUDLY: kmvHash(NULL)
+    * is NULL, which would sort NULLS FIRST into the sketch, evict a
+    * real minimum, and silently bias the estimator. Shard sketches
+    * merge losslessly with [[kmvMerge]]. Estimation error is
+    * ~1/sqrt(k-2) (Beyer et al., SIGMOD'07); k=256 gives ~6%.
+    * Deterministic: same input, same sketch, on every engine that can
+    * md5. */
   def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k > 1, s"kmv needs k > 1, got $k")
-    df.select(kmvHash(col(valueCol)).as("h"))
+    df.select(kmvHash(ColumnGuards.requireNonNull(col(valueCol),
+        s"kmv: NULL $valueCol — a null hash would silently displace a " +
+          "real minimum; filter or coalesce nulls first")).as("h"))
       .distinct().orderBy(col("h")).limit(k)
+      .select(col("h"), lit(k).as("k"))
   }
 
-  /** Per-group [[kmvSketch]]: `(groupCol, h)` rows, at most `k` per
-    * group. The `row_number <= k` filter plans a map-side
-    * WindowGroupLimit, so a hot group's shuffle contribution is bounded
-    * by k, not by its distinct count. */
+  /** Per-group [[kmvSketch]]: `(groupCol, h, k)` rows, at most `k` per
+    * group. The per-group distinct is map-side partial like the global
+    * sketch's; the `row_number <= k` filter then prunes to k per group
+    * with a map-side WindowGroupLimit on the post-distinct side. NULL
+    * values and NULL group keys both fail loudly. */
   def kmvSketchByGroup(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k > 1, s"kmv needs k > 1, got $k")
     ColumnGuards.requireNoReserved(df, "kmvSketchByGroup", Set("__rk"))
-    val hashed = df
-      .select(col(groupCol), kmvHash(col(valueCol)).as("h")).distinct()
+    val hashed = df.select(
+        ColumnGuards.requireNonNull(col(groupCol),
+          s"kmv: NULL $groupCol group key").as(groupCol),
+        kmvHash(ColumnGuards.requireNonNull(col(valueCol),
+          s"kmv: NULL $valueCol — a null hash would silently displace a " +
+            "real minimum; filter or coalesce nulls first")).as("h"))
+      .distinct()
     hashed
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("h"))))
       .filter(col("__rk") <= k)
       .drop("__rk")
+      .withColumn("k", lit(k))
   }
 
   /** Lossless sketch union: the k smallest of the combined hash sets is
     * exactly the sketch of the combined corpora — shards sketch
-    * independently, the coordinator merges k-sized frames. */
+    * independently, the coordinator merges k-sized frames. Only GLOBAL
+    * sketches built at the SAME k merge losslessly (a shard sketched at
+    * a smaller k already discarded hashes the merged sketch needs, and
+    * a by-group frame needs a per-group merge); both misuses fail
+    * loudly instead of silently under-estimating. */
   def kmvMerge(sketches: Seq[DataFrame], k: Int): DataFrame = {
     require(sketches.nonEmpty, "kmvMerge needs at least one sketch")
-    kmvEstimateInputCheck(sketches)
-    sketches.reduce(_ unionByName _).distinct().orderBy(col("h")).limit(k)
+    sketches.foreach(s => require(s.columns.sorted.toSeq == Seq("h", "k"),
+      s"kmvMerge takes GLOBAL (h, k) sketches, got columns " +
+        s"(${s.columns.mkString(", ")}) — merge by-group sketches per group"))
+    sketches.reduce(_ unionByName _)
+      .select(kmvKChecked(k, "kmvMerge").as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+      .select(col("h"), lit(k).as("k"))
   }
 
+  /** In-plan guard that a sketch row's recorded `k` matches the `k` the
+    * consumer assumes — a mismatch silently mis-scales the estimator
+    * (the denominator would be x_(j), not x_(k)) or breaks the merge
+    * contract, so it raises with both values named. */
+  private def kmvKChecked(k: Int, op: String): Column =
+    when(col("k") =!= k,
+      raise_error(concat(lit(s"$op: sketch was built at k="),
+        col("k").cast("string"), lit(s" but $op was asked for k=$k"))))
+      .otherwise(col("h"))
+
   private def kmvEstimateInputCheck(dfs: Seq[DataFrame]): Unit =
-    dfs.foreach(df => require(df.columns.contains("h"),
-      "kmv sketch frames carry the hash column 'h'"))
+    dfs.foreach(df => require(df.columns.contains("h") &&
+        df.columns.contains("k"),
+      "kmv sketch frames carry the hash column 'h' and the build-time 'k'"))
 
   /** Distinct-count estimate from a [[kmvSketch]]: with fewer than k
     * kept hashes the sketch IS the distinct hash set (exact, modulo
@@ -421,10 +455,12 @@ object TextOps {
     * via `(h+1)/2^32` (the +1 keeps a zero hash dividable). The
     * division is one IEEE double op on two exact integers — identically
     * rounded on every engine — and the result floors half-up to a
-    * BIGINT so the gate surface is integer. */
+    * BIGINT so the gate surface is integer. Estimating at a different
+    * k than the sketch was built at fails loudly in-plan. */
   def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
     kmvEstimateInputCheck(Seq(sketch))
-    sketch.agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+    sketch.agg(count(lit(1)).as("n_kept"),
+        max(kmvKChecked(k, "kmvEstimate")).as("__hk"))
       .select(kmvEstCol(k).as("n_distinct_est"))
   }
 
@@ -433,7 +469,8 @@ object TextOps {
       k: Int): DataFrame = {
     kmvEstimateInputCheck(Seq(sketch))
     sketch.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(kmvKChecked(k, "kmvEstimateByGroup")).as("__hk"))
       .select(col(groupCol), kmvEstCol(k).as("n_distinct_est"))
   }
 

@@ -421,9 +421,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = toks.filter(length(col("term")) % 2 =!= 0)
     val merged = TextOps.kmvMerge(
         Seq(TextOps.kmvSketch(a, "term", 64), TextOps.kmvSketch(b, "term", 64)), 64)
-      .as[Long].collect().sorted.toSeq
-    val whole = TextOps.kmvSketch(toks, "term", 64).as[Long].collect().sorted.toSeq
+      .select("h").as[Long].collect().sorted.toSeq
+    val whole = TextOps.kmvSketch(toks, "term", 64)
+      .select("h").as[Long].collect().sorted.toSeq
     assert(merged == whole && whole.nonEmpty && whole.size <= 64)
+    // mixed-k merges and mismatched-k estimates silently mis-scale the
+    // estimator, so both are refused loudly (the k travels IN the sketch)
+    val s32 = TextOps.kmvSketch(a, "term", 32)
+    val e1 = intercept[Exception] {
+      TextOps.kmvMerge(Seq(s32, TextOps.kmvSketch(b, "term", 64)), 64).collect()
+    }
+    def messages(t: Throwable): String = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ Seq(messages(x.getCause))).mkString("\n")
+    assert(messages(e1).contains("built at k="))
+    val e2 = intercept[Exception] { TextOps.kmvEstimate(s32, k = 64).collect() }
+    assert(messages(e2).contains("built at k="))
+    // a by-group sketch is not globally mergeable — refused up front
+    val e3 = intercept[IllegalArgumentException] {
+      TextOps.kmvMerge(Seq(TextOps.kmvSketchByGroup(
+        graft.Tables.documents(spark, sfDir)
+          .select(col("source"), col("doc_id").cast("string").as("doc_id")),
+        "source", "doc_id", 8)), 8)
+    }
+    assert(e3.getMessage.contains("GLOBAL"))
+    // NULL values fail loudly instead of displacing a real minimum
+    val e4 = intercept[Exception] {
+      TextOps.kmvSketch(Seq(Some("a"), None).toDF("v"), "v", 8).collect()
+    }
+    assert(messages(e4).contains("NULL v"))
   }
 
   test("kmv: estimate within the k=256 error band on real per-source distincts") {

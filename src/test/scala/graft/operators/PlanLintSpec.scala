@@ -111,15 +111,19 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c8 >= 2 && c8 <= 3, s"q8_market_share: dim broadcasts expected, got $c8")
   }
 
-  test("q2: correlated min decorrelates to one aggregate + partkey join-back, dims broadcast") {
+  test("q2: correlated min decorrelates to one aggregate + partkey join-back") {
     val p = plan(q("q2_min_cost_supp"))
-    // the part band, the region→nation chain and the supplier dim are
-    // all filtered-small and hinted; the min join-back is NOT hinted
-    // (both sides SF-scaling) so it keys the shuffle on partkey
-    assert(countOf(p, "BroadcastExchange") >= 3,
-      s"q2: part band + region/nation + supplier dims must broadcast:\n$p")
+    // ONLY the constant dims are hinted (region folded into nation);
+    // the part band, the supplier set and the min join-back all scale
+    // with SF, so they key shuffles — never a forced broadcast. The
+    // offers subtree appears twice (min aggregate + join-back; no AQE
+    // reuse in this session), so the 1-2 constant-dim exchanges can
+    // show up doubled
+    val c = countOf(p, "BroadcastExchange")
+    assert(c >= 1 && c <= 4,
+      s"q2: only the constant region/nation dims may broadcast, got $c:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-      s"q2: the min join-back must be a shuffle join, not broadcast:\n$p")
+      s"q2: the SF-scaling joins must be shuffle joins, not broadcast:\n$p")
     assert(countOf(p, "HashAggregate") >= 2,
       s"q2: the per-part MIN must be a partial+final aggregate:\n$p")
   }
@@ -131,17 +135,20 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"q11 has a cartesian:\n$p")
   }
 
-  test("q16: supplier exclusion is a broadcast anti join; distinct agg is two-phase") {
+  test("q16: supplier exclusion is an anti join; distinct agg is two-phase; no forced broadcast") {
     val p = plan(q("q16_supplier_diversity"))
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"q16: the filtered-tiny excluded set must anti-join broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"q16: lineitem must not shuffle for the dims:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"q16: the NOT-IN exclusion must plan as an anti join:\n$p")
+    // both the part band and the excluded set scale with SF: nothing is
+    // broadcast by hint (the session disables auto-broadcast, so any
+    // BroadcastExchange here would be a forced one)
+    assert(!p.contains("BroadcastExchange"),
+      s"q16: SF-scaling sides must not be force-broadcast:\n$p")
     assert(countOf(p, "HashAggregate") >= 3,
       s"q16: count(DISTINCT) must plan as the two-phase expand aggregate:\n$p")
   }
 
-  test("q20: the over-threshold supplier set semi-joins; parts broadcast; dates pushed") {
+  test("q20: the over-threshold supplier set semi-joins; dates pushed") {
     val p = plan(q("q20_excess_shippers"))
     assert(p.contains("LeftSemi"),
       s"q20: the derived key set must be a semi join:\n$p")
