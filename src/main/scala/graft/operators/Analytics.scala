@@ -1129,6 +1129,50 @@ object Analytics {
       |GROUP BY s.event_id
       |ORDER BY signup_id""".stripMargin
 
+  // ------------------------------------------------ interval overlap join
+  /** [[Joins.intervalOverlapJoin]] under the oracle: per-order delivery
+    * windows (`o_orderdate` + 1..10 days, derived from the order key so
+    * both engines build identical intervals in exact micro arithmetic),
+    * self-joined per customer for overlapping pairs — the no-cartesian
+    * interval-interval rewrite next to q_interval_signup's
+    * point-in-interval one. `a_key < b_key` halves the symmetric pairs;
+    * the meet-once bucket rule means no DISTINCT is ever needed. The
+    * oracle replays the naive quadratic overlap join — a hash match
+    * proves the bucketed rewrite is exactly pair-preserving. */
+  val qOverlapOrders: Q = (s, d) => {
+    val DayMicros = 86400L * 1000000L
+    def iv(prefix: String) = Tables.orders(s, d).select(
+      col("o_custkey"),
+      col("o_orderkey").as(s"${prefix}_key"),
+      col("o_orderdate").as(s"${prefix}_start"),
+      timestamp_micros(unix_micros(col("o_orderdate").cast("timestamp")) +
+        (col("o_orderkey") % 10 + 1) * DayMicros).as(s"${prefix}_end"))
+    Joins.intervalOverlapJoin(
+        iv("a"), "a_start", "a_end", iv("b"), "b_start", "b_end",
+        bucketMicros = 3 * DayMicros, keys = Seq("o_custkey"))
+      .filter(col("a_key") < col("b_key"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        sum(col("a_key")).as("sum_a"),
+        sum(col("b_key")).as("sum_b"))
+  }
+
+  val qOverlapOrdersSql: String =
+    """WITH iv AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate AS s,
+      |    make_timestamp(epoch_us(o_orderdate)
+      |      + (o_orderkey % 10 + 1) * 86400000000) AS e
+      |  FROM orders
+      |)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_custs,
+      |  CAST(sum(a.o_orderkey) AS BIGINT) AS sum_a,
+      |  CAST(sum(b.o_orderkey) AS BIGINT) AS sum_b
+      |FROM iv a JOIN iv b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      | AND a.s <= b.e AND b.s <= a.e""".stripMargin
+
   // ------------------------------------------------------- salted join
   /** qTopBrands re-expressed through [[Joins.saltedJoin]] (8 salt
     * buckets): the skew-safe rewrite must produce bit-identical results
@@ -1179,6 +1223,7 @@ object Analytics {
     "q20_excess_shippers"  -> q20ExcessShippers,
     "events_funnel"        -> qEventsFunnel,
     "q_interval_signup"    -> qIntervalSignup,
+    "q_overlap_orders"     -> qOverlapOrders,
     "q_salted_brands"      -> qSaltedBrands)
 
   val oracleSql: Map[String, String] = Map(
@@ -1212,5 +1257,6 @@ object Analytics {
     "q20_excess_shippers"  -> q20Sql,
     "events_funnel"        -> qEventsFunnelSql,
     "q_interval_signup"    -> qIntervalSignupSql,
+    "q_overlap_orders"     -> qOverlapOrdersSql,
     "q_salted_brands"      -> qTopBrandsSql)
 }

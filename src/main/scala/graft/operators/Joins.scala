@@ -144,6 +144,74 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Interval-interval OVERLAP join without a cartesian — the sibling of
+    * [[pointInIntervalJoin]] for two interval-valued sides (session vs
+    * promo windows, order vs delivery spans). A bare
+    * `aStart <= bEnd AND bStart <= aEnd` condition plans as
+    * BroadcastNestedLoopJoin / cartesian, O(|A|·|B|). The rewrite
+    * buckets time on both sides: each interval explodes into every
+    * fixed-width bucket it overlaps, the join becomes an EQUI-join on
+    * bucket id (plus caller keys), and the exact overlap filter runs on
+    * the equi-matched pairs. Overlapping intervals share EVERY bucket
+    * between max(starts) and min(ends), so the dedup rule keeps each
+    * pair exactly once — in the bucket holding max(aStart, bStart),
+    * which both sides provably explode into. Inclusive bounds on both
+    * ends, matching the point variant.
+    *
+    * Same fail-loud guards as the point variant, on BOTH sides:
+    * inverted intervals raise (Spark's `sequence` would silently
+    * descend), and an interval spanning more than
+    * `maxBucketsPerInterval` buckets raises with the row named (a
+    * sentinel end date would otherwise explode one row into millions of
+    * replicas). Non-key column names must not collide across the two
+    * sides — rename before joining (a self-join aliases its columns
+    * anyway). */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      right: DataFrame,
+      rStartCol: String,
+      rEndCol: String,
+      bucketMicros: Long,
+      keys: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
+    require(bucketMicros > 0, s"bucket width must be positive, got $bucketMicros")
+    require(maxBucketsPerInterval > 0,
+      s"bucket cap must be positive, got $maxBucketsPerInterval")
+    val dup = (left.columns.toSet & right.columns.toSet) -- keys
+    require(dup.isEmpty,
+      s"intervalOverlapJoin: non-key columns collide across sides — " +
+        s"rename first: ${dup.toSeq.sorted.mkString(", ")}")
+    ColumnGuards.requireNoReserved(left, "intervalOverlapJoin", Set("__bucket"))
+    ColumnGuards.requireNoReserved(right, "intervalOverlapJoin", Set("__bucket"))
+    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
+    def bucketed(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+      val startB = floor(micros(startCol) / bucketMicros)
+      val endB = floor(micros(endCol) / bucketMicros)
+      val guardedEnd = when(endB < startB, raise_error(concat(
+          lit("intervalOverlapJoin: interval end before start ("),
+          col(startCol).cast("string"), lit(" > "), col(endCol).cast("string"),
+          lit(")"))))
+        .when(endB - startB >= maxBucketsPerInterval, raise_error(concat(
+          lit("intervalOverlapJoin: interval ["), col(startCol).cast("string"),
+          lit(", "), col(endCol).cast("string"),
+          lit(s"] spans more than $maxBucketsPerInterval buckets — a " +
+            "sentinel end date? widen bucketMicros or raise " +
+            "maxBucketsPerInterval deliberately"))))
+        .otherwise(endB)
+      df.withColumn("__bucket", explode(sequence(startB, guardedEnd)))
+    }
+    bucketed(left, lStartCol, lEndCol)
+      .join(bucketed(right, rStartCol, rEndCol), keys :+ "__bucket")
+      .filter(
+        col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
+          // meet-once: only the bucket holding max(starts) keeps the pair
+          col("__bucket") === floor(
+            greatest(micros(lStartCol), micros(rStartCol)) / bucketMicros))
+      .drop("__bucket")
+  }
+
   /** Write `df` as a bucketed+sorted table so later equi-joins on
     * `bucketKeys` read co-located partitions and skip the shuffle (and
     * with matching sort, the merge phase reads pre-sorted buckets).

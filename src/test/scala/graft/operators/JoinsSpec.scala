@@ -164,6 +164,62 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("overlap join: equals the naive overlap join; pairs meet once; guards fire") {
+    val sp = spark; import sp.implicits._
+    val H = 3600L * 1000000L
+    val rnd = new scala.util.Random(7)
+    def ivs(prefix: String, n: Int) = (1 to n).map { i =>
+      val lo = rnd.nextLong(48 * H)
+      (i.toLong, i.toLong % 4, lo, lo + rnd.nextLong(8 * H))
+    }.toDF(s"${prefix}_id", "k", s"${prefix}_lo_us", s"${prefix}_hi_us")
+      .select(col(s"${prefix}_id"), col("k"),
+        timestamp_micros(col(s"${prefix}_lo_us")).as(s"${prefix}_lo"),
+        timestamp_micros(col(s"${prefix}_hi_us")).as(s"${prefix}_hi"))
+    val a = ivs("a", 80)
+    val b = ivs("b", 60)
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)]
+      .collect().sorted.toVector
+    for (bucket <- Seq(H / 2, 2 * H, 12 * H)) {
+      val got = Joins.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          bucketMicros = bucket, keys = Seq("k"))
+        .select(col("a_id"), col("b_id")).as[(Long, Long)]
+        .collect().sorted.toVector
+      assert(got == naive, s"bucket width $bucket diverges from the naive join")
+      assert(got.distinct == got, "each pair meets exactly once (no dedup pass exists)")
+    }
+    // zero-width touching intervals: [t, t] overlaps [t, t+1h] (inclusive)
+    val za = Seq((1L, 0L, 2 * H, 2 * H)).toDF("a_id", "k", "lo_us", "hi_us")
+      .select(col("a_id"), col("k"),
+        timestamp_micros(col("lo_us")).as("a_lo"),
+        timestamp_micros(col("hi_us")).as("a_hi"))
+    val zb = Seq((9L, 0L, 2 * H, 3 * H)).toDF("b_id", "k", "lo_us", "hi_us")
+      .select(col("b_id"), col("k"),
+        timestamp_micros(col("lo_us")).as("b_lo"),
+        timestamp_micros(col("hi_us")).as("b_hi"))
+    assert(Joins.intervalOverlapJoin(za, "a_lo", "a_hi", zb, "b_lo", "b_hi",
+      bucketMicros = H, keys = Seq("k")).count() == 1)
+    // inverted interval on the RIGHT side fails loudly too
+    val inv = Seq((9L, 0L, 3 * H, 2 * H)).toDF("b_id", "k", "lo_us", "hi_us")
+      .select(col("b_id"), col("k"),
+        timestamp_micros(col("lo_us")).as("b_lo"),
+        timestamp_micros(col("hi_us")).as("b_hi"))
+    val e = intercept[Exception] {
+      Joins.intervalOverlapJoin(za, "a_lo", "a_hi", inv, "b_lo", "b_hi",
+        bucketMicros = H, keys = Seq("k")).collect()
+    }
+    def messages(t: Throwable): String = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ Seq(messages(x.getCause))).mkString("\n")
+    assert(messages(e).contains("end before start"))
+    // colliding non-key columns are refused up front
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(a, "a_lo", "a_hi", a, "a_lo", "a_hi",
+        bucketMicros = H, keys = Seq("k"))
+    }
+    assert(e2.getMessage.contains("rename"))
+  }
+
   test("bucketed join: no shuffle exchange, same result as direct join") {
     val sp = spark; import sp.implicits._
     val facts = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")

@@ -61,7 +61,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q9_nation_profit", "q_rollup_revenue",
     "q_top_brands", "q_order_priority", "q_customers_no_orders",
     "q_running_supplier", "q_events_daily", "events_funnel",
-    "q_interval_signup", "q2_min_cost_supp", "q11_important_parts",
+    "q_interval_signup", "q_overlap_orders", "q2_min_cost_supp", "q11_important_parts",
     "q12_priority_lines", "q16_supplier_diversity", "q20_excess_shippers")
 
   private def q(name: String): DataFrame =
@@ -155,6 +155,14 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = formatted(q("q20_excess_shippers"))
     assert(f.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
     assert(f.contains("LessThan(l_shipdate"), "shipdate upper bound not pushed")
+  }
+
+  test("q_overlap_orders: interval-interval overlap plans as an equi-join, never a cartesian") {
+    val p = plan(q("q_overlap_orders"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must be the bucketed equi-join rewrite:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"overlap join must key a shuffle on (custkey, bucket):\n$p")
   }
 
   test("q21: the self-correlation is a semi join plus an anti join, both shuffle-based") {
