@@ -26,7 +26,8 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).resolve("idx").toString
+    graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory(prefix)).resolve("idx").toString
 
   test("probe through two sequential ingests == probe of a one-shot build") {
     val emb = graft.Tables.embeddings(spark, sfDir)
@@ -243,7 +244,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_stream"))
     val (src, ckpt, outDir, idx) = (s"$base/src", s"$base/ckpt", s"$base/out", s"$base/idx")
     AnnIndex.build(emb.filter(col("vec_id") < 20), idx, nCentroids = 8)
     // three single-file micro-batches; the third injects exact copies of
@@ -286,7 +287,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_probe_stream")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_probe_stream"))
     val (src, ckpt, outDir, idx) = (s"$base/src", s"$base/ckpt", s"$base/out", s"$base/idx")
     AnnIndex.build(emb.filter(col("vec_id") < 40), idx, nCentroids = 8)
     // two single-file query micro-batches before the restart
@@ -349,7 +350,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_rebuild")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_rebuild"))
     val (v1, v2, fresh) = (s"$base/v1", s"$base/v2", s"$base/fresh")
     // the index grows past its build: 8 cells over a corpus that arrived
     // in two ingests, with takedowns along the way
@@ -427,7 +428,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_probe_retention")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_probe_retention"))
     val (idx, outA, outB) = (s"$base/idx", s"$base/outA", s"$base/outB")
     AnnIndex.build(emb.filter(col("vec_id") < 40), idx, nCentroids = 8)
     def qb(lo: Long, hi: Long) = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
@@ -490,7 +491,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_promote")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_promote"))
     val root = base.toString
     AnnIndex.build(emb.filter(col("vec_id") < 30), s"$root/v1", nCentroids = 8)
     // promoting a dir with no built index is refused
@@ -528,7 +529,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_cutover_stream")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_cutover_stream"))
     val (root, src, ckpt, outDir) = (s"$base/idxroot", s"$base/src", s"$base/ckpt", s"$base/out")
     // two indexes over DIFFERENT corpora, so old/new answers differ
     AnnIndex.build(emb.filter(col("vec_id") < 30), s"$root/v1", nCentroids = 8)
@@ -572,7 +573,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_probe_age")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_probe_age"))
     val (idx, out) = (s"$base/idx", s"$base/out")
     AnnIndex.build(emb.filter(col("vec_id") < 40), idx, nCentroids = 8)
     def qb(lo: Long, hi: Long) = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
@@ -613,7 +614,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_maintain")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_maintain"))
     val (idx, out) = (s"$base/idx", s"$base/out")
     AnnIndex.build(emb.filter(col("vec_id") < 20), idx, nCentroids = 8)
     for (i <- 1 to 3)
@@ -673,7 +674,7 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_ann_compact_probe")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ann_compact_probe"))
     val (src, ckpt, outDir, idx) = (s"$base/src", s"$base/ckpt", s"$base/out", s"$base/idx")
     // an index with foldable history: seed + 2 ingests + a tombstone
     AnnIndex.build(emb.filter(col("vec_id") < 20), idx, nCentroids = 8)

@@ -20,7 +20,7 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-warehouse").toString)
+        graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft-warehouse")).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

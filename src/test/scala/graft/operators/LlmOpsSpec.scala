@@ -1363,7 +1363,7 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ingest dedup loop: batch 2 pairs against batch 1 through the persisted index") {
     val sp = spark; import sp.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_dedup")
+    val tmp = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ingest_dedup"))
     val idx = tmp.resolve("index").toString
     val corp = tmp.resolve("corpus").toString
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
@@ -1384,7 +1384,7 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ingest dedup loop: batchId makes a retried batch overwrite, not duplicate, its state") {
     val sp = spark; import sp.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_retry")
+    val tmp = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ingest_retry"))
     val idx = tmp.resolve("index").toString
     val corp = tmp.resolve("corpus").toString
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
@@ -1413,7 +1413,7 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ingest dedup state compaction: bounded files, identical next-batch pairs") {
     val sp = spark; import sp.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_compact")
+    val tmp = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ingest_compact"))
     val idx = tmp.resolve("index").toString
     val corp = tmp.resolve("corpus").toString
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"

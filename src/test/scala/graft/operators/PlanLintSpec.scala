@@ -275,7 +275,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ann index probe: partition-pruned codes scan, broadcast probes, no cartesian") {
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_lint_ann")
+    val dir = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_lint_ann"))
       .resolve("idx").toString
     AnnIndex.build(emb, dir, nCentroids = 8)
     val probe = AnnIndex.probe(emb.filter(col("vec_id") < 2), dir, k = 3, nProbes = 2)
@@ -294,7 +294,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("semantic ingest: cell-pruned equi-joins, anti-join guards, no cartesian") {
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_lint_semingest")
+    val dir = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_lint_semingest"))
       .resolve("idx").toString
     AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
     // the un-checkpointed decision plan — the public method materializes

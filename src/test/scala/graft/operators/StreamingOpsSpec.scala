@@ -256,7 +256,7 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("stream-stream join: buffered side survives a checkpoint restart, each pair once") {
     val sp = spark
     import sp.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    val base = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_ss_join"))
     val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
     val Hour = 60 * Minute
     // timestamps sit WELL ABOVE the initial watermark (epoch 0): a row

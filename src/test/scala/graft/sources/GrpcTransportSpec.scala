@@ -147,7 +147,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("request carries reference flags, filter rules, tablet type, and initial vgtid") {
     val srv = new MockVtgate("vt-req", _ => (1L to 2L).map(i => insertTx("s0", i, i, s"v$i")))
-    val staging = Files.createTempDirectory("grpcstage1")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage1"))
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
       target = "inprocess:vt-req",
       keyspace = "ks",
@@ -208,7 +208,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         txs(4, 5)
       }
     })
-    val staging = Files.createTempDirectory("grpcstage2")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage2"))
     def cfg = GrpcConfig("inprocess:vt-resume", "ks", Seq("s0"))
     val first = VStreamGrpcTransport(staging.toString, cfg)
     try { first.listShards(); first.awaitStreamCompleted(10000) } finally first.close()
@@ -252,7 +252,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
         .build())
       .build().start()
-    val staging = Files.createTempDirectory("grpcstage5")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage5"))
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-retry2", "ks", Seq("s0")))
     try {
       transport.listShards()
@@ -320,7 +320,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
         .build())
       .build().start()
-    val staging = Files.createTempDirectory("grpcstage6")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage6"))
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-midtx", "ks", Seq("s0")))
     try {
       transport.listShards()
@@ -337,7 +337,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // simulate an OS-level crash that persisted tx1 complete plus a
     // complete-LINE prefix of tx2 (BEGIN/FIELD/ROW, no COMMIT): the new
     // feeder must truncate the partial tx and resume from tx1's vgtid
-    val staging = Files.createTempDirectory("grpcstage7")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage7"))
     val torn = (insertTx("s0", 1, 1, "v1") ++ insertTx("s0", 2, 2, "v2").take(3))
       .map(VEventJson.write).mkString("", "\n", "\n")
     Files.write(staging.resolve("s0.jsonl"), torn.getBytes("UTF-8"))
@@ -362,7 +362,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bounded backward tail scan finds the last staged vgtid without a full read") {
-    val dir = Files.createTempDirectory("tailscan")
+    val dir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("tailscan"))
     def vl(shard: String, seq: Long): String =
       VEventJson.write(VgtidEvent(shard, Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/feed:1-$seq")))))
     def rl(shard: String, i: Long): String =
@@ -402,7 +402,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("close before listShards never starts the feeder") {
     // target is a name no server listens on: if close() lazily built the
     // channel and subscribed, the feeder would surface a failure
-    val staging = Files.createTempDirectory("grpcstage8")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage8"))
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig("inprocess:vt-nobody", "ks", Seq("s0")))
     transport.close() // must be a no-op
     assert(Files.list(staging).count() == 0) // no staging files created either
@@ -432,7 +432,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       },
       { case "SHOW VITESS_SHARDS LIKE 'ks/%'" => showResult("ks/-80", "ks/80-") })
-    val staging = Files.createTempDirectory("grpcstage9")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage9"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-discover", "ks")) // no shards configured
     try {
@@ -460,7 +460,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
           Seq("cell1", "ks", "-80", "PRIMARY", "SERVING", "alias1", "host1", "[]"),
           Seq("cell1", "other_ks", "80-", "PRIMARY", "SERVING", "alias2", "host2", "[]")))
       })
-    val staging = Files.createTempDirectory("grpcstage10")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage10"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-tablets", "ks", excludeEmptyShards = true))
     try {
@@ -476,7 +476,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vt-regex",
       req => Seq(insertTx("s0", 1, 1, "v1")),
       { case "SHOW TABLES FROM `ks`" => showResult("orders", "orderlines", "t1", "customers") })
-    val staging = Files.createTempDirectory("grpcstage11")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage11"))
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
       "inprocess:vt-regex", "ks", shards = Seq("s0"),
       includeTables = Seq("/order.*", "t1")))
@@ -501,7 +501,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
           Seq("cell1", "ks", "-80", "PRIMARY", "SERVING", "a", "h", "[]")))
         case "SHOW TABLES" => showResult("orders", "t1")
       })
-    val staging = Files.createTempDirectory("grpcstage12")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage12"))
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
       "inprocess:vt-target", "ks", excludeEmptyShards = true,
       includeTables = Seq("/^t.*")))
@@ -526,8 +526,8 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         else Nil
       },
       { case "SHOW VITESS_SHARDS LIKE 'ks/%'" => showResult("ks/s0") })
-    val staging = Files.createTempDirectory("grpcstage13")
-    val ckpt = Files.createTempDirectory("grpcckpt13")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage13"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcckpt13"))
     val q = spark.readStream.format("vitess-cdc")
       .option("path", staging.toString)
       .option("transport", "grpc")
@@ -589,7 +589,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
         .build())
       .build().start()
-    val staging = Files.createTempDirectory("grpcstage14")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage14"))
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
       "inprocess:vt-multi", "ks", shards = Seq("s0", "s1", "s2", "s3"), maxStreams = 2))
     try {
@@ -623,7 +623,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
         .build())
       .build().start()
-    val staging = Files.createTempDirectory("grpcstage4")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage4"))
     // host:port target exercises the REAL channel builder with the
     // reference's tuning knobs (keepalive, max inbound, load balancing)
     val transport = VStreamGrpcTransport(staging.toString, GrpcConfig(
@@ -658,7 +658,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       insertTx("-80", 3, 3, "c1"),
       insertTx("80-", 3, 4, "c2"),
       Seq(VgtidEvent("", childVgtid)))) // shard-less multi-shard VGTID path
-    val staging = Files.createTempDirectory("grpcreshard")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcreshard"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-reshard", "ks", Seq("-")))
     try {
@@ -689,7 +689,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // position ('' would VStream-copy the child's whole history over
     // the parents' feeds; 'current' would skip the unstaged window), so
     // subscribing must throw, not guess.
-    val staging = Files.createTempDirectory("grpcadoptednopos")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcadoptednopos"))
     Files.createFile(staging.resolve("-80.jsonl")) // adopted feed, no VGTID yet
     Files.createFile(staging.resolve("-80.adopted"))
     val transport = VStreamGrpcTransport(staging.toString,
@@ -708,7 +708,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (misattributed lines + inTx corruption) — refuse instead
     val srv = new MockVtgate("vt-noshard", _ => Seq(
       Seq(BeginEvent("", "ks"))))
-    val staging = Files.createTempDirectory("grpcnoshard")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcnoshard"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-noshard", "ks", Seq("s0", "s1")))
     try {
@@ -737,7 +737,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unknown tablet.type fails the subscription, never silently targets the primary") {
-    val staging = Files.createTempDirectory("grpctablettypo")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpctablettypo"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-typo-unused", "ks", Seq("s0"), tabletType = "REPLCA"))
     try {
@@ -750,7 +750,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a previous run adopted child "-80"; restarting with the stale
     // parent-only list would make the server replay the child's history
     // (via the reshard journal) into a feed that already holds it
-    val staging = Files.createTempDirectory("grpcstale")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstale"))
     Files.writeString(staging.resolve("-80.jsonl"),
       insertTx("-80", 1, 1, "c1").map(VEventJson.write).mkString("", "\n", "\n"))
     val transport = VStreamGrpcTransport(staging.toString,
@@ -759,7 +759,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("reshard child"))
     // a DISJOINT extra staged shard is not a conflict (non-keyrange
     // names can't stand in a reshard lineage at all)
-    val staging2 = Files.createTempDirectory("grpcstale2")
+    val staging2 = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstale2"))
     Files.createFile(staging2.resolve("s9.jsonl"))
     GrpcTopology.requireNoStaleParentConfig(staging2.toString, Seq("s0"))
   }
@@ -775,7 +775,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(mine.sorted == Seq("-80", "80-"), s"must not subscribe the parent: $mine")
       mine.map(sh => insertTx(sh, 2, 2, s"$sh-new"))
     })
-    val staging = Files.createTempDirectory("grpcretired")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcretired"))
     Files.writeString(staging.resolve("-.jsonl"),
       insertTx("-", 1, 1, "old").map(VEventJson.write).mkString("", "\n", "\n"))
     val transport = VStreamGrpcTransport(staging.toString,
@@ -795,7 +795,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val srv = new MockVtgate("vt-reshard-stop", _ => Seq(
       insertTx("-", 1, 1, "p1"),
       insertTx("-80", 2, 2, "c1"))) // server SHOULD have stopped instead
-    val staging = Files.createTempDirectory("grpcreshardstop")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcreshardstop"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-reshard-stop", "ks", Seq("-"), stopOnReshard = true))
     try {
@@ -823,7 +823,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
           insertTx("s0", 2, 2, "after-failure"))
       else Seq(insertTx("s1", 1, 1, "ok"))
     })
-    val staging = Files.createTempDirectory("grpcmisroute")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcmisroute"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-misroute", "ks", Seq("s0", "s1"), maxStreams = 2))
     try {
@@ -843,7 +843,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tx buffer spills past the cap and streams back byte-identical") {
-    val dir = Files.createTempDirectory("txspill")
+    val dir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("txspill"))
     val spill = dir.resolve("s0.spill")
     val buf = new GrpcFeeder.TxBuffer(spill, capBytes = 64)
     val lines = (1 to 50).map(i => s"""{"k":"line-$i","pad":"${"x" * 20}"}""")
@@ -866,7 +866,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     val big = "v" * 300
     val srv = new MockVtgate("vt-spill", _ =>
       (1L to 3L).map(i => insertTx("s0", i, i, big)))
-    val staging = Files.createTempDirectory("grpcspill")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcspill"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-spill", "ks", Seq("s0"), maxBufferedTxBytes = 256))
     try {
@@ -884,7 +884,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       val mine = req.vgtid.shardGtids.map(_.shard)
       mine.flatMap(sh => (1L to 2L).map(i => insertTx(sh, i, i, s"$sh-$i")))
     })
-    val staging = Files.createTempDirectory("grpcexec")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcexec"))
     val transport = VStreamGrpcTransport(staging.toString,
       GrpcConfig("inprocess:vt-exec", "ks", Seq("s0", "s1"),
         maxStreams = 2, feederMode = "executors"))
@@ -930,7 +930,7 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         .addMethod(VtGrpc.VStreamMethod, ServerCalls.asyncServerStreamingCall(handler))
         .build())
       .build().start()
-    val staging = Files.createTempDirectory("grpcext")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcext"))
     def props(shard: String): String = {
       val p = Files.createTempFile("feeder", ".properties")
       Files.writeString(p,
@@ -987,8 +987,8 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (sg.gtid == Vgtid.EmptyGtid) (1L to 4L).map(i => insertTx("s0", i, i, s"v$i"))
       else Nil
     })
-    val staging = Files.createTempDirectory("grpcstage3")
-    val ckpt = Files.createTempDirectory("grpcckpt3")
+    val staging = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcstage3"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("grpcckpt3"))
     val q = spark.readStream.format("vitess-cdc")
       .option("path", staging.toString)
       .option("transport", "grpc")

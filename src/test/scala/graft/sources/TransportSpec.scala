@@ -73,7 +73,7 @@ class TransportSpec extends AnyFunSuite {
     val lines = events.map(VEventJson.write)
 
     // file-feed ground truth
-    val dir = Files.createTempDirectory("transportspec")
+    val dir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("transportspec"))
     Files.writeString(dir.resolve("s0.jsonl"), lines.mkString("", "\n", "\n"))
     val fileT = FileFeedTransport(dir.toString, excludeEmptyShards = true)
     assert(fileT.listShards().map(_._1) == Seq("s0"))

@@ -70,7 +70,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // line-level skip both pass over them). A reader that still decoded
     // history to filter it would throw; the skip path must deliver the
     // 10 post-position transactions exactly.
-    val feedDir = Files.createTempDirectory("cdccoldskip")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdccoldskip"))
     val all = (1L to 50L).flatMap { i =>
       insertTx("s0", i, i, s"v$i").map {
         case r: RowEvent if i <= 40 => VEventJson.write(r).dropRight(10) + "~corrupt~"
@@ -85,7 +85,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("vgtid", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-40"))).json)
       val q = extra.foldLeft(b0) { case (b, (k, v)) => b.option(k, v) }.load()
         .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", Files.createTempDirectory("cdccoldskipckpt").toString)
+        .option("checkpointLocation", graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdccoldskipckpt")).toString)
         .start()
       try q.processAllAvailable() finally q.stop()
       spark.sql(
@@ -103,7 +103,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("split.partition.bytes fans one shard's window into tx-safe segments") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    val feedDir = Files.createTempDirectory("cdcsplitplan")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcsplitplan"))
     writeFeed(feedDir, "s0", (1L to 30L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", feedDir.toString)
@@ -165,7 +165,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // offset verbatim, or every split batch is followed by an empty one
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    val feedDir = Files.createTempDirectory("cdcsplitnospur")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcsplitnospur"))
     writeFeed(feedDir, "s0", (1L to 20L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", feedDir.toString)
@@ -195,7 +195,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         RowChange(None, Some(PackedRow.of(Seq(Some(id.toString), Some(v), Some(x))))))),
       VgtidEvent(shard, Vgtid(Seq(ShardGtid("ks", shard, s"MySQL56/hostB:1-$seq")))),
       CommitEvent(shard, "ks", 1700000000L + seq))
-    val feedDir = Files.createTempDirectory("cdcsplite2e")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcsplite2e"))
     writeFeed(feedDir, "s0",
       (1L to 10L).flatMap(i => insertTx("s0", i, i, s"a$i", host = "hostA")))
     Files.writeString(feedDir.resolve("s0.jsonl"),
@@ -203,7 +203,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(VEventJson.write).mkString("", "\n", "\n"),
       StandardOpenOption.APPEND)
     def run(sink: String, opts: Map[String, String]): (Seq[Row], Path) = {
-      val ckpt = Files.createTempDirectory("cdcsplitckpt")
+      val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcsplitckpt"))
       val b0 = spark.readStream.format("vitess-cdc").option("path", feedDir.toString)
       val q = opts.foldLeft(b0) { case (b, (k, v)) => b.option(k, v) }.load()
         .writeStream.format("memory").queryName(sink)
@@ -239,8 +239,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("reads a two-shard feed end-to-end with per-shard metadata") {
-    val feedDir = Files.createTempDirectory("cdcfeed")
-    val ckpt = Files.createTempDirectory("cdcckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt"))
     writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"a$i")))
     writeFeed(feedDir, "s1", (1L to 2L).flatMap(i => insertTx("s1", i, 100 + i, s"b$i")))
     runToCompletion(feedDir, ckpt, "cdc_two_shards")
@@ -257,7 +257,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("shard option restricts streaming to the named shards; unknown shards fail fast") {
-    val feedDir = Files.createTempDirectory("cdcshardopt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcshardopt"))
     writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"a$i")))
     writeFeed(feedDir, "s1", (1L to 2L).flatMap(i => insertTx("s1", i, 100 + i, s"b$i")))
     def run(shard: String, sink: String): Unit = {
@@ -266,7 +266,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("shard", shard)
         .load()
         .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", Files.createTempDirectory("cdcshardckpt").toString)
+        .option("checkpointLocation", graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcshardckpt")).toString)
         .start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -289,7 +289,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("vgtid", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1"))).json)
         .load()
         .writeStream.format("memory").queryName("cdc_shard_vgtid_mismatch")
-        .option("checkpointLocation", Files.createTempDirectory("cdcshardckpt2").toString)
+        .option("checkpointLocation", graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcshardckpt2")).toString)
         .start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -298,13 +298,13 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("narrowing the shard list against an existing checkpoint fails fast, not silently") {
-    val feedDir = Files.createTempDirectory("cdcshardnarrow")
-    val ckpt = Files.createTempDirectory("cdcshardnarrowckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcshardnarrow"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcshardnarrowckpt"))
     writeFeed(feedDir, "s0", (1L to 2L).flatMap(i => insertTx("s0", i, i, s"a$i")))
     writeFeed(feedDir, "s1", (1L to 2L).flatMap(i => insertTx("s1", i, 100 + i, s"b$i")))
     // first run unrestricted: the checkpoint now carries positions for both
     // shards (parquet sink — it supports restart-from-checkpoint)
-    val outDir = Files.createTempDirectory("cdcshardnarrowout")
+    val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcshardnarrowout"))
     runToParquet(feedDir, ckpt, outDir)
     assert(spark.read.parquet(outDir.toString).count() == 4)
     // append new data so the restart has work, then restart the SAME
@@ -341,8 +341,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("incremental aggregate maintained per micro-batch equals the one-shot answer") {
-    val feedDir = Files.createTempDirectory("graft_inc_feed")
-    val ckpt = Files.createTempDirectory("graft_inc_ckpt")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_inc_feed"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_inc_ckpt"))
     def packed(id: Long, v: String) = PackedRow.of(Seq(Some(id.toString), Some(v)))
     def rowTx(seq: Long, change: RowChange): Seq[VEvent] = Seq(
       BeginEvent("0", "ks"),
@@ -386,9 +386,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("restart from checkpoint resumes with no loss and no duplicates") {
-    val feedDir = Files.createTempDirectory("cdcfeed2")
-    val ckpt = Files.createTempDirectory("cdcckpt2")
-    val out = Files.createTempDirectory("cdcout2")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed2"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt2"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout2"))
     writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     runToParquet(feedDir, ckpt, out)
     assert(spark.read.parquet(out.toString).count() == 3)
@@ -403,8 +403,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("restart vgtid on records allows inclusive replay") {
-    val feedDir = Files.createTempDirectory("cdcfeed3")
-    val ckpt = Files.createTempDirectory("cdcckpt3")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed3"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt3"))
     writeFeed(feedDir, "s0", (1L to 3L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     runToCompletion(feedDir, ckpt, "cdc_replay")
     val rows = spark.sql(
@@ -416,8 +416,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("epoch bumps when the GTID host set changes mid-stream") {
-    val feedDir = Files.createTempDirectory("cdcfeed4")
-    val ckpt = Files.createTempDirectory("cdcckpt4")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed4"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt4"))
     writeFeed(feedDir, "s0",
       (1L to 2L).flatMap(i => insertTx("s0", i, i, s"v$i")) ++
         insertTx("s0", 3, 3, "v3", host = "failover"))
@@ -429,9 +429,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("epoch continuity across a checkpoint restart (host change in new batch)") {
-    val feedDir = Files.createTempDirectory("cdcfeed5")
-    val ckpt = Files.createTempDirectory("cdcckpt5")
-    val out = Files.createTempDirectory("cdcout5")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed5"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt5"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout5"))
     writeFeed(feedDir, "s0", (1L to 2L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     runToParquet(feedDir, ckpt, out)
     writeFeed(feedDir, "s0", insertTx("s0", 3, 3, "v3", host = "failover"), append = true)
@@ -443,8 +443,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("empty shard files are excluded from partition planning (F5)") {
-    val feedDir = Files.createTempDirectory("cdcfeed7")
-    val ckpt = Files.createTempDirectory("cdcckpt7")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed7"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt7"))
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
     Files.writeString(feedDir.resolve("s9.jsonl"), "") // empty shard
     runToCompletion(feedDir, ckpt, "cdc_empty_shard")
@@ -454,8 +454,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("per-batch heartbeat records carry the end offset (H1)") {
-    val feedDir = Files.createTempDirectory("cdcfeed8")
-    val ckpt = Files.createTempDirectory("cdcckpt8")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed8"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt8"))
     writeFeed(feedDir, "s0", (1L to 2L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     val q = spark.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
@@ -472,11 +472,11 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("interval heartbeats: NOOP at 0, one per elapsed interval with current offset") {
-    val feedDir = Files.createTempDirectory("cdcfeed22")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed22"))
     // commit timestamps 1 s apart (insertTx uses 1700000000 + seq)
     writeFeed(feedDir, "s0", (1L to 5L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     def run(name: String, intervalMs: Long): Unit = {
-      val ckpt = Files.createTempDirectory(s"ck$name")
+      val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"ck$name"))
       val q = spark.readStream.format("vitess-cdc")
         .option("path", feedDir.toString)
         .option("heartbeat.interval.ms", intervalMs.toString)
@@ -499,8 +499,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("interval heartbeats keep their cadence across bounded micro-batches") {
-    val feedDir = Files.createTempDirectory("cdcfeed28")
-    val ckpt = Files.createTempDirectory("cdcckpt28")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed28"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt28"))
     // 5 txs 1 s apart, one tx per batch: the baseline must survive batch
     // boundaries via the checkpointed heartbeat_ms, or no heartbeat ever
     // fires (each single-tx batch would just re-seed the baseline)
@@ -522,7 +522,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("feed slice: unterminated tail line is not returned and never advances position") {
-    val dir = Files.createTempDirectory("cdcslice")
+    val dir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcslice"))
     val f = dir.resolve("s0.jsonl")
     Files.writeString(f, "line one\nline two\npartial tail with no newline")
     val s1 = new FeedSlice(f.toString, 0L)
@@ -545,9 +545,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tx torn between VGTID and COMMIT is delivered whole on the next trigger") {
-    val feedDir = Files.createTempDirectory("cdcfeed29")
-    val ckpt = Files.createTempDirectory("cdcckpt29")
-    val out = Files.createTempDirectory("cdcout29")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed29"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt29"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout29"))
     val tx2 = insertTx("s0", 2, 2, "torn")
     // tx1 complete; tx2's BEGIN/FIELD/ROW/VGTID lines written but its
     // COMMIT not yet — the appender is mid-transaction when the trigger
@@ -575,7 +575,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("metadata scans: shards, non-empty shards, tables, keyspaces (S6)") {
-    val feedDir = Files.createTempDirectory("cdcfeed9")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed9"))
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
     Files.writeString(feedDir.resolve("s9.jsonl"), "")
     assert(Metadata.shards(feedDir.toString) == Seq("s0", "s9"))
@@ -588,12 +588,12 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("metadata scans: empty feed dir answers empty, torn line skipped, bare names not keyspaces") {
     // a fresh staging dir (no .jsonl yet) answers like shards(): empty —
     // not an AnalysisException from a matchless glob
-    val fresh = Files.createTempDirectory("cdcfeedfresh")
+    val fresh = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeedfresh"))
     assert(Metadata.tables(spark, fresh.toString).isEmpty)
     assert(Metadata.keyspaces(spark, fresh.toString).isEmpty)
     // a live feed's torn trailing FIELD fragment is skipped, not fatal;
     // bare (keyspace-less) wire table names never masquerade as keyspaces
-    val live = Files.createTempDirectory("cdcfeedtorn")
+    val live = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeedtorn"))
     val whole = insertTx("s0", 1, 1, "x").map(VEventJson.write).mkString("", "\n", "\n")
     val bare = VEventJson.write(
       FieldEvent("s0", "ks", "t_bare", t1Fields, enumSetStringValues = false))
@@ -604,8 +604,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("checkpointed SHOW TABLES/DATABASES reads zero feed bytes behind the offset") {
-    val feedDir = Files.createTempDirectory("cdcfeed9b")
-    val ckpt = Files.createTempDirectory("cdcckpt9b")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed9b"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt9b"))
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "x"))
     runToCompletion(feedDir, ckpt, "cdc_meta_ckpt")
     // the checkpointed offset: Spark's OffsetSeqLog stores "v1", the batch
@@ -637,8 +637,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("copy phase: enum/set decode as labels, lastpk rides the offset, seamless switch (S5)") {
-    val feedDir = Files.createTempDirectory("cdcfeed10")
-    val ckpt = Files.createTempDirectory("cdcckpt10")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed10"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt10"))
     val enumFields = Seq(
       FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
       FieldDef("size", "ENUM", "enum('s','m','l')", 0, 0, 0L))
@@ -675,7 +675,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("heartbeat tables excluded unless stream.keyspace.heartbeats (H2)") {
-    val feedDir = Files.createTempDirectory("cdcfeed11")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed11"))
     val hbTx: Seq[VEvent] = Seq(
       BeginEvent("s0", "ks"),
       FieldEvent("s0", "ks", "ks.heartbeat", t1Fields, enumSetStringValues = false),
@@ -684,7 +684,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       CommitEvent("s0", "ks", 2L))
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "keep") ++ hbTx)
     def run(name: String, opt: Boolean): Seq[String] = {
-      val ckpt = Files.createTempDirectory(s"ck$name")
+      val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"ck$name"))
       val q = spark.readStream.format("vitess-cdc")
         .option("path", feedDir.toString)
         .option("stream.keyspace.heartbeats", opt.toString)
@@ -700,8 +700,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("snapshot.tables restricts the copy phase but not streaming (F3)") {
-    val feedDir = Files.createTempDirectory("cdcfeed12")
-    val ckpt = Files.createTempDirectory("cdcckpt12")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed12"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt12"))
     def copyVgtid(seq: Long) = Vgtid(Seq(ShardGtid("ks", "s0", s"MySQL56/feed:1-$seq", Seq(
       TableLastPk("t1", Seq(PkField("id", "INT64", 63, None)), Seq(PkRow(Seq("1"), "MQ==")))))))
     def copyTx(seq: Long, table: String): Seq[VEvent] = Seq(
@@ -751,8 +751,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("max.txs.per.trigger bounds each micro-batch (admission control)") {
-    val feedDir = Files.createTempDirectory("cdcfeed13")
-    val ckpt = Files.createTempDirectory("cdcckpt13")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed13"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt13"))
     writeFeed(feedDir, "s0", (1L to 5L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     val q = spark.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
@@ -770,8 +770,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("max.bytes.per.trigger bounds batch bytes even with a fat transaction") {
-    val feedDir = Files.createTempDirectory("cdcfeed13b")
-    val ckpt = Files.createTempDirectory("cdcckpt13b")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed13b"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt13b"))
     // tx 3 is ~20x fatter than the rest (a bulk-load transaction); the
     // byte cap cannot split it, but must (a) stop admitting right after
     // it and (b) keep every OTHER batch at one small tx
@@ -799,8 +799,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tx and byte caps compose: the tighter cap binds admission") {
-    val feedDir = Files.createTempDirectory("cdcfeed13c")
-    val ckpt = Files.createTempDirectory("cdcckpt13c")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed13c"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt13c"))
     writeFeed(feedDir, "s0", (1L to 6L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     // tx cap would allow 10 per batch; the 200-byte cap (below any single
     // tx) forces one tx per batch — the byte limit must bind
@@ -821,9 +821,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("reshard: a new shard appearing mid-stream inherits max(parent)+1 epoch (A4)") {
-    val feedDir = Files.createTempDirectory("cdcfeed14")
-    val ckpt = Files.createTempDirectory("cdcckpt14")
-    val out = Files.createTempDirectory("cdcreshardout")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed14"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt14"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcreshardout"))
     // parent shard "-80": two txs, host change bumps its epoch to 1
     writeFeed(feedDir, "-80",
       insertTx("-80", 1, 1, "a") ++ insertTx("-80", 2, 2, "b", host = "failover"))
@@ -848,9 +848,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("stop.on.reshard fails the query when a new shard appears; restart resumes it (S3)") {
-    val feedDir = Files.createTempDirectory("cdcfeed23")
-    val ckpt = Files.createTempDirectory("cdcckpt23")
-    val out = Files.createTempDirectory("cdcout23")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed23"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt23"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout23"))
     writeFeed(feedDir, "-80", insertTx("-80", 1, 1, "a"))
     def start() = spark.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
@@ -878,9 +878,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("mid-copy restart resumes from lastpk with no loss and no duplicates (S5 hard part d)") {
-    val feedDir = Files.createTempDirectory("cdcfeed15")
-    val ckpt = Files.createTempDirectory("cdcckpt15")
-    val out = Files.createTempDirectory("cdcout15")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed15"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt15"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout15"))
     // copy-phase txs: the GTID stays fixed at the snapshot position while
     // lastpk advances — exactly like a real VStream copy
     def copyTx(pk: Long): Seq[VEvent] = Seq(
@@ -919,9 +919,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("DDL between batches delivers exactly once (offset-after-DDL)") {
-    val feedDir = Files.createTempDirectory("cdcfeed16")
-    val ckpt = Files.createTempDirectory("cdcckpt16")
-    val out = Files.createTempDirectory("cdcout16")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed16"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt16"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout16"))
     def run(): Unit = {
       val q = spark.readStream.format("vitess-cdc")
         .option("path", feedDir.toString).load()
@@ -949,8 +949,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("include.schema.changes=false drops DDL records but not data") {
-    val feedDir = Files.createTempDirectory("cdcfeed24")
-    val ckpt = Files.createTempDirectory("cdcckpt24")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed24"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt24"))
     writeFeed(feedDir, "s0",
       insertTx("s0", 1, 1, "a") ++ Seq(
         VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-2")))),
@@ -969,7 +969,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("snapshot.mode=never starts at current and skips copy-phase rows") {
-    val feedDir = Files.createTempDirectory("cdcfeed25")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed25"))
     val copyVgtid = Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1", Seq(
       TableLastPk("t1", Seq(PkField("id", "INT64", 63, None)), Seq(PkRow(Seq("1"), "MQ==")))))))
     val copy: Seq[VEvent] = Seq(
@@ -981,7 +981,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       CopyCompletedEvent("s0"))
     writeFeed(feedDir, "s0", copy ++ insertTx("s0", 2, 2, "streamrow"))
     def run(name: String, mode: String): Seq[String] = {
-      val ckpt = Files.createTempDirectory(s"ck$name")
+      val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"ck$name"))
       val q = spark.readStream.format("vitess-cdc")
         .option("path", feedDir.toString)
         .option("snapshot.mode", mode)
@@ -997,8 +997,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("shard.epoch.map seeds per-shard epochs at first start") {
-    val feedDir = Files.createTempDirectory("cdcfeed26")
-    val ckpt = Files.createTempDirectory("cdcckpt26")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed26"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt26"))
     writeFeed(feedDir, "s0", insertTx("s0", 1, 1, "a"))
     val q = spark.readStream.format("vitess-cdc")
       .option("path", feedDir.toString)
@@ -1013,7 +1013,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("override.datetime.to.nullable: zero datetime on NOT NULL column becomes null") {
-    val feedDir = Files.createTempDirectory("cdcfeed27")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed27"))
     val dtFields = Seq(
       FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
       FieldDef("dt", "DATETIME", "datetime", 19, 0, ColumnFlags.NotNull))
@@ -1026,7 +1026,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       CommitEvent("s0", "ks", 1L))
     writeFeed(feedDir, "s0", tx)
     def run(name: String, enable: Boolean): String = {
-      val ckpt = Files.createTempDirectory(s"ck$name")
+      val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"ck$name"))
       val q = spark.readStream.format("vitess-cdc")
         .option("path", feedDir.toString)
         .option("override.datetime.to.nullable", enable.toString)
@@ -1041,8 +1041,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bounded batches also cap copy-phase progress (admission + lastpk)") {
-    val feedDir = Files.createTempDirectory("cdcfeed17")
-    val ckpt = Files.createTempDirectory("cdcckpt17")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed17"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt17"))
     def copyTx(pk: Long): Seq[VEvent] = Seq(
       BeginEvent("s0", "ks"),
       FieldEvent("s0", "ks", "ks.t1", t1Fields, enumSetStringValues = true),
@@ -1069,7 +1069,7 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("FeedSlice resumes across EOF: a torn line completes on a later read") {
-    val dir = Files.createTempDirectory("cdcslice")
+    val dir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcslice"))
     val f = dir.resolve("s0.jsonl")
     Files.writeString(f, "{\"a\":1}\n{\"b\":")
     val slice = new FeedSlice(f.toString, 0L)
@@ -1105,9 +1105,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("trigger work is bounded by new bytes, not total feed size") {
-    val feedDir = Files.createTempDirectory("cdcfeed18")
-    val ckpt = Files.createTempDirectory("cdcckpt18")
-    val out = Files.createTempDirectory("cdcout18")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed18"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt18"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout18"))
     def run(): Unit = {
       val q = spark.readStream.format("vitess-cdc")
         .option("path", feedDir.toString).load()
@@ -1135,8 +1135,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("default admission is metadata-only: zero feed lines scanned on the trigger thread") {
-    val feedDir = Files.createTempDirectory("cdcfeed23")
-    val ckpt = Files.createTempDirectory("cdcckpt23")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed23"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt23"))
     writeFeed(feedDir, "s0", (1L to 20L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     writeFeed(feedDir, "s1", (1L to 20L).flatMap(i => insertTx("s1", i, 100 + i, s"w$i")))
     val before = VitessCdcStream.triggerScanLines.get()
@@ -1159,8 +1159,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("source metrics ride StreamingQueryProgress: shards, lag, admitted txs") {
-    val feedDir = Files.createTempDirectory("cdcfeed25")
-    val ckpt = Files.createTempDirectory("cdcckpt25")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed25"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt25"))
     writeFeed(feedDir, "s0", (1L to 7L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     writeFeed(feedDir, "s1", (1L to 4L).flatMap(i => insertTx("s1", i, 100 + i, s"w$i")))
     val q = spark.readStream.format("vitess-cdc")
@@ -1177,8 +1177,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tailer pool bounds driver threads below shard count, exactly-once intact") {
-    val feedDir = Files.createTempDirectory("cdcfeed26")
-    val ckpt = Files.createTempDirectory("cdcckpt26")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed26"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt26"))
     val nShards = 24
     (0 until nShards).foreach { i =>
       writeFeed(feedDir, f"s$i%02d", (1L to 3L).flatMap(k => insertTx(f"s$i%02d", k, i * 100L + k, s"v$k")))
@@ -1220,8 +1220,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("capped admission scans synchronously but stays bounded by the cap") {
-    val feedDir = Files.createTempDirectory("cdcfeed24")
-    val ckpt = Files.createTempDirectory("cdcckpt24")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed24"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt24"))
     writeFeed(feedDir, "s0", (1L to 6L).flatMap(i => insertTx("s0", i, i, s"v$i")))
     val before = VitessCdcStream.triggerScanLines.get()
     val q = spark.readStream.format("vitess-cdc")
@@ -1238,9 +1238,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("multi-table in-flight copy: restart at every prefix, no loss, no duplicates") {
-    val feedDir = Files.createTempDirectory("cdcfeed20")
-    val ckpt = Files.createTempDirectory("cdcckpt20")
-    val out = Files.createTempDirectory("cdcout20")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed20"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt20"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout20"))
     def lastPk(table: String, v: Option[Long]): TableLastPk =
       TableLastPk(table, Seq(PkField("id", "INT64", 63, None)),
         v.toSeq.map(x => PkRow(Seq(x.toString.length.toString),
@@ -1285,9 +1285,9 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("schema checkpoint lets a seeked reader decode without FIELD replay") {
-    val feedDir = Files.createTempDirectory("cdcfeed19")
-    val ckpt = Files.createTempDirectory("cdcckpt19")
-    val out = Files.createTempDirectory("cdcout19")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed19"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt19"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcout19"))
     // like a real VStream feed: FIELD is sent only with the FIRST tx
     def tx(seq: Long, withField: Boolean): Seq[VEvent] =
       Seq(BeginEvent("s0", "ks")) ++
@@ -1321,8 +1321,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("type handling mode options reach the reader's decoder (D7)") {
-    val feedDir = Files.createTempDirectory("cdcfeed21")
-    val ckpt = Files.createTempDirectory("cdcckpt21")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed21"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt21"))
     val fields = Seq(
       FieldDef("id", "INT64", "bigint(20)", 20, 0, ColumnFlags.NotNull | ColumnFlags.PriKey),
       FieldDef("u", "UINT64", "bigint(20) unsigned", 20, 0, 0L),
@@ -1369,8 +1369,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       CommitEvent("s0", "ks", 1L))
 
     def run(name: String, opts: Map[String, String]): String = {
-      val feedDir = Files.createTempDirectory(s"cdcfeed_$name")
-      val ckpt = Files.createTempDirectory(s"cdcckpt_$name")
+      val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"cdcfeed_$name"))
+      val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"cdcckpt_$name"))
       writeFeed(feedDir, "s0", tx)
       val reader = spark.readStream.format("vitess-cdc").option("path", feedDir.toString)
       val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
@@ -1398,8 +1398,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(Some("GEOKEY"), Some("x"))))))),
       VgtidEvent("s0", Vgtid(Seq(ShardGtid("ks", "s0", "MySQL56/feed:1-1")))),
       CommitEvent("s0", "ks", 1L))
-    val pkFeed = Files.createTempDirectory("cdcfeed_unkpk")
-    val pkCkpt = Files.createTempDirectory("cdcckpt_unkpk")
+    val pkFeed = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed_unkpk"))
+    val pkCkpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt_unkpk"))
     writeFeed(pkFeed, "s0", pkTx)
     val pq = spark.readStream.format("vitess-cdc").option("path", pkFeed.toString)
       .load()
@@ -1423,8 +1423,8 @@ class VitessCdcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("table include filter prunes other tables inside the reader") {
-    val feedDir = Files.createTempDirectory("cdcfeed6")
-    val ckpt = Files.createTempDirectory("cdcckpt6")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcfeed6"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("cdcckpt6"))
     val t2 = Seq(
       BeginEvent("s0", "ks"),
       FieldEvent("s0", "ks", "ks.t2", t1Fields, enumSetStringValues = false),

@@ -43,9 +43,9 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("streaming topic fan-out writes one directory per topic (S7)") {
     import java.nio.file.Files
     import graft.core.{ShardGtid, Vgtid}
-    val feedDir = Files.createTempDirectory("topicfeed")
-    val ckpt = Files.createTempDirectory("topicckpt")
-    val out = Files.createTempDirectory("topicout")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("topicfeed"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("topicckpt"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("topicout"))
     val fields = Seq(FieldDef("id", "INT64", "bigint(20)", 20, 0, graft.core.ColumnFlags.PriKey))
     def tx(seq: Long, table: String): Seq[VEvent] = Seq(
       BeginEvent("0", "ks"),
@@ -100,9 +100,9 @@ class CdcPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("source output materializes identically to pipeline output (schema shapes)") {
     import java.nio.file.Files
-    val feedDir = Files.createTempDirectory("matfeed")
-    val ckpt = Files.createTempDirectory("matckpt")
-    val out = Files.createTempDirectory("matout")
+    val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("matfeed"))
+    val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("matckpt"))
+    val out = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("matout"))
     // write a small feed and run it through the streaming source
     val tmp = feedDir.resolve("_tmp")
     CdcFeed.orders(spark, sfDir, nShards = 2)
