@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-path join strategies: skew salting and bucketed co-location.
@@ -112,36 +112,57 @@ object Joins {
       s"bucket cap must be positive, got $maxBucketsPerInterval")
     ColumnGuards.requireNoReserved(points, "pointInIntervalJoin", Set("__bucket"))
     ColumnGuards.requireNoReserved(intervals, "pointInIntervalJoin", Set("__bucket"))
-    // accept TIMESTAMP and TIMESTAMP_NTZ alike (parquet scans yield NTZ);
-    // the cast is lossless under the engine's fixed UTC session timezone
-    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
-    val p = points.withColumn("__bucket", floor(micros(pointCol) / bucketMicros))
-    val startB = floor(micros(startCol) / bucketMicros)
-    val endB = floor(micros(endCol) / bucketMicros)
-    // two data errors this rewrite would otherwise ABSORB fail loudly:
-    //  - an inverted interval (end < start): Spark's `sequence` silently
-    //    DESCENDS when start > stop, paying full replication for rows
-    //    the containment filter then discards — the bug never surfaces;
-    //  - a sentinel/open-ended interval (end = 9999-12-31 at a 1-day
-    //    bucket ≈ 2.9M replicas) would turn one input row into a
-    //    multi-million-row hot partition; the cap names the row instead.
-    //    Raise it deliberately for genuinely long intervals.
-    val guardedEnd = when(endB < startB, raise_error(concat(
-        lit("pointInIntervalJoin: interval end before start ("),
+    val p = points.withColumn("__bucket", floor(
+      tsMicros(pointCol, "pointInIntervalJoin") / bucketMicros))
+    val iv = bucketedByInterval(intervals, startCol, endCol, bucketMicros,
+      maxBucketsPerInterval, "pointInIntervalJoin")
+    p.join(iv, keys :+ "__bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Event-time micros of a bound column, NULL-guarded: a null point or
+    * interval bound would derive a null bucket, and null buckets vanish
+    * from the equi-join / explode with NO error — the silent-drop shape
+    * an open-ended (end = NULL) session window hits in practice. The
+    * cast accepts TIMESTAMP and TIMESTAMP_NTZ alike (parquet scans
+    * yield NTZ); it is lossless under the engine's fixed UTC session
+    * timezone. */
+  private def tsMicros(c: String, op: String): Column =
+    unix_micros(ColumnGuards.requireNonNull(col(c),
+      s"$op: NULL $c — an open-ended interval? use an explicit horizon")
+      .cast("timestamp"))
+
+  /** The shared bucket-explode stage of both range-join rewrites. Two
+    * data errors the rewrite would otherwise ABSORB fail loudly:
+    *  - an inverted interval (end < start, on RAW event time — a
+    *    bucket-index comparison would let a same-bucket inversion
+    *    through, where the overlap variant could then EMIT pairs for a
+    *    mathematically empty interval): Spark's `sequence` silently
+    *    DESCENDS when start > stop, so the bug would never surface;
+    *  - a sentinel/open-ended interval (end = 9999-12-31 at a 1-day
+    *    bucket ≈ 2.9M replicas) would turn one input row into a
+    *    multi-million-row hot partition; the cap names the row instead.
+    *    Raise it deliberately for genuinely long intervals. */
+  private def bucketedByInterval(df: DataFrame, startCol: String,
+      endCol: String, bucketMicros: Long, maxBucketsPerInterval: Long,
+      op: String): DataFrame = {
+    val startUs = tsMicros(startCol, op)
+    val endUs = tsMicros(endCol, op)
+    val startB = floor(startUs / bucketMicros)
+    val endB = floor(endUs / bucketMicros)
+    val guardedEnd = when(endUs < startUs, raise_error(concat(
+        lit(s"$op: interval end before start ("),
         col(startCol).cast("string"), lit(" > "), col(endCol).cast("string"),
         lit(")"))))
       .when(endB - startB >= maxBucketsPerInterval, raise_error(concat(
-        lit("pointInIntervalJoin: interval ["), col(startCol).cast("string"),
+        lit(s"$op: interval ["), col(startCol).cast("string"),
         lit(", "), col(endCol).cast("string"),
         lit(s"] spans more than $maxBucketsPerInterval buckets — a " +
           "sentinel end date? widen bucketMicros or raise " +
           "maxBucketsPerInterval deliberately"))))
       .otherwise(endB)
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(startB, guardedEnd)))
-    p.join(iv, keys :+ "__bucket")
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("__bucket")
+    df.withColumn("__bucket", explode(sequence(startB, guardedEnd)))
   }
 
   /** Interval-interval OVERLAP join without a cartesian — the sibling of
@@ -186,24 +207,10 @@ object Joins {
     ColumnGuards.requireNoReserved(left, "intervalOverlapJoin", Set("__bucket"))
     ColumnGuards.requireNoReserved(right, "intervalOverlapJoin", Set("__bucket"))
     def micros(c: String) = unix_micros(col(c).cast("timestamp"))
-    def bucketed(df: DataFrame, startCol: String, endCol: String): DataFrame = {
-      val startB = floor(micros(startCol) / bucketMicros)
-      val endB = floor(micros(endCol) / bucketMicros)
-      val guardedEnd = when(endB < startB, raise_error(concat(
-          lit("intervalOverlapJoin: interval end before start ("),
-          col(startCol).cast("string"), lit(" > "), col(endCol).cast("string"),
-          lit(")"))))
-        .when(endB - startB >= maxBucketsPerInterval, raise_error(concat(
-          lit("intervalOverlapJoin: interval ["), col(startCol).cast("string"),
-          lit(", "), col(endCol).cast("string"),
-          lit(s"] spans more than $maxBucketsPerInterval buckets — a " +
-            "sentinel end date? widen bucketMicros or raise " +
-            "maxBucketsPerInterval deliberately"))))
-        .otherwise(endB)
-      df.withColumn("__bucket", explode(sequence(startB, guardedEnd)))
-    }
-    bucketed(left, lStartCol, lEndCol)
-      .join(bucketed(right, rStartCol, rEndCol), keys :+ "__bucket")
+    bucketedByInterval(left, lStartCol, lEndCol, bucketMicros,
+        maxBucketsPerInterval, "intervalOverlapJoin")
+      .join(bucketedByInterval(right, rStartCol, rEndCol, bucketMicros,
+        maxBucketsPerInterval, "intervalOverlapJoin"), keys :+ "__bucket")
       .filter(
         col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
           // meet-once: only the bucket holding max(starts) keeps the pair

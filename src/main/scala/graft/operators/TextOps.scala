@@ -400,6 +400,13 @@ object TextOps {
       k: Int): DataFrame = {
     require(k > 1, s"kmv needs k > 1, got $k")
     ColumnGuards.requireNoReserved(df, "kmvSketchByGroup", Set("__rk"))
+    // "h" and "k" are the sketch's OWN columns: a group column named
+    // either would be silently clobbered by the hash select / the
+    // lit(k) withColumn — the exact overwrite class requireNoReserved
+    // exists for, so refuse it with the rename named
+    require(groupCol != "h" && groupCol != "k",
+      s"kmvSketchByGroup: groupCol '$groupCol' collides with the " +
+        "sketch's own (h, k) columns — rename it first")
     val hashed = df.select(
         ColumnGuards.requireNonNull(col(groupCol),
           s"kmv: NULL $groupCol group key").as(groupCol),
@@ -424,9 +431,7 @@ object TextOps {
     * loudly instead of silently under-estimating. */
   def kmvMerge(sketches: Seq[DataFrame], k: Int): DataFrame = {
     require(sketches.nonEmpty, "kmvMerge needs at least one sketch")
-    sketches.foreach(s => require(s.columns.sorted.toSeq == Seq("h", "k"),
-      s"kmvMerge takes GLOBAL (h, k) sketches, got columns " +
-        s"(${s.columns.mkString(", ")}) — merge by-group sketches per group"))
+    sketches.foreach(kmvRequireGlobal(_, "kmvMerge"))
     sketches.reduce(_ unionByName _)
       .select(kmvKChecked(k, "kmvMerge").as("h"))
       .distinct().orderBy(col("h")).limit(k)
@@ -443,10 +448,16 @@ object TextOps {
         col("k").cast("string"), lit(s" but $op was asked for k=$k"))))
       .otherwise(col("h"))
 
-  private def kmvEstimateInputCheck(dfs: Seq[DataFrame]): Unit =
-    dfs.foreach(df => require(df.columns.contains("h") &&
-        df.columns.contains("k"),
-      "kmv sketch frames carry the hash column 'h' and the build-time 'k'"))
+  /** A GLOBAL sketch is exactly (h, k): a by-group frame fed to a global
+    * consumer would silently aggregate ACROSS groups (n_kept = sum of
+    * per-group keeps, hk = max of per-group kth hashes — neither a
+    * global nor a per-group estimate), so shape mismatches refuse
+    * loudly. */
+  private def kmvRequireGlobal(df: DataFrame, op: String): Unit =
+    require(df.columns.sorted.toSeq == Seq("h", "k"),
+      s"$op takes a GLOBAL (h, k) sketch, got columns " +
+        s"(${df.columns.mkString(", ")}) — use the ByGroup twin for " +
+        "by-group sketches")
 
   /** Distinct-count estimate from a [[kmvSketch]]: with fewer than k
     * kept hashes the sketch IS the distinct hash set (exact, modulo
@@ -458,7 +469,7 @@ object TextOps {
     * BIGINT so the gate surface is integer. Estimating at a different
     * k than the sketch was built at fails loudly in-plan. */
   def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
-    kmvEstimateInputCheck(Seq(sketch))
+    kmvRequireGlobal(sketch, "kmvEstimate")
     sketch.agg(count(lit(1)).as("n_kept"),
         max(kmvKChecked(k, "kmvEstimate")).as("__hk"))
       .select(kmvEstCol(k).as("n_distinct_est"))
@@ -467,7 +478,9 @@ object TextOps {
   /** Per-group twin of [[kmvEstimate]] over a [[kmvSketchByGroup]]. */
   def kmvEstimateByGroup(sketch: DataFrame, groupCol: String,
       k: Int): DataFrame = {
-    kmvEstimateInputCheck(Seq(sketch))
+    require(sketch.columns.sorted.toSeq == Seq(groupCol, "h", "k").sorted,
+      s"kmvEstimateByGroup takes a ($groupCol, h, k) by-group sketch, " +
+        s"got columns (${sketch.columns.mkString(", ")})")
     sketch.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"),
         max(kmvKChecked(k, "kmvEstimateByGroup")).as("__hk"))
