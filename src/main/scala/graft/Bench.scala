@@ -131,23 +131,37 @@ object Bench {
       else {
         val now = driftBasket.map(timings).sum
         // previous record's basket, parsed from the file this run is
-        // about to overwrite. Keys also appear in its "spread" map, so
-        // keep the FIRST occurrence per gate (the "queries" median —
-        // "queries" precedes "spread" in the rendered line).
+        // about to overwrite. Prefer the self-describing
+        // "drift_basket_sec" key this writer persists; fall back (for
+        // records predating the key) to per-gate medians matched INSIDE
+        // the "queries" object only — the same gate names also appear in
+        // "spread", and an unanchored first-occurrence scan would depend
+        // on map order in the rendered line (diagnostic-only, but it is
+        // the adjudication signal, so it must not silently read spreads).
         val prev: Option[Double] =
           try {
             val old = java.nio.file.Files.readString(
               java.nio.file.Paths.get("bench_full.json"))
-            val re = ("\"(" + driftBasket.mkString("|") +
-              ")\":([0-9][0-9.eE+-]*)").r
-            val first = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-            re.findAllMatchIn(old).foreach { m =>
-              if (!first.contains(m.group(1)))
-                first(m.group(1)) = m.group(2).toDouble
+            val direct = "\"drift_basket_sec\":([0-9][0-9.eE+-]*)".r
+              .findFirstMatchIn(old).map(_.group(1).toDouble)
+            direct.orElse {
+              // the queries object is flat (string keys → number values,
+              // no nesting), so the first '}' after its opener closes it
+              val qTag = "\"queries\":{"
+              val qStart = old.indexOf(qTag)
+              val qEnd = if (qStart < 0) -1 else old.indexOf("}", qStart)
+              if (qStart < 0 || qEnd < 0) None
+              else {
+                val qObj = old.substring(qStart + qTag.length, qEnd)
+                val re = ("\"(" + driftBasket.mkString("|") +
+                  ")\":([0-9][0-9.eE+-]*)").r
+                val got = re.findAllMatchIn(qObj)
+                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
+                if (driftBasket.forall(got.contains))
+                  Some(driftBasket.map(got).sum)
+                else None
+              }
             }
-            if (driftBasket.forall(first.contains))
-              Some(driftBasket.map(first).sum)
-            else None
           } catch { case _: Throwable => None }
         val prevPart = prev.fold("") { p =>
           s""","drift_basket_prev_sec":${jnum(p)},"drift_ratio":${jnum(if (p > 0) now / p else 0.0)}"""

@@ -740,9 +740,27 @@ object AnnIndex {
       .collect()
       .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
         r.getLong(2)))).toMap
+    // attribution cross-check: a stats key that is not a known candidate
+    // means input_file_name did not round-trip the dir name (URI-encoding
+    // quirks on object stores, a future nested layout) — the rows it
+    // carries belong to SOME candidate that now looks emptier than it is,
+    // so every expiry decision is suspect; refuse loudly rather than
+    // TTL-drop live results
+    val unattributed = stats.keySet -- candidates.toSet
+    require(unattributed.isEmpty,
+      s"compactProbeResultsByAge: $outDir rows attributed to unknown " +
+        s"dirs (${unattributed.toSeq.sorted.mkString(", ")}) — the dir " +
+        "attribution regex does not match this layout; not expiring " +
+        "anything")
     val expired = candidates.filter { n =>
       stats.get(n) match {
-        case None => true // zero-row dir: nothing of unknown age to lose
+        case None =>
+          // absent from the scan = no row attributed to the dir. Confirm
+          // genuinely-empty (an empty micro-batch writes _SUCCESS only)
+          // with a direct per-dir probe before expiring — an age policy
+          // must never drop rows of unknown age, and suspected-empty
+          // dirs are rare enough that a per-dir check is bounded
+          spark.read.schema(probeResultSchema).parquet(s"$outDir/$n").isEmpty
         case Some((Some(maxTs), 0L)) => maxTs < cutoffTsMs
         case _ => false // any unstamped row: age unknown, never expire
       }

@@ -68,10 +68,21 @@ object Joins {
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    val saltCols = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
-    require(saltCols.nonEmpty,
+    val saltColNames = left.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
+    require(saltColNames.nonEmpty,
       "saltedJoin: every left column contains a MapType (unhashable) — " +
         "project a hashable salt source column first")
+    // a salt derived only from the join keys is CONSTANT per key: every
+    // hot-key row lands in one bucket and the mitigation is silently
+    // undone (the map-heavy-frame shape hits this when the keys are the
+    // only hashable columns left) — refuse, mirroring the
+    // byte-identical-rows caveat above
+    require(!saltColNames.toSet.subsetOf(keys.toSet),
+      "saltedJoin: the only hashable left columns are the join keys " +
+        s"themselves (${saltColNames.mkString(", ")}) — the salt would be " +
+        "key-determined and every hot-key row would land in one bucket; " +
+        "project a hashable non-key salt source column first")
+    val saltCols = saltColNames.map(col)
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(saltCols: _*), lit(buckets.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
@@ -113,7 +124,9 @@ object Joins {
     ColumnGuards.requireNoReserved(points, "pointInIntervalJoin", Set("__bucket"))
     ColumnGuards.requireNoReserved(intervals, "pointInIntervalJoin", Set("__bucket"))
     val p = points.withColumn("__bucket", floor(
-      tsMicros(pointCol, "pointInIntervalJoin") / bucketMicros))
+      tsMicros(pointCol, "pointInIntervalJoin",
+        "a NULL event timestamp cannot land in any interval — filter " +
+          "or repair upstream") / bucketMicros))
     val iv = bucketedByInterval(intervals, startCol, endCol, bucketMicros,
       maxBucketsPerInterval, "pointInIntervalJoin")
     p.join(iv, keys :+ "__bucket")
@@ -125,13 +138,15 @@ object Joins {
     * interval bound would derive a null bucket, and null buckets vanish
     * from the equi-join / explode with NO error — the silent-drop shape
     * an open-ended (end = NULL) session window hits in practice. The
-    * cast accepts TIMESTAMP and TIMESTAMP_NTZ alike (parquet scans
-    * yield NTZ); it is lossless under the engine's fixed UTC session
-    * timezone. */
-  private def tsMicros(c: String, op: String): Column =
+    * error carries a per-column `hint` naming the actual failure class
+    * (a NULL POINT timestamp is bad event data, not an open-ended
+    * interval — the interval-oriented diagnostic would mislead the
+    * operator reading it). The cast accepts TIMESTAMP and TIMESTAMP_NTZ
+    * alike (parquet scans yield NTZ); it is lossless under the engine's
+    * fixed UTC session timezone. */
+  private def tsMicros(c: String, op: String, hint: String): Column =
     unix_micros(ColumnGuards.requireNonNull(col(c),
-      s"$op: NULL $c — an open-ended interval? use an explicit horizon")
-      .cast("timestamp"))
+      s"$op: NULL $c — $hint").cast("timestamp"))
 
   /** The shared bucket-explode stage of both range-join rewrites. Two
     * data errors the rewrite would otherwise ABSORB fail loudly:
@@ -147,8 +162,11 @@ object Joins {
   private def bucketedByInterval(df: DataFrame, startCol: String,
       endCol: String, bucketMicros: Long, maxBucketsPerInterval: Long,
       op: String): DataFrame = {
-    val startUs = tsMicros(startCol, op)
-    val endUs = tsMicros(endCol, op)
+    val startUs = tsMicros(startCol, op,
+      "an interval bound must be concrete; for an open-ended interval " +
+        "use an explicit horizon")
+    val endUs = tsMicros(endCol, op,
+      "an open-ended interval? use an explicit horizon")
     val startB = floor(startUs / bucketMicros)
     val endB = floor(endUs / bucketMicros)
     val guardedEnd = when(endUs < startUs, raise_error(concat(

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Gate queries for the LLM-data-pipeline operators over the
   * `documents` / `embeddings` tables. Where the operator's math is
@@ -1242,6 +1243,149 @@ object LlmQueries {
       |  JOIN embeddings q ON q.vec_id = c.query_id
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------- ANN index LIFECYCLE
+  /** The full index-lifecycle runbook THROUGH the `_current` pointer,
+    * end to end under one oracle — the composition rounds 9-10 built
+    * piecewise: a checkpointed probe stream that calls
+    * [[AnnIndex.resolveCurrent]] once per micro-batch, while mid-stream
+    * the operator runbook runs: [[AnnIndex.maintain]] flags rebuild-due
+    * (the policy's `maxMeanCell` crossed — asserted, so the gate can
+    * never silently degrade into a plain promote test) →
+    * [[AnnIndex.rebuild]] into a fresh sibling dir (tombstones carried
+    * FIRST) → [[AnnIndex.promote]] flips the pointer atomically. The
+    * stream's first leg (batches 0-1) must answer from the 16-cell v1,
+    * the resumed leg (batches 2-3) from the rebuilt 32-cell v2 — never a
+    * mix — and the oracle replays each leg against its own quantizer:
+    * pre-promote queries against v1's frozen first-16 centroids over the
+    * live (tombstone-excluded) corpus, post-promote queries against
+    * v2's survivor-trained 32. A hash match therefore pins, in one
+    * result: per-batch pointer resolution, cutover atomicity under a
+    * checkpoint resume, tombstone survival across the migration, and
+    * the rebuilt index's probe math. */
+  val qAnnLifecycle: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    withScratchIndex("graft_gate_annlife_") { dir =>
+      val (src, ckpt, out) = (s"${dir}_feed", s"${dir}_ckpt", s"${dir}_res")
+      val (v1, v2) = (s"$dir/v1", s"$dir/v2")
+      AnnIndex.build(emb.filter(col("vec_id") < 300), v1, nCentroids = 16)
+      AnnIndex.ingest(emb.filter(col("vec_id") >= 300), v1, batchId = Some(1L))
+      AnnIndex.delete(emb.filter(col("vec_id") % 10 === 3).select("vec_id"), v1)
+      AnnIndex.delete(emb.filter(col("vec_id") % 10 === 7).select("vec_id"), v1)
+      AnnIndex.promote(s, dir, "v1")
+      val qs = emb.select(col("vec_id"), col("embedding"))
+      def feedFile(lo: Int): Unit =
+        qs.filter(col("vec_id") >= lo && col("vec_id") < lo + 3)
+          .coalesce(1).write.mode("append").parquet(src)
+      def runLeg(): Unit = {
+        val q = s.readStream.schema(qs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              // resolve ONCE per micro-batch: the whole batch answers
+              // from one committed index — the cutover contract
+              AnnIndex.probeBatch(b, AnnIndex.resolveCurrent(s, dir),
+                out, id, k = 5, nProbes = 4)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      feedFile(40); feedFile(43)
+      runLeg() // batches 0-1 answered by v1 (16 cells)
+      // the runbook: a routine maintain pass crosses the occupancy
+      // threshold → rebuild-due; the gate REQUIRES the flag so the
+      // composition stays honest if thresholds or stats ever drift
+      val report = AnnIndex.maintain(s, AnnIndex.resolveCurrent(s, dir),
+        AnnIndex.MaintenancePolicy(maxMeanCell = 1.0),
+        probeOutDir = Some(out))
+      require(report.rebuildDue,
+        s"ann_lifecycle: expected the maintain pass to flag rebuild-due, got $report")
+      AnnIndex.rebuild(s, v1, v2, nCentroids = 32)
+      AnnIndex.promote(s, dir, "v2")
+      feedFile(46); feedFile(49)
+      runLeg() // checkpoint resume: batches 2-3 answered by v2 (32 cells)
+      AnnIndex.readProbeResults(s, out)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+    }.orderBy(col("query_id"), col("rk"))
+  }
+
+  /** One replay-mode probe leg of the lifecycle oracle, CTE-prefixed so
+    * the two legs (one per committed quantizer) union in a single
+    * statement. `centWhere` picks that version's centroid TRAINING
+    * corpus (v1: the original build input, deleted ids included — build
+    * predates the takedowns; v2: the survivors [[AnnIndex.rebuild]]
+    * retrains on); the candidate corpus is always the shared live set.
+    * The probe math is [[annOneShotProbeSql]]'s, over `$nCent` cells. */
+  private def annLifecycleLegSql(p: String, nCent: Int, centWhere: String,
+      qLo: Int, qHi: Int): String =
+    s"""${p}cent AS (
+      |  SELECT vec_id AS cid, embedding FROM embeddings
+      |  WHERE $centWhere ORDER BY vec_id LIMIT $nCent
+      |), ${p}assigned AS (
+      |  SELECT vec_id AS neighbor_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS arn
+      |    FROM live e CROSS JOIN ${p}cent c
+      |  ) WHERE arn = 1
+      |), ${p}probes AS (
+      |  SELECT query_id, query_vec, cid FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |                 c.cid) AS prn
+      |    FROM embeddings q CROSS JOIN ${p}cent c
+      |    WHERE q.vec_id >= $qLo AND q.vec_id < $qHi
+      |  ) WHERE prn <= 4
+      |), ${p}cand AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT pb.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY pb.query_id
+      |        ORDER BY round(list_cosine_similarity(pb.query_vec::DOUBLE[], d.vec_deq), 9) DESC,
+      |                 a.neighbor_id) AS ark
+      |    FROM ${p}probes pb JOIN ${p}assigned a USING (cid)
+      |    JOIN deq d ON d.neighbor_id = a.neighbor_id
+      |    WHERE a.neighbor_id <> pb.query_id
+      |  ) WHERE ark <= 20
+      |), ${p}res AS (
+      |  SELECT query_id, rk, neighbor_id, sim FROM (
+      |    SELECT c.query_id, c.neighbor_id,
+      |      round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim,
+      |      row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |                 c.neighbor_id) AS rk
+      |    FROM ${p}cand c
+      |    JOIN embeddings e ON e.vec_id = c.neighbor_id
+      |    JOIN embeddings q ON q.vec_id = c.query_id
+      |  ) WHERE rk <= 5
+      |)""".stripMargin
+
+  /** Pre-promote batches replay against v1's quantizer, post-promote
+    * against v2's — the shared `live`/`qz`/`deq` CTEs are the
+    * tombstone-excluded corpus both versions probe (per-vector int8
+    * scales are index-independent). */
+  val qAnnLifecycleSql: String =
+    s"""WITH live AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 NOT IN (3, 7)
+      |), qz AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale,
+      |    embedding
+      |  FROM live
+      |), deq AS (
+      |  SELECT vec_id AS neighbor_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+      |         ELSE list_transform(embedding::DOUBLE[],
+      |                x -> CAST(floor(x / scale + 0.5) AS INT) * scale) END AS vec_deq
+      |  FROM qz
+      |), ${annLifecycleLegSql("a_", 16, "vec_id < 300", 40, 46)},
+      |${annLifecycleLegSql("b_", 32, "vec_id % 10 NOT IN (3, 7)", 46, 52)}
+      |SELECT query_id, rk, neighbor_id, sim FROM a_res
+      |UNION ALL
+      |SELECT query_id, rk, neighbor_id, sim FROM b_res
+      |ORDER BY query_id, rk""".stripMargin
+
   // ---------------------------------------------- ANN index cell stats
   /** [[AnnIndex.cellStats]] under the oracle: the live per-cell
     * occupancy of a built+ingested+takedown index — the signal that
@@ -1452,14 +1596,19 @@ object LlmQueries {
     val ckpt = graft.TempDirs.reclaimOnExit(
       java.nio.file.Files.createTempDirectory("graft_evattrib_ckpt"))
     // Stateful-stream partitioning is a DELIBERATE sizing decision, not
-    // an inherited default: the state partition count freezes into the
-    // checkpoint at first run, and every micro-batch then pays commit +
-    // maintenance on 4 join state stores PER state partition whatever
-    // the key cardinality. This stream keys on user_id (hundreds to
-    // thousands of keys), so a cloned session right-sizes it to 8 —
-    // a higher-throughput deployment would size up BEFORE first start.
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // an inherited default — the decision rule lives in
+    // [[graft.streaming.StreamSizing]] (state partition count freezes
+    // into the checkpoint; every micro-batch pays commit + maintenance
+    // on 4 join state stores per partition). This stream keys on
+    // user_id: 1,500 distinct at the recorded sf0.1 (150 at sf0.01 —
+    // sizing from the larger recorded figure keeps one deterministic
+    // count), which the rule sizes to 8 on a 32-core session, the
+    // 21.2 s → ~4 s fix a higher-throughput deployment would apply
+    // BEFORE first start.
+    val ss = graft.streaming.StreamSizing.sessionFor(s,
+      graft.streaming.StreamSizing.statePartitions(
+        keyCardinality = 1500L,
+        totalCores = s.sparkContext.defaultParallelism))
     try {
       // 2 micro-batches (4 files each), not 8×1: the property under the
       // oracle is batch-boundary INVARIANCE, which two boundaries prove
@@ -1505,6 +1654,135 @@ object LlmQueries {
       |  ON p.user_id = c.user_id
       | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
+  // --------------------------------------- watermark EVICTION (late drop)
+  /** The staged feed for the eviction gate: four single-file slices of
+    * the events table whose ARRIVAL ORDER is pinned twice over (file
+    * name and mtime), so the micro-batch sequence — and therefore the
+    * watermark trajectory — is a deterministic replay:
+    *   batch 0 `00_early`   ts <  Jan 11 (watermark still low),
+    *   batch 1 `01_advance` Jan 21 <= ts < Jan 26 (raises max event
+    *                        time past every late-slice window),
+    *   batch 2 `02_bridge`  ts >= Jan 26 (one more batch, because
+    *                        Spark deliberately lags LATE-RECORD
+    *                        filtering one batch behind state EVICTION —
+    *                        batch N filters with the watermark recorded
+    *                        in batch N−1's metadata, i.e. the max event
+    *                        time through batch N−2; without the bridge
+    *                        the late batch would be admitted under the
+    *                        still-low early watermark),
+    *   batch 3 `03_late`    Jan 11 <= ts < Jan 21 — ten days of rows
+    *                        arriving after the late-filter watermark
+    *                        (max-through-batch-1 − 1 day ≈ Jan 24)
+    *                        passed their windows: ALL dropped.
+    * Slice bounds are fixed literals against the fixed Jan-2024 events
+    * corpus; the staging fails loudly if the corpus ever stops
+    * straddling them (an empty slice would silently turn the eviction
+    * gate into a plain aggregation). */
+  private def stagedLateFeed(s: SparkSession, d: String): java.nio.file.Path =
+    stageOnce(s"evlate:$d") { dir =>
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val jan11 = lit("2024-01-11").cast("timestamp")
+      val jan21 = lit("2024-01-21").cast("timestamp")
+      val jan26 = lit("2024-01-26").cast("timestamp")
+      val slices = Seq(
+        ("00_early", ev.filter(col("ts") < jan11), 1000L),
+        ("01_advance", ev.filter(col("ts") >= jan21 && col("ts") < jan26), 2000L),
+        ("02_bridge", ev.filter(col("ts") >= jan26), 3000L),
+        ("03_late", ev.filter(col("ts") >= jan11 && col("ts") < jan21), 4000L))
+      // the late batch's filter watermark is max(advance) − 1 day, which
+      // must clear every late-slice window end (latest: Jan 21 00:00) —
+      // so the advance slice must reach Jan 22
+      val advMax = slices(1)._2.agg(max(col("ts"))).head().getTimestamp(0)
+      require(advMax != null &&
+          advMax.getTime >= java.sql.Timestamp.valueOf("2024-01-22 00:00:00").getTime,
+        s"events_stream_late: advance-slice max ts $advMax leaves the " +
+          "late-filter watermark below the late slice's windows — " +
+          "re-pick the slice literals")
+      for ((name, df, mtime) <- slices) {
+        val tmp = dir.resolve(s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq
+          finally listing.close()
+        require(part.size == 1 && df.limit(1).count() == 1,
+          s"events_stream_late: slice $name staged empty — the fixed " +
+            "Jan-2024 slice literals no longer match the corpus")
+        val dst = dir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+        // drop the now part-less write dir so the stream sees ONLY the
+        // three pinned files
+        graft.TempDirs.deleteRecursively(tmp)
+      }
+    }
+
+  /** Watermark EVICTION, oracle-checked — the half of the watermark
+    * contract the other streaming gates deliberately avoid (they use
+    * generous delays so correctness is batch-boundary-invariant; here
+    * the delay is TIGHT and the drop is the asserted behavior). A 1-day
+    * watermark over the pinned four-batch feed ([[stagedLateFeed]])
+    * deterministically drops every `03_late` row: by the time the late
+    * batch arrives even the LAGGED late-filter watermark (see the feed
+    * doc — Spark filters batch N's late records with batch N−1's
+    * recorded watermark) sits days past the newest late-slice window.
+    * Append mode then emits
+    * exactly the windows that FINALIZED below the final watermark. Both
+    * effects replay in the oracle as plain SQL predicates: the drop is
+    * `ts outside [Jan 11, Jan 21)`, the finalization cut is
+    * `window end <= max(ts) − 1 day` — deterministic because the feed's
+    * event times, file order, and batch splits are all pinned.
+    *
+    * At 100 TB this IS the correctness/resource trade: the eviction that
+    * keeps state bounded is the same eviction that drops genuinely late
+    * data, so a pipeline must be able to PIN which rows it forfeited —
+    * this gate is that pin, at gate scale. */
+  val qEventsStreamLate: Q = (s, d) => {
+    val dir = stagedLateFeed(s, d)
+    val schema = s.read.parquet(dir.toString).schema
+    val ckpt = graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory("graft_evlate_ckpt"))
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Analytics.fixed4(sum(col("value").cast("decimal(18,4)"))).as("total_value"))
+        .select(
+          col("window.start").cast("date").as("day"),
+          col("event_type"), col("n"), col("total_value"))
+        .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName("graft_stream_late").start()
+      try q.processAllAvailable() finally q.stop()
+      val resDf = s.table("graft_stream_late").orderBy(col("day"), col("event_type"))
+      val rows = resDf.collect()
+      val outSchema = resDf.schema
+      try s.catalog.dropTempView("graft_stream_late")
+      catch { case _: Throwable => () }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally graft.TempDirs.release(ckpt)
+  }
+
+  /** The eviction replayed as SQL: the late slice's rows are the
+    * watermark drop, the `window end <= max(ts) − 1 day` cut is append
+    * mode's finalization horizon. */
+  val qEventsStreamLateSql: String =
+    s"""WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events)
+      |SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |  ${Analytics.fixed4Sql("sum(CAST(value AS DECIMAL(18,4)))")} AS total_value
+      |FROM events, wm
+      |WHERE (ts < TIMESTAMP '2024-01-11' OR ts >= TIMESTAMP '2024-01-21')
+      |  AND CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
 
   // ------------------------------------------------- props extraction
   /** Semi-structured analytics over the events props JSON column. */
@@ -3353,6 +3631,7 @@ object LlmQueries {
     "pipeline_semantic"   -> qPipelineSemantic,
     "pipeline_domains"    -> qPipelineDomains,
     "ann_probe_stream"    -> qAnnProbeStream,
+    "ann_lifecycle"       -> qAnnLifecycle,
     "dedup_substring"     -> qDedupSubstring,
     "text_repetition"     -> qTextRepetition,
     "text_bpe_pairs"      -> qTextBpePairs,
@@ -3392,6 +3671,7 @@ object LlmQueries {
     "events_sessions"     -> qEventsSessions,
     "events_stream_daily" -> qEventsStreamDaily,
     "events_stream_attrib" -> qEventsStreamAttrib,
+    "events_stream_late"  -> qEventsStreamLate,
     "events_outliers"     -> qEventsOutliers,
     "events_props"        -> qEventsProps,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -3463,6 +3743,7 @@ object LlmQueries {
     "events_sessions"     -> qEventsSessionsSql,
     "events_stream_daily" -> qEventsStreamDailySql,
     "events_stream_attrib" -> qEventsStreamAttribSql,
+    "events_stream_late"  -> qEventsStreamLateSql,
     "events_outliers"     -> qEventsOutliersSql,
     "events_props"        -> qEventsPropsSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
@@ -3475,6 +3756,7 @@ object LlmQueries {
     "pipeline_semantic"   -> qPipelineSemanticSql,
     "pipeline_domains"    -> qPipelineDomainsSql,
     "ann_probe_stream"    -> qAnnProbeStreamSql,
+    "ann_lifecycle"       -> qAnnLifecycleSql,
     "emb_quantize"        -> qEmbQuantizeSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_index_ingest"    -> qAnnIndexIngestSql,

@@ -438,6 +438,41 @@ object TextOps {
       .select(col("h"), lit(k).as("k"))
   }
 
+  /** Per-group twin of [[kmvMerge]] — the coordinator-merge layout at
+    * corpus scale: each shard runs [[kmvSketchByGroup]] over its slice,
+    * ships ≤ k rows per group, and this merge unions the shard frames,
+    * re-dedups per group (two shards can keep the same hash) and
+    * re-ranks to the k smallest per group — exactly the sketch
+    * [[kmvSketchByGroup]] would have built over the combined corpus,
+    * losslessly. Same plan shape as the sketch's own prune: the
+    * `row_number <= k` filter carries a map-side WindowGroupLimit, so a
+    * hot group ships k rows per shard, never its union. Groups missing
+    * from some shards merge fine (a group's sketch is the union of the
+    * shards that saw it); k-mismatch and a GLOBAL-shaped input both
+    * fail loudly, mirroring [[kmvMerge]]'s guards in the opposite
+    * direction. */
+  def kmvMergeByGroup(sketches: Seq[DataFrame], groupCol: String,
+      k: Int): DataFrame = {
+    require(sketches.nonEmpty, "kmvMergeByGroup needs at least one sketch")
+    require(groupCol != "h" && groupCol != "k",
+      s"kmvMergeByGroup: groupCol '$groupCol' collides with the " +
+        "sketch's own (h, k) columns — rename it first")
+    sketches.foreach { s =>
+      require(s.columns.sorted.toSeq == Seq(groupCol, "h", "k").sorted,
+        s"kmvMergeByGroup takes ($groupCol, h, k) by-group sketches, " +
+          s"got columns (${s.columns.mkString(", ")}) — use kmvMerge " +
+          "for GLOBAL sketches")
+    }
+    sketches.reduce(_ unionByName _)
+      .select(col(groupCol), kmvKChecked(k, "kmvMergeByGroup").as("h"))
+      .distinct()
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("h"))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+      .withColumn("k", lit(k))
+  }
+
   /** In-plan guard that a sketch row's recorded `k` matches the `k` the
     * consumer assumes — a mismatch silently mis-scales the estimator
     * (the denominator would be x_(j), not x_(k)) or breaks the merge

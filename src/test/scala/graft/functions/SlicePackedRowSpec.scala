@@ -4,6 +4,7 @@ import graft.streaming.PackedRow
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
+import graft.tools.SpecErrors.messages
 import org.scalatest.funsuite.AnyFunSuite
 
 class SlicePackedRowSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -65,8 +66,6 @@ class SlicePackedRowSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(functions.slice_packed_row(col("lengths"), col("values")).as("r"))
         .collect()
     val e1 = intercept[Exception] { run(Seq(5L)) }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e1).exists(_.contains("corrupt packed row")))
     // a hostile 2^32+5 length must not wrap to 5 and slice "ab" quietly
     val e2 = intercept[Exception] { run(Seq((1L << 32) + 5L)) }

@@ -610,6 +610,31 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnnIndex.compactProbeResultsByAge(spark, out, cutoffTsMs = 100L) == 0)
   }
 
+  test("compactProbeResultsByAge: a zero-row dir expires only via the direct emptiness probe") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory("graft_ann_probe_age_empty"))
+    val (idx, out) = (s"$base/idx", s"$base/out")
+    AnnIndex.build(emb.filter(col("vec_id") < 40), idx, nCentroids = 8)
+    def qb(lo: Long, hi: Long) = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def dirsOf = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    AnnIndex.probeBatch(qb(40, 43), idx, out, 0L, k = 3, ingestTsMs = Some(1000L))
+    // an EMPTY micro-batch writes a zero-row dir (no row carries a stamp,
+    // so the scan's dir-attribution map has no entry for it at all) —
+    // the expiry decision must come from the direct per-dir probe, not
+    // from equating "unattributed" with "empty"
+    AnnIndex.probeBatch(qb(43, 43), idx, out, 1L, k = 3, ingestTsMs = Some(1000L))
+    AnnIndex.probeBatch(qb(46, 49), idx, out, 2L, k = 3, ingestTsMs = Some(9000L))
+    assert(dirsOf == Seq("batch_0", "batch_1", "batch_2"))
+    // batch_0 is past the cutoff, batch_1 is confirmed empty, batch_2 is
+    // the newest (redelivery protection)
+    assert(AnnIndex.compactProbeResultsByAge(spark, out, cutoffTsMs = 5000L) == 2)
+    assert(dirsOf == Seq("batch_2"))
+  }
+
   test("maintain: each threshold crossing triggers exactly its op; below-threshold untouched") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
+import graft.tools.SpecErrors.messages
 import org.scalatest.funsuite.AnyFunSuite
 
 /** URL canonicalization, registered-domain extraction, and domain
@@ -132,8 +133,6 @@ class DomainsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Domains.withRegisteredDomain(urls, "url", "d",
         (Domains.SecondLevelSuffixes :+ "pref.aichi.jp").toDF("suffix")).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
     assert(messages(e2).exists(m => m != null && m.contains("pref.aichi.jp")))
   }
 
@@ -208,8 +207,6 @@ class DomainsSpec extends AnyFunSuite with BeforeAndAfterAll {
           Seq("http://a.example.com/x").toDF("url"), "url", "d",
           rules.toDF("rule")).collect()
       }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
       messages(e).mkString("\n")
     }
     assert(loud(Seq("com", "bad rule")).contains("malformed"))
@@ -231,6 +228,110 @@ class DomainsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "url", "d", Seq("com").toDF("rule"))
     }
     assert(e.getMessage.contains("__h"))
+  }
+
+  test("withRegisteredDomainPsl: the REAL Mozilla PSL validates whole at maxLabels=5 and decides the canonical vectors") {
+    val sp = spark; import sp.implicits._
+    // the actual publicsuffix.org artifact (MPL 2.0), shipped verbatim as
+    // a test resource — the operator's headline claim is "the shape for
+    // the full Mozilla PSL", so prove it against the file, not a
+    // synthetic excerpt
+    val lines = {
+      val in = getClass.getResourceAsStream("/public_suffix_list.dat")
+      require(in != null, "test resource public_suffix_list.dat missing")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    val rules = lines.filter(l => l.trim.nonEmpty && !l.trim.startsWith("//"))
+    // real-file shape: ~9.5k rules, deepest exactly 5 labels (why the
+    // default maxLabels=4 correctly REFUSES it and 5 is the right knob)
+    assert(rules.size > 9000, s"suspiciously small PSL: ${rules.size} rules")
+    assert(rules.map(_.stripPrefix("!").split("\\.").length).max == 5)
+    val psl = lines.toDF("rule")
+
+    // canonical vectors from publicsuffix.org's checkPublicSuffix suite,
+    // one of each structural family the file carries. The suite expects
+    // NULL where the host IS a public suffix; this operator's documented
+    // convention passes such hosts through whole instead.
+    val vectors = Seq(
+      // mixed case; www collapses via the algorithm, not stripping
+      ("example.COM", "example.com"),
+      ("WwW.example.COM", "example.com"),
+      // listed and unlisted TLDs (implicit `*` fallback)
+      ("com", "com"),
+      ("example", "example"),
+      ("example.example", "example.example"),
+      ("b.example.example", "example.example"),
+      ("biz", "biz"),
+      ("domain.biz", "domain.biz"),
+      ("b.domain.biz", "domain.biz"),
+      ("a.b.example.com", "example.com"),
+      ("test.ac", "test.ac"),
+      // private-section two-label suffix
+      ("example.uk.com", "example.uk.com"),
+      ("b.example.uk.com", "example.uk.com"),
+      // the jp ladder: depth-1, depth-2 and depth-3 exact rules
+      ("test.jp", "test.jp"),
+      ("www.test.jp", "test.jp"),
+      ("test.ac.jp", "test.ac.jp"),
+      ("www.test.ac.jp", "test.ac.jp"),
+      ("test.kyoto.jp", "test.kyoto.jp"),
+      ("test.ide.kyoto.jp", "test.ide.kyoto.jp"),
+      ("www.test.ide.kyoto.jp", "test.ide.kyoto.jp"),
+      // wildcard + exception, deep form (*.kobe.jp / !city.kobe.jp)
+      ("c.kobe.jp", "c.kobe.jp"), // host IS the wildcard suffix
+      ("b.c.kobe.jp", "b.c.kobe.jp"),
+      ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+      ("city.kobe.jp", "city.kobe.jp"),
+      ("www.city.kobe.jp", "city.kobe.jp"),
+      // wildcard + exception, TLD form (*.ck / !www.ck; bare `mm`/`ck`
+      // have NO exact rule — only the wildcard — so the TLD itself
+      // resolves via the implicit `*`)
+      ("mm", "mm"),
+      ("c.mm", "c.mm"),
+      ("b.c.mm", "b.c.mm"),
+      ("a.b.c.mm", "b.c.mm"),
+      ("test.ck", "test.ck"),
+      ("b.test.ck", "b.test.ck"),
+      ("a.b.test.ck", "b.test.ck"),
+      ("www.ck", "www.ck"),
+      ("www.www.ck", "www.ck"),
+      // the us k12 ladder: a FOUR-label exact rule
+      ("test.us", "test.us"),
+      ("www.test.us", "test.us"),
+      ("test.ak.us", "test.ak.us"),
+      ("www.test.ak.us", "test.ak.us"),
+      ("test.k12.ak.us", "test.k12.ak.us"),
+      ("www.test.k12.ak.us", "test.k12.ak.us"),
+      // IDN rules are unicode IN the file (公司.cn)
+      ("食狮.com.cn", "食狮.com.cn"),
+      ("www.食狮.公司.cn", "食狮.公司.cn"),
+      // private section: github.io
+      ("foo.github.io", "foo.github.io"),
+      ("blog.foo.github.io", "foo.github.io"),
+      // a FIVE-label private rule — the depth that mandates maxLabels=5
+      ("mybucket.s3.dualstack.ap-northeast-1.amazonaws.com",
+        "mybucket.s3.dualstack.ap-northeast-1.amazonaws.com"),
+      ("x.mybucket.s3.dualstack.ap-northeast-1.amazonaws.com",
+        "mybucket.s3.dualstack.ap-northeast-1.amazonaws.com"))
+    val got = Domains.withRegisteredDomainPsl(
+        vectors.map { case (h, e) => (s"http://$h/x", h, e) }
+          .toDF("url", "host", "expected"),
+        "url", "d", psl, maxLabels = 5)
+      .select("host", "expected", "d")
+      .as[(String, String, String)].collect().toSeq
+    // ONE pass decided every vector — and, since the dim validation runs
+    // in-plan over every rule, the collect above also proves the whole
+    // real file parses with zero malformed/too-deep rules at maxLabels=5
+    val wrong = got.filter { case (_, e, d) => e != d }
+    assert(wrong.isEmpty, wrong.map { case (h, e, d) =>
+      s"$h: expected $e, got $d" }.mkString("; "))
+    // the default knob refuses the real file LOUDLY (depth-5 rules exist)
+    val deep = intercept[Exception] {
+      Domains.withRegisteredDomainPsl(
+        Seq("http://a.example.com/x").toDF("url"), "url", "d", psl).collect()
+    }
+    assert(messages(deep).mkString("\n").contains("maxLabels"))
   }
 
   test("withRegisteredDomainPsl agrees with registeredDomain on the embedded two-label list") {

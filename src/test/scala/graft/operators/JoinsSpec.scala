@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
+import graft.tools.SpecErrors.messageText
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Salted skew join and bucketed co-located join: semantics equal the
@@ -84,6 +85,38 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.saltedJoin(allMap, allMap, Seq("mv"), buckets = 4)
     }
     assert(e.getMessage.contains("MapType"))
+  }
+
+  test("salted join: key-determined salt (hashable columns ⊆ keys) fails loudly") {
+    val sp = spark; import sp.implicits._
+    // the only hashable left column IS the join key (payload is a map):
+    // the salt would be constant per key, silently undoing the skew
+    // mitigation — refused with the failure named
+    val left = (0 until 10).map(i => ("hot", Map("m" -> i))).toDF("k", "mv")
+    val right = Seq(("hot", "r")).toDF("k", "rv")
+    val e = intercept[IllegalArgumentException] {
+      Joins.saltedJoin(left, right, Seq("k"), buckets = 4)
+    }
+    assert(e.getMessage.contains("key-determined"))
+  }
+
+  test("interval join: NULL point timestamp raises the point-specific diagnostic") {
+    val sp = spark; import sp.implicits._
+    val points = Seq((1L, Some(0L)), (2L, None))
+      .toDF("id", "p_us")
+      .select(col("id"), timestamp_micros(col("p_us")).as("p"))
+    val ivs = Seq((1L, 0L, 3600L * 1000000L)).toDF("iv_id", "lo_us", "hi_us")
+      .select(col("iv_id"),
+        timestamp_micros(col("lo_us")).as("lo"),
+        timestamp_micros(col("hi_us")).as("hi"))
+    val e = intercept[Exception] {
+      Joins.pointInIntervalJoin(points, ivs, "p", "lo", "hi",
+        bucketMicros = 3600L * 1000000L).collect()
+    }
+    // the error names the POINT failure class, not the interval-horizon
+    // advice that used to mislead here
+    assert(messageText(e).contains("NULL event timestamp"))
+    assert(!messageText(e).contains("open-ended"))
   }
 
   test("salted join: left join keeps unmatched left rows exactly once") {
@@ -209,9 +242,7 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Joins.intervalOverlapJoin(za, "a_lo", "a_hi", inv, "b_lo", "b_hi",
         bucketMicros = H, keys = Seq("k")).collect()
     }
-    def messages(t: Throwable): String = Option(t).toSeq
-      .flatMap(x => Option(x.getMessage).toSeq ++ Seq(messages(x.getCause))).mkString("\n")
-    assert(messages(e).contains("end before start"))
+    assert(messageText(e).contains("end before start"))
     // colliding non-key columns are refused up front
     val e2 = intercept[IllegalArgumentException] {
       Joins.intervalOverlapJoin(a, "a_lo", "a_hi", a, "a_lo", "a_hi",

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
+import graft.tools.SpecErrors.{messages, messageText}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit-level checks of the LLM-pipeline operators that the DuckDB gate
@@ -431,11 +432,9 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e1 = intercept[Exception] {
       TextOps.kmvMerge(Seq(s32, TextOps.kmvSketch(b, "term", 64)), 64).collect()
     }
-    def messages(t: Throwable): String = Option(t).toSeq
-      .flatMap(x => Option(x.getMessage).toSeq ++ Seq(messages(x.getCause))).mkString("\n")
-    assert(messages(e1).contains("built at k="))
+    assert(messageText(e1).contains("built at k="))
     val e2 = intercept[Exception] { TextOps.kmvEstimate(s32, k = 64).collect() }
-    assert(messages(e2).contains("built at k="))
+    assert(messageText(e2).contains("built at k="))
     // a by-group sketch is not globally mergeable — refused up front
     val e3 = intercept[IllegalArgumentException] {
       TextOps.kmvMerge(Seq(TextOps.kmvSketchByGroup(
@@ -448,7 +447,60 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e4 = intercept[Exception] {
       TextOps.kmvSketch(Seq(Some("a"), None).toDF("v"), "v", 8).collect()
     }
-    assert(messages(e4).contains("NULL v"))
+    assert(messageText(e4).contains("NULL v"))
+  }
+
+  test("kmv: per-shard by-group sketches merge losslessly — merge == whole-corpus by-group sketch") {
+    val sp = spark; import sp.implicits._
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("term"))
+      .filter(col("term") =!= "")
+    // three shards sliced orthogonally to the group key, so every group
+    // spans shards and two shards keep overlapping hash sets (the
+    // re-dedup path) — the natural 100-TB layout: sketch per shard,
+    // merge at the coordinator
+    val shards = (0 until 3).map(s =>
+      toks.filter(pmod(length(col("term")), lit(3)) === s))
+    val merged = TextOps.kmvMergeByGroup(
+        shards.map(TextOps.kmvSketchByGroup(_, "source", "term", 16)),
+        "source", 16)
+      .select("source", "h").as[(String, Long)].collect().sorted.toSeq
+    val whole = TextOps.kmvSketchByGroup(toks, "source", "term", 16)
+      .select("source", "h").as[(String, Long)].collect().sorted.toSeq
+    assert(merged == whole && whole.nonEmpty)
+    // a group missing from some shards still merges (union of the shards
+    // that saw it): shard by the GROUP key so each group lives in one
+    // shard only, and the merge must reproduce each group's own sketch
+    val bySrc = (0 until 2).map(s =>
+      toks.filter(pmod(xxhash64(col("source")), lit(2)) === s))
+    val partial = TextOps.kmvMergeByGroup(
+        bySrc.map(TextOps.kmvSketchByGroup(_, "source", "term", 16)),
+        "source", 16)
+      .select("source", "h").as[(String, Long)].collect().sorted.toSeq
+    assert(partial == whole)
+    // the estimator consumes the merged frame directly
+    val est = TextOps.kmvEstimateByGroup(TextOps.kmvMergeByGroup(
+        shards.map(TextOps.kmvSketchByGroup(_, "source", "term", 16)),
+        "source", 16), "source", k = 16)
+    assert(est.count() == toks.select("source").distinct().count())
+    // guards mirror kmvMerge's, in the opposite direction: k-mismatch
+    // raises in-plan; a GLOBAL sketch is refused up front
+    val e1 = intercept[Exception] {
+      TextOps.kmvMergeByGroup(Seq(
+        TextOps.kmvSketchByGroup(shards(0), "source", "term", 16),
+        TextOps.kmvSketchByGroup(shards(1), "source", "term", 8)),
+        "source", 16).collect()
+    }
+    assert(messageText(e1).contains("built at k="))
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.kmvMergeByGroup(Seq(TextOps.kmvSketch(toks, "term", 16)),
+        "source", 16)
+    }
+    assert(e2.getMessage.contains("kmvMerge"))
+    val e3 = intercept[IllegalArgumentException] {
+      TextOps.kmvMergeByGroup(Seq.empty, "source", 16)
+    }
+    assert(e3.getMessage.contains("at least one"))
   }
 
   test("kmv: estimate within the k=256 error band on real per-source distincts") {
@@ -887,8 +939,6 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = intercept[Exception] {
         Sampling.mixtureWeights(df, "src", weights, col("ntok")).collect()
       }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
       messages(e).mkString("\n")
     }
     // a data stratum absent from the weights dim must not silently

@@ -4,6 +4,7 @@ import graft.core.{ShardGtid, Vgtid}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
+import graft.tools.SpecErrors.messages
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Fail-loud guards on the record transforms and the batch backfill —
@@ -48,8 +49,6 @@ class TransformGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = CdcBackfill.snapshotRecords(
       rows, "ks", "t", Seq("id"), col("id") % 4, handover)
     val err = intercept[Exception] { out.collect() }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(err).exists(_.contains("not covered by the handover vgtid")))
     // covered shards still produce records with their local position
     val ok = CdcBackfill.snapshotRecords(

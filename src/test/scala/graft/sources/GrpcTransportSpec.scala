@@ -14,6 +14,7 @@ import org.sparkproject.connect.grpc.{
 import org.sparkproject.connect.grpc.inprocess.InProcessServerBuilder
 import org.sparkproject.connect.grpc.stub.{ServerCalls, StreamObserver}
 import scala.jdk.CollectionConverters._
+import graft.tools.SpecErrors.messages
 
 /** End-to-end coverage of the gRPC VStream transport against an
   * in-process mock VTGate: wire-codec round-trips, request construction
@@ -696,8 +697,6 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       GrpcConfig("inprocess:vt-adopted-unused", "ks", Seq("-80")))
     try {
       val err = intercept[IllegalStateException] { transport.listShards() }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
       assert(messages(err).exists(_.contains("adopted from a live reshard")))
     } finally transport.close()
   }
@@ -716,8 +715,6 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
       val err = intercept[IllegalStateException] {
         transport.awaitStreamCompleted(10000)
       }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
       assert(messages(err).exists(_.contains("without shard attribution")))
     } finally { transport.close(); srv.close() }
   }
@@ -805,8 +802,6 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         transport.listShards()
         transport.awaitStreamCompleted(10000)
       }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
       assert(messages(err).exists(_.contains("stop.on.reshard")))
     } finally { transport.close(); srv.close() }
   }
@@ -831,8 +826,6 @@ class GrpcTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
         transport.listShards()
         transport.awaitStreamCompleted(10000)
       }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
       assert(messages(err).exists(_.contains("misroute")))
       // pre-failure tx staged whole; post-failure txs never staged
       val slice = new FeedSlice(staging.resolve("s0.jsonl").toString, 0L)
