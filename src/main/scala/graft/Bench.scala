@@ -131,20 +131,22 @@ object Bench {
       else {
         val now = driftBasket.map(timings).sum
         // previous record's basket, parsed from the file this run is
-        // about to overwrite. Prefer the self-describing
-        // "drift_basket_sec" key this writer persists; fall back (for
-        // records predating the key) to per-gate medians matched INSIDE
-        // the "queries" object only — the same gate names also appear in
-        // "spread", and an unanchored first-occurrence scan would depend
-        // on map order in the rendered line (diagnostic-only, but it is
-        // the adjudication signal, so it must not silently read spreads).
+        // about to overwrite. Re-sum THIS build's basket from the old
+        // record's per-gate medians, matched INSIDE the "queries" object
+        // only (the same gate names also appear in "spread", and an
+        // unanchored first-occurrence scan would depend on map order in
+        // the rendered line). The persisted aggregate "drift_basket_sec"
+        // is only a fallback for a truncated queries map: it was summed
+        // over the basket composition of the build that WROTE it, so if
+        // driftBasket ever changes, preferring it would fold the
+        // composition delta into drift_ratio and misread code change as
+        // machine drift (diagnostic-only, but it is the adjudication
+        // signal).
         val prev: Option[Double] =
           try {
             val old = java.nio.file.Files.readString(
               java.nio.file.Paths.get("bench_full.json"))
-            val direct = "\"drift_basket_sec\":([0-9][0-9.eE+-]*)".r
-              .findFirstMatchIn(old).map(_.group(1).toDouble)
-            direct.orElse {
+            val perGate = {
               // the queries object is flat (string keys → number values,
               // no nesting), so the first '}' after its opener closes it
               val qTag = "\"queries\":{"
@@ -161,6 +163,10 @@ object Bench {
                   Some(driftBasket.map(got).sum)
                 else None
               }
+            }
+            perGate.orElse {
+              "\"drift_basket_sec\":([0-9][0-9.eE+-]*)".r
+                .findFirstMatchIn(old).map(_.group(1).toDouble)
             }
           } catch { case _: Throwable => None }
         val prevPart = prev.fold("") { p =>

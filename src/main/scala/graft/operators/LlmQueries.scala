@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 /** Gate queries for the LLM-data-pipeline operators over the
   * `documents` / `embeddings` tables. Where the operator's math is
@@ -1693,31 +1692,22 @@ object LlmQueries {
         ("03_late", ev.filter(col("ts") >= jan11 && col("ts") < jan21), 4000L))
       // the late batch's filter watermark is max(advance) − 1 day, which
       // must clear every late-slice window end (latest: Jan 21 00:00) —
-      // so the advance slice must reach Jan 22
+      // so the advance slice must reach Jan 22. Instant-based threshold:
+      // the collected Timestamp's getTime IS the UTC instant (session tz
+      // is UTC), while Timestamp.valueOf would parse in the HOST's zone
+      // and shift the boundary by its UTC offset
       val advMax = slices(1)._2.agg(max(col("ts"))).head().getTimestamp(0)
       require(advMax != null &&
-          advMax.getTime >= java.sql.Timestamp.valueOf("2024-01-22 00:00:00").getTime,
+          advMax.getTime >= java.time.Instant.parse("2024-01-22T00:00:00Z").toEpochMilli,
         s"events_stream_late: advance-slice max ts $advMax leaves the " +
           "late-filter watermark below the late slice's windows — " +
           "re-pick the slice literals")
       for ((name, df, mtime) <- slices) {
-        val tmp = dir.resolve(s"tmp_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = java.nio.file.Files.list(tmp)
-        val part =
-          try listing.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("part-")).toSeq
-          finally listing.close()
-        require(part.size == 1 && df.limit(1).count() == 1,
+        require(df.limit(1).count() == 1,
           s"events_stream_late: slice $name staged empty — the fixed " +
             "Jan-2024 slice literals no longer match the corpus")
-        val dst = dir.resolve(s"$name.parquet")
-        java.nio.file.Files.move(part.head, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-        // drop the now part-less write dir so the stream sees ONLY the
-        // three pinned files
-        graft.TempDirs.deleteRecursively(tmp)
+        // the stream sees ONLY the four pinned files
+        graft.streaming.FeedStaging.writePinned(df, dir, name, mtime)
       }
     }
 

@@ -4,7 +4,6 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -38,25 +37,19 @@ class WatermarkEvictionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** One single-file slice with rows on the given January-2024 days
     * (3 rows per day, noon-ish — well above epoch 0, see the
-    * boundary-eviction gotcha), arrival pinned by name AND mtime. */
-  private def slice(feed: java.nio.file.Path, base: java.nio.file.Path,
+    * boundary-eviction gotcha), arrival pinned by name AND mtime. Rows
+    * are built from UTC INSTANTS: every day assertion below is a UTC
+    * day label (the session tz is pinned UTC), and Timestamp.valueOf
+    * would construct in the HOST's zone — on a ≥UTC+13 host the rows
+    * would shift to the previous UTC day and the assertions would fail
+    * on correct product behavior. */
+  private def slice(feed: java.nio.file.Path,
       name: String, days: Seq[Int], mtime: Long): Unit = {
     val sp = spark; import sp.implicits._
     val rows = days.flatMap(d => (0 until 3).map(i =>
-      (s"$name-$d-$i", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:0$i"))))
-    val tmp = base.resolve(s"tmp_$name")
-    rows.toDF("id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val listing = Files.list(tmp)
-    val part =
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-")).toSeq
-      finally listing.close()
-    assert(part.size == 1)
-    val dst = feed.resolve(s"$name.parquet")
-    Files.move(part.head, dst)
-    Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(mtime))
-    graft.TempDirs.deleteRecursively(tmp)
+      (s"$name-$d-$i", java.sql.Timestamp.from(
+        java.time.Instant.parse(f"2024-01-$d%02dT12:00:0${i}Z")))))
+    FeedStaging.writePinned(rows.toDF("id", "ts"), feed, name, mtime)
   }
   private def runDaily(feed: java.nio.file.Path, ckpt: java.nio.file.Path,
       queryName: String): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
@@ -85,9 +78,9 @@ class WatermarkEvictionSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("a late file one batch behind the advance is ADMITTED — the late filter lags eviction") {
     val base = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_wm_lag"))
     val feed = base.resolve("feed"); Files.createDirectories(feed)
-    slice(feed, base, "00_early", 1 to 3, 1000L)
-    slice(feed, base, "01_advance", 21 to 25, 2000L)
-    slice(feed, base, "02_late", 11 to 13, 3000L) // immediately after advance
+    slice(feed, "00_early", 1 to 3, 1000L)
+    slice(feed, "01_advance", 21 to 25, 2000L)
+    slice(feed, "02_late", 11 to 13, 3000L) // immediately after advance
     val progress = runDaily(feed, base.resolve("ckpt"), "wm_lag")
     // batch 2's eviction watermark is Jan 24 (max Jan 25 noon − 1 day),
     // but its LATE filter uses batch 1's recorded watermark — Jan 2,
@@ -102,10 +95,10 @@ class WatermarkEvictionSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("a late file TWO batches behind the advance is dropped; append emits exactly the finalized windows") {
     val base = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_wm_drop"))
     val feed = base.resolve("feed"); Files.createDirectories(feed)
-    slice(feed, base, "00_early", 1 to 3, 1000L)
-    slice(feed, base, "01_advance", 21 to 25, 2000L)
-    slice(feed, base, "02_bridge", Seq(26), 3000L)
-    slice(feed, base, "03_late", 11 to 13, 4000L)
+    slice(feed, "00_early", 1 to 3, 1000L)
+    slice(feed, "01_advance", 21 to 25, 2000L)
+    slice(feed, "02_bridge", Seq(26), 3000L)
+    slice(feed, "03_late", 11 to 13, 4000L)
     val progress = runDaily(feed, base.resolve("ckpt"), "wm_drop")
     // batch 3's late filter carries batch 2's recorded watermark =
     // max-through-batch-1 − 1 day = Jan 24 noon — every late row drops.
