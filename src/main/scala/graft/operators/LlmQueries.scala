@@ -2110,6 +2110,49 @@ object LlmQueries {
        |       ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ----------------------------------- bottom-k sample quantile sketch
+  /** Distributional profiling from a MERGED bottom-k uniform sample —
+    * the fixed-size mergeable stand-in for exact per-group percentiles
+    * at corpus scale (exact `percentile` sorts each group; the sketch
+    * ships ≤ k rows per group per shard). The gate runs the full
+    * coordinator layout: the corpus splits into two disjoint shards
+    * (doc_id parity), each shard builds its own k=16 per-source sample
+    * ([[Sampling.bottomKSampleByGroup]]), the shard frames merge
+    * losslessly ([[Sampling.bottomKSampleMergeByGroup]]), and the
+    * quantiles read off the merged sample. The oracle replays the
+    * WHOLE-CORPUS sketch directly — a hash match therefore proves the
+    * shard-merge is exactly lossless (merged sample ≡ single-pass
+    * sample) against an independent engine, not just against this
+    * implementation. k=16 < 25 docs/source at sf0.01, so the prune is
+    * live at every SF. */
+  val qSampleQuantileSketch: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val shards = Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+      .map(Sampling.bottomKSampleByGroup(_, "source", "doc_id", "n_chars", 16))
+    val merged = Sampling.bottomKSampleMergeByGroup(
+      shards, "source", "doc_id", "n_chars", 16)
+    Sampling.sampleQuantilesByGroup(merged, "source", "doc_id", "n_chars",
+        16, Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy(col("source"))
+  }
+
+  val qSampleQuantileSketchSql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, count(*) AS n_sample,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS q25,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS q50,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS q75,
+      |  round(quantile_cont(n_chars, 0.95), 4) AS q95
+      |FROM s WHERE rk <= 16
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- per-source cap
   /** Per-domain document cap: keep at most 40 docs per source, longest
     * first (n_chars desc, doc_id as the unique tiebreak). The gate
@@ -3636,6 +3679,7 @@ object LlmQueries {
     "sample_split"        -> qSampleSplit,
     "sample_mixture"      -> qSampleMixture,
     "sample_temperature"  -> qSampleTemperature,
+    "sample_quantile_sketch" -> qSampleQuantileSketch,
     "sample_shuffle"      -> qSampleShuffle,
     "sample_source_cap"   -> qSampleSourceCap,
     "sample_token_budget" -> qSampleTokenBudget,
@@ -3708,6 +3752,7 @@ object LlmQueries {
     "sample_split"        -> qSampleSplitSql,
     "sample_mixture"      -> qSampleMixtureSql,
     "sample_temperature"  -> qSampleTemperatureSql,
+    "sample_quantile_sketch" -> qSampleQuantileSketchSql,
     "sample_shuffle"      -> qSampleShuffleSql,
     "sample_source_cap"   -> qSampleSourceCapSql,
     "sample_token_budget" -> qSampleTokenBudgetSql,

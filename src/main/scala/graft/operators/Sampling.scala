@@ -354,4 +354,239 @@ object Sampling {
     ranged.unpersist()
     out
   }
+
+  // ----------------------------------- bottom-k uniform sample sketch
+  /** 60-bit row hash for the bottom-k sample: first 15 md5 hex chars of
+    * the row id rendered as a string — the same engine-portable
+    * md5-prefix idiom as [[keepPredicate]], replayable in DuckDB as
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT`. 60
+    * bits (not the sketch-family's usual 32) because this hash ORDERS
+    * individual rows of an arbitrarily large corpus: at 32 bits,
+    * billions of rows would tie constantly and push the ordering onto
+    * the id tie-break, making inclusion correlate with id order rather
+    * than the hash. */
+  private def sampleRowHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The `k` smallest rows of `df` by [[sampleRowHash]] of `idCol` — a
+    * DETERMINISTIC fixed-size uniform row sample without replacement,
+    * the mergeable summary that stands in for the corpus wherever a
+    * bounded-error distributional statistic (quantiles, means, rates)
+    * is needed at a scale where exact computation is a full sort. The
+    * output carries `(h, idCol, valueCol, k)`: the hash (merge order),
+    * the id (merge dedup + the uniqueness guard), the metric value, and
+    * the build-time k every consumer checks. Sampling error for a
+    * p-quantile is the binomial ~sqrt(p(1-p)/k) in rank space.
+    *
+    * Plan: TakeOrdered by (h, id) — per-partition heaps of k rows merge
+    * at the coordinator; no global sort, and the shuffle ships at most
+    * k rows per input partition.
+    *
+    * CONTRACT: `idCol` uniquely identifies rows (a duplicated id gives
+    * its row two tickets in the lottery and biases the sample toward
+    * it). Violations that reach the kept sample fail loudly in-plan; a
+    * duplicate pair SPLIT by the k boundary is undetectable here and
+    * stays the caller's responsibility. NULL ids and NULL values fail
+    * loudly — a null hash would sort NULLS FIRST into the sample, and a
+    * null value would silently vanish from every quantile. */
+  def bottomKSample(df: DataFrame, idCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 1, s"bottomKSample needs k > 1, got $k")
+    requireSampleNames("bottomKSample", idCol, valueCol, None)
+    df.select(
+        sampleRowHash(ColumnGuards.requireNonNull(col(idCol),
+          s"bottomKSample: NULL $idCol — a null hash would sort into " +
+            "the sample ahead of every real row; repair ids first")).as("h"),
+        col(idCol),
+        ColumnGuards.requireNonNull(col(valueCol),
+          s"bottomKSample: NULL $valueCol — a null value would " +
+            "silently vanish from every sample statistic").as(valueCol))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+      .transform(guardDuplicateIds(idCol, Seq.empty, "bottomKSample"))
+      .withColumn("k", lit(k))
+  }
+
+  /** Per-group [[bottomKSample]]: `(groupCol, h, idCol, valueCol, k)`
+    * rows, at most `k` per group. The `row_number <= k` prune plans a
+    * map-side WindowGroupLimit, so each map partition ships at most k
+    * rows PER GROUP into the exchange — a hot group costs k rows per
+    * partition, never its row count. */
+  def bottomKSampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k > 1, s"bottomKSampleByGroup needs k > 1, got $k")
+    requireSampleNames("bottomKSampleByGroup", idCol, valueCol, Some(groupCol))
+    ColumnGuards.requireNoReserved(df, "bottomKSampleByGroup", Set("__rk"))
+    df.select(
+        ColumnGuards.requireNonNull(col(groupCol),
+          s"bottomKSampleByGroup: NULL $groupCol group key").as(groupCol),
+        sampleRowHash(ColumnGuards.requireNonNull(col(idCol),
+          s"bottomKSampleByGroup: NULL $idCol — a null hash would sort " +
+            "into the sample ahead of every real row; repair ids first")).as("h"),
+        col(idCol),
+        ColumnGuards.requireNonNull(col(valueCol),
+          s"bottomKSampleByGroup: NULL $valueCol — a null value would " +
+            "silently vanish from every sample statistic").as(valueCol))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("h"), col(idCol))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+      .transform(guardDuplicateIds(idCol, Seq(groupCol), "bottomKSampleByGroup"))
+      .withColumn("k", lit(k))
+  }
+
+  /** Lossless sample-sketch union: the k hash-smallest rows of the
+    * combined shard samples are exactly [[bottomKSample]] of the
+    * combined corpus — the coordinator-merge layout (shards sample
+    * independently, k-sized frames merge anywhere). Exact duplicate
+    * rows (the same row carried by overlapping folds) collapse; the
+    * SAME id arriving with DIFFERENT values — a cross-shard id
+    * collision, which would make the merged "sample" carry two rows for
+    * one ticket — fails loudly via the duplicate-id guard. k-mismatch
+    * and by-group-shaped inputs also fail loudly. */
+  def bottomKSampleMerge(sketches: Seq[DataFrame], idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(sketches.nonEmpty, "bottomKSampleMerge needs at least one sketch")
+    sketches.foreach { s =>
+      require(s.columns.sorted.toSeq == Seq("h", idCol, valueCol, "k").sorted,
+        s"bottomKSampleMerge takes (h, $idCol, $valueCol, k) GLOBAL " +
+          s"sample sketches, got columns (${s.columns.mkString(", ")}) — " +
+          "use bottomKSampleMergeByGroup for by-group sketches")
+    }
+    sketches.reduce(_ unionByName _)
+      // the k check RIDES the kept h column — a dropped check column
+      // would be pruned out of the plan along with its raise_error
+      .select(sampleKChecked(k, "bottomKSampleMerge").as("h"),
+        col(idCol), col(valueCol))
+      .distinct()
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+      .transform(guardDuplicateIds(idCol, Seq.empty, "bottomKSampleMerge"))
+      .withColumn("k", lit(k))
+  }
+
+  /** Per-group twin of [[bottomKSampleMerge]], same plan shape as the
+    * by-group sketch's own prune (map-side WindowGroupLimit). Groups
+    * missing from some shards merge fine. */
+  def bottomKSampleMergeByGroup(sketches: Seq[DataFrame], groupCol: String,
+      idCol: String, valueCol: String, k: Int): DataFrame = {
+    require(sketches.nonEmpty,
+      "bottomKSampleMergeByGroup needs at least one sketch")
+    sketches.foreach { s =>
+      require(s.columns.sorted.toSeq ==
+          Seq(groupCol, "h", idCol, valueCol, "k").sorted,
+        s"bottomKSampleMergeByGroup takes ($groupCol, h, $idCol, " +
+          s"$valueCol, k) by-group sketches, got columns " +
+          s"(${s.columns.mkString(", ")}) — use bottomKSampleMerge for " +
+          "GLOBAL sketches")
+    }
+    sketches.reduce(_ unionByName _)
+      // k check rides the kept h column (see bottomKSampleMerge)
+      .select(col(groupCol),
+        sampleKChecked(k, "bottomKSampleMergeByGroup").as("h"),
+        col(idCol), col(valueCol))
+      .distinct()
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("h"), col(idCol))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+      .transform(guardDuplicateIds(idCol, Seq(groupCol),
+        "bottomKSampleMergeByGroup"))
+      .withColumn("k", lit(k))
+  }
+
+  /** Exact interpolated quantiles OF THE SAMPLE (Spark `percentile` =
+    * DuckDB `quantile_cont`), one column per requested p, rounded to 4
+    * decimals for cross-engine hash stability — plus `n_sample`, which
+    * consumers use to tell the exact regime (below capacity the sample
+    * IS the corpus slice and the quantiles are exact) from the
+    * estimated one. Reading at a different k than the sketch was built
+    * at fails loudly in-plan. */
+  def sampleQuantiles(sketch: DataFrame, idCol: String, valueCol: String,
+      k: Int, ps: Seq[Double]): DataFrame = {
+    require(sketch.columns.sorted.toSeq == Seq("h", idCol, valueCol, "k").sorted,
+      s"sampleQuantiles takes a (h, $idCol, $valueCol, k) GLOBAL sample " +
+        s"sketch, got columns (${sketch.columns.mkString(", ")})")
+    val qs = quantileAggs(valueCol, k, ps, "sampleQuantiles")
+    sketch.agg(count(lit(1)).as("n_sample"), qs: _*)
+  }
+
+  /** Per-group twin of [[sampleQuantiles]]. */
+  def sampleQuantilesByGroup(sketch: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, k: Int, ps: Seq[Double]): DataFrame = {
+    require(sketch.columns.sorted.toSeq ==
+        Seq(groupCol, "h", idCol, valueCol, "k").sorted,
+      s"sampleQuantilesByGroup takes a ($groupCol, h, $idCol, $valueCol, " +
+        s"k) by-group sketch, got columns (${sketch.columns.mkString(", ")})")
+    val qs = quantileAggs(valueCol, k, ps, "sampleQuantilesByGroup")
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"), qs: _*)
+  }
+
+  /** One percentile aggregate per requested p, labeled `q<percent>`
+    * (q25, q95, q99_9). The k check rides the aggregated value, so a
+    * mismatched sketch raises before any quantile is produced. */
+  private def quantileAggs(valueCol: String, k: Int, ps: Seq[Double],
+      op: String): Seq[Column] = {
+    require(ps.nonEmpty, s"$op: no quantiles requested")
+    ps.map { p =>
+      require(p > 0.0 && p < 1.0, s"$op: quantile p=$p outside (0, 1)")
+      val lbl = "q" + (BigDecimal(p) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+      round(percentile(
+        when(col("k") =!= k, raise_error(concat(
+          lit(s"$op: sketch was built at k="), col("k").cast("string"),
+          lit(s" but $op was asked for k=$k"))))
+          .otherwise(col(valueCol)).cast("double"),
+        lit(p)), 4).as(lbl)
+    }
+  }
+
+  /** In-plan k check for sample-sketch consumers — a mismatch means the
+    * frame is some OTHER sketch (or a truncated one) and every
+    * downstream statistic would silently carry the wrong error bound. */
+  private def sampleKChecked(k: Int, op: String): Column =
+    when(col("k") =!= k,
+      raise_error(concat(lit(s"$op: sketch was built at k="),
+        col("k").cast("string"), lit(s" but $op was asked for k=$k"))))
+      .otherwise(col("h"))
+
+  /** The kept sample is ordered by (h, id); a duplicated id is adjacent
+    * there, so one lag over the (tiny, already-pruned) frame surfaces
+    * the id-uniqueness contract violation loudly instead of letting the
+    * doubled ticket bias downstream statistics. */
+  private def guardDuplicateIds(idCol: String, groupCols: Seq[String],
+      op: String)(kept: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("h"), col(idCol))
+    kept
+      .withColumn("__prev_id", lag(col(idCol), 1).over(w))
+      .withColumn(idCol,
+        when(col("__prev_id") === col(idCol), raise_error(concat(
+          lit(s"$op: duplicate id in the kept sample ("),
+          col(idCol).cast("string"),
+          lit(s") — $idCol must uniquely identify rows"))))
+          .otherwise(col(idCol)))
+      .drop("__prev_id")
+  }
+
+  /** Sketch-family names are fixed (`h`, `k`); a caller column named
+    * either would be silently clobbered. */
+  private def requireSampleNames(op: String, idCol: String,
+      valueCol: String, groupCol: Option[String]): Unit = {
+    val named = Seq("idCol" -> idCol, "valueCol" -> valueCol) ++
+      groupCol.map("groupCol" -> _)
+    named.foreach { case (role, n) =>
+      require(n != "h" && n != "k",
+        s"$op: $role '$n' collides with the sketch's own (h, k) " +
+          "columns — rename it first")
+    }
+    require(idCol != valueCol && groupCol.forall(g => g != idCol && g != valueCol),
+      s"$op: idCol/valueCol/groupCol must be distinct columns, got " +
+        s"($idCol, $valueCol${groupCol.fold("")(g => s", $g")})")
+  }
 }

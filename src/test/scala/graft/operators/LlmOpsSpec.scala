@@ -526,6 +526,136 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bottomKSample: shard samples merge losslessly — merge == whole-corpus sample, global and by-group") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    // shards sliced orthogonally to the hash (doc_id ranges), so the
+    // bottom-k of the union genuinely interleaves shard contributions
+    val shards = (0 until 3).map(s => docs.filter(col("doc_id") % 3 === s))
+    val mergedG = Sampling.bottomKSampleMerge(
+        shards.map(Sampling.bottomKSample(_, "doc_id", "n_chars", 8)),
+        "doc_id", "n_chars", 8)
+      .select("h", "doc_id").as[(Long, Long)].collect().sorted.toSeq
+    val wholeG = Sampling.bottomKSample(docs, "doc_id", "n_chars", 8)
+      .select("h", "doc_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(mergedG == wholeG && wholeG.size == 8)
+    val merged = Sampling.bottomKSampleMergeByGroup(
+        shards.map(Sampling.bottomKSampleByGroup(_, "source", "doc_id", "n_chars", 4)),
+        "source", "doc_id", "n_chars", 4)
+      .select("source", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    val whole = Sampling.bottomKSampleByGroup(docs, "source", "doc_id", "n_chars", 4)
+      .select("source", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    assert(merged == whole && whole.nonEmpty)
+    // group-keyed shards: each group lives in one shard only; the merge
+    // must reproduce each group's own sample (missing-group tolerance)
+    val bySrc = (0 until 2).map(s =>
+      docs.filter(pmod(xxhash64(col("source")), lit(2)) === s))
+    val partial = Sampling.bottomKSampleMergeByGroup(
+        bySrc.map(Sampling.bottomKSampleByGroup(_, "source", "doc_id", "n_chars", 4)),
+        "source", "doc_id", "n_chars", 4)
+      .select("source", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    assert(partial == whole)
+  }
+
+  test("bottomKSample: below capacity the sample quantiles are EXACT; at capacity they track the corpus within the rank error band") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    // k >= every group: the sample IS the group, quantiles exact
+    val nMax = docs.groupBy("source").count().agg(max(col("count"))).as[Long].head().toInt
+    val exactViaSketch = Sampling.sampleQuantilesByGroup(
+        Sampling.bottomKSampleByGroup(docs, "source", "doc_id", "n_chars", nMax + 1),
+        "source", "doc_id", "n_chars", nMax + 1, Seq(0.25, 0.5, 0.75))
+      .select("source", "q25", "q50", "q75")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val exact = docs.groupBy(col("source"))
+      .agg(percentile(col("n_chars").cast("double"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(col("source"), round(col("qs")(0), 4), round(col("qs")(1), 4), round(col("qs")(2), 4))
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(exactViaSketch == exact)
+    // at capacity (GLOBAL k=128 over 500 docs): binomial rank error
+    // sqrt(p(1-p)/k) ~ 4.4% of rank at the median; the n_chars
+    // distribution is dense enough that 4 sigma of rank maps well inside
+    // 35% of value — a loose band, but it catches an off-by-regime bug
+    // (sampling values instead of rows, hashing the value column, ...)
+    val est = Sampling.sampleQuantiles(
+        Sampling.bottomKSample(docs, "doc_id", "n_chars", 128),
+        "doc_id", "n_chars", 128, Seq(0.5)).select("q50").as[Double].head()
+    val ex = docs.agg(percentile(col("n_chars").cast("double"), lit(0.5)))
+      .as[Double].head()
+    assert(math.abs(est - ex) / ex < 0.35, s"sampled median $est vs exact $ex")
+    assert(est > 0 && ex > 0)
+  }
+
+  test("bottomKSample: misuse fails loudly — k-mismatch, shape, NULLs, duplicate ids, name collisions") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val s8 = Sampling.bottomKSample(docs, "doc_id", "n_chars", 8)
+    // k travels IN the sketch: mixed-k merges and mismatched-k reads
+    // would silently change the error bound, so both raise in-plan
+    val e1 = intercept[Exception] {
+      Sampling.bottomKSampleMerge(Seq(s8,
+        Sampling.bottomKSample(docs, "doc_id", "n_chars", 16)),
+        "doc_id", "n_chars", 16).collect()
+    }
+    assert(messageText(e1).contains("built at k="))
+    val e2 = intercept[Exception] {
+      Sampling.sampleQuantiles(s8, "doc_id", "n_chars", 16, Seq(0.5)).collect()
+    }
+    assert(messageText(e2).contains("built at k="))
+    // shape mismatches refuse up front, naming the right twin
+    val byG = Sampling.bottomKSampleByGroup(docs, "source", "doc_id", "n_chars", 8)
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.bottomKSampleMerge(Seq(byG), "doc_id", "n_chars", 8)
+    }
+    assert(e3.getMessage.contains("ByGroup"))
+    val e4 = intercept[IllegalArgumentException] {
+      Sampling.bottomKSampleMergeByGroup(Seq(s8), "source", "doc_id", "n_chars", 8)
+    }
+    assert(e4.getMessage.contains("GLOBAL"))
+    // NULL ids and NULL values raise instead of biasing the sample
+    val e5 = intercept[Exception] {
+      Sampling.bottomKSample(Seq((Some(1L), 10L), (None, 20L))
+        .toDF("id", "v"), "id", "v", 4).collect()
+    }
+    assert(messageText(e5).contains("NULL id"))
+    val e6 = intercept[Exception] {
+      Sampling.bottomKSample(Seq((1L, Some(10L)), (2L, None))
+        .toDF("id", "v"), "id", "v", 4).collect()
+    }
+    assert(messageText(e6).contains("NULL v"))
+    // a duplicated id inside the kept sample = two tickets for one row
+    val e7 = intercept[Exception] {
+      Sampling.bottomKSample(Seq((1L, 10L), (1L, 20L), (2L, 30L))
+        .toDF("id", "v"), "id", "v", 4).collect()
+    }
+    assert(messageText(e7).contains("duplicate id"))
+    // ... and the same guard catches a cross-shard id collision at merge
+    val e8 = intercept[Exception] {
+      Sampling.bottomKSampleMerge(Seq(
+        Sampling.bottomKSample(Seq((1L, 10L)).toDF("id", "v"), "id", "v", 4),
+        Sampling.bottomKSample(Seq((1L, 99L)).toDF("id", "v"), "id", "v", 4)),
+        "id", "v", 4).collect()
+    }
+    assert(messageText(e8).contains("duplicate id"))
+    // the sketch's own (h, k) names and same-column misuse are refused
+    val e9 = intercept[IllegalArgumentException] {
+      Sampling.bottomKSample(docs.withColumnRenamed("doc_id", "h"), "h", "n_chars", 4)
+    }
+    assert(e9.getMessage.contains("collides"))
+    val e10 = intercept[IllegalArgumentException] {
+      Sampling.bottomKSample(docs, "doc_id", "doc_id", 4)
+    }
+    assert(e10.getMessage.contains("distinct columns"))
+    val e11 = intercept[IllegalArgumentException] {
+      Sampling.sampleQuantiles(s8, "doc_id", "n_chars", 8, Seq(1.5))
+    }
+    assert(e11.getMessage.contains("outside (0, 1)"))
+  }
+
   test("hashedBowScore: buckets match the md5-prefix contract, exact micro sums") {
     val sp = spark; import sp.implicits._
     val n = 16

@@ -426,4 +426,20 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"),
       s"composed domain pipeline must not plan a cartesian:\n$p")
   }
+
+  test("bottom-k sample sketch: global is a TakeOrdered heap, by-group pushes a map-side group limit") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    // global: per-partition top-k heaps merged at the driver — a full
+    // Sort + GlobalLimit would materialize the corpus ordering
+    val pg = plan(Sampling.bottomKSample(docs, "doc_id", "n_chars", 16))
+    assert(pg.contains("TakeOrderedAndProject"),
+      s"global bottom-k must plan per-partition heaps (TakeOrdered):\n$pg")
+    // by-group: the rank<=k prune must run map-side before the exchange,
+    // so a hot group ships k rows per partition, never its row count
+    val pb = plan(Sampling.bottomKSampleByGroup(
+      docs, "source", "doc_id", "n_chars", 16))
+    assert(countOf(pb, "WindowGroupLimit") >= 2,
+      s"by-group bottom-k must run a map-side group limit:\n$pb")
+  }
 }
