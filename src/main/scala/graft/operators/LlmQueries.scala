@@ -2153,6 +2153,81 @@ object LlmQueries {
       |FROM s WHERE rk <= 16
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------- streaming sample-sketch fold
+  /** The mergeable sample as a STREAMING reservoir — the layout that
+    * maintains a uniform sample of an unbounded ingest at O(k · batches)
+    * state with no read-modify-write: each micro-batch sketches ONLY its
+    * own rows and writes the k-sized frame to its own
+    * `sketch_batch_<id>` dir (idempotent overwrite, so at-least-once
+    * foreachBatch redelivery rewrites the same dir instead of doubling
+    * tickets), and the read side merges every batch sketch losslessly.
+    * A checkpoint RESTART splits the run mid-stream. The oracle replays
+    * the whole-corpus single-pass sketch, so a hash match pins the full
+    * contract at once: batch boundaries, the restart, and the
+    * sketch-of-sketches merge must not change the sample. */
+  val qSampleStreamSketch: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    withScratchIndex("graft_gate_ssketch_") { dir =>
+      val (src, ckpt, out) = (s"${dir}_feed", s"${dir}_ckpt", s"${dir}_out")
+      val feed = java.nio.file.Paths.get(src)
+      java.nio.file.Files.createDirectories(feed)
+      // schema template only — never executed
+      val sketchSchema = Sampling.bottomKSampleByGroup(
+        docs.limit(0), "source", "doc_id", "n_chars", 8).schema
+      def feedFile(i: Int): Unit =
+        graft.streaming.FeedStaging.writePinned(
+          docs.filter(col("doc_id") % 4 === i), feed,
+          f"slice_$i%02d", 1000L * (i + 1))
+      def runLeg(): Unit = {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              Sampling.bottomKSampleByGroup(b, "source", "doc_id", "n_chars", 8)
+                .write.mode("overwrite").parquet(s"$out/sketch_batch_$id")
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      feedFile(0); feedFile(1)
+      runLeg() // batches 0-1
+      feedFile(2); feedFile(3)
+      runLeg() // checkpoint resume: batches 2-3
+      val sketchDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("sketch_batch_"))
+        .map(_.toString).sorted.toSeq
+      require(sketchDirs.size == 4,
+        s"sample_stream_sketch: expected 4 batch sketches, got $sketchDirs")
+      // explicit schema: state dirs are never schema-inferred (an empty
+      // micro-batch writes a _SUCCESS-only dir)
+      val merged = Sampling.bottomKSampleMergeByGroup(
+        sketchDirs.map(p => s.read.schema(sketchSchema).parquet(p)),
+        "source", "doc_id", "n_chars", 8)
+      Sampling.sampleQuantilesByGroup(merged, "source", "doc_id", "n_chars",
+          8, Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Whole-corpus replay at k=8 — same derivation as
+    * [[qSampleQuantileSketchSql]], independent of the batch split. */
+  val qSampleStreamSketchSql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, count(*) AS n_sample,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS q25,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS q50,
+      |  round(quantile_cont(n_chars, 0.75), 4) AS q75,
+      |  round(quantile_cont(n_chars, 0.95), 4) AS q95
+      |FROM s WHERE rk <= 8
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- per-source cap
   /** Per-domain document cap: keep at most 40 docs per source, longest
     * first (n_chars desc, doc_id as the unique tiebreak). The gate
@@ -3680,6 +3755,7 @@ object LlmQueries {
     "sample_mixture"      -> qSampleMixture,
     "sample_temperature"  -> qSampleTemperature,
     "sample_quantile_sketch" -> qSampleQuantileSketch,
+    "sample_stream_sketch" -> qSampleStreamSketch,
     "sample_shuffle"      -> qSampleShuffle,
     "sample_source_cap"   -> qSampleSourceCap,
     "sample_token_budget" -> qSampleTokenBudget,
@@ -3753,6 +3829,7 @@ object LlmQueries {
     "sample_mixture"      -> qSampleMixtureSql,
     "sample_temperature"  -> qSampleTemperatureSql,
     "sample_quantile_sketch" -> qSampleQuantileSketchSql,
+    "sample_stream_sketch" -> qSampleStreamSketchSql,
     "sample_shuffle"      -> qSampleShuffleSql,
     "sample_source_cap"   -> qSampleSourceCapSql,
     "sample_token_budget" -> qSampleTokenBudgetSql,
