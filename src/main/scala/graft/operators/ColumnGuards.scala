@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{lit, raise_error, when}
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
 
 /** The one fail-fast-on-null column guard. Operators that feed a null
   * into a non-nullable encoder or a keyed shuffle die mid-job with an
@@ -29,4 +29,19 @@ object ColumnGuards {
     require(hit.isEmpty,
       s"$op: input columns collide with internals: ${hit.mkString(", ")}")
   }
+
+  /** In-plan guard that a sketch frame's recorded build-time `k` column
+    * matches the `k` its consumer assumes — a mismatch silently
+    * mis-scales an estimator or changes a sample's error bound, so it
+    * raises with both values named. The check RIDES the frame's kept
+    * `h` column (a check on a column that is later dropped would be
+    * pruned out of the plan along with its raise_error). Shared by the
+    * KMV distinct sketch and the bottom-k sample sketch — one
+    * definition so a fix to the k-mismatch class reaches every sketch
+    * family. */
+  def kChecked(k: Int, op: String): Column =
+    when(col("k") =!= k,
+      raise_error(concat(lit(s"$op: sketch was built at k="),
+        col("k").cast("string"), lit(s" but $op was asked for k=$k"))))
+      .otherwise(col("h"))
 }

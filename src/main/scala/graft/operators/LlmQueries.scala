@@ -2195,7 +2195,10 @@ object LlmQueries {
       runLeg() // batches 0-1
       feedFile(2); feedFile(3)
       runLeg() // checkpoint resume: batches 2-3
-      val sketchDirs = new java.io.File(out).listFiles()
+      // listFiles is null when the stream never wrote — fall through to
+      // the named require instead of an NPE
+      val sketchDirs = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory && f.getName.startsWith("sketch_batch_"))
         .map(_.toString).sorted.toSeq
       require(sketchDirs.size == 4,

@@ -444,26 +444,26 @@ object Sampling {
     * rows (the same row carried by overlapping folds) collapse; the
     * SAME id arriving with DIFFERENT values — a cross-shard id
     * collision, which would make the merged "sample" carry two rows for
-    * one ticket — fails loudly via the duplicate-id guard. k-mismatch
-    * and by-group-shaped inputs also fail loudly. */
+    * one ticket — fails loudly via the duplicate-id guard, which runs
+    * on the PRE-prune union (already ≤ k·shards rows) so a collision
+    * pair split by the k boundary cannot slip through with an
+    * arbitrarily-chosen twin. k-mismatch and by-group-shaped inputs
+    * also fail loudly. */
   def bottomKSampleMerge(sketches: Seq[DataFrame], idCol: String,
       valueCol: String, k: Int): DataFrame = {
     require(sketches.nonEmpty, "bottomKSampleMerge needs at least one sketch")
-    sketches.foreach { s =>
-      require(s.columns.sorted.toSeq == Seq("h", idCol, valueCol, "k").sorted,
-        s"bottomKSampleMerge takes (h, $idCol, $valueCol, k) GLOBAL " +
-          s"sample sketches, got columns (${s.columns.mkString(", ")}) — " +
-          "use bottomKSampleMergeByGroup for by-group sketches")
-    }
+    requireSampleNames("bottomKSampleMerge", idCol, valueCol, None)
+    sketches.foreach(requireSampleShape(_, "bottomKSampleMerge",
+      Seq("h", idCol, valueCol, "k"), "bottomKSampleMergeByGroup"))
     sketches.reduce(_ unionByName _)
       // the k check RIDES the kept h column — a dropped check column
       // would be pruned out of the plan along with its raise_error
-      .select(sampleKChecked(k, "bottomKSampleMerge").as("h"),
+      .select(ColumnGuards.kChecked(k, "bottomKSampleMerge").as("h"),
         col(idCol), col(valueCol))
       .distinct()
+      .transform(guardDuplicateIds(idCol, Seq.empty, "bottomKSampleMerge"))
       .orderBy(col("h"), col(idCol))
       .limit(k)
-      .transform(guardDuplicateIds(idCol, Seq.empty, "bottomKSampleMerge"))
       .withColumn("k", lit(k))
   }
 
@@ -474,27 +474,25 @@ object Sampling {
       idCol: String, valueCol: String, k: Int): DataFrame = {
     require(sketches.nonEmpty,
       "bottomKSampleMergeByGroup needs at least one sketch")
-    sketches.foreach { s =>
-      require(s.columns.sorted.toSeq ==
-          Seq(groupCol, "h", idCol, valueCol, "k").sorted,
-        s"bottomKSampleMergeByGroup takes ($groupCol, h, $idCol, " +
-          s"$valueCol, k) by-group sketches, got columns " +
-          s"(${s.columns.mkString(", ")}) — use bottomKSampleMerge for " +
-          "GLOBAL sketches")
-    }
+    requireSampleNames("bottomKSampleMergeByGroup", idCol, valueCol,
+      Some(groupCol))
+    sketches.foreach(requireSampleShape(_, "bottomKSampleMergeByGroup",
+      Seq(groupCol, "h", idCol, valueCol, "k"), "bottomKSampleMerge"))
     sketches.reduce(_ unionByName _)
-      // k check rides the kept h column (see bottomKSampleMerge)
+      // k check rides the kept h column (see bottomKSampleMerge); the
+      // duplicate-id guard runs PRE-prune for the same boundary-split
+      // reason, on the ≤ k·shards-per-group union
       .select(col(groupCol),
-        sampleKChecked(k, "bottomKSampleMergeByGroup").as("h"),
+        ColumnGuards.kChecked(k, "bottomKSampleMergeByGroup").as("h"),
         col(idCol), col(valueCol))
       .distinct()
+      .transform(guardDuplicateIds(idCol, Seq(groupCol),
+        "bottomKSampleMergeByGroup"))
       .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(groupCol)).orderBy(col("h"), col(idCol))))
       .filter(col("__rk") <= k)
       .drop("__rk")
-      .transform(guardDuplicateIds(idCol, Seq(groupCol),
-        "bottomKSampleMergeByGroup"))
       .withColumn("k", lit(k))
   }
 
@@ -507,9 +505,9 @@ object Sampling {
     * at fails loudly in-plan. */
   def sampleQuantiles(sketch: DataFrame, idCol: String, valueCol: String,
       k: Int, ps: Seq[Double]): DataFrame = {
-    require(sketch.columns.sorted.toSeq == Seq("h", idCol, valueCol, "k").sorted,
-      s"sampleQuantiles takes a (h, $idCol, $valueCol, k) GLOBAL sample " +
-        s"sketch, got columns (${sketch.columns.mkString(", ")})")
+    requireSampleNames("sampleQuantiles", idCol, valueCol, None)
+    requireSampleShape(sketch, "sampleQuantiles",
+      Seq("h", idCol, valueCol, "k"), "sampleQuantilesByGroup")
     val qs = quantileAggs(valueCol, k, ps, "sampleQuantiles")
     sketch.agg(count(lit(1)).as("n_sample"), qs: _*)
   }
@@ -517,10 +515,9 @@ object Sampling {
   /** Per-group twin of [[sampleQuantiles]]. */
   def sampleQuantilesByGroup(sketch: DataFrame, groupCol: String,
       idCol: String, valueCol: String, k: Int, ps: Seq[Double]): DataFrame = {
-    require(sketch.columns.sorted.toSeq ==
-        Seq(groupCol, "h", idCol, valueCol, "k").sorted,
-      s"sampleQuantilesByGroup takes a ($groupCol, h, $idCol, $valueCol, " +
-        s"k) by-group sketch, got columns (${sketch.columns.mkString(", ")})")
+    requireSampleNames("sampleQuantilesByGroup", idCol, valueCol, Some(groupCol))
+    requireSampleShape(sketch, "sampleQuantilesByGroup",
+      Seq(groupCol, "h", idCol, valueCol, "k"), "sampleQuantiles")
     val qs = quantileAggs(valueCol, k, ps, "sampleQuantilesByGroup")
     sketch.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_sample"), qs: _*)
@@ -545,15 +542,6 @@ object Sampling {
     }
   }
 
-  /** In-plan k check for sample-sketch consumers — a mismatch means the
-    * frame is some OTHER sketch (or a truncated one) and every
-    * downstream statistic would silently carry the wrong error bound. */
-  private def sampleKChecked(k: Int, op: String): Column =
-    when(col("k") =!= k,
-      raise_error(concat(lit(s"$op: sketch was built at k="),
-        col("k").cast("string"), lit(s" but $op was asked for k=$k"))))
-      .otherwise(col("h"))
-
   /** The kept sample is ordered by (h, id); a duplicated id is adjacent
     * there, so one lag over the (tiny, already-pruned) frame surfaces
     * the id-uniqueness contract violation loudly instead of letting the
@@ -574,19 +562,36 @@ object Sampling {
       .drop("__prev_id")
   }
 
-  /** Sketch-family names are fixed (`h`, `k`); a caller column named
-    * either would be silently clobbered. */
+  /** Sketch-family names are fixed (`h`, `k`) and the internals use
+    * `__rk`/`__prev_id` as working columns; a caller column under any
+    * of those names would be silently clobbered (or, for `__prev_id`,
+    * make the duplicate-id guard compare a column to its own lag and
+    * falsely raise on every valid ≥2-row sample). */
   private def requireSampleNames(op: String, idCol: String,
       valueCol: String, groupCol: Option[String]): Unit = {
     val named = Seq("idCol" -> idCol, "valueCol" -> valueCol) ++
       groupCol.map("groupCol" -> _)
     named.foreach { case (role, n) =>
-      require(n != "h" && n != "k",
-        s"$op: $role '$n' collides with the sketch's own (h, k) " +
-          "columns — rename it first")
+      require(n != "h" && n != "k" && n != "__rk" && n != "__prev_id",
+        s"$op: $role '$n' collides with the sketch's own (h, k) or " +
+          "internal (__rk, __prev_id) columns — rename it first")
     }
     require(idCol != valueCol && groupCol.forall(g => g != idCol && g != valueCol),
       s"$op: idCol/valueCol/groupCol must be distinct columns, got " +
         s"($idCol, $valueCol${groupCol.fold("")(g => s", $g")})")
   }
+
+  /** Sample-sketch frames are checked POSITIONALLY against the exact
+    * column order the builders emit — a set-equality check would let
+    * swapped idCol/valueCol arguments through, and the swap either
+    * fails a valid merge with a misleading duplicate-id message (two
+    * sampled rows sharing a metric value) or silently changes the
+    * dedup/tie-break semantics. */
+  private def requireSampleShape(df: DataFrame, op: String,
+      expected: Seq[String], twin: String): Unit =
+    require(df.columns.toSeq == expected,
+      s"$op takes (${expected.mkString(", ")}) sketches in builder " +
+        s"column order, got (${df.columns.mkString(", ")}) — check the " +
+        s"idCol/valueCol argument order, or use $twin for the other " +
+        "sketch shape")
 }

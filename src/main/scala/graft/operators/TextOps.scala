@@ -476,12 +476,10 @@ object TextOps {
   /** In-plan guard that a sketch row's recorded `k` matches the `k` the
     * consumer assumes — a mismatch silently mis-scales the estimator
     * (the denominator would be x_(j), not x_(k)) or breaks the merge
-    * contract, so it raises with both values named. */
+    * contract. One shared definition across sketch families
+    * ([[ColumnGuards.kChecked]]). */
   private def kmvKChecked(k: Int, op: String): Column =
-    when(col("k") =!= k,
-      raise_error(concat(lit(s"$op: sketch was built at k="),
-        col("k").cast("string"), lit(s" but $op was asked for k=$k"))))
-      .otherwise(col("h"))
+    ColumnGuards.kChecked(k, op)
 
   /** A GLOBAL sketch is exactly (h, k): a by-group frame fed to a global
     * consumer would silently aggregate ACROSS groups (n_kept = sum of

@@ -615,7 +615,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e4 = intercept[IllegalArgumentException] {
       Sampling.bottomKSampleMergeByGroup(Seq(s8), "source", "doc_id", "n_chars", 8)
     }
-    assert(e4.getMessage.contains("GLOBAL"))
+    assert(e4.getMessage.contains("bottomKSampleMerge"))
+    // swapped id/value arguments must not pass the shape check (set
+    // equality would admit them and misfire downstream)
+    val eSwap = intercept[IllegalArgumentException] {
+      Sampling.bottomKSampleMerge(Seq(s8), "n_chars", "doc_id", 8)
+    }
+    assert(eSwap.getMessage.contains("column order"))
+    // internal working names are refused up front: an id column named
+    // __prev_id would make the duplicate-id guard compare the column to
+    // its own lag and falsely raise on every valid sample
+    val ePrev = intercept[IllegalArgumentException] {
+      Sampling.bottomKSample(docs.withColumnRenamed("doc_id", "__prev_id"),
+        "__prev_id", "n_chars", 4)
+    }
+    assert(ePrev.getMessage.contains("__prev_id"))
     // NULL ids and NULL values raise instead of biasing the sample
     val e5 = intercept[Exception] {
       Sampling.bottomKSample(Seq((Some(1L), 10L), (None, 20L))
@@ -641,6 +655,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "id", "v", 4).collect()
     }
     assert(messageText(e8).contains("duplicate id"))
+    // ... INCLUDING a collision pair that straddles the k boundary: the
+    // guard runs on the pre-prune union, so the pair ranked (k, k+1)
+    // cannot slip through with an arbitrarily-chosen twin. Pick a filler
+    // id that hashes BELOW the collision id so ranks are (filler, twin,
+    // twin) and limit(k=2) would cut between the twins.
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ids = (1L to 10L).sortBy(h60)
+    val (filler, collide) = (ids.head, ids.last)
+    val e8b = intercept[Exception] {
+      Sampling.bottomKSampleMerge(Seq(
+        Sampling.bottomKSample(
+          Seq((filler, 10L), (collide, 20L)).toDF("id", "v"), "id", "v", 2),
+        Sampling.bottomKSample(
+          Seq((collide, 99L)).toDF("id", "v"), "id", "v", 2)),
+        "id", "v", 2).collect()
+    }
+    assert(messageText(e8b).contains("duplicate id"))
     // the sketch's own (h, k) names and same-column misuse are refused
     val e9 = intercept[IllegalArgumentException] {
       Sampling.bottomKSample(docs.withColumnRenamed("doc_id", "h"), "h", "n_chars", 4)
