@@ -127,6 +127,25 @@ object LlmQueries {
       dir
     })
 
+  /** Pin a memory-sink streaming result onto the DRIVER and drop the
+    * sink's temp view. The collect-before-cleanup matters: a
+    * localCheckpoint would live in non-replicated executor storage, and
+    * eviction or executor loss before the result is consumed would
+    * force a recompute from state that the gate is about to release.
+    * The view drop is best-effort (the result is already pinned). One
+    * definition, so the pin-then-release contract cannot drift between
+    * the streaming gates. `session` is the session the query STARTED on
+    * (the sink registers its view there — for gates that clone a
+    * sized session, that clone, not the caller's session). */
+  private def pinMemorySinkResult(session: SparkSession, viewName: String,
+      resDf: DataFrame): DataFrame = {
+    val rows = resDf.collect()
+    val outSchema = resDf.schema
+    try session.catalog.dropTempView(viewName)
+    catch { case _: Throwable => () }
+    session.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+
   /** Run a gate body against a fresh per-invocation scratch dir (an ANN
     * index the gate builds and probes), eagerly materialize its small
     * result, and delete the dir right away — SUCCESS OR FAILURE:
@@ -184,17 +203,10 @@ object LlmQueries {
         .option("checkpointLocation", ckpt.toString)
         .queryName("graft_sdedup_out").start()
       try q.processAllAvailable() finally q.stop()
-      val resDf = s.table("graft_sdedup_out")
-        .agg(
+      pinMemorySinkResult(s, "graft_sdedup_out",
+        s.table("graft_sdedup_out").agg(
           count(lit(1)).as("n_kept"),
-          sum(length(TextOps.normText(col("text")))).as("sum_norm_len"))
-      val rows = resDf.collect()
-      val outSchema = resDf.schema
-      // the staged dir is memoized for re-runs; only the sink view is
-      // per-invocation state (best-effort — the result is already pinned)
-      try s.catalog.dropTempView("graft_sdedup_out")
-      catch { case _: Throwable => () }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+          sum(length(TextOps.normText(col("text")))).as("sum_norm_len")))
     } finally graft.TempDirs.release(ckpt)
   }
 
@@ -746,6 +758,11 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // both sides splice the SHARED shingle rule (shingle3Sql) — a bare
+  // list comprehension here would silently lack the short-doc
+  // whole-text branch Dedup.shingles carries (a <=2-token doc would
+  // yield [] vs the operator's [whole text]) and would desync from any
+  // future change to the one shingle definition
   val qDedupNgramJaccardSql: String =
     """WITH tok AS (
       |  SELECT doc_id,
@@ -753,17 +770,15 @@ object LlmQueries {
       |    string_split(lower(trim(regexp_replace(text || ' zzzz', '\s+', ' ', 'g'))), ' ') AS t2
       |  FROM documents WHERE doc_id % 7 = 0
       |), sh AS (
-      |  SELECT doc_id,
-      |    list_distinct([t1[i] || ' ' || t1[i+1] || ' ' || t1[i+2]
-      |      FOR i IN generate_series(1, len(t1) - 2)]) AS sh_a,
-      |    list_distinct([t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2]
-      |      FOR i IN generate_series(1, len(t2) - 2)]) AS sh_b
+      |  SELECT doc_id, <<SHINGLE_A>> AS sh_a, <<SHINGLE_B>> AS sh_b
       |  FROM tok
       |)
       |SELECT doc_id,
       |  round(len(list_intersect(sh_a, sh_b))::DOUBLE
       |        / len(list_distinct(sh_a || sh_b))::DOUBLE, 6) AS jaccard
       |FROM sh ORDER BY doc_id""".stripMargin
+      .replace("<<SHINGLE_A>>", shingle3Sql.replace("toks", "t1"))
+      .replace("<<SHINGLE_B>>", shingle3Sql.replace("toks", "t2"))
 
   // ----------------------------------------- embedding-cosine near-dup
   /** Embedding near-dup via hyperplane buckets: duplicated vectors share
@@ -1055,22 +1070,30 @@ object LlmQueries {
     * predicate so every gate that proves "some persisted-state lifecycle
     * ≡ one-shot probe" (batch composition, streaming retrieval) replays
     * the identical math over its own queries. */
-  private def annOneShotProbeSql(queryPred: String): String =
-    """WITH cent AS (
-      |  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 32
+  private def annOneShotProbeSql(queryPred: String,
+      corpusWhere: Option[String] = None): String = {
+    // ONE definition of the probe replay for every lifecycle gate —
+    // `corpusWhere` swaps the indexed corpus (e.g. the rebuild oracle's
+    // tombstone-excluded survivors) without duplicating the probe math;
+    // queries always come from the full embeddings table
+    val prefix = corpusWhere.fold("")(w =>
+      s"corpus AS (\n  SELECT vec_id, embedding FROM embeddings\n  WHERE $w\n), ")
+    val corpus = corpusWhere.fold("embeddings")(_ => "corpus")
+    s"""WITH ${prefix}cent AS (
+      |  SELECT vec_id AS cid, embedding FROM <<CORPUS>> ORDER BY vec_id LIMIT 32
       |), assigned AS (
       |  SELECT vec_id AS neighbor_id, cid FROM (
       |    SELECT e.vec_id, c.cid,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
       |                 c.cid) AS arn
-      |    FROM embeddings e CROSS JOIN cent c
+      |    FROM <<CORPUS>> e CROSS JOIN cent c
       |  ) WHERE arn = 1
       |), qz AS (
       |  SELECT vec_id,
       |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale,
       |    embedding
-      |  FROM embeddings
+      |  FROM <<CORPUS>>
       |), deq AS (
       |  SELECT vec_id AS neighbor_id,
       |    CASE WHEN scale = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0)
@@ -1103,10 +1126,12 @@ object LlmQueries {
       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
       |               c.neighbor_id) AS rk
       |  FROM cand c
-      |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+      |  JOIN <<CORPUS>> e ON e.vec_id = c.neighbor_id
       |  JOIN embeddings q ON q.vec_id = c.query_id
       |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
       .replace("<<QPRED>>", queryPred)
+      .replace("<<CORPUS>>", corpus)
+  }
 
   val qAnnIndexIngestSql: String = annOneShotProbeSql("q.vec_id < 10")
 
@@ -1187,60 +1212,8 @@ object LlmQueries {
     }.orderBy(col("query_id"), col("rk"))
   }
 
-  val qAnnRebuildSql: String =
-    """WITH corpus AS (
-      |  SELECT vec_id, embedding FROM embeddings
-      |  WHERE vec_id % 10 NOT IN (3, 7)
-      |), cent AS (
-      |  SELECT vec_id AS cid, embedding FROM corpus ORDER BY vec_id LIMIT 32
-      |), assigned AS (
-      |  SELECT vec_id AS neighbor_id, cid FROM (
-      |    SELECT e.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
-      |                 c.cid) AS arn
-      |    FROM corpus e CROSS JOIN cent c
-      |  ) WHERE arn = 1
-      |), qz AS (
-      |  SELECT vec_id,
-      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale,
-      |    embedding
-      |  FROM corpus
-      |), deq AS (
-      |  SELECT vec_id AS neighbor_id,
-      |    CASE WHEN scale = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0)
-      |         ELSE list_transform(embedding::DOUBLE[],
-      |                x -> CAST(floor(x / scale + 0.5) AS INT) * scale) END AS vec_deq
-      |  FROM qz
-      |), probes AS (
-      |  SELECT query_id, query_vec, cid FROM (
-      |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
-      |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-      |                 c.cid) AS prn
-      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
-      |  ) WHERE prn <= 4
-      |), cand AS (
-      |  SELECT query_id, neighbor_id FROM (
-      |    SELECT p.query_id, a.neighbor_id,
-      |      row_number() OVER (PARTITION BY p.query_id
-      |        ORDER BY round(list_cosine_similarity(p.query_vec::DOUBLE[], d.vec_deq), 9) DESC,
-      |                 a.neighbor_id) AS ark
-      |    FROM probes p JOIN assigned a USING (cid)
-      |    JOIN deq d ON d.neighbor_id = a.neighbor_id
-      |    WHERE a.neighbor_id <> p.query_id
-      |  ) WHERE ark <= 20
-      |)
-      |SELECT query_id, rk, neighbor_id, sim FROM (
-      |  SELECT c.query_id, c.neighbor_id,
-      |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim,
-      |    row_number() OVER (PARTITION BY c.query_id
-      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
-      |               c.neighbor_id) AS rk
-      |  FROM cand c
-      |  JOIN corpus e ON e.vec_id = c.neighbor_id
-      |  JOIN embeddings q ON q.vec_id = c.query_id
-      |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  val qAnnRebuildSql: String = annOneShotProbeSql("q.vec_id < 10",
+    corpusWhere = Some("vec_id % 10 NOT IN (3, 7)"))
 
   // ---------------------------------------------- ANN index LIFECYCLE
   /** The full index-lifecycle runbook THROUGH the `_current` pointer,
@@ -1552,19 +1525,10 @@ object LlmQueries {
         .option("checkpointLocation", ckpt.toString)
         .queryName("graft_stream_daily").start()
       try q.processAllAvailable() finally q.stop()
-      // The result is ~150 rows (days × event types), so pin it on the
-      // driver and rebuild a local DataFrame: the memory-sink table and
-      // the temp re-lay directory can then be released immediately
-      // instead of accumulating session state and disk across
-      // gate/bench invocations.
-      val resDf = s.table("graft_stream_daily").orderBy(col("day"), col("event_type"))
-      val rows = resDf.collect()
-      val outSchema = resDf.schema
-      // the staged re-lay is memoized for re-runs; only the sink view is
-      // per-invocation state (best-effort — the result is already pinned)
-      try s.catalog.dropTempView("graft_stream_daily")
-      catch { case _: Throwable => () }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      // ~150 rows (days × event types): pin on the driver so the
+      // memory-sink table and the temp re-lay dir release immediately
+      pinMemorySinkResult(s, "graft_stream_daily",
+        s.table("graft_stream_daily").orderBy(col("day"), col("event_type")))
     } finally graft.TempDirs.release(ckpt)
   }
 
@@ -1612,8 +1576,12 @@ object LlmQueries {
       // 2 micro-batches (4 files each), not 8×1: the property under the
       // oracle is batch-boundary INVARIANCE, which two boundaries prove
       // as well as eight — while each extra micro-batch pays the full
-      // symmetric-join state machinery, the dominant cost here
-      def src = ss.readStream.schema(schema)
+      // symmetric-join state machinery, the dominant cost here.
+      // ONE source instance (val, not def): Spark supports stream-stream
+      // self-joins from a single FileStreamSource, and a second instance
+      // would double the checkpointed source entries, directory listings
+      // and full feed scans per trigger
+      val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "4").parquet(dir.toString)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("cu"), col("ts").as("cts"),
@@ -1633,13 +1601,9 @@ object LlmQueries {
         .option("checkpointLocation", ckpt.toString)
         .queryName("graft_stream_attrib").start()
       try q.processAllAvailable() finally q.stop()
-      val resDf = ss.table("graft_stream_attrib")
-        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
-      val rows = resDf.collect()
-      val outSchema = resDf.schema
-      try ss.catalog.dropTempView("graft_stream_attrib")
-      catch { case _: Throwable => () }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      pinMemorySinkResult(ss, "graft_stream_attrib",
+        ss.table("graft_stream_attrib")
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id")))
     } finally graft.TempDirs.release(ckpt)
   }
 
@@ -1752,12 +1716,8 @@ object LlmQueries {
         .option("checkpointLocation", ckpt.toString)
         .queryName("graft_stream_late").start()
       try q.processAllAvailable() finally q.stop()
-      val resDf = s.table("graft_stream_late").orderBy(col("day"), col("event_type"))
-      val rows = resDf.collect()
-      val outSchema = resDf.schema
-      try s.catalog.dropTempView("graft_stream_late")
-      catch { case _: Throwable => () }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      pinMemorySinkResult(s, "graft_stream_late",
+        s.table("graft_stream_late").orderBy(col("day"), col("event_type")))
     } finally graft.TempDirs.release(ckpt)
   }
 
@@ -1870,7 +1830,15 @@ object LlmQueries {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val snippets = docs.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 300000L).as("doc_id"),
-        concat_ws(" ", slice(graft.operators.TextOps.tokens(col("text")), 1, 12)).as("text"))
+        // preserve NULL: concat_ws never returns NULL (it skips null
+        // args), so a NULL-text doc would otherwise enter the pairing
+        // as the "" snippet — able to pair at containment 1.0 — while
+        // the oracle's array_to_string keeps NULL and drops the doc
+        // from its shingle CTE entirely
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            slice(graft.operators.TextOps.tokens(col("text")), 1, 12)))
+          .as("text"))
     // 5-gram shingles: the synthetic corpus draws from a ~40-word
     // vocabulary, so 3-grams collide organically across most documents
     // and the inverted index degenerates toward the df cap; 5-grams are

@@ -291,11 +291,26 @@ object VtWire {
 
   // -- decoding ---------------------------------------------------------
 
-  private def eachField(bytes: Array[Byte])(f: (Int, CodedInputStream) => Boolean): Unit = {
+  /** Iterate a message's fields, dispatching to `f` by field number. A
+    * field whose tag carries a DIFFERENT wire type than the decoder
+    * declares in `wires` is treated as UNKNOWN and skipped — the protoc
+    * stance (wire-type mismatches route to unknown fields). Handing it
+    * to the handler instead would read the mismatched encoding as if it
+    * were the declared one — the worst case being a varint VALUE
+    * consumed as a byte length, which silently mis-slices every field
+    * after it into wrong-but-plausible values (decodeRow guards this
+    * same class inline for its packed/unpacked dual encoding).
+    * `wires`: field number → expected wire type (0 = varint,
+    * 2 = length-delimited); a field absent from the map is passed
+    * through ungated. */
+  private def eachField(bytes: Array[Byte], wires: Map[Int, Int])(
+      f: (Int, CodedInputStream) => Boolean): Unit = {
     val in = CodedInputStream.newInstance(bytes)
     var tag = in.readTag()
     while (tag != 0) {
-      if (!f(tag >>> 3, in)) in.skipField(tag)
+      val fld = tag >>> 3
+      val declared = wires.get(fld).forall(_ == (tag & 7))
+      if (!declared || !f(fld, in)) in.skipField(tag)
       tag = in.readTag()
     }
   }
@@ -343,7 +358,7 @@ object VtWire {
 
   private def decodeField(bytes: Array[Byte]): FieldDef = {
     var name = ""; var tpe = 0; var len = 0; var dec = 0; var flags = 0L; var colType = ""
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 2, 2 -> 0, 7 -> 0, 9 -> 0, 10 -> 0, 11 -> 2)) {
       case (1, in) => name = in.readString(); true
       case (2, in) => tpe = in.readEnum(); true
       case (7, in) => len = in.readUInt32(); true
@@ -359,13 +374,13 @@ object VtWire {
     var table = ""
     val fields = Vector.newBuilder[PkField]
     val rows = Vector.newBuilder[PkRow]
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 2, 3 -> 2)) {
       case (1, in) => table = in.readString(); true
       case (3, in) =>
-        eachField(in.readByteArray()) {
+        eachField(in.readByteArray(), Map(1 -> 2, 4 -> 2)) {
           case (1, q) =>
             var n = ""; var t = 0; var cs = 0; var fl: Option[Int] = None
-            eachField(q.readByteArray()) {
+            eachField(q.readByteArray(), Map(1 -> 2, 2 -> 0, 8 -> 0, 10 -> 0)) {
               case (1, ff) => n = ff.readString(); true
               case (2, ff) => t = ff.readEnum(); true
               case (8, ff) => cs = ff.readUInt32(); true
@@ -391,7 +406,7 @@ object VtWire {
   private def decodeShardGtid(bytes: Array[Byte]): ShardGtid = {
     var ks = ""; var sh = ""; var gtid = ""
     val pks = Vector.newBuilder[TableLastPk]
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2)) {
       case (1, in) => ks = in.readString(); true
       case (2, in) => sh = in.readString(); true
       case (3, in) => gtid = in.readString(); true
@@ -403,7 +418,7 @@ object VtWire {
 
   def decodeVgtid(bytes: Array[Byte]): Vgtid = {
     val sgs = Vector.newBuilder[ShardGtid]
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 2)) {
       case (1, in) => sgs += decodeShardGtid(in.readByteArray()); true
       case _ => false
     }
@@ -425,7 +440,8 @@ object VtWire {
     var rowEvent: Array[Byte] = null
     var fieldEvent: Array[Byte] = null
     var vgtid: Array[Byte] = null
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 0, 2 -> 0, 4 -> 2, 5 -> 2, 6 -> 2, 7 -> 2,
+        22 -> 2, 23 -> 2)) {
       case (1, in) => tpe = in.readEnum(); true
       case (2, in) => ts = in.readInt64(); true
       case (4, in) => stmt = in.readString(); true
@@ -451,7 +467,8 @@ object VtWire {
       case VEventType.Field =>
         var table = ""; var feKs = ""; var feShard = ""; var ess = false
         val fields = Vector.newBuilder[FieldDef]
-        eachField(body("FIELD", fieldEvent)) {
+        eachField(body("FIELD", fieldEvent),
+            Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2, EnumSetStringValuesFld -> 0)) {
           case (1, in) => table = in.readString(); true
           case (2, in) => fields += decodeField(in.readByteArray()); true
           case (3, in) => feKs = in.readString(); true
@@ -466,14 +483,14 @@ object VtWire {
       case VEventType.Row =>
         var table = ""; var reKs = ""; var reShard = ""
         val changes = Vector.newBuilder[RowChange]
-        eachField(body("ROW", rowEvent)) {
+        eachField(body("ROW", rowEvent), Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2)) {
           case (1, in) => table = in.readString(); true
           case (2, in) =>
             // before/after Row chunks merge by concatenation (split
             // embedded messages are legal wire form), parsed once at end
             var beforeB: Array[Byte] = null
             var afterB: Array[Byte] = null
-            eachField(in.readByteArray()) {
+            eachField(in.readByteArray(), Map(1 -> 2, 2 -> 2)) {
               case (1, rc) => beforeB = chunkCat(beforeB, rc.readByteArray()); true
               case (2, rc) => afterB = chunkCat(afterB, rc.readByteArray()); true
               case _ => false
@@ -495,7 +512,7 @@ object VtWire {
 
   def decodeVStreamResponse(bytes: Array[Byte]): Seq[VEvent] = {
     val events = Vector.newBuilder[VEvent]
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 2)) {
       case (1, in) => events += decodeVEvent(in.readByteArray()); true
       case _ => false
     }
@@ -536,7 +553,7 @@ object VtWire {
   def decodeQueryResult(bytes: Array[Byte]): QueryResultModel = {
     val fields = Vector.newBuilder[FieldDef]
     val rows = Vector.newBuilder[PackedRow]
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 2, 4 -> 2)) {
       case (1, in) => fields += decodeField(in.readByteArray()); true
       case (4, in) => rows += decodeRow(in.readByteArray()); true
       case _ => false
@@ -557,16 +574,16 @@ object VtWire {
 
   def decodeExecuteRequest(bytes: Array[Byte]): ExecuteRequestModel = {
     var sql = ""; var target = ""; var autocommit = false
-    eachField(bytes) {
+    eachField(bytes, Map(2 -> 2, 3 -> 2)) {
       case (2, in) =>
-        eachField(in.readByteArray()) {
+        eachField(in.readByteArray(), Map(4 -> 0, 5 -> 2)) {
           case (4, s) => autocommit = s.readBool(); true
           case (5, s) => target = s.readString(); true
           case _ => false
         }
         true
       case (3, in) =>
-        eachField(in.readByteArray()) {
+        eachField(in.readByteArray(), Map(1 -> 2)) {
           case (1, q) => sql = q.readString(); true
           case _ => false
         }
@@ -586,7 +603,7 @@ object VtWire {
     var result: Option[QueryResultModel] = None
     var errB: Array[Byte] = null
     var resB: Array[Byte] = null
-    eachField(bytes) {
+    eachField(bytes, Map(1 -> 2, 3 -> 2)) {
       case (1, in) => errB = chunkCat(errB, in.readByteArray()); true
       case (3, in) => resB = chunkCat(resB, in.readByteArray()); true
       case _ => false
@@ -597,7 +614,7 @@ object VtWire {
     // RPCError/QueryResult merge by concatenation before the one parse.
     if (errB != null) {
       var msg = ""; var code = 0
-      eachField(errB) {
+      eachField(errB, Map(2 -> 2, 3 -> 0)) {
         case (2, e) => msg = e.readString(); true
         case (3, e) => code = e.readEnum(); true
         case _ => false
@@ -615,16 +632,16 @@ object VtWire {
     var vgtid: Vgtid = Vgtid(Nil)
     val rules = Vector.newBuilder[(String, String)]
     var flags = VStreamFlagsModel()
-    eachField(bytes) {
+    eachField(bytes, Map(2 -> 0, 3 -> 2, 4 -> 2, 5 -> 2)) {
       case (2, in) => tabletType = in.readEnum(); true
       case (3, in) =>
         vgtid = Vgtid(vgtid.shardGtids ++ decodeVgtid(in.readByteArray()).shardGtids)
         true
       case (4, in) =>
-        eachField(in.readByteArray()) {
+        eachField(in.readByteArray(), Map(1 -> 2)) {
           case (1, fi) =>
             var m = ""; var q = ""
-            eachField(fi.readByteArray()) {
+            eachField(fi.readByteArray(), Map(1 -> 2, 2 -> 2)) {
               case (1, r) => m = r.readString(); true
               case (2, r) => q = r.readString(); true
               case _ => false
@@ -635,7 +652,8 @@ object VtWire {
         }
         true
       case (5, in) =>
-        eachField(in.readByteArray()) {
+        eachField(in.readByteArray(), Map(1 -> 0, 2 -> 0, 3 -> 0, 4 -> 2, 5 -> 2,
+            6 -> 2, 7 -> 0, 8 -> 0, ExcludeKeyspaceFld -> 0, TablesToCopyFld -> 2)) {
           case (1, f) => flags = flags.copy(minimizeSkew = f.readBool()); true
           case (2, f) => flags = flags.copy(heartbeatIntervalSec = f.readUInt32()); true
           case (3, f) => flags = flags.copy(stopOnReshard = f.readBool()); true

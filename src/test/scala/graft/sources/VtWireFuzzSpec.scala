@@ -399,4 +399,20 @@ class VtWireFuzzSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("unknown vitess type id 31337"))
   }
+
+  test("a wire-type-mismatched field routes to unknown-field skip, never mis-slices the rest") {
+    // field 5 (row_event) is DECLARED length-delimited; encode it as a
+    // VARINT instead (the corrupted-tag / schema-drift shape). A decoder
+    // that dispatched on field number alone would readByteArray() here —
+    // consuming the varint VALUE (7) as a byte length and swallowing the
+    // shard field that follows — producing a wrong-but-plausible event.
+    // The protoc stance is: wire-type mismatch = unknown field = skip.
+    val vevent = cat(
+      varintField(1, 3 /* COMMIT */), varintField(2, 123456L),
+      varintField(5, 7L), // row_event with the WRONG wire type
+      strField(22, "ks"), strField(23, "-80"))
+    val decoded = VtWire.decodeVStreamResponse(sub(1, vevent))
+    assert(decoded == Seq(graft.streaming.CommitEvent("-80", "ks", 123456L)),
+      s"mismatched-wire-type field must be skipped cleanly, got $decoded")
+  }
 }
