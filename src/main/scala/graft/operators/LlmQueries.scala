@@ -2129,10 +2129,14 @@ object LlmQueries {
     * `sketch_batch_<id>` dir (idempotent overwrite, so at-least-once
     * foreachBatch redelivery rewrites the same dir instead of doubling
     * tickets), and the read side merges every batch sketch losslessly.
-    * A checkpoint RESTART splits the run mid-stream. The oracle replays
-    * the whole-corpus single-pass sketch, so a hash match pins the full
-    * contract at once: batch boundaries, the restart, and the
-    * sketch-of-sketches merge must not change the sample. */
+    * A checkpoint RESTART splits the run mid-stream, and a state
+    * COMPACTION ([[Sampling.compactSampleSketches]]) folds the
+    * completed batch dirs into one (newest kept for its redelivery
+    * protection) before the final read. The oracle replays the
+    * whole-corpus single-pass sketch, so a hash match pins the full
+    * contract at once: batch boundaries, the restart, the
+    * sketch-of-sketches merge, AND the fold must not change the
+    * sample. */
   val qSampleStreamSketch: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), col("n_chars"))
@@ -2163,14 +2167,19 @@ object LlmQueries {
       runLeg() // batches 0-1
       feedFile(2); feedFile(3)
       runLeg() // checkpoint resume: batches 2-3
-      // listFiles is null when the stream never wrote — fall through to
-      // the named require instead of an NPE
-      val sketchDirs = Option(new java.io.File(out).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("sketch_batch_"))
-        .map(_.toString).sorted.toSeq
-      require(sketchDirs.size == 4,
-        s"sample_stream_sketch: expected 4 batch sketches, got $sketchDirs")
+      // state compaction: fold the foldable batch dirs (the newest keeps
+      // its redelivery protection) into one sketch_compact_ dir — the
+      // merge being lossless, the read below must answer identically,
+      // which the oracle hash pins
+      val folded = Sampling.compactSampleSketches(s, out, sketchSchema,
+        Some("source"), "doc_id", "n_chars", 8)
+      require(folded == 3,
+        s"sample_stream_sketch: expected 3 batch sketches folded, got $folded")
+      val sketchDirs = Sampling.sampleSketchStateDirs(s, out)
+      require(sketchDirs.size == 2 &&
+          sketchDirs.exists(_.endsWith("sketch_compact_0")),
+        s"sample_stream_sketch: expected compact_0 + the protected newest " +
+          s"batch, got $sketchDirs")
       // explicit schema: state dirs are never schema-inferred (an empty
       // micro-batch writes a _SUCCESS-only dir)
       val merged = Sampling.bottomKSampleMergeByGroup(

@@ -542,6 +542,65 @@ object Sampling {
     }
   }
 
+  /** Fold the per-batch sketch dirs a streaming reservoir leaves behind
+    * — one k-sized `sketch_batch_<id>` dir per micro-batch, a linear
+    * small-files pile at ingest cadence — into ONE merged
+    * `sketch_compact_<gen>` dir under the repo's shared staged-fold
+    * protocol (data + `_SUBSUMES` staged invisible, atomic rename is
+    * the commit, folded dirs deleted after; every crash point is safe
+    * and the next call's sweep finishes a half-done fold). Because the
+    * merge is lossless, a reader of the live dirs sees IDENTICAL
+    * results before and after. The NEWEST batch dir is never folded:
+    * under at-least-once redelivery only the last batch can retry, and
+    * its retry-overwrite contract needs the dir to still exist. Run it
+    * from the foreachBatch hook or a maintenance window — never
+    * concurrently with the writer. Returns the number of dirs folded
+    * (0 = nothing worth folding: fewer than two foldable dirs). */
+  def compactSampleSketches(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, schema: org.apache.spark.sql.types.StructType,
+      groupCol: Option[String], idCol: String, valueCol: String,
+      k: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    Dedup.sweepFoldLeftovers(fs, root, "tmp_sketch_compact_", "sketch_compact_")
+    val entries = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+    val batches = entries.filter(_.startsWith("sketch_batch_"))
+      .sortBy(n => n.stripPrefix("sketch_batch_").toLong)
+    val compacts = entries.filter(_.startsWith("sketch_compact_")).sorted
+    val fold = (batches.dropRight(1) ++ compacts).sorted.toSeq
+    if (fold.size < 2) return 0
+    val gen = compacts
+      .map(_.stripPrefix("sketch_compact_").toLong)
+      .maxOption.getOrElse(-1L) + 1
+    val merged = spark.read.schema(schema)
+      .parquet(fold.map(n => s"$outDir/$n"): _*)
+    val one = groupCol match {
+      case Some(g) => bottomKSampleMergeByGroup(Seq(merged), g, idCol, valueCol, k)
+      case None => bottomKSampleMerge(Seq(merged), idCol, valueCol, k)
+    }
+    one.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/tmp_sketch_compact_$gen")
+    Dedup.commitFold(fs, root, s"tmp_sketch_compact_$gen",
+      s"sketch_compact_$gen", fold)
+    fold.size
+  }
+
+  /** The live state dirs of a streaming-reservoir output dir — batch
+    * dirs plus committed compactions, the set a reader merges. One
+    * definition shared by gates and consumers so a rename of either
+    * prefix cannot silently hide state from a subset of readers. */
+  def sampleSketchStateDirs(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("sketch_batch_") || n.startsWith("sketch_compact_"))
+      .sorted.map(n => s"$outDir/$n").toSeq
+  }
+
   /** The kept sample is ordered by (h, id); a duplicated id is adjacent
     * there, so one lag over the (tiny, already-pruned) frame surfaces
     * the id-uniqueness contract violation loudly instead of letting the

@@ -692,6 +692,51 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e11.getMessage.contains("outside (0, 1)"))
   }
 
+  test("compactSampleSketches: fold preserves the merged sample, protects the newest batch, sweeps leftovers") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val schema = Sampling.bottomKSampleByGroup(
+      docs.limit(0), "source", "doc_id", "n_chars", 4).schema
+    val base = graft.TempDirs.reclaimOnExit(
+      java.nio.file.Files.createTempDirectory("graft_sketch_compact"))
+    val out = base.resolve("state").toString
+    def readMerged(): Seq[(String, Long)] =
+      Sampling.bottomKSampleMergeByGroup(
+          Sampling.sampleSketchStateDirs(spark, out)
+            .map(p => spark.read.schema(schema).parquet(p)),
+          "source", "doc_id", "n_chars", 4)
+        .select("source", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    // three "micro-batches"
+    for (i <- 0 until 3)
+      Sampling.bottomKSampleByGroup(docs.filter(col("doc_id") % 3 === i),
+          "source", "doc_id", "n_chars", 4)
+        .write.mode("overwrite").parquet(s"$out/sketch_batch_$i")
+    val before = readMerged()
+    // a crashed earlier fold left staging garbage: swept, never read
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$out/tmp_sketch_compact_9"))
+    assert(Sampling.compactSampleSketches(spark, out, schema,
+      Some("source"), "doc_id", "n_chars", 4) == 2)
+    val dirs1 = Sampling.sampleSketchStateDirs(spark, out).map(_.split("/").last)
+    assert(dirs1 == Seq("sketch_batch_2", "sketch_compact_0"),
+      s"newest batch must survive the fold, got $dirs1")
+    assert(readMerged() == before, "fold must not change the merged sample")
+    // a second pass with nothing new: only compact_0 + protected newest
+    // are live — one foldable dir, so the fold is a no-op
+    assert(Sampling.compactSampleSketches(spark, out, schema,
+      Some("source"), "doc_id", "n_chars", 4) == 0)
+    // a new batch arrives: batch_2 loses protection to batch_3 and folds
+    // WITH compact_0 into compact_1 (generation increments)
+    Sampling.bottomKSampleByGroup(docs.limit(7), "source", "doc_id", "n_chars", 4)
+      .write.mode("overwrite").parquet(s"$out/sketch_batch_3")
+    assert(Sampling.compactSampleSketches(spark, out, schema,
+      Some("source"), "doc_id", "n_chars", 4) == 2)
+    val dirs2 = Sampling.sampleSketchStateDirs(spark, out).map(_.split("/").last)
+    assert(dirs2 == Seq("sketch_batch_3", "sketch_compact_1"), s"got $dirs2")
+    graft.TempDirs.release(base)
+  }
+
   test("hashedBowScore: buckets match the md5-prefix contract, exact micro sums") {
     val sp = spark; import sp.implicits._
     val n = 16
