@@ -678,33 +678,48 @@ object Dedup {
       targetPartitions: Int = 8): Int = {
     val (fs, root) = stateFs(spark, dir)
     if (!fs.exists(root)) return 0
-    def dirs() = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-    // clean up leftovers of earlier crashed runs: orphan staging dirs
-    // and subdirs an already-committed compaction subsumed
-    sweepFoldLeftovers(fs, root, "tmp_compact_", "compact_")
-    val all = dirs()
-      .filter(n => n.startsWith("batch_") || n.startsWith("compact_"))
-      .sorted.toSeq
-    // never fold the numerically-newest batch: it is the only one a
-    // foreachBatch retry can redeliver, and its retry-overwrite contract
-    // needs the batch_<id> dir to still exist
-    def batchNum(n: String): Option[Long] = {
-      val d = n.stripPrefix("batch_").takeWhile(_.isDigit)
-      if (n.startsWith("batch_") && d.nonEmpty) Some(d.toLong) else None
-    }
-    val newestBatch = all.flatMap(n => batchNum(n).map(_ -> n))
-      .sortBy(_._1).lastOption.map(_._2)
-    val live = all.filterNot(newestBatch.contains)
+    val (live, gen) = foldableState(fs, root, "batch_", "compact_", "tmp_compact_")
     if (live.length <= 1) return 0
-    val gen = live.filter(_.startsWith("compact_"))
-      .map(_.stripPrefix("compact_").takeWhile(_.isDigit))
-      .filter(_.nonEmpty).map(_.toLong).foldLeft(0L)(math.max) + 1
     val staging = s"tmp_compact_$gen"
     spark.read.schema(schema).parquet(live.map(n => s"$dir/$n"): _*)
       .repartition(targetPartitions)
       .write.mode("overwrite").parquet(s"$dir/$staging")
     commitFold(fs, root, staging, s"compact_$gen", live)
     live.length
+  }
+
+  /** The scan/protect/generation HEAD shared by every per-batch state
+    * compaction (the crash-safety TAIL is [[commitFold]]): sweep
+    * leftovers of earlier crashed runs (orphan staging dirs and subdirs
+    * an already-committed fold subsumed), list the live state dirs,
+    * protect the numerically-newest batch — it is the only one an
+    * at-least-once retry can redeliver, and its retry-overwrite
+    * contract needs the dir to still exist — and pick the next
+    * generation. Suffix parses are digit-guarded, so a stray
+    * prefix-matching dir with a non-numeric suffix can never wedge
+    * compaction with a NumberFormatException. Returns (foldable dirs,
+    * next generation); fewer than two foldable dirs = nothing worth
+    * folding. */
+  private[operators] def foldableState(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      batchPrefix: String, compactPrefix: String,
+      tmpPrefix: String): (Seq[String], Long) = {
+    sweepFoldLeftovers(fs, root, tmpPrefix, compactPrefix)
+    val all = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith(batchPrefix) || n.startsWith(compactPrefix))
+      .sorted.toSeq
+    def batchNum(n: String): Option[Long] = {
+      val d = n.stripPrefix(batchPrefix).takeWhile(_.isDigit)
+      if (n.startsWith(batchPrefix) && d.nonEmpty) Some(d.toLong) else None
+    }
+    val newestBatch = all.flatMap(n => batchNum(n).map(_ -> n))
+      .sortBy(_._1).lastOption.map(_._2)
+    val live = all.filterNot(newestBatch.contains)
+    val gen = live.filter(_.startsWith(compactPrefix))
+      .map(_.stripPrefix(compactPrefix).takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong).foldLeft(0L)(math.max) + 1
+    (live, gen)
   }
 
   // ----------------------------------------------- duplicate clustering

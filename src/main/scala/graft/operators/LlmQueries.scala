@@ -2177,8 +2177,8 @@ object LlmQueries {
         s"sample_stream_sketch: expected 3 batch sketches folded, got $folded")
       val sketchDirs = Sampling.sampleSketchStateDirs(s, out)
       require(sketchDirs.size == 2 &&
-          sketchDirs.exists(_.endsWith("sketch_compact_0")),
-        s"sample_stream_sketch: expected compact_0 + the protected newest " +
+          sketchDirs.exists(_.endsWith("sketch_compact_1")),
+        s"sample_stream_sketch: expected compact_1 + the protected newest " +
           s"batch, got $sketchDirs")
       // explicit schema: state dirs are never schema-inferred (an empty
       // micro-batch writes a _SUCCESS-only dir)

@@ -560,26 +560,20 @@ object Sampling {
       outDir: String, schema: org.apache.spark.sql.types.StructType,
       groupCol: Option[String], idCol: String, valueCol: String,
       k: Int): Int = {
-    val root = new org.apache.hadoop.fs.Path(outDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, root) = Dedup.stateFs(spark, outDir)
     if (!fs.exists(root)) return 0
-    Dedup.sweepFoldLeftovers(fs, root, "tmp_sketch_compact_", "sketch_compact_")
-    val entries = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName)
-    val batches = entries.filter(_.startsWith("sketch_batch_"))
-      .sortBy(n => n.stripPrefix("sketch_batch_").toLong)
-    val compacts = entries.filter(_.startsWith("sketch_compact_")).sorted
-    val fold = (batches.dropRight(1) ++ compacts).sorted.toSeq
+    val (fold, gen) = Dedup.foldableState(fs, root,
+      "sketch_batch_", "sketch_compact_", "tmp_sketch_compact_")
     if (fold.size < 2) return 0
-    val gen = compacts
-      .map(_.stripPrefix("sketch_compact_").toLong)
-      .maxOption.getOrElse(-1L) + 1
     val merged = spark.read.schema(schema)
       .parquet(fold.map(n => s"$outDir/$n"): _*)
     val one = groupCol match {
       case Some(g) => bottomKSampleMergeByGroup(Seq(merged), g, idCol, valueCol, k)
       case None => bottomKSampleMerge(Seq(merged), idCol, valueCol, k)
     }
+    // one file, deliberately: the merged sketch is ≤ k rows (per group),
+    // tiny by construction — unlike Dedup's corpus-scale ingest state,
+    // which repartitions to targetPartitions
     one.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/tmp_sketch_compact_$gen")
     Dedup.commitFold(fs, root, s"tmp_sketch_compact_$gen",
@@ -588,16 +582,25 @@ object Sampling {
   }
 
   /** The live state dirs of a streaming-reservoir output dir — batch
-    * dirs plus committed compactions, the set a reader merges. One
-    * definition shared by gates and consumers so a rename of either
-    * prefix cannot silently hide state from a subset of readers. */
+    * dirs plus committed compactions, MINUS anything a committed fold's
+    * `_SUBSUMES` sidecar covers (the commitFold contract: from the
+    * rename instant readers honor the sidecar, so a crash between the
+    * rename and the deletes never double-reads a row — the merge's
+    * distinct() would mask that for THIS consumer, but a non-collapsing
+    * reader must get the same set). One definition shared by gates and
+    * consumers so a rename of either prefix cannot silently hide state
+    * from a subset of readers. */
   def sampleSketchStateDirs(spark: org.apache.spark.sql.SparkSession,
       outDir: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(outDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, root) = Dedup.stateFs(spark, outDir)
     if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => n.startsWith("sketch_batch_") || n.startsWith("sketch_compact_"))
+    val entries = fs.listStatus(root).filter(_.isDirectory)
+    val subsumed = entries
+      .filter(_.getPath.getName.startsWith("sketch_compact_"))
+      .flatMap(e => Dedup.readSubsumes(fs, e.getPath)).toSet
+    entries.map(_.getPath.getName)
+      .filter(n => (n.startsWith("sketch_batch_") ||
+        n.startsWith("sketch_compact_")) && !subsumed(n))
       .sorted.map(n => s"$outDir/$n").toSeq
   }
 

@@ -719,21 +719,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.compactSampleSketches(spark, out, schema,
       Some("source"), "doc_id", "n_chars", 4) == 2)
     val dirs1 = Sampling.sampleSketchStateDirs(spark, out).map(_.split("/").last)
-    assert(dirs1 == Seq("sketch_batch_2", "sketch_compact_0"),
+    assert(dirs1 == Seq("sketch_batch_2", "sketch_compact_1"),
       s"newest batch must survive the fold, got $dirs1")
     assert(readMerged() == before, "fold must not change the merged sample")
     // a second pass with nothing new: only compact_0 + protected newest
     // are live — one foldable dir, so the fold is a no-op
     assert(Sampling.compactSampleSketches(spark, out, schema,
       Some("source"), "doc_id", "n_chars", 4) == 0)
+    // a crash between a fold's rename and its deletes leaves a subsumed
+    // dir on DISK: the reader must honor _SUBSUMES and never read it
+    Sampling.bottomKSampleByGroup(docs.limit(5), "source", "doc_id", "n_chars", 4)
+      .write.mode("overwrite").parquet(s"$out/sketch_batch_0")
+    assert(Sampling.sampleSketchStateDirs(spark, out).map(_.split("/").last) ==
+      Seq("sketch_batch_2", "sketch_compact_1"),
+      "a dir listed in a committed fold's _SUBSUMES must be invisible to readers")
+    assert(readMerged() == before)
+    // (the next compaction's sweep deletes it for real)
     // a new batch arrives: batch_2 loses protection to batch_3 and folds
-    // WITH compact_0 into compact_1 (generation increments)
+    // WITH compact_1 into compact_2 (generation increments)
     Sampling.bottomKSampleByGroup(docs.limit(7), "source", "doc_id", "n_chars", 4)
       .write.mode("overwrite").parquet(s"$out/sketch_batch_3")
     assert(Sampling.compactSampleSketches(spark, out, schema,
       Some("source"), "doc_id", "n_chars", 4) == 2)
     val dirs2 = Sampling.sampleSketchStateDirs(spark, out).map(_.split("/").last)
-    assert(dirs2 == Seq("sketch_batch_3", "sketch_compact_1"), s"got $dirs2")
+    assert(dirs2 == Seq("sketch_batch_3", "sketch_compact_2"), s"got $dirs2")
     graft.TempDirs.release(base)
   }
 
