@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times each SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line for the driver. Results are fully materialized via
@@ -18,49 +17,60 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared builder: benched plans must run under the exact session
+    // settings the verified plans do (Tables.session is the one
+    // definition; a flag applied to one builder but not another would
+    // make bench and correctness silently diverge)
+    val spark = Tables.session("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths before timing: without
     // this the alphabetically-first query absorbs all session startup
     // cost and the per-query numbers misreport steady-state throughput.
-    try {
+    // Each warm-up is independent (a failed one must not abort the
+    // others — the first timed gates would re-absorb the cold-start
+    // spread that warm exists to remove) and SAYS when it failed.
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up '$label' failed — timings " +
+          "may carry its cold-start spread: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    warm("scan+agg") {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
         .write.format("noop").mode("overwrite").save()
       spark.range(100000).selectExpr("sum(id) AS s")
         .write.format("noop").mode("overwrite").save()
-      // One tiny parquet WRITE + read-back warms the committer, codec,
-      // and output-writer init that the noop sink never touches — the
-      // index-building gates (AnnIndex build/ingest state writes) showed
-      // 4-5 s first-run spreads that were this cold path, not their plans
-      val warmPq = java.nio.file.Files
-        .createTempDirectory("graft_bench_warm_pq")
-      val warmPqDir = warmPq.resolve("t").toString
-      spark.range(10).write.mode("overwrite").parquet(warmPqDir)
-      spark.read.parquet(warmPqDir).write.format("noop").mode("overwrite").save()
-      TempDirs.deleteRecursively(warmPq)
-      // One throwaway streaming query warms MicroBatchExecution, the
-      // checkpoint metadata logs, and the streaming codegen paths —
-      // otherwise the alphabetically-first CHECKPOINTED gate absorbs all
-      // of it and shows a 4-6 s first-run spread (r7 judge bench)
-      val warmCkpt = java.nio.file.Files
-        .createTempDirectory("graft_bench_warm_ckpt")
-      val wq = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
-        .writeStream.format("noop").option("checkpointLocation", warmCkpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-      // on timeout, kill it — a still-running warm query would add the
-      // exact contention noise this block exists to remove
-      if (!wq.awaitTermination(30000)) wq.stop()
-      // the warm checkpoint is disposable: reclaim it now instead of
-      // leaking one metadata dir per bench run into the temp volume
-      TempDirs.deleteRecursively(warmCkpt)
-    } catch { case _: Throwable => () }
+    }
+    // One tiny parquet WRITE + read-back warms the committer, codec,
+    // and output-writer init that the noop sink never touches — the
+    // index-building gates (AnnIndex build/ingest state writes) showed
+    // 4-5 s first-run spreads that were this cold path, not their plans
+    warm("parquet-committer") {
+      // exit-registered so a throw mid-warm can't strand the dir
+      val warmPq = TempDirs.reclaimOnExit(java.nio.file.Files
+        .createTempDirectory("graft_bench_warm_pq"))
+      try {
+        val warmPqDir = warmPq.resolve("t").toString
+        spark.range(10).write.mode("overwrite").parquet(warmPqDir)
+        spark.read.parquet(warmPqDir).write.format("noop").mode("overwrite").save()
+      } finally TempDirs.release(warmPq)
+    }
+    // One throwaway streaming query warms MicroBatchExecution, the
+    // checkpoint metadata logs, and the streaming codegen paths —
+    // otherwise the alphabetically-first CHECKPOINTED gate absorbs all
+    // of it and shows a 4-6 s first-run spread (r7 judge bench)
+    warm("streaming") {
+      val warmCkpt = TempDirs.reclaimOnExit(java.nio.file.Files
+        .createTempDirectory("graft_bench_warm_ckpt"))
+      try {
+        val wq = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+          .writeStream.format("noop").option("checkpointLocation", warmCkpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        // on timeout, kill it — a still-running warm query would add the
+        // exact contention noise this block exists to remove
+        if (!wq.awaitTermination(30000)) wq.stop()
+      } finally TempDirs.release(warmCkpt)
+    }
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // run-major order (full sweep, then the next sweep) so repeat runs see
@@ -111,8 +121,12 @@ object Bench {
     // per-round invocation), or any other SF dir is local/driver
     // iteration and must never clobber the recorded medians — this guard
     // used to live in operator memory as a manual `git checkout` step.
+    // errors.isEmpty: a failed gate means PARTIAL medians — writing them
+    // would clobber the last good full-sweep record with a silently
+    // lower total the next round reads as a phantom speedup
     val isRecordRun =
-      only.isEmpty && runs >= 2 && new java.io.File(sfDir).getName == "sf0.1"
+      only.isEmpty && runs >= 2 &&
+        new java.io.File(sfDir).getName == "sf0.1" && errors.isEmpty
     // Ambient-drift diagnostic, recorded at record time: a pinned basket
     // of TPC-H gates whose code no round touches. If the basket's total
     // moved in lockstep with the overall total since the PREVIOUS record,
@@ -186,7 +200,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] bench_full.json not written: $e") }
     } else {
       System.err.println("[bench] not a record run (need full sweep + runs>=2 " +
-        "+ sf0.1) — bench_full.json left untouched")
+        "+ sf0.1 + zero failed gates) — bench_full.json left untouched")
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

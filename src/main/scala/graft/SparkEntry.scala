@@ -22,10 +22,27 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+    mergedDistinct(modules.map(_._1), "queries")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2).reduce(_ ++ _)
+    mergedDistinct(modules.map(_._2), "oracleSql")
+
+  /** `++` would let a duplicate gate name in a later module silently
+    * SHADOW an earlier module's gate — the shadowed operator would never
+    * be verified or benched again and every signal would stay green.
+    * Refuse the collision loudly instead. */
+  private def mergedDistinct[V](maps: Seq[Map[String, V]],
+      what: String): Map[String, V] = {
+    val merged = maps.reduce(_ ++ _)
+    if (merged.size != maps.map(_.size).sum) {
+      val dup = maps.flatMap(_.keys).groupBy(identity)
+        .collect { case (k, vs) if vs.size > 1 => k }
+      throw new IllegalStateException(
+        s"SparkEntry.$what: gate name(s) registered in more than one " +
+          s"module would shadow silently: ${dup.toSeq.sorted.mkString(", ")}")
+    }
+    merged
+  }
 }

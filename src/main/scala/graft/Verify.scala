@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -13,13 +12,10 @@ object Verify {
         "usage: graft.Verify <sfDir> <outDir> [gate1,gate2,...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ONE shared builder (Tables.session) for every entry point: the
+    // verified session and the benched session must not silently
+    // diverge on a legacy flag or tz (their plans are compared)
+    val spark = Tables.session("graft-verify", cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -55,7 +51,9 @@ object Verify {
           System.err.println(s"[verify] WARNING: could not remove stale " +
             s"output $staleDir — the comparator may report a STALE pass")
         failed += name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // message-less throwables (NPE) must still name the failure class
+        System.err.println(s"[verify] $name failed: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     val json = SparkEntry.oracleSql
