@@ -33,15 +33,16 @@ object ColumnGuards {
   /** In-plan guard that a sketch frame's recorded build-time `k` column
     * matches the `k` its consumer assumes — a mismatch silently
     * mis-scales an estimator or changes a sample's error bound, so it
-    * raises with both values named. The check RIDES the frame's kept
-    * `h` column (a check on a column that is later dropped would be
-    * pruned out of the plan along with its raise_error). Shared by the
-    * KMV distinct sketch and the bottom-k sample sketch — one
-    * definition so a fix to the k-mismatch class reaches every sketch
-    * family. */
-  def kChecked(k: Int, op: String): Column =
+    * raises with both values named. The check RIDES a column the plan
+    * KEEPS (`rides`, default the frame's `h` column; quantile readers
+    * ride the value column they aggregate) — a check on a column that
+    * is later dropped would be pruned out of the plan along with its
+    * raise_error. Shared by the KMV distinct sketch and the bottom-k
+    * sample sketch — one definition so a fix to the k-mismatch class
+    * reaches every sketch family. */
+  def kChecked(k: Int, op: String, rides: Column = col("h")): Column =
     when(col("k") =!= k,
       raise_error(concat(lit(s"$op: sketch was built at k="),
         col("k").cast("string"), lit(s" but $op was asked for k=$k"))))
-      .otherwise(col("h"))
+      .otherwise(rides)
 }

@@ -135,15 +135,20 @@ object LlmQueries {
     * The view drop is best-effort (the result is already pinned). One
     * definition, so the pin-then-release contract cannot drift between
     * the streaming gates. `session` is the session the query STARTED on
-    * (the sink registers its view there — for gates that clone a
-    * sized session, that clone, not the caller's session). */
+    * (the sink registers its view there — for gates that clone a sized
+    * session, that clone). `resultSession` (default: `session`) is the
+    * session the returned frame binds to — gates that clone pass the
+    * CALLER's session here, so the clone's pinned
+    * spark.sql.shuffle.partitions cannot leak into a downstream
+    * consumer that shuffles over the result. */
   private def pinMemorySinkResult(session: SparkSession, viewName: String,
-      resDf: DataFrame): DataFrame = {
+      resDf: DataFrame, resultSession: SparkSession = null): DataFrame = {
     val rows = resDf.collect()
     val outSchema = resDf.schema
     try session.catalog.dropTempView(viewName)
     catch { case _: Throwable => () }
-    session.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    Option(resultSession).getOrElse(session)
+      .createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 
   /** Run a gate body against a fresh per-invocation scratch dir (an ANN
@@ -1338,14 +1343,18 @@ object LlmQueries {
     * tombstone-excluded corpus both versions probe (per-vector int8
     * scales are index-independent). */
   val qAnnLifecycleSql: String =
-    s"""WITH live AS (
+    // the shared CTEs are MATERIALIZED: DuckDB re-inlines a
+    // multiply-referenced CTE (live feeds qz + both legs' assignments,
+    // deq feeds both legs' candidate rescans), and deq's per-vector
+    // list_transform is the expensive one — the emb_pca lesson
+    s"""WITH live AS MATERIALIZED (
       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 NOT IN (3, 7)
-      |), qz AS (
+      |), qz AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale,
       |    embedding
       |  FROM live
-      |), deq AS (
+      |), deq AS MATERIALIZED (
       |  SELECT vec_id AS neighbor_id,
       |    CASE WHEN scale = 0 THEN list_transform(embedding::DOUBLE[], x -> 0.0)
       |         ELSE list_transform(embedding::DOUBLE[],
@@ -1603,7 +1612,8 @@ object LlmQueries {
       try q.processAllAvailable() finally q.stop()
       pinMemorySinkResult(ss, "graft_stream_attrib",
         ss.table("graft_stream_attrib")
-          .orderBy(col("user_id"), col("click_id"), col("purchase_id")))
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id")),
+        resultSession = s)
     } finally graft.TempDirs.release(ckpt)
   }
 
@@ -1700,8 +1710,18 @@ object LlmQueries {
     val schema = s.read.parquet(dir.toString).schema
     val ckpt = graft.TempDirs.reclaimOnExit(
       java.nio.file.Files.createTempDirectory("graft_evlate_ckpt"))
+    // StreamSizing, like the attribution gate: the state key space is
+    // (day window × event type) over the fixed Jan-2024 corpus — ~31
+    // days × 5 types ≈ 155 keys at every SF — which the rule sizes to 1
+    // state partition; inheriting the 32-core default would freeze 32
+    // store open+commit cycles per micro-batch into the checkpoint,
+    // nearly all on empty partitions
+    val ss = graft.streaming.StreamSizing.sessionFor(s,
+      graft.streaming.StreamSizing.statePartitions(
+        keyCardinality = 155L,
+        totalCores = s.sparkContext.defaultParallelism))
     try {
-      val q = s.readStream.schema(schema)
+      val q = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir.toString)
         .withWatermark("ts", "1 day")
@@ -1716,8 +1736,9 @@ object LlmQueries {
         .option("checkpointLocation", ckpt.toString)
         .queryName("graft_stream_late").start()
       try q.processAllAvailable() finally q.stop()
-      pinMemorySinkResult(s, "graft_stream_late",
-        s.table("graft_stream_late").orderBy(col("day"), col("event_type")))
+      pinMemorySinkResult(ss, "graft_stream_late",
+        ss.table("graft_stream_late").orderBy(col("day"), col("event_type")),
+        resultSession = s)
     } finally graft.TempDirs.release(ckpt)
   }
 

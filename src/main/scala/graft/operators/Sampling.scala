@@ -524,8 +524,9 @@ object Sampling {
   }
 
   /** One percentile aggregate per requested p, labeled `q<percent>`
-    * (q25, q95, q99_9). The k check rides the aggregated value, so a
-    * mismatched sketch raises before any quantile is produced. */
+    * (q25, q95, q99_9). The k check ([[ColumnGuards.kChecked]]) rides
+    * the aggregated value, so a mismatched sketch raises before any
+    * quantile is produced. */
   private def quantileAggs(valueCol: String, k: Int, ps: Seq[Double],
       op: String): Seq[Column] = {
     require(ps.nonEmpty, s"$op: no quantiles requested")
@@ -534,10 +535,7 @@ object Sampling {
       val lbl = "q" + (BigDecimal(p) * 100).underlying
         .stripTrailingZeros.toPlainString.replace(".", "_")
       round(percentile(
-        when(col("k") =!= k, raise_error(concat(
-          lit(s"$op: sketch was built at k="), col("k").cast("string"),
-          lit(s" but $op was asked for k=$k"))))
-          .otherwise(col(valueCol)).cast("double"),
+        ColumnGuards.kChecked(k, op, rides = col(valueCol)).cast("double"),
         lit(p)), 4).as(lbl)
     }
   }

@@ -35,9 +35,13 @@ object FeedStaging {
       s"FeedStaging.writePinned: expected exactly one part file for " +
         s"'$name', found ${part.size} — coalesce(1) did not hold")
     val dst = feedDir.resolve(s"$name.parquet")
-    java.nio.file.Files.move(part.head, dst)
-    java.nio.file.Files.setLastModifiedTime(dst,
+    // pin the mtime WHILE the file is still hidden, then move: the move
+    // preserves it, so a reader already watching the feed dir can never
+    // list the file with a wall-clock mtime that breaks the pinned
+    // arrival order (the whole point of pinning)
+    java.nio.file.Files.setLastModifiedTime(part.head,
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    java.nio.file.Files.move(part.head, dst)
     graft.TempDirs.deleteRecursively(tmp)
     dst
   }
