@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // SPARK_GRAFT_PROFILE=1 turns on the per-step PROFILE-STEP timers in
+  // the gate harnesses (sys.prop graft.profile) for local optimization
+  // work; the driver never sets it
+  sys.env.get("SPARK_GRAFT_PROFILE").map(_ => "-Dgraft.profile").toSeq

@@ -533,21 +533,36 @@ object AnnIndex {
       maxQueries: Int = 10000): DataFrame = {
     val spark = queries.sparkSession
     val centroids = readCentroids(spark, indexDir)
-    Similarity.requireBroadcastSmall(queries, maxQueries, "AnnIndex.probe")
-    val probeUdf = udf { (v: Seq[Float]) =>
+    // ONE bounded collect replaces three driver-side jobs (the size-guard
+    // count, the probe-assignment localCheckpoint and the probed-cell
+    // distinct+collect): the query side is broadcast by contract, so it
+    // already crosses the driver — pull it once, assign probe cells
+    // driver-side with the identical (-sim, cid) rule, and ship both the
+    // probe rows and the rescore side as broadcast local relations. Same
+    // math, same bound (maxQueries), 3 fewer scheduler round-trips per
+    // probe — the cost that dominates a per-micro-batch retrieval loop.
+    val qPlan = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val qRows = qPlan.limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"AnnIndex.probe: the query side is broadcast/collected by contract and must " +
+        s"hold at most $maxQueries rows (raise maxQueries explicitly if the memory " +
+        "budget allows). For an all-pairs self-ANN shape use lshTopK or " +
+        "cosineNearDupPairs instead.")
+    def probeCells(v: Seq[Float]): Seq[Long] =
       centroids.map { case (cid, c) => (Similarity.cosTo(c, v), cid) }
         .sortBy { case (s, cid) => (-s, cid) }
-        .take(nProbes).map(_._2)
+        .take(nProbes).map(_._2).toSeq
+    val qpRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap { r =>
+      probeCells(r.getSeq[Float](1))
+        .map(cid => org.apache.spark.sql.Row(r.get(0), r.get(1), cid))
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    // localCheckpoint materializes the probe assignment ONCE — it feeds
-    // both the broadcast join side and the probed-cell collect below;
-    // without it the O(nCentroids·dim)-per-query probe UDF runs twice
-    val qp = q.withColumn("cid", explode(probeUdf(col("query_vec"))))
-      .localCheckpoint()
+    val qpSchema = qPlan.schema.add("cid", LongType, nullable = false)
+    val qp = spark.createDataFrame(
+      java.util.Arrays.asList(qpRows: _*), qpSchema)
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.toSeq: _*), qPlan.schema)
     val probes = broadcast(qp)
-    val probedCells = qp.select("cid").distinct()
-      .collect().map(_.getLong(0)) // bounded by nCentroids
+    val probedCells = qpRows.map(_.getLong(2)).distinct // bounded by nCentroids
     val deq = readCodes(spark, indexDir)
       // cid is a PARTITION filter: unprobed cells never leave the scan
       .filter(col("cid").isin(probedCells: _*))

@@ -1519,8 +1519,18 @@ object LlmQueries {
     // strand Spark's auto temp checkpoint (window state) otherwise
     val ckpt = graft.TempDirs.reclaimOnExit(
       java.nio.file.Files.createTempDirectory("graft_evstream_ckpt"))
+    // StreamSizing, like the attribution/eviction gates: the state key
+    // space is (day window × event type) over the fixed Jan-2024 corpus —
+    // ~31 days × 5 types ≈ 155 keys at every SF — which the rule sizes to
+    // 1 state partition; the inherited 32-core default froze 32 store
+    // open+commit cycles into EVERY micro-batch of this complete-mode
+    // aggregation, nearly all on empty partitions
+    val ss = graft.streaming.StreamSizing.sessionFor(s,
+      graft.streaming.StreamSizing.statePartitions(
+        keyCardinality = 155L,
+        totalCores = s.sparkContext.defaultParallelism))
     try {
-      val q = s.readStream.schema(schema)
+      val q = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
         .parquet(dir.toString)
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -1536,8 +1546,9 @@ object LlmQueries {
       try q.processAllAvailable() finally q.stop()
       // ~150 rows (days × event types): pin on the driver so the
       // memory-sink table and the temp re-lay dir release immediately
-      pinMemorySinkResult(s, "graft_stream_daily",
-        s.table("graft_stream_daily").orderBy(col("day"), col("event_type")))
+      pinMemorySinkResult(ss, "graft_stream_daily",
+        ss.table("graft_stream_daily").orderBy(col("day"), col("event_type")),
+        resultSession = s)
     } finally graft.TempDirs.release(ckpt)
   }
 
