@@ -91,14 +91,50 @@ object AnnIndex {
     writeBatch(corpus, indexDir, "batch_seed", idCol, vecCol)
   }
 
+  /** Process-level cache of the frozen quantizer, keyed by (qualified
+    * centroids path, its directory mtime). The quantizer is IMMUTABLE
+    * once built — [[build]] refuses an existing dir and [[rebuild]]
+    * targets a fresh sibling — so the only way the bytes can change is a
+    * delete+recreate of the index dir, which changes the directory's
+    * modification time, i.e. the cache key (a spec pins the
+    * invalidation). Without this, a streaming retrieval or ingest loop
+    * pays one parquet-read+collect JOB per micro-batch (probeBatch →
+    * probe → readCentroids; foreachBatch ingest → writeBatch →
+    * readCentroids) for state that never changes. Bounded: ≤ 64 entries
+    * × nCentroids rows. This is metadata reuse within one process, not
+    * result caching — every entry is populated by the same run that
+    * built the index state it describes. */
+  private val centroidCache =
+    new java.util.LinkedHashMap[(String, Long), Array[(Long, Array[Double])]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Array[(Long, Array[Double])]]): Boolean =
+        size() > 64
+    }
+
   /** The frozen coarse quantizer — bounded by `nCentroids`, collected
-    * once per job and shipped in the scoring closures. */
+    * once per (path, mtime) per process and shipped in the scoring
+    * closures. */
   private def readCentroids(spark: SparkSession, indexDir: String): Array[(Long, Array[Double])] = {
+    val (fs, root) = fsOf(spark, s"$indexDir/centroids")
+    // one driver-side FS stat (throws if the index was never built)
+    val st =
+      try fs.getFileStatus(root)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"no centroids at $indexDir — build the index first")
+      }
+    val key = (root.toString, st.getModificationTime)
+    centroidCache.synchronized {
+      val hit = centroidCache.get(key)
+      if (hit != null) return hit
+    }
     val rows = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cid"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(rows.nonEmpty, s"no centroids at $indexDir — build the index first")
+    centroidCache.synchronized { centroidCache.put(key, rows) }
     rows
   }
 

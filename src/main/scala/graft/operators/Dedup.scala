@@ -306,9 +306,17 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    // materialized ONCE: the shingle pass (normalize + tokenize +
+    // n-gram, the profiled hot stage) otherwise re-runs for EACH of the
+    // two per-candidate join-backs below — Spark does not share common
+    // subtrees across a self-referencing plan. localCheckpoint trades
+    // one disk-backed write of the shingle arrays (the same bytes the
+    // join would shuffle anyway) for a full second UDF pass over the
+    // corpus; the containment operator makes the identical trade.
     val withShingles = df.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint()
     // band rows carry ONLY (band, band_hash, id): the heavy shingle
     // arrays are not replicated through the bands×N explosion or its
     // shuffle — they are joined back per candidate pair afterwards
@@ -883,7 +891,12 @@ object Dedup {
     // bucket) — fail fast instead
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be <= 3 (4-chunk banding recalls only that far), got $maxHamming")
+    // materialized ONCE: the signature UDF (tokenize + 64 weighted bit
+    // sums per doc) otherwise runs three times — once for the banding
+    // explode and once per candidate join-back (lshCandidatePairs has
+    // the same note); (id, sig) is 16 bytes/doc, trivially cacheable
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .localCheckpoint()
     val banded = withSig.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>

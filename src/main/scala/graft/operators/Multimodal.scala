@@ -379,10 +379,15 @@ object Multimodal {
     require(maxHamming <= 3,
       s"4x16-bit banding only guarantees recall to Hamming 3, got $maxHamming")
     // one row per media_id: a duplicated input id would otherwise
-    // multiply every pair it appears in through the hash-join-back
+    // multiply every pair it appears in through the hash-join-back.
+    // Materialized ONCE: the caller's hash chain (decode + resample +
+    // hash per image) otherwise re-runs for the banding AND each of the
+    // two per-candidate join-backs — at gate scale that tripled the
+    // single dominant job; (id, 64-char hash) is ~80 bytes/image
     val hashes = hashed.filter(col("phash").isNotNull)
       .select(col("media_id"), col("phash"))
       .dropDuplicates("media_id")
+      .localCheckpoint()
     val withBands = hashes
       .select(
         col("media_id"),

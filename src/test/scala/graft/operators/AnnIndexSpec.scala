@@ -29,6 +29,24 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.TempDirs.reclaimOnExit(
       java.nio.file.Files.createTempDirectory(prefix)).resolve("idx").toString
 
+  test("centroid cache invalidates when the index dir is deleted and rebuilt") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = tmp("graft_ann_ccache")
+    val q = emb.filter(col("vec_id") === 0)
+    AnnIndex.build(emb.filter(col("vec_id") < 25), dir, nCentroids = 8)
+    val before = AnnIndex.probe(q, dir, k = 3).collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty) // seeds the process-level centroid cache
+    // destroy the index and rebuild AT THE SAME PATH from a different
+    // corpus slice: the frozen quantizer changes, so a stale cache entry
+    // would probe the wrong cells — the (path, mtime) key must miss
+    graft.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+    AnnIndex.build(emb.filter(col("vec_id") >= 25 && col("vec_id") < 60),
+      dir, nCentroids = 8)
+    val after = AnnIndex.probe(q, dir, k = 3).collect().map(_.toSeq).toSeq
+    // the rebuilt corpus holds no id < 25, so every neighbor must be new
+    assert(after.nonEmpty && after.forall(r => r(2).asInstanceOf[Long] >= 25))
+  }
+
   test("probe through two sequential ingests == probe of a one-shot build") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
