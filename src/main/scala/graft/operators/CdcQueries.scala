@@ -45,7 +45,20 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
   private def ordersChangeLog(s: SparkSession, d: String): DataFrame =
     cachedLog(sharedRecords, s, d)(
-      CdcPipeline.changeRecords(s, CdcFeed.orders(s, d)).toDF())
+      CdcPipeline.changeRecords(s, ordersFeed(s, d)).toDF())
+
+  /** The default orders FEED (the raw wire lines), memoized like the
+    * change log above: generation is a corpus-wide JSON-serialization
+    * pass that FIVE consumers otherwise re-run from scratch per
+    * invocation (the change log, the boundary gate, the wire-decode
+    * gate, the feed-file staging, and the restart waves). */
+  private val sharedOrdersFeed =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+  private def ordersFeed(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.streaming.FeedLine] = {
+    import s.implicits._
+    cachedLog(sharedOrdersFeed, s, d)(CdcFeed.orders(s, d).toDF())
+      .as[graft.streaming.FeedLine]
+  }
 
   private def afterStr(field: String) = get_json_object(col("after"), s"$$.$field")
 
@@ -299,7 +312,7 @@ object CdcQueries {
   /** A9 + T4/F4: boundary records wrap each tx; the filter drops exactly
     * them. */
   val qCdcBoundaries: Q = (s, d) => {
-    val recs = CdcPipeline.changeRecords(s, CdcFeed.orders(s, d), emitBoundaries = true)
+    val recs = CdcPipeline.changeRecords(s, ordersFeed(s, d), emitBoundaries = true)
     // eager localCheckpoint: one materialization pass shared by the two
     // union branches (persist + count would pay an extra full action)
     val df = recs.toDF().localCheckpoint(true)
@@ -411,7 +424,7 @@ object CdcQueries {
   private def ordersFeedDir(s: SparkSession, d: String): java.nio.file.Path =
     sharedFeedDirs.computeIfAbsent(s"orders:$d", _ => {
       val dir = graft.TempDirs.reclaimOnExit(java.nio.file.Files.createTempDirectory("graft_feed_orders"))
-      writeFeedFiles(s, CdcFeed.orders(s, d), dir)
+      writeFeedFiles(s, ordersFeed(s, d), dir)
       dir
     })
 
@@ -558,7 +571,7 @@ object CdcQueries {
     // construction, whatever the stride
     val cut = 100 * CdcFeed.EventsPerTx
     val waves = stageWaves(s"rr:$d", s) {
-      val feed = CdcFeed.orders(s, d)
+      val feed = ordersFeed(s, d)
       Seq(feed.filter(col("seq") < cut), feed.filter(col("seq") >= cut))
     }
     val split = Map("split.partition.bytes" -> "4194304")
@@ -1232,7 +1245,7 @@ object CdcQueries {
         StructField("after", StructType(Seq(
           StructField("lengths", ArrayType(LongType)),
           StructField("values", StringType))))))))))
-    val feed = CdcFeed.orders(s, d)
+    val feed = ordersFeed(s, d)
     def colAt(i: Int) = element_at(col("r"), i).cast("string")
     feed
       .filter(col("line").contains("\"ROW\""))

@@ -85,10 +85,17 @@ object TextOps {
     * (doc, n, gram) with map-side partial aggregation, then a per-doc
     * rollup — no self-join, no UDF, survives corpus scale. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // materialized ONCE: base feeds the three n-gram explode branches
+    // AND the final per-doc join, and Spark shares no common subtrees
+    // across a self-referencing plan — without this the normalize +
+    // tokenize regexes (the expensive part) run FOUR times over the
+    // corpus; (id, len, toks) is about the corpus text size, the same
+    // disk-backed trade the LSH shingle pass makes
     val base = df.select(
       col(idCol).as("doc_id"),
       length(normText(col(textCol))).as("len"),
       tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
     val tagged = Seq(2, 3, 5).map { n =>
       base.select(
         col("doc_id"), lit(n).as("n"),
@@ -553,7 +560,11 @@ object TextOps {
   def tfidfTopTerms(
       df: DataFrame, textCol: String, idCol: String, topK: Int = 3): DataFrame = {
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = docTermCounts(df, textCol, idCol)
+    // materialized ONCE: tf feeds both the document-frequency aggregate
+    // and the score join, and the tokenize+explode+count pass (the
+    // expensive stage) would otherwise run twice — the repetitionStats /
+    // LSH-shingle trade
+    val tf = docTermCounts(df, textCol, idCol).localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score_d").desc, col("term"))
@@ -580,7 +591,9 @@ object TextOps {
     * to the vocabulary-sized count table on `term`, then one per-doc
     * aggregation. */
   def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = docTermCounts(df, textCol, idCol)
+    // materialized ONCE (see tfidfTopTerms): tf feeds the vocabulary
+    // counts AND the probability join
+    val tf = docTermCounts(df, textCol, idCol).localCheckpoint()
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
     // total rides along as a crossJoined 1-row aggregate: no separate
     // driver action (which also ran the tokenize+count pipeline twice and
@@ -631,6 +644,10 @@ object TextOps {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("is_target"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      // materialized ONCE (see tfidfTopTerms): tf feeds the raw counts,
+      // the target counts AND the ratio join — three tokenize passes
+      // otherwise
+      .localCheckpoint()
     val raw = tf.groupBy(col("term")).agg(sum(col("tf")).as("n_raw"))
     val tgt = tf.filter(col("is_target"))
       .groupBy(col("term")).agg(sum(col("tf")).as("n_tgt"))
