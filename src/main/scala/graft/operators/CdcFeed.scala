@@ -22,6 +22,21 @@ object CdcFeed extends Serializable {
 
   val DefaultShards = 4
 
+  /** Spread the wire-render flatMap across the session's cores.
+    *
+    * Every feed builder ranks rows with a `Window.partitionBy("shard")`,
+    * which leaves only `nShards` (4) non-empty partitions — so the
+    * expensive stage, the per-event JSON serialization in the flatMap
+    * that follows, ran at 4-way parallelism on a 32-core session (guide
+    * §2.5: synthetic partitioning with too few distinct values). One
+    * round-robin exchange of the narrow ranked rows (a few MB) before
+    * the render spreads it over every core; every consumer re-orders by
+    * (shard, seq) itself (changeRecords repartitions + sorts, the feed
+    * stagings sort within their own partitioning), so feed bytes and
+    * semantics are unchanged. */
+  private def spreadForRender(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Wave tx-seq offsets (wave 2 = tx + WaveOffset, wave 3 = tx +
     * 2*WaveOffset) and the per-tx FeedLine.seq stride (seq = tx *
     * EventsPerTx + eventIndex). Exposed because gate wave boundaries,
@@ -114,7 +129,7 @@ object CdcFeed extends Serializable {
       else element_at(
         array(shardNames.map(lit): _*), (col("o_orderkey") % nShards).cast("int") + 1)
     val w = Window.partitionBy("shard").orderBy("o_orderkey")
-    val src = Tables.orders(s, d)
+    val src = spreadForRender(Tables.orders(s, d)
       .withColumn("shard", shardCol)
       .withColumn("tx", row_number().over(w).cast("long"))
       // hostFlip: the GTID source UUID changes after the first half of each
@@ -126,7 +141,7 @@ object CdcFeed extends Serializable {
         col("shard"), col("tx"), col("n_tx"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
-        col("o_orderpriority"))
+        col("o_orderpriority")))
       .as[(String, Long, Long, Long, Long, String, Double, String, String)]
     src.flatMap { case (shard, tx, nTx, okey, ckey, status, price, odate, prio) =>
       val priceText =
@@ -163,7 +178,7 @@ object CdcFeed extends Serializable {
     val evolvedFields = OrdersFields :+
       FieldDef("o_comment", "VARCHAR", "varchar(32)", 32, 0, 0L)
     val w = Window.partitionBy("shard").orderBy("o_orderkey")
-    val src = Tables.orders(s, d)
+    val src = spreadForRender(Tables.orders(s, d)
       .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
       .withColumn("tx", row_number().over(w).cast("long"))
       .withColumn("n_tx", count(lit(1)).over(Window.partitionBy("shard")))
@@ -171,7 +186,7 @@ object CdcFeed extends Serializable {
         col("shard"), col("tx"), col("n_tx"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
-        col("o_orderpriority"))
+        col("o_orderpriority")))
       .as[(String, Long, Long, Long, Long, String, Double, String, String)]
     src.flatMap { case (shard, tx, nTx, okey, ckey, status, price, odate, prio) =>
       val secondHalf = 2 * tx > nTx
@@ -194,14 +209,14 @@ object CdcFeed extends Serializable {
   def ordersVersioned(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
     import s.implicits._
     val w = Window.partitionBy("shard").orderBy("o_orderkey")
-    val src = Tables.orders(s, d)
+    val src = spreadForRender(Tables.orders(s, d)
       .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
       .withColumn("tx", row_number().over(w).cast("long"))
       .select(
         col("shard"), col("tx"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
-        col("o_orderpriority"))
+        col("o_orderpriority")))
       .as[(String, Long, Long, Long, String, Double, String, String)]
     val W2 = WaveOffset // wave offsets keep per-shard tx seq monotone
     val W3 = 2 * WaveOffset
@@ -244,10 +259,10 @@ object CdcFeed extends Serializable {
   def documentsVersioned(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
     import s.implicits._
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    val src = Tables.documents(s, d)
+    val src = spreadForRender(Tables.documents(s, d)
       .withColumn("shard", (col("doc_id") % nShards).cast("string"))
       .withColumn("tx", row_number().over(w).cast("long"))
-      .select(col("shard"), col("tx"), col("doc_id"), col("text"), col("lang"), col("source"))
+      .select(col("shard"), col("tx"), col("doc_id"), col("text"), col("lang"), col("source")))
       .as[(String, Long, Long, String, String, String)]
     val W2 = WaveOffset // wave offsets keep per-shard tx seq monotone
     val W3 = 2 * WaveOffset
@@ -289,14 +304,14 @@ object CdcFeed extends Serializable {
     val B2 = 20000000L // orders updates (post-snapshot)
     val B3 = 30000000L // customer updates (post-snapshot)
     val wOrd = Window.partitionBy("shard").orderBy("o_orderkey")
-    val ord = Tables.orders(s, d)
+    val ord = spreadForRender(Tables.orders(s, d)
       .withColumn("shard", (col("o_orderkey") % nShards).cast("string"))
       .withColumn("tx", row_number().over(wOrd).cast("long"))
       .select(
         col("shard"), col("tx"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
-        col("o_orderpriority"))
+        col("o_orderpriority")))
       .as[(String, Long, Long, Long, String, Double, String, String)]
       .flatMap { case (shard, tx, okey, ckey, status, price, odate, prio) =>
         val row = Seq(okey.toString, ckey.toString, status, price.toString, odate, prio)
@@ -314,11 +329,11 @@ object CdcFeed extends Serializable {
         insert ++ update
       }
     val wCust = Window.partitionBy("shard").orderBy("c_custkey")
-    val cust = Tables.customer(s, d)
+    val cust = spreadForRender(Tables.customer(s, d)
       .withColumn("shard", (col("c_custkey") % nShards).cast("string"))
       .withColumn("tx", row_number().over(wCust).cast("long"))
       .select(col("shard"), col("tx"), col("c_custkey"), col("c_name"),
-        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
       .as[(String, Long, Long, String, Int, Double, String)]
       .flatMap { case (shard, tx, key, name, nation, bal, seg) =>
         val row = Seq(key.toString, name, nation.toString, bal.toString, seg).map(Option(_))
@@ -352,11 +367,11 @@ object CdcFeed extends Serializable {
   def customer(s: SparkSession, d: String, nShards: Int = DefaultShards): Dataset[FeedLine] = {
     import s.implicits._
     val w = Window.partitionBy("shard").orderBy("c_custkey")
-    val src = Tables.customer(s, d)
+    val src = spreadForRender(Tables.customer(s, d)
       .withColumn("shard", (col("c_custkey") % nShards).cast("string"))
       .withColumn("tx", row_number().over(w).cast("long"))
       .select(col("shard"), col("tx"), col("c_custkey"), col("c_name"),
-        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
       .as[(String, Long, Long, String, Int, Double, String)]
     src.flatMap { case (shard, tx, key, name, nation, bal, seg) =>
       val row = Seq(key.toString, name, nation.toString, bal.toString, seg).map(Option(_))
@@ -502,11 +517,32 @@ object CdcFeed extends Serializable {
         }
     val copyCompleted = s.createDataset(Seq(
       FeedLine(shard, 2_000_000L * 8, VEventJson.write(CopyCompletedEvent(shard)))))
-    ordSlice(0, 0L, copy = true)
-      .unionByName(custSlice(0, 1_000_000L, copy = true))
+    // The four slices are independent EAGER constructions (globalSeq runs
+    // a sampling pass, a count and a localCheckpoint each); submitting
+    // them from a small thread pool overlaps those fixed job latencies —
+    // guide §2.6, overlap independent jobs — instead of paying them end
+    // to end. Each slice's internal two-pass consistency is per-slice
+    // state, untouched by the interleaving.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val (ord0, cust0, ord1, cust1) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val fs = (
+          Future(ordSlice(0, 0L, copy = true)),
+          Future(custSlice(0, 1_000_000L, copy = true)),
+          Future(ordSlice(1, 3_000_000L, copy = false)),
+          Future(custSlice(1, 4_000_000L, copy = false)))
+        (Await.result(fs._1, Duration.Inf), Await.result(fs._2, Duration.Inf),
+          Await.result(fs._3, Duration.Inf), Await.result(fs._4, Duration.Inf))
+      } finally pool.shutdown()
+    ord0
+      .unionByName(cust0)
       .unionByName(copyCompleted)
-      .unionByName(ordSlice(1, 3_000_000L, copy = false))
-      .unionByName(custSlice(1, 4_000_000L, copy = false))
+      .unionByName(ord1)
+      .unionByName(cust1)
   }
 
   // ------------------------------------------------------------ literal

@@ -348,7 +348,7 @@ object CdcQueries {
   private def writeFeedFiles(
       s: SparkSession,
       feed: org.apache.spark.sql.Dataset[graft.streaming.FeedLine],
-      feedDir: java.nio.file.Path): Unit = {
+      feedDir: java.nio.file.Path): Unit = timed(s"writeFeed:$feedDir") {
     val tmp = feedDir.resolve("_tmp")
     feed
       .repartition(CdcFeed.DefaultShards, col("shard"))
@@ -409,6 +409,16 @@ object CdcQueries {
       .option("path", feedDir.toString)
       .options(options)
       .load()
+      // Sink file sizing (guide §6): the source plans one input partition
+      // per shard SEGMENT — under a small `split.partition.bytes` that is
+      // hundreds of 64 KB slices, and the parquet sink writes one file per
+      // partition. coalesce packs the segment readers into at most
+      // one task per core (narrow — each reader still seeds and decodes
+      // its own slice exactly as planned), so the sink writes core-count
+      // files instead of segment-count and the read-back scan lists
+      // core-count files. A feed with fewer segments than cores is
+      // untouched (coalesce never raises the partition count).
+      .coalesce(s.sparkContext.defaultParallelism)
       .writeStream.format("parquet")
       .option("path", outDir.toString)
       .option("checkpointLocation", ckpt.toString)
@@ -439,7 +449,7 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[java.nio.file.Path]]()
   private def stageWaves(key: String, s: SparkSession)(
       waves: => Seq[org.apache.spark.sql.Dataset[graft.streaming.FeedLine]]): Seq[java.nio.file.Path] =
-    stagedWaveDirs.computeIfAbsent(key, _ => {
+    stagedWaveDirs.computeIfAbsent(key, _ => timed(s"stage:$key") {
       // ALL waves ride ONE sort+write job (partitioned by wave, then
       // shard) — the first invocation pays a single staging job instead
       // of one per wave
