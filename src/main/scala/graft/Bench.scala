@@ -191,10 +191,15 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"errors":$es,"n_failed":${errors.size}$basketJson,"sf":${jstr(sfDir)}}"""
     println(json)
-    // The driver captures stdout with a bounded tail that can truncate the
-    // early per-query timings; persist the full line (cwd-relative — the
-    // repo root under sbt) so round-over-round comparison always covers
-    // every query. A failed write must not fail the bench, but say so.
+    // The driver captures stdout with a bounded tail that truncates the
+    // FRONT of this (long) line — its parse has returned null since round
+    // 7, leaving PERF without per-query data. Persist the full line on
+    // EVERY run (bench_last.json, cwd-relative — the repo root under sbt)
+    // so the driver and the next round always have the complete map; the
+    // curated multi-run record (bench_full.json) keeps its stricter
+    // contract below. A failed write must not fail the bench, but say so.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_last.json not written: $e") }
     if (isRecordRun) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] bench_full.json not written: $e") }

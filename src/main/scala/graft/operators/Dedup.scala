@@ -166,9 +166,10 @@ object Dedup {
     // most expensive stage of this operator (profiled at sf0.1: ~4.4 s
     // of a 12 s query, and it ran twice) — caching it halves the index
     // build and leaves everything downstream reading columnar cache
-    val sh = df
-      .select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val sh = Scans.widenIfNarrow(df.select(
+        col(idCol).cast("long").as("id"), col(textCol).as("__txt")))
+      .select(col("id"),
+        explode(array_distinct(shingles(col("__txt"), n))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisted: the pruned inverted index feeds the size aggregation
     // and the pairing stage. The df filter stays a shuffle join keyed on
@@ -942,9 +943,13 @@ object Dedup {
   def substringDupStats(
       df: DataFrame, textCol: String, idCol: String, k: Int = 30): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
-    val base = df.select(
-      col(idCol).as("doc_id"),
-      TextOps.normText(col(textCol)).as("t"))
+    // widened BEFORE the normalize+explode chain: the window explode
+    // multiplies every document into len-k+1 rows, and a narrow scan
+    // would run that expansion on 1-2 cores (guide §2.5)
+    val base = Scans.widenIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("doc_id"),
+        TextOps.normText(col(textCol)).as("t"))
       .select(col("doc_id"), col("t"), length(col("t")).as("len"))
     val wins = base.filter(col("len") >= k)
       .select(
@@ -1004,9 +1009,11 @@ object Dedup {
   def substringDedupText(
       df: DataFrame, textCol: String, idCol: String, k: Int = 30): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
-    val base = df.select(
-      col(idCol).as("doc_id"),
-      TextOps.normText(col(textCol)).as("t"))
+    // widened before normalize+explode — see substringDupStats
+    val base = Scans.widenIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("doc_id"),
+        TextOps.normText(col(textCol)).as("t"))
     val wins = base.filter(length(col("t")) >= k)
       .select(
         col("doc_id"),

@@ -384,9 +384,21 @@ object Multimodal {
     // hash per image) otherwise re-runs for the banding AND each of the
     // two per-candidate join-backs — at gate scale that tripled the
     // single dominant job; (id, 64-char hash) is ~80 bytes/image
+    // The Hamming distance is computed on NUMERIC halves (32-bit ints
+    // parsed once here from the bit string), not by splitting the
+    // 64-char strings per candidate pair: `zip_with` over split() runs
+    // an interpreted lambda per element — 128 evaluations per pair — and
+    // profiled as the dominant single-task stage of the gate, while
+    // bit_count(xor) is one codegen'd instruction pair (the simhash
+    // operator's exact shape). Bit-for-bit equivalent: the string is
+    // always 64 chars of '0'/'1' by construction (aHashBits), so
+    // popcount(xor(half_a, half_b)) summed over both halves equals the
+    // per-char mismatch count.
     val hashes = hashed.filter(col("phash").isNotNull)
       .select(col("media_id"), col("phash"))
       .dropDuplicates("media_id")
+      .withColumn("h1", conv(substring(col("phash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("phash"), 33, 32), 2, 10).cast("long"))
       .localCheckpoint()
     val withBands = hashes
       .select(
@@ -399,12 +411,13 @@ object Multimodal {
     Dedup.bucketCandidatePairs(
         withBands.select(col("band"), col("chunk"), col("media_id")),
         Seq("band", "chunk"), "media_id", hotBucketThreshold)
-      .join(hashes.select(col("media_id").as("id_a"), col("phash").as("ph_a")), Seq("id_a"))
-      .join(hashes.select(col("media_id").as("id_b"), col("phash").as("ph_b")), Seq("id_b"))
+      .join(hashes.select(col("media_id").as("id_a"),
+        col("h1").as("h1_a"), col("h2").as("h2_a")), Seq("id_a"))
+      .join(hashes.select(col("media_id").as("id_b"),
+        col("h1").as("h1_b"), col("h2").as("h2_b")), Seq("id_b"))
       .withColumn("hamming",
-        size(filter(
-          zip_with(split(col("ph_a"), ""), split(col("ph_b"), ""), (x, y) => x =!= y),
-          d => d)))
+        (bit_count(col("h1_a").bitwiseXOR(col("h1_b"))) +
+          bit_count(col("h2_a").bitwiseXOR(col("h2_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
@@ -504,10 +517,13 @@ object Multimodal {
     Some((n, sampleRate, sum.toDouble / n, math.sqrt(sumSq.toDouble / n), crossings))
   }
 
-  /** Media table with REAL BMP payloads (one image per document id). */
+  /** Media table with REAL BMP payloads (one image per document id).
+    * Widened before the encode UDF: a narrow documents scan would run
+    * the per-image encode (and everything chained on the payload) on
+    * 1-2 cores (guide §2.5; no-op when the scan is already wide). */
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
     val enc = udf { (id: Long) => encodeBmp(id) }
-    docs.select(
+    Scans.widenIfNarrow(docs.select(col("doc_id"))).select(
       col("doc_id").as("media_id"),
       enc(col("doc_id")).as("payload"),
       struct(
@@ -516,10 +532,11 @@ object Multimodal {
         (col("doc_id") % 7 + 2).cast("int").as("height")).as("meta"))
   }
 
-  /** Media table with REAL PCM16 WAV payloads. */
+  /** Media table with REAL PCM16 WAV payloads (widened like the BMP
+    * builder — the decode chains hang off this payload column). */
   def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
     val enc = udf { (id: Long) => encodeWav(id) }
-    docs.select(
+    Scans.widenIfNarrow(docs.select(col("doc_id"))).select(
       col("doc_id").as("media_id"),
       enc(col("doc_id")).as("payload"),
       struct(
