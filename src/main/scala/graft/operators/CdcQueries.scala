@@ -448,17 +448,32 @@ object CdcQueries {
   private val stagedWaveDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[java.nio.file.Path]]()
   private def stageWaves(key: String, s: SparkSession)(
-      waves: => Seq[org.apache.spark.sql.Dataset[graft.streaming.FeedLine]]): Seq[java.nio.file.Path] =
+      waves: => Seq[org.apache.spark.sql.Dataset[graft.streaming.FeedLine]]): Seq[java.nio.file.Path] = {
+    val ws = waves
+    stageTagged(key, ws.size)(ws.zipWithIndex
+      .map { case (w, i) => w.withColumn("wave", lit(i)) }
+      .reduce(_ unionByName _))
+  }
+
+  /** Single-pass variant of [[stageWaves]] for waves that are FILTERS of
+    * one feed: the union-of-filters shape re-renders the whole feed once
+    * per wave (Spark shares no common subtrees across union branches —
+    * the generation gate's versioned feed rendered twice), while one
+    * wave-index column computed per line renders it exactly once. */
+  private def stageWavesBy(key: String, nWaves: Int)(
+      feed: => org.apache.spark.sql.Dataset[graft.streaming.FeedLine],
+      waveOf: org.apache.spark.sql.Column): Seq[java.nio.file.Path] =
+    stageTagged(key, nWaves)(feed.withColumn("wave", waveOf))
+
+  private def stageTagged(key: String, nWaves: Int)(
+      taggedFeed: => DataFrame): Seq[java.nio.file.Path] =
     stagedWaveDirs.computeIfAbsent(key, _ => timed(s"stage:$key") {
       // ALL waves ride ONE sort+write job (partitioned by wave, then
       // shard) — the first invocation pays a single staging job instead
       // of one per wave
       import java.nio.file.Files
       import scala.jdk.CollectionConverters._
-      val ws = waves
-      val tagged = ws.zipWithIndex
-        .map { case (w, i) => w.withColumn("wave", lit(i)) }
-        .reduce(_ unionByName _)
+      val tagged = taggedFeed
       val tmp = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_stage_tmp"))
       val made = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
       try {
@@ -470,7 +485,7 @@ object CdcQueries {
           .sortWithinPartitions(col("wave"), col("shard"), col("seq"))
           .select(col("line"), col("wave"), col("shard"))
           .write.partitionBy("wave", "shard").mode("overwrite").text(tmp.toString)
-        val staged = ws.indices.map { i =>
+        val staged = (0 until nWaves).map { i =>
           val dir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory(s"graft_stage_$i"))
           made += dir
           val waveDir = tmp.resolve(s"wave=$i")
@@ -651,8 +666,8 @@ object CdcQueries {
     val waves = stageWaves(s"rs:$d", s) {
       Seq(
         CdcFeed.orders(s, d, nShards = 2, hostFlip = true, shardNames = Seq("-80", "80-")),
-        CdcFeed.orders(s, d, nShards = 4, shardNames = Seq("p0", "p1", "p2", "40-c0"))
-          .filter(col("shard") === "40-c0"))
+        CdcFeed.orders(s, d, nShards = 4, shardNames = Seq("p0", "p1", "p2", "40-c0"),
+          keepShards = Set("40-c0")))
     }
     releasing(feedDir, ckpt) {
       copyWave(waves(0), feedDir)
@@ -696,11 +711,12 @@ object CdcQueries {
     val feedDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_feed_gen"))
     val outDir = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_gen_out"))
     val ckpt = graft.TempDirs.reclaimOnExit(Files.createTempDirectory("graft_gen_ckpt"))
-    val waves = stageWaves(s"gen:$d", s) {
-      val all = CdcFeed.ordersVersioned(s, d)
-      val waveBoundary = CdcFeed.EventsPerTx * CdcFeed.WaveOffset // wave 2 starts at WaveOffset
-      Seq(all.filter(col("seq") < waveBoundary), all.filter(col("seq") >= waveBoundary))
-    }
+    // wave 2 starts at WaveOffset; one wave-index column instead of two
+    // filters of the same feed, so the versioned render runs ONCE
+    val waveBoundary = CdcFeed.EventsPerTx * CdcFeed.WaveOffset
+    val waves = stageWavesBy(s"gen:$d", 2)(
+      CdcFeed.ordersVersioned(s, d),
+      when(col("seq") < waveBoundary, 0).otherwise(1))
     val split = Map("split.partition.bytes" -> "4194304")
     releasing(feedDir, ckpt) {
       copyWave(waves(0), feedDir)

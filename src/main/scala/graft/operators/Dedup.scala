@@ -288,7 +288,11 @@ object Dedup {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    // widened before tokenize+signature: the per-doc UDF (shingle rolling
+    // hashes × numHashes) is the hot stage, and a narrow scan would run
+    // it on 1-2 cores (guide §2.5; no-op on an already-wide input)
+    Scans.widenIfNarrow(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), TextOps.tokens(col("__txt")).as("toks"))
       .withColumn("sig", minhashSigUdf(shingleN, numHashes)(col("toks")))
       .select(
         col("id"),
@@ -314,9 +318,9 @@ object Dedup {
     // one disk-backed write of the shingle arrays (the same bytes the
     // join would shuffle anyway) for a full second UDF pass over the
     // corpus; the containment operator makes the identical trade.
-    val withShingles = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+    val withShingles = Scans.widenIfNarrow(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), shingles(col("__txt"), shingleN).as("sh"))
       .localCheckpoint()
     // band rows carry ONLY (band, band_hash, id): the heavy shingle
     // arrays are not replicated through the bands×N explosion or its
@@ -896,7 +900,9 @@ object Dedup {
     // sums per doc) otherwise runs three times — once for the banding
     // explode and once per candidate join-back (lshCandidatePairs has
     // the same note); (id, sig) is 16 bytes/doc, trivially cacheable
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val withSig = Scans.widenIfNarrow(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), simhash(col("__txt")).as("sig"))
       .localCheckpoint()
     val banded = withSig.select(
       col("id"), col("sig"),

@@ -91,10 +91,12 @@ object TextOps {
     // tokenize regexes (the expensive part) run FOUR times over the
     // corpus; (id, len, toks) is about the corpus text size, the same
     // disk-backed trade the LSH shingle pass makes
-    val base = df.select(
-      col(idCol).as("doc_id"),
-      length(normText(col(textCol))).as("len"),
-      tokens(col(textCol)).as("toks"))
+    val base = Scans.widenIfNarrow(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__txt")))
+      .select(
+        col("doc_id"),
+        length(normText(col("__txt"))).as("len"),
+        tokens(col("__txt")).as("toks"))
       .localCheckpoint()
     val tagged = Seq(2, 3, 5).map { n =>
       base.select(
@@ -147,7 +149,10 @@ object TextOps {
       k: Int = 5, w: Int = 4): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
-    df.select(col(idCol).as("doc_id"), kgrams(col(textCol), k).as("grams"))
+    // widened before the k-gram slide + md5 explode (guide §2.5)
+    Scans.widenIfNarrow(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__txt")))
+      .select(col("doc_id"), kgrams(col("__txt"), k).as("grams"))
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
       .withColumn("minh", min(md5(col("gram").cast("binary"))).over(win))
       .select(col("doc_id"), col("minh").as("fp"))
@@ -187,7 +192,8 @@ object TextOps {
     val benchGrams = bench
       .select(explode(kgrams(col(textCol), k)).as("gram"))
       .distinct()
-    docs
+    // widened before the corpus-side k-gram explode (guide §2.5)
+    Scans.widenIfNarrow(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), corpusGrams(textCol, k, shortLens).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(col(idCol))
@@ -225,7 +231,7 @@ object TextOps {
       val ss = docs.sparkSession
       val bloomB = ss.sparkContext.broadcast(bloom)
       val mightContain = udf { (g: String) => g != null && bloomB.value.mightContain(g) }
-      docs
+      Scans.widenIfNarrow(docs.select(col(idCol), col(textCol)))
         .select(col(idCol),
           corpusGrams(textCol, k, shortBenchLengths(bench, textCol, k)).as("gram"))
         .filter(mightContain(col("gram")))
@@ -537,7 +543,12 @@ object TextOps {
     * count. The groupBy carries map-side partial aggregation, so the
     * shuffle moves distinct (doc, term) pairs, not raw tokens. */
   def docTermCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    // widened before tokenize+explode: the normalize regexes and the
+    // token explosion are the hot stage, and a narrow scan would run
+    // them on 1-2 cores (guide §2.5; no-op on an already-wide input)
+    Scans.widenIfNarrow(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__txt")))
+      .select(col("doc_id"), explode(tokens(col("__txt"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -638,9 +649,11 @@ object TextOps {
   def dsirScores(
       df: DataFrame, textCol: String, idCol: String,
       targetPred: Column): DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
-        explode(tokens(col(textCol))).as("term"))
+    val tf = Scans.widenIfNarrow(df.select(
+        col(idCol).as("doc_id"), targetPred.as("is_target"),
+        col(textCol).as("__txt")))
+      .select(col("doc_id"), col("is_target"),
+        explode(tokens(col("__txt"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("is_target"), col("term"))
       .agg(count(lit(1)).as("tf"))
